@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY.md §2;
+  * `oracleSql` carries the equivalent DuckDB SQL for every hash-checkable
+  * query (approximate ops — agg_distinct_approx, text_minhash_lsh — are
+  * declared without an oracle and bounded by unit tests instead). */
 object SparkEntry {
+
+  private val categories = Seq(
+    ScanQueries.queries, FilterQueries.queries, JoinQueries.queries,
+    AggQueries.queries, WindowQueries.queries, SortSetQueries.queries,
+    FnQueries.queries, TemporalQueries.queries, CdcQueries.queries,
+    TextQueries.queries, SimQueries.queries)
+
+  private val oracles = Seq(
+    ScanQueries.oracle, FilterQueries.oracle, JoinQueries.oracle,
+    AggQueries.oracle, WindowQueries.oracle, SortSetQueries.oracle,
+    FnQueries.oracle, TemporalQueries.oracle, CdcQueries.oracle,
+    TextQueries.oracle, SimQueries.oracle)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AggQueries.queries("agg_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    categories.reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    oracles.reduce(_ ++ _)
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders (schemas documented in /root/repo/FIXTURES.md).
+  *
+  * The reference system lands Salesforce objects as columnar files on S3
+  * (/root/reference/README.md:3,6,7); here each object is a parquet file
+  * under the scale-factor directory passed to every query.
+  */
+object Tables {
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame   = t(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = t(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = t(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = t(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "lineitem")
+
+  /** `events.ts` is parquet timestamp[ns], which Spark's vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
+    * nanosAsLong conf and truncate to a µs TimestampType with integer
+    * arithmetic (DIV — double math would lose precision at 1.7e18 ns).
+    * DuckDB's ns→µs cast truncates identically, so both engines see the
+    * same µs instants. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Qutil._
+
+/** Buffer for the geometric-mean UDAF: running sum of logs + count. */
+case class GeoBuf(sumLog: Double, n: Long)
+
+/** Typed UDAF (SURVEY §2.4 agg_udaf_geomean): geometric mean via
+  * exp(mean(ln x)). Partial aggregation (reduce) runs map-side, merge
+  * combines partials — the same partial+final shape as built-in aggregates,
+  * so it scales like sum()/avg() at 100 TB. */
+object GeoMeanAgg extends Aggregator[Double, GeoBuf, Double] {
+  override def zero: GeoBuf = GeoBuf(0.0, 0L)
+  override def reduce(b: GeoBuf, x: Double): GeoBuf =
+    if (x > 0.0) GeoBuf(b.sumLog + math.log(x), b.n + 1) else b
+  override def merge(a: GeoBuf, b: GeoBuf): GeoBuf =
+    GeoBuf(a.sumLog + b.sumLog, a.n + b.n)
+  override def finish(b: GeoBuf): Double =
+    if (b.n == 0) 0.0 else math.exp(b.sumLog / b.n)
+  override def bufferEncoder: Encoder[GeoBuf] = Encoders.product[GeoBuf]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** SURVEY §2.4 — aggregations. Hash aggregation with map-side partials is
+  * the backbone of every reporting load the reference runs
+  * (/root/reference/README.md:3,9). */
+object AggQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Flagship (SparkEntry.entry): TPC-H-Q1-style pricing summary.
+    "agg_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumDec2(col("l_quantity")).as("sum_qty"),
+          sumDec2(col("l_extendedprice")).as("sum_base_price"),
+          sumMoneyD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          sumMoneyD(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          avgDec2(col("l_quantity")).as("avg_qty"),
+          avgDec2(col("l_extendedprice")).as("avg_price"),
+          avgDec6(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Exact distinct: expand + two-phase aggregation.
+    "agg_distinct_exact" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"))
+        .orderBy("l_returnflag")),
+
+    // HLL sketch distinct — the 100 TB answer to countDistinct's expand cost.
+    // No oracle (approximate); unit test asserts ±2% of exact.
+    "agg_distinct_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_part"))
+        .orderBy("l_returnflag")),
+
+    // ROLLUP with subtotals + grand total, grouping_id disambiguates levels.
+    "agg_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast(IntegerType).as("gid"),
+          sumDec2(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select("r_name", "n_name", "gid", "revenue", "n_orders")
+        .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    // CUBE over two low-cardinality dims.
+    "agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast(IntegerType).as("gid"), count(lit(1)).as("cnt"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt")
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Explicit GROUPING SETS via the SQL entry point (SURVEY §3.2 EP2).
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, CAST(grouping_id() AS INT) AS gid, COUNT(*) AS cnt
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
+    // Post-aggregation filter (HAVING).
+    "agg_having" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(avgDec2(col("c_acctbal")).as("avg_bal"), count(lit(1)).as("n_cust"))
+        .where(col("avg_bal") > 4000.0)
+        .orderBy("c_mktsegment")),
+
+    // DQ profiling stats: min/max/stddev/median per event type.
+    "agg_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+          r6(stddev_samp(col("value"))).as("std_v"),
+          r6(expr("percentile(value, 0.5)")).as("med_v"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // Custom typed UDAF surface. Rounded to 3 dp: the log-sum order differs
+    // between engines and exp() amplifies the ulp drift past 1e-6.
+    "agg_udaf_geomean" -> ((s, d) => {
+      val geo = udaf(GeoMeanAgg)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(geo(col("l_extendedprice")), 3).as("geomean_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price, " +
+       "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DECIMAL(38,2)) AS sum_disc_price, " +
+       "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DECIMAL(38,2)) AS sum_charge, " +
+       "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_qty, " +
+       "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_price, " +
+       "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*), 6) AS avg_disc, " +
+       "COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
+       "GROUP BY 1,2 ORDER BY 1,2"),
+    "agg_distinct_exact" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part, " +
+       "COUNT(DISTINCT l_suppkey) AS nd_supp FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "agg_rollup" ->
+      ("SELECT r_name, n_name, CAST(GROUPING(r_name)*2 + GROUPING(n_name) AS INT) AS gid, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue, COUNT(*) AS n_orders " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) " +
+       "ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST"),
+    "agg_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+       "CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS gid, COUNT(*) AS cnt " +
+       "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+       "ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "agg_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+       "CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS gid, COUNT(*) AS cnt " +
+       "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+       "ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "agg_having" ->
+      ("SELECT c_mktsegment, ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_bal, " +
+       "COUNT(*) AS n_cust FROM customer GROUP BY 1 " +
+       "HAVING ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) > 4000.0 ORDER BY 1"),
+    "agg_stats" ->
+      ("SELECT event_type, MIN(value) AS min_v, MAX(value) AS max_v, " +
+       "ROUND(STDDEV_SAMP(value), 6) AS std_v, ROUND(quantile_cont(value, 0.5), 6) AS med_v, " +
+       "COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"),
+    "agg_udaf_geomean" ->
+      ("SELECT l_returnflag, ROUND(EXP(AVG(LN(l_extendedprice))), 3) AS geomean_price, " +
+       "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")
+  )
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Qutil._
+
+/** SURVEY §2.8 — scalar-function suite (string/date/math/array/map/json/
+  * explode/UDF): the field-cleansing layer of a Salesforce migration
+  * (/root/reference/README.md:3). Everything except fn_udf_scalar stays in
+  * built-in (codegen'd) expressions per the §4.3 design rules. */
+object FnQueries {
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        trim(col("p_name")).as("trimmed"),
+        substring(col("p_name"), 1, 8).as("sub8"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        lpad(col("p_size").cast(StringType), 4, "0").as("size_pad"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+        split(col("p_type"), " ").getItem(0).as("type_head"))
+        .orderBy("p_partkey")),
+
+    // Monthly revenue + the datetime function battery applied to the month.
+    "fn_date" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n_orders"), sumDec2(col("o_totalprice")).as("revenue"))
+        .select(col("mon"),
+          year(col("mon")).as("yr"),
+          quarter(col("mon")).as("qtr"),
+          month(col("mon")).as("mo"),
+          dayofweek(col("mon")).as("dow_first"),
+          date_add(col("mon"), 30).as("plus30"),
+          last_day(col("mon")).as("eom"),
+          datediff(last_day(col("mon")), col("mon")).as("mdays"),
+          col("n_orders"), col("revenue"))
+        .orderBy("mon")),
+
+    "fn_math" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        ceil(col("l_extendedprice")).as("ceil_p"),
+        floor(col("l_extendedprice")).as("floor_p"),
+        r6(pow(col("l_quantity"), 2)).as("qty_sq"),
+        r6(log(col("l_extendedprice"))).as("ln_p"),
+        r6(log10(col("l_extendedprice"))).as("log10_p"),
+        r6(sqrt(col("l_quantity"))).as("sqrt_q"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod"),
+        signum(col("l_discount") - 0.05).as("sgn"))
+        .orderBy("l_orderkey", "l_linenumber", "price_r1", "abs_d", "qty_sq",
+          "ln_p", "sqrt_q")),
+
+    // Higher-order functions over the 64-dim float vectors — no UDF, all
+    // Catalyst expressions (codegen + pushdown survive).
+    "fn_array" -> ((s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("e1"),
+        array_max(col("embedding")).as("emax"),
+        array_min(col("embedding")).as("emin"),
+        sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"),
+        r6(sqrt(aggregate(
+          transform(col("embedding"), v => v.cast(DoubleType) * v.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x))).as("l2_norm"))
+        .orderBy("vec_id")),
+
+    // props JSON string -> MapType; modular bucket aggregation on the value.
+    "fn_map_json" -> ((s, d) => {
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      Tables.events(s, d)
+        .select((element_at(m, "k") % 10).as("kmod"),
+          size(map_keys(m)).as("nkeys"))
+        .groupBy("kmod", "nkeys")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("kmod", "nkeys")
+    }),
+
+    // Generator surface: split -> explode -> token rows -> top-50.
+    "fn_explode_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(50)),
+
+    // The single demo Scala UDF (SURVEY §4.3 rule 1 allows exactly one).
+    "fn_udf_scalar" -> ((s, d) => {
+      val cleanText = udf((t: String) =>
+        if (t == null) null else t.toLowerCase.replaceAll("[^a-z0-9 ]", ""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), cleanText(substring(col("text"), 1, 40)).as("cleaned"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      ("SELECT p_partkey, UPPER(p_name) AS up_name, LOWER(p_brand) AS lo_brand, " +
+       "TRIM(p_name) AS trimmed, substring(p_name, 1, 8) AS sub8, " +
+       "concat_ws('|', p_brand, p_type) AS joined, CAST(length(p_name) AS INT) AS name_len, " +
+       "replace(p_type, ' ', '_') AS type_us, lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad, " +
+       "regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num, " +
+       "string_split(p_type, ' ')[1] AS type_head FROM part ORDER BY p_partkey"),
+    "fn_date" ->
+      ("SELECT mon, CAST(year(mon) AS INT) AS yr, CAST(quarter(mon) AS INT) AS qtr, " +
+       "CAST(month(mon) AS INT) AS mo, CAST(dayofweek(mon) + 1 AS INT) AS dow_first, " +
+       "CAST(mon AS DATE) + 30 AS plus30, last_day(CAST(mon AS DATE)) AS eom, " +
+       "CAST(date_diff('day', CAST(mon AS DATE), last_day(CAST(mon AS DATE))) AS INT) AS mdays, " +
+       "n_orders, revenue FROM (SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS n_orders, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue " +
+       "FROM orders GROUP BY 1) ORDER BY mon"),
+    "fn_math" ->
+      ("SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 1) AS price_r1, " +
+       "ABS(l_discount - 0.05) AS abs_d, CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_p, " +
+       "CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_p, ROUND(POW(l_quantity, 2), 6) AS qty_sq, " +
+       "ROUND(LN(l_extendedprice), 6) AS ln_p, ROUND(LOG10(l_extendedprice), 6) AS log10_p, " +
+       "ROUND(SQRT(l_quantity), 6) AS sqrt_q, l_orderkey % 7 AS key_mod, " +
+       "CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sgn FROM lineitem " +
+       "ORDER BY l_orderkey, l_linenumber, price_r1, abs_d, qty_sq, ln_p, sqrt_q"),
+    "fn_array" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INT) AS dim, embedding[1] AS e1, " +
+       "list_aggregate(embedding, 'max') AS emax, list_aggregate(embedding, 'min') AS emin, " +
+       "list_sort(embedding[1:4]) AS head4_sorted, " +
+       "ROUND(sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))), 6) AS l2_norm " +
+       "FROM embeddings ORDER BY vec_id"),
+    "fn_map_json" ->
+      ("SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS kmod, " +
+       "CAST(len(json_keys(props)) AS INT) AS nkeys, COUNT(*) AS n " +
+       "FROM events GROUP BY 1,2 ORDER BY 1,2"),
+    "fn_explode_tokens" ->
+      ("SELECT tok, COUNT(*) AS cnt FROM " +
+       "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+       "GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 50"),
+    "fn_udf_scalar" ->
+      ("SELECT doc_id, regexp_replace(lower(substring(text, 1, 40)), '[^a-z0-9 ]', '', 'g') AS cleaned " +
+       "FROM documents ORDER BY doc_id")
+  )
+}

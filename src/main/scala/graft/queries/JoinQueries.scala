@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Qutil._
+
+/** SURVEY §2.3 — joins (Salesforce object relationships / migration
+  * reconciliation, /root/reference/README.md:3).
+  *
+  * Scale posture: bounded dims (region/nation/customer) are broadcast so the
+  * fact-side scan never shuffles for them; the fact⋈fact equi-joins shuffle
+  * on their keys and are AQE-managed (skew split, runtime SMJ→BHJ).
+  */
+object JoinQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Shuffled equi-join + aggregate: revenue per customer.
+    "join_inner_hash" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sumDec2(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("c_custkey")),
+
+    // 5-way star: fact-fact SMJ on orderkey, then broadcast the dims so the
+    // star lookup is shuffle-free (the only viable plan shape at 100 TB).
+    "join_broadcast_star" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sumMoneyD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")),
+
+    // Outer join keeping customers with zero orders (orphan detection).
+    "join_left_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+
+    // Semi: customers having at least one open ('O') order; no right columns.
+    "join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Anti: customers with no orders — the classic migration-reconciliation diff.
+    "join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Equi + range (interval) predicate: ships within 30 days of order date.
+    // Catalyst plans the equi part as the join key; the range rides along as
+    // a post-join filter, so no nested-loop blowup.
+    "join_range" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate")),
+
+    // As-of: for each event, the user's most recent strictly-prior signup
+    // time. One shuffle on user_id; the window scan is linear per user —
+    // the standard distributed ASOF shape (no per-row probe joins).
+    "join_asof" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("last_signup_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "last_signup_ts")
+        .orderBy("event_id")
+    }),
+
+    // Cartesian 5×25 (bounded!) — nested-loop path.
+    "join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_hash" ->
+      ("SELECT c_custkey, c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue, " +
+       "COUNT(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY 1,2 ORDER BY 1"),
+    "join_broadcast_star" ->
+      ("SELECT r_name, n_name, CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DECIMAL(38,2)) AS revenue, " +
+       "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey GROUP BY 1,2 ORDER BY 1,2"),
+    "join_left_outer" ->
+      ("SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders FROM customer " +
+       "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1,2 ORDER BY 1"),
+    "join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O') " +
+       "ORDER BY c_custkey"),
+    "join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "join_range" ->
+      ("SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate FROM lineitem " +
+       "JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate " +
+       "AND l_shipdate <= o_orderdate + INTERVAL 30 DAY " +
+       "ORDER BY l_orderkey, l_linenumber, l_shipdate"),
+    "join_asof" ->
+      ("SELECT event_id, user_id, last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS) " +
+       "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+       "AS last_signup_ts FROM events ORDER BY event_id"),
+    "join_cross" ->
+      ("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +
+       "ORDER BY r_regionkey, n_nationkey")
+  )
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared determinism helpers for the declared query catalog (SURVEY.md §7.3).
+  *
+  * Rules (binding, mirrored in every DuckDB oracle):
+  *  - money/qty aggregate: cast to DECIMAL(18,s) BEFORE summing; final cast
+  *    to DECIMAL(38,s) so Spark and DuckDB agree on the result type.
+  *  - averages: exact decimal sum -> double -> divide by count -> round 6.
+  *    (DuckDB decimal division degrades to double, so a pure-decimal avg
+  *    cannot hash-match; this pattern is bit-deterministic on both engines.)
+  *  - inherently-double results (stddev, cosine, tf-idf, transcendentals):
+  *    round(x, 6) on both sides; never emit a raw double aggregate.
+  */
+object Qutil {
+  type Q = (SparkSession, String) => DataFrame
+
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Exact money sum: decimal pre-cast, wide final type matching the oracle's
+    * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,2)). */
+  def sumDec2(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
+
+  /** Deterministic average at scale 2 (money/qty): exact decimal sum cast to
+    * double, divided by count — identical IEEE ops on Spark and DuckDB. */
+  def avgDec2(c: Column): Column =
+    round(sum(dec2(c)).cast(DoubleType) / count(lit(1)), 6)
+
+  /** Same at scale 6 (small magnitudes like discounts). */
+  def avgDec6(c: Column): Column =
+    round(sum(dec6(c)).cast(DoubleType) / count(lit(1)), 6)
+
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Deterministic money rounding for DERIVED doubles (products like
+    * price*(1-disc)). A plain decimal cast diverges between engines at the
+    * half-cent boundary (Spark rounds the exact decimal expansion, DuckDB a
+    * scaled double), so we define the rounding ourselves in pure IEEE ops —
+    * floor(x*100 + 0.5) cents — then rebuild a decimal with an exact
+    * decimal multiply (never a decimal division: DuckDB degrades those to
+    * double). Oracle mirror:
+    * CAST(CAST(FLOOR(x*100+0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) */
+  def moneyD(c: Column): Column =
+    (floor(c * 100.0 + 0.5).cast(DecimalType(18, 0)) *
+      lit(new java.math.BigDecimal("0.01"))).cast(DecimalType(18, 2))
+
+  def sumMoneyD(c: Column): Column = sum(moneyD(c)).cast(DecimalType(38, 2))
+
+  /** Dot product of two float vectors, accumulated in double (left fold) —
+    * same shape as the oracle's list_sum(list_transform(...)). Stays inside
+    * Catalyst codegen (HOFs, no UDF) so it survives whole-stage codegen and
+    * is usable verbatim at 100 TB. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  def cosineD(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import Qutil._
+
+/** SURVEY §2.1 — scans, sources, sinks.
+  *
+  * The reference lands Salesforce objects as columnar files on S3 via
+  * PySpark (/root/reference/README.md:3,6,7); these queries exercise the
+  * parquet scan path (full / pruned+pushed-down), the stringly-JSON ingest
+  * step, and the partitioned-landing pattern.
+  */
+object ScanQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Full scan, all columns. NOTE: (l_orderkey, l_linenumber) is NOT
+    // unique in the fixtures — l_extendedprice completes a total order.
+    "scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey",
+          "l_suppkey", "l_shipdate", "l_quantity", "l_discount")),
+
+    // 3-column projection + filter: column pruning and predicate pushdown
+    // must reach the parquet reader (verified via .explain in tests).
+    "scan_pruned" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .where(col("l_shipdate") >= lit("1997-01-01") &&
+               col("l_extendedprice") > 50000.0)
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    // Salesforce-style semi-structured payload: JSON string column -> typed.
+    "source_json_infer" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // Partitioned S3-load pattern (README.md:7,9): re-land orders
+    // partitioned by year, read back, count per partition. At 100 TB the
+    // partitionBy column is the pruning key for every downstream read.
+    "sink_partitioned" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned"
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"), sumDec2(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_year")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      ("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, " +
+       "l_partkey, l_suppkey, l_shipdate, l_quantity, l_discount"),
+    "scan_pruned" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_extendedprice > 50000.0 " +
+       "ORDER BY l_orderkey, l_linenumber, l_extendedprice"),
+    "source_json_infer" ->
+      ("SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k " +
+       "FROM events ORDER BY event_id"),
+    "sink_partitioned" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price " +
+       "FROM orders GROUP BY 1 ORDER BY 1")
+  )
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Qutil._
+
+/** SURVEY §2.11 — similarity search over the 64-dim float embeddings.
+  *
+  * Exact brute-force cosine is the correctness baseline here; the scale
+  * path for 100 TB is the same dot-product expression behind an LSH/IVF
+  * bucketing join (candidates from equality joins, then exact re-rank) —
+  * see text_minhash_lsh for the bucketing shape. All vector math is
+  * Catalyst HOFs (zip_with/aggregate), codegen'd, no UDFs. */
+object SimQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Top-10 neighbors of vec_id=0 by cosine (exact, brute force; the
+    // single query vector is broadcast so the scan stays shuffle-free).
+    "sim_search_topk" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      Tables.embeddings(s, d).where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", cosineD(col("embedding"), col("qv")))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), r6(col("cos")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    // Per label: the max-cosine pair (self-join within label groups).
+    "sim_join_label" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+      val w = Window.partitionBy(col("a.label"))
+        .orderBy(col("cos").desc, col("a.vec_id"), col("b.vec_id"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosineD(col("a.embedding"), col("b.embedding")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
+          col("b.vec_id").as("vec_b"), r6(col("cos")).as("cosine"))
+        .orderBy("label")
+    }),
+
+    // 5-NN majority-label classification for the first 20 vectors
+    // (leave-one-out; ties broken toward the smaller label).
+    "sim_knn_classify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"),
+          col("embedding").as("qv"))
+      val wNn = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      val wMaj = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+      e.select(col("vec_id").as("cid"), col("label"), col("embedding"))
+        .join(broadcast(q), col("cid") =!= col("qid"))
+        .withColumn("cos", cosineD(col("embedding"), col("qv")))
+        .withColumn("rn", row_number().over(wNn))
+        .where(col("rn") <= 5)
+        .groupBy("qid", "true_label", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("mr", row_number().over(wMaj))
+        .where(col("mr") === 1)
+        .select(col("qid").as("vec_id"), col("label").as("pred_label"),
+          col("true_label"))
+        .orderBy("vec_id")
+    })
+  )
+
+  // Shared SQL fragment: double-accumulated dot product over 1-based list
+  // positions — the exact mirror of Qutil.dotD's left fold.
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
+
+  val oracle: Map[String, String] = Map(
+    "sim_search_topk" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+       s"s AS (SELECT vec_id, ${dotSql("embedding", "qv")} AS dp, " +
+       s"sqrt(${dotSql("embedding", "embedding")}) AS ne, sqrt(${dotSql("qv", "qv")}) AS nq " +
+       "FROM embeddings CROSS JOIN q WHERE vec_id <> 0) " +
+       "SELECT vec_id, ROUND(dp/(ne*nq), 6) AS cosine FROM s " +
+       "ORDER BY dp/(ne*nq) DESC, vec_id LIMIT 10"),
+    "sim_join_label" ->
+      ("WITH p AS (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+       s"${dotSql("a.embedding", "b.embedding")} / " +
+       s"(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos " +
+       "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) AS rn FROM p) " +
+       "SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cosine FROM r WHERE rn = 1 ORDER BY label"),
+    "sim_knn_classify" ->
+      ("WITH q AS (SELECT vec_id AS qid, label AS true_label, embedding AS qv " +
+       "FROM embeddings WHERE vec_id < 20), " +
+       "p AS (SELECT qid, true_label, e.vec_id AS cid, e.label, " +
+       s"${dotSql("e.embedding", "qv")} / " +
+       s"(sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("qv", "qv")})) AS cos " +
+       "FROM embeddings e JOIN q ON e.vec_id <> qid), " +
+       "nn AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM p), " +
+       "votes AS (SELECT qid, true_label, label, COUNT(*) AS votes FROM nn WHERE rn <= 5 GROUP BY 1,2,3), " +
+       "maj AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS mr FROM votes) " +
+       "SELECT qid AS vec_id, label AS pred_label, true_label FROM maj WHERE mr = 1 ORDER BY vec_id")
+  )
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Qutil._
+
+/** SURVEY §2.11 — LLM-data-pipeline text operators (B-mandate): stats,
+  * exact + near-duplicate dedup, MinHash/LSH, TF-IDF, n-grams.
+  *
+  * Scale posture: all token work is explode → shuffle-on-token, which
+  * distributes; the brute-force Jaccard self-join is bounded per `source`
+  * group and exists as the oracle-checkable spec for the banded-LSH path
+  * (text_minhash_lsh), which is the 100 TB shape — candidates come from
+  * equality joins on (band, band_hash) buckets, never an all-pairs scan. */
+object TextQueries {
+
+  private def toks(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+
+  val queries: Map[String, Q] = Map(
+    // Corpus stats per language.
+    "text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 6).as("avg_chars"),
+          round(sum(size(split(col("text"), " ")).cast(LongType)).cast(DoubleType)
+            / count(lit(1)), 6).as("avg_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")),
+
+    // Exact dedup after normalization: keep min doc_id per content hash.
+    "text_normalize_dedup_exact" -> ((s, d) => {
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          sha2(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 256).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("doc_id", "lang", "h")
+        .orderBy("doc_id")
+    }),
+
+    // Near-dup candidate pairs within a source: token-set Jaccard >= 0.6.
+    // Relational formulation: distinct (doc, tok) -> self-join on token ->
+    // |∩| / (|A| + |B| - |∩|). At 100 TB this brute-force spec is replaced
+    // by text_minhash_lsh candidates; kept here as the exact oracle.
+    "text_near_dup_jaccard" -> ((s, d) => {
+      val t = toks(s, d).select("doc_id", "source", "tok").distinct()
+      val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val pairs = t.as("a").join(t.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("jacc", col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")))
+        .where(col("jacc") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), r6(col("jacc")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash (k=32, fixed literal seeds via xxhash64) + banded LSH (8 bands
+    // × 4 rows): candidate pairs from bucket equality joins. Declared
+    // without oracle (SURVEY §2 allows); recall vs the exact Jaccard op is
+    // asserted in TextOpsSpec.
+    "text_minhash_lsh" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val sigCols = (0 until 32).map(i =>
+        array_min(transform(col("toks"), t => xxhash64(t, lit(i)))).as(s"h$i"))
+      val sigs = base.select(col("doc_id") +: sigCols: _*)
+      val bandCols = (0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*).as("bh")))
+      val buckets = sigs
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // TF-IDF: top-5 terms per language (tf within lang, idf over all docs).
+    "text_tfidf_topterms" -> ((s, d) => {
+      val t = toks(s, d)
+      val tf = t.groupBy("lang", "tok")
+        .agg(count(lit(1)).as("tf")).withColumnRenamed("tok", "term")
+      val dfreq = t.select(col("doc_id"), col("tok").as("term")).distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val ndocs = Tables.documents(s, d).agg(count(lit(1)).as("ndocs"))
+      val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(ndocs)
+        .withColumn("score", col("tf") * log(col("ndocs").cast(DoubleType) / col("df")))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("lang"), col("rnk").cast(IntegerType).as("rnk"), col("term"),
+          r6(col("score")).as("score"))
+        .orderBy("lang", "rnk")
+    }),
+
+    // Top-20 bigrams via zip_with over shifted slices (pure HOFs, no UDF).
+    "text_ngrams" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+       "ROUND(CAST(SUM(n_chars) AS DOUBLE)/COUNT(*), 6) AS avg_chars, " +
+       "ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*), 6) AS avg_tokens, " +
+       "COUNT(DISTINCT source) AS n_sources FROM documents GROUP BY 1 ORDER BY 1"),
+    "text_normalize_dedup_exact" ->
+      ("WITH n AS (SELECT doc_id, lang, " +
+       "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents) " +
+       "SELECT doc_id, lang, h FROM n WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY h) " +
+       "ORDER BY doc_id"),
+    "text_near_dup_jaccard" ->
+      ("WITH t AS (SELECT DISTINCT doc_id, source, tok FROM " +
+       "(SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+       "sizes AS (SELECT doc_id, COUNT(*) AS nt FROM t GROUP BY 1), " +
+       "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM t a " +
+       "JOIN t b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1,2) " +
+       "SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter), 6) AS jaccard " +
+       "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+       "WHERE CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter) >= 0.6 ORDER BY doc_a, doc_b"),
+    "text_tfidf_topterms" ->
+      ("WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents), " +
+       "tf AS (SELECT lang, term, COUNT(*) AS tf FROM t GROUP BY 1,2), " +
+       "dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1), " +
+       "nd AS (SELECT COUNT(*) AS ndocs FROM documents), " +
+       "sc AS (SELECT lang, term, tf * ln(CAST(ndocs AS DOUBLE)/df) AS score " +
+       "FROM tf JOIN dfreq USING (term) CROSS JOIN nd), " +
+       "r AS (SELECT lang, term, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk FROM sc) " +
+       "SELECT lang, CAST(rnk AS INT) AS rnk, term, ROUND(score, 6) AS score FROM r " +
+       "WHERE rnk <= 5 ORDER BY lang, rnk"),
+    "text_ngrams" ->
+      ("SELECT bigram, COUNT(*) AS cnt FROM (SELECT unnest(list_transform(" +
+       "generate_series(1, len(string_split(text, ' ')) - 1), " +
+       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram " +
+       "FROM documents) GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20")
+  )
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Qutil._
+
+/** SURVEY §2.5 — window functions. Each window partitions by a natural key
+  * (nation / user / customer) so the shuffle distributes; the one global
+  * window (ntile) is flagged below. */
+object WindowQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Top-3 customers per nation by balance (ties broken by key). Planner
+    // applies WindowGroupLimit so only 3 rows per group survive the sort.
+    "win_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("c_nationkey", "rnk", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_nationkey", "rnk")
+    }),
+
+    // Per-user inter-event gap (lag) + next event type (lead).
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select("event_id", "user_id", "gap_us", "next_type")
+        .orderBy("event_id")
+    }),
+
+    // Cumulative revenue per customer: ROWS UNBOUNDED PRECEDING..CURRENT.
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("run_rev", sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(38, 2)))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "run_rev")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // 7-day trailing sum per user: RANGE frame over epoch seconds.
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+        .rangeBetween(-7L * 86400L, 0L)
+      Tables.events(s, d)
+        .withColumn("ts_sec", expr("unix_micros(ts) DIV 1000000"))
+        .withColumn("trail_sum", sum(dec2(col("value"))).over(w).cast(DecimalType(38, 2)))
+        .select("event_id", "user_id", "trail_sum")
+        .orderBy("event_id")
+    }),
+
+    // Quartile / percent_rank / cume_dist of customers by balance.
+    // NOTE: a single global window — fine for a ranked report (bounded
+    // output); at 100 TB you'd partition by a bucketing key or compute
+    // quantile boundaries via approx_percentile instead.
+    "win_ntile_pctrank" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", r6(percent_rank().over(w)))
+        .withColumn("cume", r6(cume_dist().over(w)))
+        .orderBy("c_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_topk_per_group" ->
+      ("SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, c_name, c_acctbal FROM " +
+       "(SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk " +
+       "FROM customer) WHERE rnk <= 3 ORDER BY c_nationkey, rnk"),
+    "win_lag_lead" ->
+      ("SELECT event_id, user_id, " +
+       "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us, " +
+       "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+       "FROM events ORDER BY event_id"),
+    "win_running_sum" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_rev " +
+       "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"),
+    "win_range_frame" ->
+      ("SELECT event_id, user_id, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id " +
+       "ORDER BY (epoch_us(ts) // 1000000) RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trail_sum " +
+       "FROM events ORDER BY event_id"),
+    "win_ntile_pctrank" ->
+      ("SELECT c_custkey, c_acctbal, CAST(ntile(4) OVER w AS INT) AS quartile, " +
+       "ROUND(percent_rank() OVER w, 6) AS pct_rank, ROUND(cume_dist() OVER w, 6) AS cume " +
+       "FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey")
+  )
+}
