@@ -67,23 +67,40 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // MinHash (k=32, fixed literal seeds via xxhash64) + banded LSH (8 bands
-    // × 4 rows): candidate pairs from bucket equality joins. Declared
-    // without oracle (SURVEY §2 allows); recall vs the exact Jaccard op is
-    // asserted in TextOpsSpec.
+    // MinHash (k=32) + banded LSH (8 bands × 4 rows): candidate pairs from
+    // bucket equality joins — the 100 TB near-dup shape (equality-join on
+    // (band, hash), never an all-pairs scan). One xxhash64 per token, then
+    // 32 fixed affine transforms (universal hashing) — ~10× cheaper than
+    // re-hashing the string per signature row. Declared without oracle
+    // (SURVEY §2 allows); recall vs the exact Jaccard op is asserted in
+    // TextOpsSpec.
     "text_minhash_lsh" -> ((s, d) => {
       val base = Tables.documents(s, d)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      val sigCols = (0 until 32).map(i =>
-        array_min(transform(col("toks"), t => xxhash64(t, lit(i)))).as(s"h$i"))
-      val sigs = base.select(col("doc_id") +: sigCols: _*)
+        .select(col("doc_id"), col("source"),
+          transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)).as("hs"))
+      // Fixed multipliers/offsets (golden-ratio stream) reduced mod the
+      // Mersenne prime 2^31-1: pmod(h,p) <= 2^31 and a < p keep every
+      // product under 2^62, so ANSI-mode long arithmetic never overflows.
+      // Literal seeds keep reruns byte-identical (SURVEY §7.3.6).
+      val p = 2147483647L
+      val sigCols = (0 until 32).map { i =>
+        val a = math.floorMod((2 * i + 1) * 0x9E3779B97F4A7C15L, p - 1) + 1
+        val b = math.floorMod((i + 1) * 0xC2B2AE3D27D4EB4FL, p)
+        array_min(transform(col("hs"),
+          h => pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p)))).as(s"h$i")
+      }
+      val sigs = base.select(col("doc_id") +: col("source") +: sigCols: _*)
       val bandCols = (0 until 8).map(b =>
         struct(lit(b).as("band"),
           xxhash64((b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*).as("bh")))
+      // Candidates are blocked by (source, band, hash) — same scope as the
+      // exact Jaccard op, and the shard-blocked join shape that keeps the
+      // pair explosion bounded on a self-similar corpus at 100 TB.
       val buckets = sigs
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        .select(col("doc_id"), col("source"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("source"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       buckets.as("x").join(buckets.as("y"),
+          col("x.source") === col("y.source") &&
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

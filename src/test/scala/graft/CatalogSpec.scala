@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared query must run at sf0.001; targeted exact assertions on
+  * known fixture properties (SURVEY §5.2.2). */
+class CatalogSpec extends SparkSpec {
+
+  test("every declared query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every oracleSql key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("join_cross is exactly |region| x |nation| = 125") {
+    assert(SparkEntry.queries("join_cross")(spark, sf).count() === 125)
+  }
+
+  test("agg_pricing_summary group counts sum to the filtered row count") {
+    val df = SparkEntry.queries("agg_pricing_summary")(spark, sf)
+    val total = df.agg(sum("count_order")).head.getLong(0)
+    val expected = Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") <= lit("1998-09-01")).count()
+    assert(total === expected)
+  }
+
+  test("agg_rollup grand total equals ungrouped total") {
+    val df = SparkEntry.queries("agg_rollup")(spark, sf)
+    val grand = df.where(col("gid") === 3).select("revenue").head.getDecimal(0)
+    val direct = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)"))
+      .head.getDecimal(0)
+    assert(grand === direct)
+  }
+
+  test("ts_session partitions events: session event counts sum to |events|") {
+    val df = SparkEntry.queries("ts_session")(spark, sf)
+    val total = df.agg(sum("n_events")).head.getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("ts_dedup_latest keeps exactly one row per (user, type)") {
+    val df = SparkEntry.queries("ts_dedup_latest")(spark, sf)
+    assert(df.groupBy("user_id", "event_type").count().where(col("count") > 1).count() === 0)
+    val pairs = Tables.events(spark, sf).select("user_id", "event_type").distinct().count()
+    assert(df.count() === pairs)
+  }
+
+  test("pivot_event_matrix row counts reconcile with raw events") {
+    val df = SparkEntry.queries("pivot_event_matrix")(spark, sf)
+    val pivotTotal = df.select(
+      (col("click") + col("error") + col("purchase") + col("signup") + col("view")).as("s"))
+      .agg(sum("s")).head.getLong(0)
+    assert(pivotTotal === Tables.events(spark, sf).count())
+  }
+
+  test("sim_search_topk returns 10 neighbors with cosine in [-1,1], descending") {
+    val rows = SparkEntry.queries("sim_search_topk")(spark, sf)
+      .select("cosine").collect().map(_.getDouble(0))
+    assert(rows.length === 10)
+    assert(rows.forall(c => c >= -1.0 && c <= 1.0))
+    assert(rows.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("text_normalize_dedup_exact is idempotent on survivors") {
+    val df = SparkEntry.queries("text_normalize_dedup_exact")(spark, sf)
+    // survivors' hashes are unique: dedup(dedup(x)) == dedup(x)
+    assert(df.groupBy("h").count().where(col("count") > 1).count() === 0)
+  }
+
+  test("scan_parquet preserves all rows and columns") {
+    val df = SparkEntry.queries("scan_parquet")(spark, sf)
+    assert(df.count() === 6000)
+    assert(df.columns.length === 11)
+  }
+
+  test("dq_checks reports the known fixture facts (no orphans, dup pks exist)") {
+    val m = SparkEntry.queries("dq_checks")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("fk_orphan") === 0L)
+    assert(m("null_key") === 0L)
+    assert(m("neg_price") === 0L)
+    assert(m("dup_pk") > 0L) // (l_orderkey, l_linenumber) is NOT unique — see FIXTURES note
+  }
+
+  test("predicate pushdown + column pruning reach the parquet scan (scan_pruned)") {
+    val plan = SparkEntry.queries("scan_pruned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_extendedprice)"),
+      s"no pushed filters in plan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("l_tax"),
+      "scan should not read unprojected columns")
+  }
+
+  test("join_broadcast_star actually broadcasts the dims") {
+    val plan = SparkEntry.queries("join_broadcast_star")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.queries.Qutil
+
+/** Property-based invariants (SURVEY §5.2.3): cosine/Jaccard algebra via
+  * the engine's own HOF expressions, CDC diff of identical snapshots, and
+  * dedup idempotence. Uses plain scalacheck generators with fixed seeds
+  * (build.sbt pins no scalatestplus bridge, and fixed seeds keep reruns
+  * deterministic per SURVEY §7.3.6). */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  test("cosine: self-similarity = 1, symmetry, range [-1,1]") {
+    import spark.implicits._
+    val pairs = samples(Gen.zip(vecGen, vecGen), 20)
+    assert(pairs.nonEmpty)
+    val rows = pairs.toDF("a", "b")
+      .select(Qutil.cosineD(col("a"), col("a")).as("saa"),
+        Qutil.cosineD(col("a"), col("b")).as("sab"),
+        Qutil.cosineD(col("b"), col("a")).as("sba"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12)
+      assert(r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("jaccard in [0,1]; =1 iff equal token sets (engine token pipeline)") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+    samples(Gen.zip(docGen, docGen), 20).foreach { case (t1, t2) =>
+      val sets = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        .orderBy("doc_id").collect()
+        .map(_.getSeq[String](1).toSet)
+      val (a, b) = (sets(0), sets(1))
+      val j = (a & b).size.toDouble / (a ++ b).size
+      assert(j >= 0.0 && j <= 1.0)
+      assert((j == 1.0) === (a == b))
+    }
+  }
+
+  test("CDC diff of identical snapshots is empty") {
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("key"), Qutil.dec2(col("o_totalprice")).as("p_price"))
+    val curr = ord.withColumnRenamed("p_price", "c_price")
+    val diff = ord.join(curr, Seq("key"), "full_outer")
+      .withColumn("op", when(col("p_price").isNull, "I")
+        .when(col("c_price").isNull, "D")
+        .when(col("p_price") =!= col("c_price"), "U"))
+      .where(col("op").isNotNull)
+    assert(diff.count() === 0)
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = SparkEntry.queries("text_normalize_dedup_exact")(spark, sf)
+    val twice = once.groupBy("h").agg(min("doc_id").as("doc_id"))
+    assert(twice.count() === once.count())
+  }
+
+  test("session windows partition events (no loss, no overlap per user)") {
+    val sess = SparkEntry.queries("ts_session")(spark, sf)
+    val overlaps = sess.as("x").join(sess.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+        col("x.sess_start") < col("y.sess_start") &&
+        col("y.sess_start") < col("x.sess_end"))
+    assert(overlaps.count() === 0, "sessions of one user must not overlap")
+  }
+}
