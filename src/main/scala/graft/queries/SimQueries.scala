@@ -45,6 +45,56 @@ object SimQueries {
         .orderBy("label")
     }),
 
+    // Embedding-cosine near-dup pairs within a label block (norms
+    // precomputed once per vector, not per pair). Threshold 0.35 sits at
+    // the fixture's p99.9 — the survivors list is the dedup drop-set.
+    "dedup_embed_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normD(col("embedding")).as("nrm"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          dotD(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        .where(col("cos") >= 0.35)
+        .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
+          col("b.vec_id").as("vec_b"), r6(col("cos")).as("cosine"))
+        .orderBy("label", "vec_a", "vec_b")
+    }),
+
+    // LSH-bucketed ANN (the 100 TB scale path for sim_search_topk):
+    // 16 random-hyperplane sign bits -> candidates within Hamming<=5 of the
+    // query signature -> exact cosine re-rank of the survivors. Hyperplanes
+    // are fixed splitmix64-derived literals (deterministic reruns).
+    // Oracle-less; recall vs the exact top-10 asserted in SimSpec.
+    "sim_search_lsh" -> ((s, d) => {
+      def sm(x0: Long): Long = {
+        var x = x0 + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      val planes = (0 until 16).map(k => (0 until 64).map(j =>
+        (math.floorMod(sm(k * 64L + j), 2001L) - 1000L) / 1000.0))
+      def sig(v: org.apache.spark.sql.Column) =
+        (0 until 16).map { k =>
+          val plane = array(planes(k).map(lit): _*)
+          when(dotD(v, plane) > 0.0, lit(1 << k)).otherwise(0)
+        }.reduce(_ + _)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), sig(col("embedding")).as("sg"))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("sg").as("qsg"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .where(bit_count(col("sg").bitwiseXOR(col("qsg"))) <= 5)
+        .withColumn("cos", cosineD(col("embedding"), col("qv")))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), r6(col("cos")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // 5-NN majority-label classification for the first 20 vectors
     // (leave-one-out; ties broken toward the smaller label).
     "sim_knn_classify" -> ((s, d) => {
@@ -82,6 +132,14 @@ object SimQueries {
        "FROM embeddings CROSS JOIN q WHERE vec_id <> 0) " +
        "SELECT vec_id, ROUND(dp/(ne*nq), 6) AS cosine FROM s " +
        "ORDER BY dp/(ne*nq) DESC, vec_id LIMIT 10"),
+    "dedup_embed_cosine" ->
+      ("WITH n AS (SELECT vec_id, label, embedding, " +
+       s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+       "p AS (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+       s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos " +
+       "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+       "SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cosine FROM p " +
+       "WHERE cos >= 0.35 ORDER BY label, vec_a, vec_b"),
     "sim_join_label" ->
       ("WITH p AS (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b, " +
        s"${dotSql("a.embedding", "b.embedding")} / " +

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Qutil._
+
+/** SURVEY §2.11 extensions — the text-analysis battery a training-data
+  * pipeline runs per document (B-mandate): language-ID heuristic, quality
+  * scoring, token counting (whitespace + subword regex), content
+  * fingerprinting (rolling hash), and SimHash near-dup blocking.
+  *
+  * All per-document: embarrassingly parallel map work over the corpus —
+  * the 100 TB shape is a single scan, no shuffle except final ordering. */
+object Text2Queries {
+
+  // Deterministic literal marker lists (a real system would ship per-lang
+  // frequency tables; the heuristic shape — distinct-token overlap argmax —
+  // is the same).
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "los", "que", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "pour", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni"))
+
+  private val stopwords = Seq("the", "and", "of", "to", "is", "in", "a", "on",
+    "for", "with", "by", "at", "or", "key", "order")
+
+  val queries: Map[String, Q] = Map(
+    // n-gram/marker-overlap language ID: argmax of distinct-token overlap
+    // with per-language marker lists, alphabetical tie-break, 'und' if none.
+    "text_langid" -> ((s, d) => {
+      val dtoks = array_distinct(split(col("text"), " "))
+      val scored = Tables.documents(s, d)
+        .withColumn("dt", dtoks)
+        .select(Seq(col("doc_id"), col("lang")) ++ markers.map { case (l, ws) =>
+          size(array_intersect(col("dt"), array(ws.map(lit): _*))).as(s"s_$l")
+        }: _*)
+      val mx = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+      val pred = markers.foldLeft(when(mx === 0, "und")) { case (acc, (l, _)) =>
+        acc.when(col(s"s_$l") === mx, l)
+      }
+      scored
+        .select(col("doc_id"), col("lang"), pred.as("pred_lang"), mx.as("matches"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token counts, uniqueness ratio, avg token length,
+    // stopword ratio, and a composite score — all from exact integer
+    // ratios, so the doubles are bit-identical across engines.
+    "text_quality" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val stopArr = array(stopwords.map(lit): _*)
+      val nTok = size(tk)
+      val nUniq = size(array_distinct(tk))
+      val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+      val nStop = size(filter(tk, t => array_contains(stopArr, t)))
+      val uniqR = nUniq.cast(DoubleType) / nTok
+      val avgLen = sumLen.cast(DoubleType) / nTok
+      val stopR = nStop.cast(DoubleType) / nTok
+      val score = uniqR * 0.5 + (lit(1.0) - stopR) * 0.3 + least(avgLen / 10.0, lit(1.0)) * 0.2
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tok"), nUniq.as("n_uniq"),
+          r6(uniqR).as("uniq_ratio"), r6(avgLen).as("avg_token_len"),
+          r6(stopR).as("stop_ratio"), r6(score).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish subword regex pieces.
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_obs"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("subword_tokens"))
+        .orderBy("doc_id")),
+
+    // Document fingerprint: rolling polynomial hash over token values with
+    // an explicit prime modulus (keeps ANSI long arithmetic overflow-free
+    // and matches DuckDB's non-wrapping BIGINT semantics).
+    "text_fingerprint" -> ((s, d) => {
+      val p = 9007199254740881L
+      val tokvals = transform(split(col("text"), " "),
+        t => (length(t) * 31 + ascii(t)).cast(LongType))
+      val fp = aggregate(tokvals, lit(0L), (acc, v) => pmod(acc * 131 + v, lit(p)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup: 64-bit signature from signed bit-sums of token
+    // hashes; candidate pairs blocked by 16-bit bands within a source, kept
+    // at Hamming distance <= 8. Oracle-less (xxhash64 has no DuckDB
+    // equivalent); structural invariants asserted in tests.
+    "text_simhash" -> ((s, d) => {
+      val hs = transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))
+      val bits = (0 until 64).map { j =>
+        val vote = aggregate(hs, lit(0L),
+          (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+        when(vote > 0, lit(1L << j)).otherwise(0L)
+      }
+      val sim = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), bits.reduce(_ + _).as("simhash"))
+      val bands = sim.select(col("doc_id"), col("source"), col("simhash"),
+        explode(array((0 until 4).map(k => struct(lit(k).as("k"),
+          shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("b"))
+        .select(col("doc_id"), col("source"), col("simhash"),
+          col("b.k").as("k"), col("b.bv").as("bv"))
+      bands.as("x").join(bands.as("y"),
+          col("x.source") === col("y.source") && col("x.k") === col("y.k") &&
+          col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    val markerSql = markers.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), $arr)) AS INT) AS s_$l"
+    }.mkString(", ")
+    val mxSql = "GREATEST(" + markers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val predSql = "CASE WHEN " + mxSql + " = 0 THEN 'und' " +
+      markers.map { case (l, _) => s"WHEN s_$l = $mxSql THEN '$l'" }.mkString(" ") + " END"
+    val stopArr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+    Map(
+      "text_langid" ->
+        (s"WITH sc AS (SELECT doc_id, lang, $markerSql FROM documents) " +
+         s"SELECT doc_id, lang, $predSql AS pred_lang, $mxSql AS matches FROM sc ORDER BY doc_id"),
+      "text_quality" ->
+        ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+         "m AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tok, CAST(len(list_distinct(tk)) AS INT) AS n_uniq, " +
+         "list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS sum_len, " +
+         s"CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS INT) AS n_stop FROM b) " +
+         "SELECT doc_id, n_tok, n_uniq, " +
+         "ROUND(CAST(n_uniq AS DOUBLE)/n_tok, 6) AS uniq_ratio, " +
+         "ROUND(CAST(sum_len AS DOUBLE)/n_tok, 6) AS avg_token_len, " +
+         "ROUND(CAST(n_stop AS DOUBLE)/n_tok, 6) AS stop_ratio, " +
+         "ROUND((CAST(n_uniq AS DOUBLE)/n_tok)*0.5 + (1.0 - CAST(n_stop AS DOUBLE)/n_tok)*0.3 + " +
+         "LEAST((CAST(sum_len AS DOUBLE)/n_tok)/10.0, 1.0)*0.2, 6) AS quality_score " +
+         "FROM m ORDER BY doc_id"),
+      "text_token_count" ->
+        ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars_obs, " +
+         "CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
+         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS INT) AS subword_tokens " +
+         "FROM documents ORDER BY doc_id"),
+      "text_fingerprint" ->
+        ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+         "list_transform(string_split(text, ' '), t -> CAST(length(t)*31 + ascii(t) AS BIGINT))), " +
+         "(acc, x) -> (acc*131 + x) % 9007199254740881) AS fingerprint " +
+         "FROM documents ORDER BY doc_id")
+    )
+  }
+}
