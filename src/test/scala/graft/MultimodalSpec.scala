@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.multimodal.Multimodal
+
+/** BinaryType / multimodal capability (SURVEY §2.11): round-trip, hashing,
+  * batched feature extraction, frame sampling. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payloads round-trip through parquet with stable hashes") {
+    val assets = Multimodal.syntheticAssets(spark, 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft_assets").toString
+    assets.toDF().write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("payload").dataType === BinaryType)
+    val before = Multimodal.fingerprints(assets.toDF())
+      .select("asset_id", "content_hash").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Multimodal.fingerprints(back)
+      .select("asset_id", "content_hash").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before === after)
+  }
+
+  test("feature extraction is deterministic, batched, fixed-dim") {
+    val assets = Multimodal.syntheticAssets(spark, 60).repartition(4, col("asset_id"))
+    val f1 = Multimodal.extractFeatures(assets, dim = 16).collect()
+      .map(f => f.asset_id -> f.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(assets.repartition(7), dim = 16).collect()
+      .map(f => f.asset_id -> f.features.toSeq).toMap
+    assert(f1 === f2, "features must not depend on partitioning")
+    assert(f1.values.forall(_.length == 16))
+    assert(f1.values.forall(_.forall(v => v >= -1.0f && v <= 1.0f)))
+  }
+
+  test("frame sampling explodes video assets only, bounded by duration") {
+    val assets = Multimodal.syntheticAssets(spark, 30).toDF()
+    val frames = Multimodal.sampleFrames(assets, everyMs = 500)
+    val kinds = frames.join(assets, "asset_id").select("kind").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds === Set("video"))
+    val bad = frames.join(assets, "asset_id")
+      .where(col("frame_ms") > col("meta.durationMs")).count()
+    assert(bad === 0)
+  }
+
+  test("resize rewrites the metadata struct, payload untouched") {
+    val assets = Multimodal.syntheticAssets(spark, 10).toDF()
+    val resized = Multimodal.resizeMeta(assets, 224, 224)
+    assert(resized.select("meta.width").distinct().head.getInt(0) === 224)
+    val pBefore = assets.select(sha2(col("payload"), 256)).collect().map(_.getString(0))
+    val pAfter = resized.select(sha2(col("payload"), 256)).collect().map(_.getString(0))
+    assert(pBefore.sameElements(pAfter))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV/JSON file-source capability (SURVEY §2.1): explicit-schema reads of
+  * stringly sources — the Salesforce-export ingest shape. */
+class SourcesSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("amount", DoubleType), StructField("created", TimestampType)))
+
+  test("CSV with explicit schema: typed columns, no inference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.csv"),
+      "1,alpha,10.5,2024-01-01 10:00:00\n2,beta,-3.25,2024-01-02 11:30:00\n")
+    val df = spark.read.schema(schema).csv(dir)
+    assert(df.schema === schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(1) === "alpha" && rows(1).getDouble(2) === -3.25)
+  }
+
+  test("JSON lines with explicit schema + corrupt-record tolerance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.json"),
+      """{"id": 1, "name": "alpha", "amount": 10.5, "created": "2024-01-01T10:00:00Z"}
+        |not json at all
+        |{"id": 2, "name": "beta", "amount": -3.25, "created": "2024-01-02T11:30:00Z"}
+        |""".stripMargin)
+    val df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(dir)
+    val good = df.where(col("id").isNotNull).orderBy("id").collect()
+    assert(good.length === 2)
+    assert(good(1).getString(1) === "beta")
+  }
+
+  test("schema inference itself works for stringly CSV (tested capability)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_inf").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.csv"),
+      "id,amount\n1,2.5\n2,3.5\n")
+    val df = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(df.schema("id").dataType === IntegerType)
+    assert(df.schema("amount").dataType === DoubleType)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+
+/** Streaming semantics (SURVEY §5.2.4): batch/stream parity, watermark
+  * late-data drop, stateful dedup, and custom-state sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling agg: file-stream (AvailableNow) equals batch on the same data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batchEvents = Tables.events(spark, sf).select("ts", "event_type")
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val expected = Streams.tumblingCounts(batchEvents)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(dir)
+    val q = Streams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("tumbling_parity")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("tumbling_parity")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("watermark drops late rows beyond the delay (append mode)") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = Streams.tumblingCountsWatermarked(df, "10 minutes")
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append")
+      .start()
+
+    // Window 10:00 gets 2 events; the 12:30 event advances the watermark
+    // to 12:20, finalizing (and emitting) the 10:00 window.
+    input.addData((ts("2024-01-01 10:10:00"), "a"), (ts("2024-01-01 10:50:00"), "a"),
+      (ts("2024-01-01 12:30:00"), "a"))
+    q.processAllAvailable()
+    // Late row for 10:00 (behind the 12:20 watermark) must be dropped;
+    // 12:40 keeps the stream moving.
+    input.addData((ts("2024-01-01 10:20:00"), "a"), (ts("2024-01-01 12:40:00"), "a"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 15:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_test")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+    assert(rows(ts("2024-01-01 10:00:00")) === 2L,
+      "late row must not be re-counted into the finalized 10:00 window")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed events") {
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val df = input.toDF().toDF("event_id", "ts")
+    val q = Streams.dedupWithinWatermark(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append")
+      .start()
+    input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    // replay event 1 within the watermark — must be suppressed
+    input.addData((1L, ts("2024-01-01 10:02:00")), (3L, ts("2024-01-01 10:03:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_test").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("flatMapGroupsWithState sessionization equals session_window (batch spec)") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value")).as[Streams.Ev]
+    val custom = Streams.sessionize(evs, 30)
+      .collect()
+      .map(s => (s.user_id, s.sess_start, s.sess_end, s.n_events))
+      .toSet
+    val builtin = SparkEntry.queries("ts_session")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(custom === builtin)
+  }
+
+  test("streaming session_window matches the batch session computation") {
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = df.withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n"))
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .start()
+    input.addData((7L, ts("2024-01-01 10:00:00"), 1.0), (7L, ts("2024-01-01 10:10:00"), 1.0))
+    q.processAllAvailable()
+    // gap > 30 min: closes the first session once the watermark passes
+    input.addData((7L, ts("2024-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    input.addData((7L, ts("2024-01-01 14:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_stream")
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(rows.contains((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L)),
+      s"got: ${rows.mkString(", ")}")
+  }
+}
