@@ -95,12 +95,18 @@ object Text2Queries {
     // equivalent); structural invariants asserted in tests.
     "text_simhash" -> ((s, d) => {
       val hs = transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))
-      val bits = (0 until 64).map { j =>
-        val vote = aggregate(hs, lit(0L),
-          (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-        when(vote > 0, lit(1L << j)).otherwise(0L)
-      }
+      // Single pass over the token hashes: the accumulator is the array of
+      // 64 signed bit-votes, merged per token with zip_with against literal
+      // bit masks (vs 64 separate aggregate passes — ~8× less work/doc).
+      val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+      val votes = aggregate(hs,
+        array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, masks,
+          (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+      val bits = (0 until 64).map(j =>
+        when(element_at(col("votes"), j + 1) > 0, lit(1L << j)).otherwise(0L))
       val sim = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), votes.as("votes"))
         .select(col("doc_id"), col("source"), bits.reduce(_ + _).as("simhash"))
       val bands = sim.select(col("doc_id"), col("source"), col("simhash"),
         explode(array((0 until 4).map(k => struct(lit(k).as("k"),

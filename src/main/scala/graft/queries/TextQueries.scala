@@ -50,16 +50,21 @@ object TextQueries {
     // |∩| / (|A| + |B| - |∩|). At 100 TB this brute-force spec is replaced
     // by text_minhash_lsh candidates; kept here as the exact oracle.
     "text_near_dup_jaccard" -> ((s, d) => {
-      val t = toks(s, d).select("doc_id", "source", "tok").distinct()
-      val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val t0 = toks(s, d).select("doc_id", "source", "tok").distinct()
+      val sizes = t0.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      // Exact-preserving size-ratio prune inside the join: J(A,B) >= 0.6
+      // implies min(|A|,|B|)/max(|A|,|B|) >= 0.6, so mismatched-size pairs
+      // never reach the aggregation. At 100 TB this is the difference
+      // between the token join exploding and staying bounded.
+      val t = t0.join(sizes, "doc_id")
       val pairs = t.as("a").join(t.as("b"),
           col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.nt") * 0.6 <= col("b.nt") && col("b.nt") * 0.6 <= col("a.nt"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.nt").as("na"), col("b.nt").as("nb"))
         .agg(count(lit(1)).as("inter"))
       pairs
-        .join(sizes.toDF("doc_a", "na"), "doc_a")
-        .join(sizes.toDF("doc_b", "nb"), "doc_b")
         .withColumn("jacc", col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")))
         .where(col("jacc") >= 0.6)
