@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-posture operators (SURVEY §2.11 "100 TB posture", §7.3.9):
+  * reusable shapes for the two problems that dominate large joins —
+  * key skew and avoidable shuffles.
+  *
+  * At fixture scale nothing skews, so these are exercised by equivalence
+  * tests (ScaleSpec) rather than declared queries; the declared catalog
+  * documents where each would slot in (e.g. the label self-joins in
+  * SimQueries, the fact-fact join in join_broadcast_star). */
+object Scale {
+
+  /** Skew-safe equi-join: salt the skewed (large) side into `saltFactor`
+    * sub-keys and explode the build side once per salt, so one hot key
+    * spreads over `saltFactor` reducers instead of melting one.
+    * Semantics identical to `large.join(small, keys, "inner")`.
+    *
+    * AQE's skew-join split handles sort-merge skew automatically; explicit
+    * salting remains the tool when the skew is in an aggregation key or
+    * AQE's post-shuffle view arrives too late (e.g. a broadcast side too
+    * big to broadcast but with one dominant key). */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int = 8): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedLarge.join(saltedSmall, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+
+  /** Co-located join via bucketing: both sides pre-bucketed by the join
+    * key into `buckets` files — Catalyst sees the matching output
+    * partitioning and plans the join with NO Exchange on either side.
+    * This is the 100 TB answer for repeatedly-joined fact tables (bucket
+    * once at land time, join shuffle-free forever after). Returns the
+    * joined frame; callers assert the no-shuffle property on the plan. */
+  def bucketedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+      key: String, buckets: Int, dbPrefix: String): (DataFrame, String, String) = {
+    val lName = s"${dbPrefix}_l"
+    val rName = s"${dbPrefix}_r"
+    left.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(lName)
+    right.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(rName)
+    (spark.table(lName).join(spark.table(rName), key), lName, rName)
+  }
+
+  /** Range-partition + sort within partitions — the write layout that
+    * makes downstream range predicates prune files (the partitioned-sink
+    * pattern generalized beyond a date column). */
+  def sortedRepartition(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+}

@@ -35,7 +35,8 @@ object SimQueries {
       val e = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
       val w = Window.partitionBy(col("a.label"))
         .orderBy(col("cos").desc, col("a.vec_id"), col("b.vec_id"))
-      e.as("a").join(e.as("b"),
+      // broadcast: same 10-value-label skew rationale as dedup_embed_cosine
+      e.as("a").join(broadcast(e.as("b")),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", cosineD(col("a.embedding"), col("b.embedding")))
         .withColumn("rn", row_number().over(w))
@@ -52,7 +53,11 @@ object SimQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
           normD(col("embedding")).as("nrm"))
-      e.as("a").join(e.as("b"),
+      // label has only 10 values — a shuffled join would skew onto 10
+      // reducers. The embedding table is bounded (vectors, not documents),
+      // so broadcast one side; at true 100 TB vector scale this becomes a
+      // bucketed-by-label co-located join instead.
+      e.as("a").join(broadcast(e.as("b")),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos",
           dotD(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
