@@ -32,13 +32,15 @@ object SimQueries {
 
     // Per label: the max-cosine pair (self-join within label groups).
     "sim_join_label" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"), normD(col("embedding")).as("nrm"))
       val w = Window.partitionBy(col("a.label"))
         .orderBy(col("cos").desc, col("a.vec_id"), col("b.vec_id"))
       // broadcast: same 10-value-label skew rationale as dedup_embed_cosine
       e.as("a").join(broadcast(e.as("b")),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", cosineD(col("a.embedding"), col("b.embedding")))
+        .withColumn("cos", dotD(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
@@ -104,14 +106,17 @@ object SimQueries {
     // (leave-one-out; ties broken toward the smaller label).
     "sim_knn_classify" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      // norms precomputed once per vector — the pairwise stage then does
+      // one dot product per pair instead of three
       val q = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("label").as("true_label"),
-          col("embedding").as("qv"))
+          col("embedding").as("qv"), normD(col("embedding")).as("qnrm"))
       val wNn = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
       val wMaj = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
-      e.select(col("vec_id").as("cid"), col("label"), col("embedding"))
+      e.select(col("vec_id").as("cid"), col("label"), col("embedding"),
+          normD(col("embedding")).as("nrm"))
         .join(broadcast(q), col("cid") =!= col("qid"))
-        .withColumn("cos", cosineD(col("embedding"), col("qv")))
+        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
         .withColumn("rn", row_number().over(wNn))
         .where(col("rn") <= 5)
         .groupBy("qid", "true_label", "label")
