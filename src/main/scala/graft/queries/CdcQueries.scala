@@ -53,12 +53,21 @@ object CdcQueries {
       val ord = Tables.orders(s, d)
       def one(name: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("violations")).select(lit(name).as("rule"), col("violations"))
-      one("disc_range", li.where(col("l_discount") < 0.0 || col("l_discount") > 1.0))
+      // The three row-predicate rules share ONE scan via conditional
+      // aggregation (at 100 TB, one pass vs three is the whole game);
+      // dup_pk (re-aggregation) and fk_orphan (anti-join) are inherently
+      // separate shapes.
+      def cnt(pred: org.apache.spark.sql.Column) = sum(when(pred, 1L).otherwise(0L))
+      val rowRules = li.agg(
+        cnt(col("l_discount") < 0.0 || col("l_discount") > 1.0).as("disc_range"),
+        cnt(col("l_extendedprice") < 0.0).as("neg_price"),
+        cnt(col("l_orderkey").isNull).as("null_key"))
+      val rowRulesLong = rowRules.selectExpr(
+        "stack(3, 'disc_range', disc_range, 'neg_price', neg_price, 'null_key', null_key) AS (rule, violations)")
+      rowRulesLong
         .union(one("dup_pk", li.groupBy("l_orderkey", "l_linenumber")
           .agg(count(lit(1)).as("c")).where(col("c") > 1)))
         .union(one("fk_orphan", li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")))
-        .union(one("neg_price", li.where(col("l_extendedprice") < 0.0)))
-        .union(one("null_key", li.where(col("l_orderkey").isNull)))
         .orderBy("rule")
     }),
 
