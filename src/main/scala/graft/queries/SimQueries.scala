@@ -102,6 +102,37 @@ object SimQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // IVF-style ANN: coarse quantization against 16 fixed centroid
+    // vectors (vec_id < 16 — deterministic stand-ins for trained k-means
+    // centroids), nprobe=4 cells probed for the query, exact re-rank of
+    // the cell members. At 100 TB the assignment table is the partition
+    // key: each cell is a co-located shard and a query touches nprobe
+    // shards instead of the corpus.
+    "sim_search_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .withColumn("crn", row_number().over(wAssign))
+      val cells = assign.where(col("crn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("embedding"), col("nrm"))
+      val qcells = assign.where(col("vec_id") === 0 && col("crn") <= 4)
+        .select(col("cid").as("cell"))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+      cells.join(broadcast(qcells), "cell")
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), r6(col("cos")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // 5-NN majority-label classification for the first 20 vectors
     // (leave-one-out; ties broken toward the smaller label).
     "sim_knn_classify" -> ((s, d) => {
@@ -150,6 +181,18 @@ object SimQueries {
        "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) " +
        "SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cosine FROM p " +
        "WHERE cos >= 0.35 ORDER BY label, vec_a, vec_b"),
+    "sim_search_ivf" ->
+      (s"WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+       "c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16), " +
+       s"a0 AS (SELECT e.vec_id, cid, ${dotSql("embedding", "cemb")}/(nrm*cnrm) AS ccos FROM e CROSS JOIN c), " +
+       "a AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM a0), " +
+       "cells AS (SELECT vec_id, cid AS cell FROM a WHERE crn = 1), " +
+       "qc AS (SELECT cid AS cell FROM a WHERE vec_id = 0 AND crn <= 4), " +
+       "q AS (SELECT embedding AS qv, nrm AS qnrm FROM e WHERE vec_id = 0), " +
+       "cand AS (SELECT cells.vec_id AS vec_id FROM cells JOIN qc USING (cell) WHERE cells.vec_id <> 0), " +
+       s"sc AS (SELECT e.vec_id, ${dotSql("e.embedding", "qv")}/(e.nrm*qnrm) AS cos " +
+       "FROM e JOIN cand USING (vec_id) CROSS JOIN q) " +
+       "SELECT vec_id, ROUND(cos, 6) AS cosine FROM sc ORDER BY cos DESC, vec_id LIMIT 10"),
     "sim_join_label" ->
       ("WITH p AS (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b, " +
        s"${dotSql("a.embedding", "b.embedding")} / " +

@@ -50,21 +50,40 @@ object TextQueries {
     // |∩| / (|A| + |B| - |∩|). At 100 TB this brute-force spec is replaced
     // by text_minhash_lsh candidates; kept here as the exact oracle.
     "text_near_dup_jaccard" -> ((s, d) => {
+      // Exact near-dup join with PPJoin-style prefix filtering:
+      //  1. canonical token order = ascending global doc-frequency (rarest
+      //     first), tie-broken by token;
+      //  2. a doc with n distinct tokens exposes only its first
+      //     n - ceil(0.6*n) + 1 tokens for CANDIDATE GENERATION —
+      //     completeness: two sets with J >= t must share a token inside
+      //     both prefixes under any shared total order;
+      //  3. candidates verify with a hash join of (doc_b, tok) over only
+      //     the candidate pairs' token lists.
+      // Ubiquitous tokens land outside every prefix, so the quadratic
+      // blow-up the naive token self-join suffers never happens — this is
+      // the exact-at-100TB formulation (size-ratio prune kept too).
       val t0 = toks(s, d).select("doc_id", "source", "tok").distinct()
       val sizes = t0.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      // Exact-preserving size-ratio prune inside the join: J(A,B) >= 0.6
-      // implies min(|A|,|B|)/max(|A|,|B|) >= 0.6, so mismatched-size pairs
-      // never reach the aggregation. At 100 TB this is the difference
-      // between the token join exploding and staying bounded.
+      val df_ = t0.groupBy("tok").agg(count(lit(1)).as("tdf"))
+      val wOrd = Window.partitionBy("doc_id").orderBy(col("tdf"), col("tok"))
       val t = t0.join(sizes, "doc_id")
-      val pairs = t.as("a").join(t.as("b"),
+      val ranked = t.join(df_, "tok")
+        .withColumn("pos", row_number().over(wOrd))
+      val prefix = ranked.where(col("pos") <= col("nt") - ceil(col("nt") * 0.6) + 1)
+        .select("doc_id", "source", "tok", "nt")
+      val cand = prefix.as("a").join(prefix.as("b"),
           col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.nt") * 0.6 <= col("b.nt") && col("b.nt") * 0.6 <= col("a.nt"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.nt").as("na"), col("b.nt").as("nb"))
+        .distinct()
+      val inter = cand
+        .join(t0.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+        .join(t0.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("inter"))
-      pairs
+      inter
         .withColumn("jacc", col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")))
         .where(col("jacc") >= 0.6)
