@@ -104,6 +104,13 @@ class CatalogSpec extends SparkSpec {
       "scan should not read unprojected columns")
   }
 
+  test("agg_stats takes the object/sort aggregation path (percentile is not hash-aggregable)") {
+    val plan = SparkEntry.queries("agg_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"percentile should leave the pure hash-agg path:\n$plan")
+  }
+
   test("join_broadcast_star actually broadcasts the dims") {
     val plan = SparkEntry.queries("join_broadcast_star")(spark, sf)
       .queryExecution.executedPlan.toString

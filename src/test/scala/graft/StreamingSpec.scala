@@ -93,6 +93,20 @@ class StreamingSpec extends SparkSpec {
     assert(custom === builtin)
   }
 
+  test("transformWithState sessionization equals session_window (batch spec)") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value")).as[graft.streaming.Streams.Ev]
+    val tws = graft.streaming.SessionProcessor.sessionize(evs, 30)
+      .collect()
+      .map(s => (s.user_id, s.sess_start, s.sess_end, s.n_events))
+      .toSet
+    val builtin = SparkEntry.queries("ts_session")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(tws === builtin)
+  }
+
   test("streaming session_window matches the batch session computation") {
     val input = MemoryStream[(Long, Timestamp, Double)](spark)
     val df = input.toDF().toDF("user_id", "ts", "value")
