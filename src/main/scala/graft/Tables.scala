@@ -33,4 +33,18 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** SQL entry point (SURVEY §3.2 EP2): register every fixture table as a
+    * temp view so the whole catalog is queryable via spark.sql. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events,
+      "documents" -> documents, "embeddings" -> embeddings)
+    names.foreach(n => loaders(n)(spark, sfDir).createOrReplaceTempView(n))
+  }
 }
