@@ -114,6 +114,16 @@ object AggQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Bivariate statistics (df.stat family): Pearson correlation and
+    // sample covariance per group.
+    "agg_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+          r6(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // Custom typed UDAF surface. Rounded to 3 dp: the log-sum order differs
     // between engines and exp() amplifies the ulp drift past 1e-6.
     "agg_udaf_geomean" -> ((s, d) => {
@@ -165,6 +175,10 @@ object AggQueries {
       ("SELECT event_type, MIN(value) AS min_v, MAX(value) AS max_v, " +
        "ROUND(STDDEV_SAMP(value), 6) AS std_v, ROUND(quantile_cont(value, 0.5), 6) AS med_v, " +
        "COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"),
+    "agg_corr" ->
+      ("SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, " +
+       "ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price, " +
+       "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_udaf_geomean" ->
       ("SELECT l_returnflag, ROUND(EXP(AVG(LN(l_extendedprice))), 3) AS geomean_price, " +
        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")

@@ -87,7 +87,20 @@ object CdcQueries {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Unpivot (melt): the wide matrix back to long form — keeps the
+    // zero-count cells the direct GROUP BY would lose.
+    "unpivot_event_matrix" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+          "event_type", "cnt")
+        .orderBy("user_id", "event_type"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -124,6 +137,16 @@ object CdcQueries {
        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
        "COUNT(*) FILTER (WHERE event_type = 'view') AS view " +
-       "FROM events GROUP BY 1 ORDER BY 1")
+       "FROM events GROUP BY 1 ORDER BY 1"),
+    "unpivot_event_matrix" ->
+      ("SELECT user_id, event_type, cnt FROM (" +
+       "SELECT user_id, COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
+       "COUNT(*) FILTER (WHERE event_type = 'error') AS error, " +
+       "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+       "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+       "COUNT(*) FILTER (WHERE event_type = 'view') AS view " +
+       "FROM events GROUP BY 1" +
+       ") UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view)) " +
+       "ORDER BY user_id, event_type")
   )
 }

@@ -89,7 +89,23 @@ object JoinQueries {
     "join_cross" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select("r_regionkey", "r_name", "n_nationkey", "n_name")
-        .orderBy("r_regionkey", "n_nationkey"))
+        .orderBy("r_regionkey", "n_nationkey")),
+
+    // LATERAL correlated subquery (SQL entry point): each customer's two
+    // latest orders — Catalyst decorrelates the per-row subquery into a
+    // ranked window join, not an N-times re-execution.
+    "join_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_orderdate
+          |FROM customer_lat,
+          |LATERAL (SELECT o_orderkey, o_orderdate FROM orders_lat
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) t
+          |WHERE c_custkey <= 100
+          |ORDER BY c_custkey, o_orderdate DESC, o_orderkey DESC""".stripMargin)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -123,6 +139,11 @@ object JoinQueries {
        "AS last_signup_ts FROM events ORDER BY event_id"),
     "join_cross" ->
       ("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +
-       "ORDER BY r_regionkey, n_nationkey")
+       "ORDER BY r_regionkey, n_nationkey"),
+    "join_lateral" ->
+      ("SELECT c_custkey, o_orderkey, o_orderdate FROM customer, " +
+       "LATERAL (SELECT o_orderkey, o_orderdate FROM orders WHERE o_custkey = c_custkey " +
+       "ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) t " +
+       "WHERE c_custkey <= 100 ORDER BY c_custkey, o_orderdate DESC, o_orderkey DESC")
   )
 }
