@@ -57,6 +57,18 @@ object WindowQueries {
         .orderBy("event_id")
     }),
 
+    // first/last/nth value over the full partition frame per user.
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("first_et", first(col("event_type")).over(w))
+        .withColumn("last_et", last(col("event_type")).over(w))
+        .withColumn("second_et", nth_value(col("event_type"), 2).over(w))
+        .select("event_id", "user_id", "first_et", "last_et", "second_et")
+        .orderBy("event_id")
+    }),
+
     // Quartile / percent_rank / cume_dist of customers by balance.
     // NOTE: a single global window — fine for a ranked report (bounded
     // output); at 100 TB you'd partition by a bucketing key or compute
@@ -92,6 +104,11 @@ object WindowQueries {
        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id " +
        "ORDER BY (epoch_us(ts) // 1000000) RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trail_sum " +
        "FROM events ORDER BY event_id"),
+    "win_first_last" ->
+      ("SELECT event_id, user_id, first_value(event_type) OVER w AS first_et, " +
+       "last_value(event_type) OVER w AS last_et, nth_value(event_type, 2) OVER w AS second_et " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY event_id"),
     "win_ntile_pctrank" ->
       ("SELECT c_custkey, c_acctbal, CAST(ntile(4) OVER w AS INT) AS quartile, " +
        "ROUND(percent_rank() OVER w, 6) AS pct_rank, ROUND(cume_dist() OVER w, 6) AS cume " +

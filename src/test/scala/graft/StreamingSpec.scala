@@ -93,6 +93,29 @@ class StreamingSpec extends SparkSpec {
     assert(custom === builtin)
   }
 
+  test("stream-stream inner join within event-time bounds") {
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val buys = MemoryStream[(Long, Timestamp)](spark)
+    val c = clicks.toDF().toDF("user_id", "click_ts").withWatermark("click_ts", "10 minutes")
+    val b = buys.toDF().toDF("buy_user", "buy_ts").withWatermark("buy_ts", "10 minutes")
+    // attribute a purchase to a click up to 30 minutes earlier
+    val q = c.join(b,
+        col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append")
+      .start()
+    clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")))
+    buys.addData((1L, ts("2024-01-01 10:20:00"))) // within 30 min of click -> joins
+    q.processAllAvailable()
+    buys.addData((2L, ts("2024-01-01 11:00:00"))) // 55 min after click -> no join
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join").collect().map(_.getLong(0))
+    assert(rows.toSeq === Seq(1L), s"got ${rows.mkString(",")}")
+  }
+
   test("transformWithState sessionization equals session_window (batch spec)") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("value")).as[graft.streaming.Streams.Ev]
