@@ -47,6 +47,10 @@ object ScanQueries {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned"
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
+        // co-locate rows with their partition before writing: one file per
+        // year directory instead of numTasks × numYears small files (at
+        // 100 TB, unmanaged partitionBy writes are a small-file explosion)
+        .repartition(col("o_year"))
         .write.mode("overwrite").partitionBy("o_year").parquet(out)
       s.read.parquet(out)
         .groupBy("o_year")

@@ -104,6 +104,16 @@ class CatalogSpec extends SparkSpec {
       "scan should not read unprojected columns")
   }
 
+  test("agg_pricing_summary runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("agg_pricing_summary")(spark, sf)
+    df.collect() // materialize THIS QueryExecution so AQE finalizes it
+                 // (count() would build and execute a separate plan)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("codegen id"),
+      s"scan..partial-agg should be inside a whole-stage-codegen span:\n$plan")
+  }
+
   test("agg_stats takes the object/sort aggregation path (percentile is not hash-aggregable)") {
     val plan = SparkEntry.queries("agg_stats")(spark, sf)
       .queryExecution.executedPlan.toString
