@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Qutil._
@@ -89,6 +90,30 @@ object Text2Queries {
         .orderBy("doc_id")
     }),
 
+    // Keep-BEST dedup: per normalized-content hash keep the highest
+    // quality-score duplicate (ties to the smaller doc_id) — the form a
+    // training-data pipeline actually wants, vs keep-min-id. The score is
+    // pure integer-ratio arithmetic, so the ranking is bit-identical on
+    // both engines.
+    "text_dedup_keep_best" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val stopArr = array(stopwords.map(lit): _*)
+      val nTok = size(tk)
+      val uniqR = size(array_distinct(tk)).cast(DoubleType) / nTok
+      val avgLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+        .cast(DoubleType) / nTok
+      val stopR = size(filter(tk, t => array_contains(stopArr, t))).cast(DoubleType) / nTok
+      val score = uniqR * 0.5 + (lit(1.0) - stopR) * 0.3 + least(avgLen / 10.0, lit(1.0)) * 0.2
+      val h = sha2(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 256)
+      val w = Window.partitionBy("h").orderBy(col("q").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), h.as("h"), score.as("q"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("h"), r6(col("q")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup: 64-bit signature from signed bit-sums of token
     // hashes; candidate pairs blocked by 16-bit bands within a source, kept
     // at Hamming distance <= 8. Oracle-less (xxhash64 has no DuckDB
@@ -150,6 +175,15 @@ object Text2Queries {
          "ROUND((CAST(n_uniq AS DOUBLE)/n_tok)*0.5 + (1.0 - CAST(n_stop AS DOUBLE)/n_tok)*0.3 + " +
          "LEAST((CAST(sum_len AS DOUBLE)/n_tok)/10.0, 1.0)*0.2, 6) AS quality_score " +
          "FROM m ORDER BY doc_id"),
+      "text_dedup_keep_best" ->
+        ("WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS tk, " +
+         "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents), " +
+         "m AS (SELECT doc_id, lang, h, " +
+         "(CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk))*0.5 + " +
+         s"(1.0 - CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk))*0.3 + " +
+         "LEAST((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk))/10.0, 1.0)*0.2 AS q FROM b), " +
+         "r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY q DESC, doc_id) AS rn FROM m) " +
+         "SELECT doc_id, lang, h, ROUND(q, 6) AS quality FROM r WHERE rn = 1 ORDER BY doc_id"),
       "text_token_count" ->
         ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars_obs, " +
          "CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +

@@ -35,6 +35,19 @@ class SourcesSpec extends SparkSpec {
     assert(good(1).getString(1) === "beta")
   }
 
+  test("corrupt files in a landing dir are skippable (ignoreCorruptFiles)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    Tables.nation(spark, sf).write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "part-junk.parquet"), "this is not parquet")
+    val prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      val n = spark.read.parquet(dir).count()
+      assert(n === 25, "good rows must survive a corrupt sibling file")
+    } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+  }
+
   test("schema inference itself works for stringly CSV (tested capability)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_inf").toString
     java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.csv"),
