@@ -78,11 +78,15 @@ object TextQueries {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.nt").as("na"), col("b.nt").as("nb"))
         .distinct()
+      // verification: |A∩B| via array_intersect over the candidates' token
+      // arrays — no second explode/shuffle, just two hash-join lookups of
+      // the (bounded) candidate list against per-doc token sets
+      val tokArr = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       val inter = cand
-        .join(t0.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
-        .join(t0.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(count(lit(1)).as("inter"))
+        .join(tokArr.toDF("doc_a", "toks_a"), "doc_a")
+        .join(tokArr.toDF("doc_b", "toks_b"), "doc_b")
+        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       inter
         .withColumn("jacc", col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")))
