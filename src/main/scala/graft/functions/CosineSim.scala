@@ -76,10 +76,12 @@ object GraftFunctions {
 /** SparkSessionExtensions hook:
   * .config("spark.sql.extensions", "graft.functions.GraftExtensions") */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, null, "cosine_sim",
         "_FUNC_(a, b) - cosine similarity of two float vectors.", ""),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.CollapseNestedUpper)
+  }
 }
