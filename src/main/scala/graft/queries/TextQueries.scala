@@ -95,6 +95,34 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // n-gram (bigram-shingle) Jaccard near-dup: same relational shape as
+    // the token variant but over bigram sets — far more discriminative on
+    // a small vocabulary (token Jaccard saturates; shingles don't).
+    "text_near_dup_ngram" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val bigrams = zip_with(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(bigrams).as("bg"))
+        .distinct()
+      val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val ts = t.join(sizes, "doc_id")
+      ts.as("a").join(ts.as("b"),
+          col("a.bg") === col("b.bg") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.nt") * 0.1 <= col("b.nt") && col("b.nt") * 0.1 <= col("a.nt"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.nt").as("na"), col("b.nt").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jacc", col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")))
+        .where(col("jacc") >= 0.1)
+        .select(col("doc_a"), col("doc_b"), r6(col("jacc")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // MinHash (k=32) + banded LSH (8 bands × 4 rows): candidate pairs from
     // bucket equality joins — the 100 TB near-dup shape (equality-join on
     // (band, hash), never an all-pairs scan). One xxhash64 per token, then
@@ -189,6 +217,17 @@ object TextQueries {
        "SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter), 6) AS jaccard " +
        "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
        "WHERE CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter) >= 0.6 ORDER BY doc_a, doc_b"),
+    "text_near_dup_ngram" ->
+      ("WITH t AS (SELECT DISTINCT doc_id, source, bg FROM (" +
+       "SELECT doc_id, source, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
+       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg FROM documents)), " +
+       "sizes AS (SELECT doc_id, COUNT(*) AS nt FROM t GROUP BY 1), " +
+       "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM t a " +
+       "JOIN t b ON a.bg = b.bg AND a.source = b.source AND a.doc_id < b.doc_id " +
+       "GROUP BY 1,2) " +
+       "SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter), 6) AS jaccard " +
+       "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+       "WHERE CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter) >= 0.1 ORDER BY doc_a, doc_b"),
     "text_tfidf_topterms" ->
       ("WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents), " +
        "tf AS (SELECT lang, term, COUNT(*) AS tf FROM t GROUP BY 1,2), " +
