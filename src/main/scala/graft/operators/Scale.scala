@@ -51,4 +51,18 @@ object Scale {
     * pattern generalized beyond a date column). */
   def sortedRepartition(df: DataFrame, n: Int, keys: Column*): DataFrame =
     df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+
+  /** Small-file compaction: rewrite a landed directory into
+    * ceil(rows/rowsPerFile) files. Incremental appends (per Airflow tick)
+    * accrete small files until scans are metadata-bound; periodic
+    * compaction is standard table maintenance. Writes to a fresh directory
+    * and returns it — atomic swap is the caller's (catalog's) job. */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): String = {
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val files = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    val out = path.stripSuffix("/") + "_compacted"
+    df.repartition(files).write.mode("overwrite").parquet(out)
+    out
+  }
 }

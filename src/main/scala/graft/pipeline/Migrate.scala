@@ -73,6 +73,24 @@ object Migrate {
   def land(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Upsert merge (MERGE INTO semantics on plain parquet): incoming rows
+    * win on key collision, unmatched target rows survive, brand-new keys
+    * insert. One full-outer join on the business key — the per-tick
+    * object-sync step of the migration. */
+  def upsertMerge(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val dataCols = target.columns.filterNot(keys.contains)
+    val t = target.select(keys.map(col) ++ dataCols.map(c => col(c).as(s"__t_$c")): _*)
+    val i = incoming.select(
+      keys.map(col) ++ (dataCols.map(c => col(c).as(s"__i_$c")) :+
+        lit(true).as("__i_present")): _*)
+    // row-presence flag, NOT per-column coalesce: an incoming row that
+    // legitimately nulls a field must not resurrect the target's old value
+    t.join(i, keys, "full_outer")
+      .select(keys.map(col) ++ dataCols.map(c =>
+        when(col("__i_present").isNotNull, col(s"__i_$c"))
+          .otherwise(col(s"__t_$c")).as(c)): _*)
+  }
+
   /** Whole pipeline over a stringly staging extract of `events` (the
     * incremental CDC feed stand-in): returns the landed history plus the
     * DQ report for the run. */

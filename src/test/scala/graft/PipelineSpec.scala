@@ -32,6 +32,33 @@ class PipelineSpec extends SparkSpec {
     assert(typed.where(col("event_id").isNull).count() === 1)
   }
 
+  test("upsertMerge: incoming wins, survivors keep, inserts land, nulls overwrite") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val incoming = Seq((2L, "B2", 99.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+      .unionByName(Seq((3L, null.asInstanceOf[String], 33.0)).toDF("k", "name", "v"))
+    val merged = Migrate.upsertMerge(target, incoming, Seq("k"))
+      .orderBy("k").collect()
+    assert(merged.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(merged(0).getString(1) === "a", "unmatched target row survives")
+    assert(merged(1).getString(1) === "B2" && merged(1).getDouble(2) === 99.0, "incoming wins")
+    assert(merged(2).isNullAt(1), "incoming NULL overwrites, not coalesces")
+    assert(merged(3).getDouble(2) === 40.0, "new key inserts")
+  }
+
+  test("compact rewrites a many-file directory into the target file count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Tables.orders(spark, sf).repartition(16).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before === 16)
+    val out = graft.operators.Scale.compact(spark, dir, rowsPerFile = 1000)
+    val after = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === 2, s"1500 rows at 1000/file -> 2 files, got $after")
+    assert(spark.read.parquet(out).count() === Tables.orders(spark, sf).count())
+  }
+
   test("full pipeline: DQ quarantines dirty rows, dedup compacts, SCD2 chains validity") {
     val out = java.nio.file.Files.createTempDirectory("graft_migrate").toString
     val (landed, report) = Migrate.runEventsPipeline(spark, staging, out)
