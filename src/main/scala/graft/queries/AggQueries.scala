@@ -114,6 +114,17 @@ object AggQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Approximate quantiles (Greenwald-Khanna sketch) — the mergeable
+    // 100 TB path for agg_stats' exact percentile, as HLL is for
+    // countDistinct. Deterministic for fixed input, but sketch bounds are
+    // engine-specific, so no oracle; ApproxSpec bounds it vs exact.
+    "agg_quantiles_approx" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.75), 1000)").as("quartiles"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // Bivariate statistics (df.stat family): Pearson correlation and
     // sample covariance per group.
     "agg_corr" -> ((s, d) =>

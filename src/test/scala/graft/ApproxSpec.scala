@@ -17,6 +17,21 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile quartiles bracket the exact percentile per type") {
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = SparkEntry.queries("agg_quantiles_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(exact.keySet === approx.keySet)
+    for ((t, e) <- exact; (a, x) <- approx(t).zip(e)) {
+      val spread = e.last - e.head
+      assert(math.abs(a - x) <= math.max(spread * 0.1, 1.0),
+        s"$t: approx=$a exact=$x (quartile spread $spread)")
+    }
+  }
+
   test("minhash LSH candidates recall >= 0.9 of true Jaccard>=0.8 pairs") {
     // True high-similarity pairs from the exact operator (threshold 0.6,
     // re-filter at 0.8); LSH candidate set must cover >= 90% of them.
