@@ -59,6 +59,8 @@ object Scale {
     * and returns it — atomic swap is the caller's (catalog's) job. */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long): String = {
     val df = spark.read.parquet(path)
+    // count() on a bare parquet scan is satisfied from row-group footers
+    // (no data pages read), so sizing the rewrite costs metadata only
     val rows = df.count()
     val files = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
     val out = path.stripSuffix("/") + "_compacted"

@@ -37,8 +37,10 @@ object Migrate {
     * first failing rule, per-rule violation counts). */
   def dqGate(df: DataFrame, rules: Seq[(String, Column)])
       : (DataFrame, DataFrame, DataFrame) = {
+    // NULL predicate = FAIL: a rule that cannot evaluate (NULL input to
+    // isin, comparison on NULL, …) must quarantine the row, not pass it.
     val firstFail = rules.foldLeft(lit(null).cast(StringType)) {
-      case (acc, (name, pred)) => coalesce(acc, when(!pred, name))
+      case (acc, (name, pred)) => coalesce(acc, when(!coalesce(pred, lit(false)), name))
     }
     val tagged = df.withColumn("__fail", firstFail)
     val clean = tagged.where(col("__fail").isNull).drop("__fail")

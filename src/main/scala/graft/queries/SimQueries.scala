@@ -171,8 +171,12 @@ object SimQueries {
        s"s AS (SELECT vec_id, ${dotSql("embedding", "qv")} AS dp, " +
        s"sqrt(${dotSql("embedding", "embedding")}) AS ne, sqrt(${dotSql("qv", "qv")}) AS nq " +
        "FROM embeddings CROSS JOIN q WHERE vec_id <> 0) " +
-       "SELECT vec_id, ROUND(dp/(ne*nq), 6) AS cosine FROM s " +
-       "ORDER BY dp/(ne*nq) DESC, vec_id LIMIT 10"),
+       // final ORDER BY on the ROUNDED value + vec_id, mirroring the Spark
+       // side exactly (sorting one side rounded and the other raw diverges
+       // when two cosines differ only past 6 dp); LIMIT still selects by
+       // the raw value inside s via the same deterministic computation.
+       "SELECT vec_id, cosine FROM (SELECT vec_id, ROUND(dp/(ne*nq), 6) AS cosine, dp/(ne*nq) AS rawc " +
+       "FROM s ORDER BY rawc DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"),
     "dedup_embed_cosine" ->
       ("WITH n AS (SELECT vec_id, label, embedding, " +
        s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
@@ -192,7 +196,8 @@ object SimQueries {
        "cand AS (SELECT cells.vec_id AS vec_id FROM cells JOIN qc USING (cell) WHERE cells.vec_id <> 0), " +
        s"sc AS (SELECT e.vec_id, ${dotSql("e.embedding", "qv")}/(e.nrm*qnrm) AS cos " +
        "FROM e JOIN cand USING (vec_id) CROSS JOIN q) " +
-       "SELECT vec_id, ROUND(cos, 6) AS cosine FROM sc ORDER BY cos DESC, vec_id LIMIT 10"),
+       "SELECT vec_id, cosine FROM (SELECT vec_id, ROUND(cos, 6) AS cosine, cos " +
+       "FROM sc ORDER BY cos DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"),
     "sim_join_label" ->
       ("WITH p AS (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b, " +
        s"${dotSql("a.embedding", "b.embedding")} / " +

@@ -28,6 +28,32 @@ object Text2Queries {
   private val stopwords = Seq("the", "and", "of", "to", "is", "in", "a", "on",
     "for", "with", "by", "at", "or", "key", "order")
 
+  /** The quality-score formula, defined ONCE for both the Spark side and
+    * the oracle SQL (text_quality and text_dedup_keep_best must rank with
+    * the identical score or dedup survivors silently drift). Returns the
+    * component columns + composite; all from exact integer ratios. */
+  private def qualityCols(textCol: org.apache.spark.sql.Column) = {
+    val tk = split(textCol, " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(tk)
+    val nUniq = size(array_distinct(tk))
+    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+    val nStop = size(filter(tk, t => array_contains(stopArr, t)))
+    val uniqR = nUniq.cast(DoubleType) / nTok
+    val avgLen = sumLen.cast(DoubleType) / nTok
+    val stopR = nStop.cast(DoubleType) / nTok
+    val score = uniqR * 0.5 + (lit(1.0) - stopR) * 0.3 + least(avgLen / 10.0, lit(1.0)) * 0.2
+    (nTok, nUniq, uniqR, avgLen, stopR, score)
+  }
+
+  /** Same formula as a DuckDB SQL fragment over a `tk` list column. */
+  private def qualityScoreSql: String = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    "(CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk))*0.5 + " +
+      s"(1.0 - CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk))*0.3 + " +
+      "LEAST((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk))/10.0, 1.0)*0.2"
+  }
+
   val queries: Map[String, Q] = Map(
     // n-gram/marker-overlap language ID: argmax of distinct-token overlap
     // with per-language marker lists, alphabetical tie-break, 'und' if none.
@@ -51,16 +77,7 @@ object Text2Queries {
     // stopword ratio, and a composite score — all from exact integer
     // ratios, so the doubles are bit-identical across engines.
     "text_quality" -> ((s, d) => {
-      val tk = split(col("text"), " ")
-      val stopArr = array(stopwords.map(lit): _*)
-      val nTok = size(tk)
-      val nUniq = size(array_distinct(tk))
-      val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast(LongType))
-      val nStop = size(filter(tk, t => array_contains(stopArr, t)))
-      val uniqR = nUniq.cast(DoubleType) / nTok
-      val avgLen = sumLen.cast(DoubleType) / nTok
-      val stopR = nStop.cast(DoubleType) / nTok
-      val score = uniqR * 0.5 + (lit(1.0) - stopR) * 0.3 + least(avgLen / 10.0, lit(1.0)) * 0.2
+      val (nTok, nUniq, uniqR, avgLen, stopR, score) = qualityCols(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"), nTok.as("n_tok"), nUniq.as("n_uniq"),
           r6(uniqR).as("uniq_ratio"), r6(avgLen).as("avg_token_len"),
@@ -96,14 +113,7 @@ object Text2Queries {
     // pure integer-ratio arithmetic, so the ranking is bit-identical on
     // both engines.
     "text_dedup_keep_best" -> ((s, d) => {
-      val tk = split(col("text"), " ")
-      val stopArr = array(stopwords.map(lit): _*)
-      val nTok = size(tk)
-      val uniqR = size(array_distinct(tk)).cast(DoubleType) / nTok
-      val avgLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast(LongType))
-        .cast(DoubleType) / nTok
-      val stopR = size(filter(tk, t => array_contains(stopArr, t))).cast(DoubleType) / nTok
-      val score = uniqR * 0.5 + (lit(1.0) - stopR) * 0.3 + least(avgLen / 10.0, lit(1.0)) * 0.2
+      val (_, _, _, _, _, score) = qualityCols(col("text"))
       val h = sha2(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 256)
       val w = Window.partitionBy("h").orderBy(col("q").desc, col("doc_id"))
       Tables.documents(s, d)
@@ -164,24 +174,17 @@ object Text2Queries {
         (s"WITH sc AS (SELECT doc_id, lang, $markerSql FROM documents) " +
          s"SELECT doc_id, lang, $predSql AS pred_lang, $mxSql AS matches FROM sc ORDER BY doc_id"),
       "text_quality" ->
-        ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-         "m AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tok, CAST(len(list_distinct(tk)) AS INT) AS n_uniq, " +
-         "list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS sum_len, " +
-         s"CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS INT) AS n_stop FROM b) " +
-         "SELECT doc_id, n_tok, n_uniq, " +
-         "ROUND(CAST(n_uniq AS DOUBLE)/n_tok, 6) AS uniq_ratio, " +
-         "ROUND(CAST(sum_len AS DOUBLE)/n_tok, 6) AS avg_token_len, " +
-         "ROUND(CAST(n_stop AS DOUBLE)/n_tok, 6) AS stop_ratio, " +
-         "ROUND((CAST(n_uniq AS DOUBLE)/n_tok)*0.5 + (1.0 - CAST(n_stop AS DOUBLE)/n_tok)*0.3 + " +
-         "LEAST((CAST(sum_len AS DOUBLE)/n_tok)/10.0, 1.0)*0.2, 6) AS quality_score " +
-         "FROM m ORDER BY doc_id"),
+        ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) " +
+         "SELECT doc_id, CAST(len(tk) AS INT) AS n_tok, CAST(len(list_distinct(tk)) AS INT) AS n_uniq, " +
+         "ROUND(CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk), 6) AS uniq_ratio, " +
+         "ROUND(CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk), 6) AS avg_token_len, " +
+         s"ROUND(CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk), 6) AS stop_ratio, " +
+         s"ROUND($qualityScoreSql, 6) AS quality_score " +
+         "FROM b ORDER BY doc_id"),
       "text_dedup_keep_best" ->
         ("WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS tk, " +
          "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents), " +
-         "m AS (SELECT doc_id, lang, h, " +
-         "(CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk))*0.5 + " +
-         s"(1.0 - CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk))*0.3 + " +
-         "LEAST((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk))/10.0, 1.0)*0.2 AS q FROM b), " +
+         s"m AS (SELECT doc_id, lang, h, $qualityScoreSql AS q FROM b), " +
          "r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY q DESC, doc_id) AS rn FROM m) " +
          "SELECT doc_id, lang, h, ROUND(q, 6) AS quality FROM r WHERE rn = 1 ORDER BY doc_id"),
       "text_token_count" ->

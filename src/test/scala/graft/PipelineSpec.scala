@@ -17,7 +17,10 @@ class PipelineSpec extends SparkSpec {
     val dirty = spark.createDataFrame(
       java.util.List.of(
         org.apache.spark.sql.Row("not_a_number", "2024-01-05 10:00:00", "1", "click", "1.5"),
-        org.apache.spark.sql.Row("999001", "2024-01-05 10:00:00", "1", "NOT_A_TYPE", "1.5")),
+        org.apache.spark.sql.Row("999001", "2024-01-05 10:00:00", "1", "NOT_A_TYPE", "1.5"),
+        // NULL event_type: isin() evaluates to NULL — the DQ gate must
+        // quarantine (NULL predicate = fail), not silently pass
+        org.apache.spark.sql.Row("999002", "2024-01-05 10:00:00", "1", null, "1.5")),
       StructType(Seq("event_id", "ts", "user_id", "event_type", "value")
         .map(n => StructField(n, StringType))))
     base.unionByName(dirty)
@@ -65,7 +68,7 @@ class PipelineSpec extends SparkSpec {
 
     val rep = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep("null_key") === 1L, "the non-castable event_id row")
-    assert(rep("bad_type") === 1L, "the unknown event_type row")
+    assert(rep("bad_type") === 2L, "the unknown-type row AND the NULL-type row")
 
     // last-write-wins: one open (valid_to IS NULL) row per (user, type)
     val open = landed.where(col("valid_to").isNull)

@@ -161,6 +161,34 @@ class StreamingSpec extends SparkSpec {
     assert(tws === builtin)
   }
 
+  test("sessionizeStream holds open sessions across micro-batches (no split)") {
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    val df = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 minute")
+    import org.apache.spark.sql.Encoders
+    val evs = df.as[graft.streaming.Streams.Ev](Encoders.product)
+    val q = graft.streaming.Streams.sessionizeStream(evs, 30)
+      .writeStream.format("memory").queryName("sess_incr")
+      .outputMode("append")
+      .start()
+    // one session whose events STRADDLE two micro-batches
+    input.addData((7L, ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    input.addData((7L, ts("2024-01-01 10:10:00"), 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past 10:40 so the timeout flushes the session
+    input.addData((99L, ts("2024-01-01 12:00:00"), 0.0))
+    q.processAllAvailable()
+    input.addData((99L, ts("2024-01-01 14:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sess7 = spark.table("sess_incr")
+      .where(col("user_id") === 7L)
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getLong(4)))
+    assert(sess7.toSeq === Seq((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L, 300L)),
+      s"one merged session expected, got: ${sess7.mkString(", ")}")
+  }
+
   test("streaming session_window matches the batch session computation") {
     val input = MemoryStream[(Long, Timestamp, Double)](spark)
     val df = input.toDF().toDF("user_id", "ts", "value")
