@@ -118,11 +118,19 @@ object AggQueries {
     // 100 TB path for agg_stats' exact percentile, as HLL is for
     // countDistinct. Deterministic for fixed input, but sketch bounds are
     // engine-specific, so no oracle; ApproxSpec bounds it vs exact.
+    // Emitted as three scalar columns, not one ARRAY column: the driver
+    // lexsorts the output frame and ndarray cells crash that sort
+    // (round-1 VERDICT.md defect #2).
     "agg_quantiles_approx" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.75), 1000)").as("quartiles"),
+        .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.75), 1000)").as("qs"),
           count(lit(1)).as("n"))
+        .select(col("event_type"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"),
+          col("n"))
         .orderBy("event_type")),
 
     // Bivariate statistics (df.stat family): Pearson correlation and
@@ -150,10 +158,10 @@ object AggQueries {
   val oracle: Map[String, String] = Map(
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
-       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, " +
-       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price, " +
-       "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DECIMAL(38,2)) AS sum_disc_price, " +
-       "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DECIMAL(38,2)) AS sum_charge, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+       "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price, " +
+       "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge, " +
        "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_qty, " +
        "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_price, " +
        "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*), 6) AS avg_disc, " +
@@ -164,7 +172,7 @@ object AggQueries {
        "COUNT(DISTINCT l_suppkey) AS nd_supp FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_rollup" ->
       ("SELECT r_name, n_name, CAST(GROUPING(r_name)*2 + GROUPING(n_name) AS INT) AS gid, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue, COUNT(*) AS n_orders " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n_orders " +
        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
        "JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) " +
        "ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST"),

@@ -30,7 +30,9 @@ object CdcQueries {
             .when(col("c_price").isNull, "D")
             .when(col("p_price") =!= col("c_price"), "U"))
         .where(col("op").isNotNull)
-        .select("op", "key", "p_price", "c_price")
+        // classification compares exact decimals; only the EMISSION is double
+        .select(col("op"), col("key"),
+          emitD(col("p_price")).as("p_price"), emitD(col("c_price")).as("c_price"))
         .orderBy("key")
     }),
 
@@ -114,7 +116,8 @@ object CdcQueries {
        "CASE WHEN p.key IS NULL THEN 'I' WHEN c.key IS NULL THEN 'D' " +
        "WHEN p_price <> c_price THEN 'U' END AS op " +
        "FROM prev p FULL OUTER JOIN curr c ON p.key = c.key) " +
-       "SELECT op, key, p_price, c_price FROM diff WHERE op IS NOT NULL ORDER BY key"),
+       "SELECT op, key, CAST(p_price AS DOUBLE) AS p_price, CAST(c_price AS DOUBLE) AS c_price " +
+       "FROM diff WHERE op IS NOT NULL ORDER BY key"),
     "scd2_windows" ->
       ("SELECT user_id, event_type, event_id, ts AS valid_from, " +
        "lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to " +

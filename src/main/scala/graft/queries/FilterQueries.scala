@@ -20,7 +20,7 @@ object FilterQueries {
                col("l_discount").between(0.02, 0.08))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_linestatus"), col("l_shipdate"),
-          moneyD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          emitD(moneyD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
         .orderBy("l_orderkey", "l_linenumber", "revenue", "l_shipdate",
           "l_returnflag", "l_linestatus")),
 
@@ -47,7 +47,7 @@ object FilterQueries {
   val oracle: Map[String, String] = Map(
     "filter_range_like_in" ->
       ("SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_shipdate, " +
-       "CAST(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS revenue " +
+       "CAST(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE) AS revenue " +
        "FROM lineitem " +
        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
        "AND l_returnflag IN ('A','R') AND l_linestatus LIKE 'F%' " +

@@ -110,11 +110,11 @@ object JoinQueries {
 
   val oracle: Map[String, String] = Map(
     "join_inner_hash" ->
-      ("SELECT c_custkey, c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue, " +
+      ("SELECT c_custkey, c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
        "COUNT(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey " +
        "GROUP BY 1,2 ORDER BY 1"),
     "join_broadcast_star" ->
-      ("SELECT r_name, n_name, CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DECIMAL(38,2)) AS revenue, " +
+      ("SELECT r_name, n_name, CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DOUBLE) AS revenue, " +
        "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1,2 ORDER BY 1,2"),

@@ -7,8 +7,15 @@ import org.apache.spark.sql.types._
 /** Shared determinism helpers for the declared query catalog (SURVEY.md §7.3).
   *
   * Rules (binding, mirrored in every DuckDB oracle):
-  *  - money/qty aggregate: cast to DECIMAL(18,s) BEFORE summing; final cast
-  *    to DECIMAL(38,s) so Spark and DuckDB agree on the result type.
+  *  - money/qty aggregate: cast to DECIMAL(18,s) BEFORE summing (exactness);
+  *    the FINAL emission casts the exact decimal to DOUBLE. Never emit a
+  *    DECIMAL output column: the driver hashes the Spark parquet (python
+  *    Decimal objects) against DuckDB's fetchdf (float64) and equal values
+  *    hash unequal (round-1 VERDICT.md defect #1). Decimal->double is the
+  *    correctly-rounded IEEE nearest on both engines (unscaled values here
+  *    are far below 2^53), so `CAST(exact_decimal AS DOUBLE)` is
+  *    bit-identical across Spark and DuckDB — round 1 proved this via every
+  *    green avgDec2 query.
   *  - averages: exact decimal sum -> double -> divide by count -> round 6.
   *    (DuckDB decimal division degrades to double, so a pure-decimal avg
   *    cannot hash-match; this pattern is bit-deterministic on both engines.)
@@ -21,9 +28,14 @@ object Qutil {
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
 
-  /** Exact money sum: decimal pre-cast, wide final type matching the oracle's
-    * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,2)). */
-  def sumDec2(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
+  /** Driver-hash-stable emission of an exact decimal column: one IEEE cast,
+    * mirrored in the oracle as CAST(x AS DOUBLE). */
+  def emitD(c: Column): Column = c.cast(DoubleType)
+
+  /** Exact money sum, emitted as double. The sum itself is decimal (exact,
+    * order-independent); only the output representation is IEEE. Oracle
+    * mirror: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE). */
+  def sumDec2(c: Column): Column = emitD(sum(dec2(c)))
 
   /** Deterministic average at scale 2 (money/qty): exact decimal sum cast to
     * double, divided by count — identical IEEE ops on Spark and DuckDB. */
@@ -48,7 +60,8 @@ object Qutil {
     (floor(c * 100.0 + 0.5).cast(DecimalType(18, 0)) *
       lit(new java.math.BigDecimal("0.01"))).cast(DecimalType(18, 2))
 
-  def sumMoneyD(c: Column): Column = sum(moneyD(c)).cast(DecimalType(38, 2))
+  /** Exact sum of derived money, emitted as double (see emitD). */
+  def sumMoneyD(c: Column): Column = emitD(sum(moneyD(c)))
 
   /** Dot product of two float vectors, accumulated in double (left fold) —
     * same shape as the oracle's list_sum(list_transform(...)). Stays inside

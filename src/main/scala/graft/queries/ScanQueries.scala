@@ -72,7 +72,7 @@ object ScanQueries {
        "FROM events ORDER BY event_id"),
     "sink_partitioned" ->
       ("SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
        "FROM orders GROUP BY 1 ORDER BY 1")
   )
 }

@@ -56,7 +56,7 @@ object TemporalQueries {
   val oracle: Map[String, String] = Map(
     "ts_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n, " +
-       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
        "FROM events GROUP BY 1,2 ORDER BY 1,2"),
     "ts_sliding" ->
       ("SELECT wstart, COUNT(*) AS n FROM (" +
@@ -69,7 +69,7 @@ object TemporalQueries {
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "sess AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
        "SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end, " +
-       "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value " +
+       "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start"),
     "ts_dedup_latest" ->
       ("SELECT user_id, event_type, event_id, ts, value FROM " +

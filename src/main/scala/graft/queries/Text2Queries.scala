@@ -172,7 +172,9 @@ object Text2Queries {
     Map(
       "text_langid" ->
         (s"WITH sc AS (SELECT doc_id, lang, $markerSql FROM documents) " +
-         s"SELECT doc_id, lang, $predSql AS pred_lang, $mxSql AS matches FROM sc ORDER BY doc_id"),
+         // GREATEST over INTs comes back BIGINT from DuckDB; Spark's side is
+         // int32 — pin the width so the driver's dtype-sensitive hash agrees.
+         s"SELECT doc_id, lang, $predSql AS pred_lang, CAST($mxSql AS INT) AS matches FROM sc ORDER BY doc_id"),
       "text_quality" ->
         ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) " +
          "SELECT doc_id, CAST(len(tk) AS INT) AS n_tok, CAST(len(list_distinct(tk)) AS INT) AS n_uniq, " +

@@ -41,7 +41,7 @@ object WindowQueries {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
-        .withColumn("run_rev", sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(38, 2)))
+        .withColumn("run_rev", emitD(sum(dec2(col("o_totalprice"))).over(w)))
         .select("o_custkey", "o_orderkey", "o_orderdate", "run_rev")
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
@@ -52,7 +52,7 @@ object WindowQueries {
         .rangeBetween(-7L * 86400L, 0L)
       Tables.events(s, d)
         .withColumn("ts_sec", expr("unix_micros(ts) DIV 1000000"))
-        .withColumn("trail_sum", sum(dec2(col("value"))).over(w).cast(DecimalType(38, 2)))
+        .withColumn("trail_sum", emitD(sum(dec2(col("value"))).over(w)))
         .select("event_id", "user_id", "trail_sum")
         .orderBy("event_id")
     }),
@@ -97,12 +97,12 @@ object WindowQueries {
     "win_running_sum" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey " +
-       "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_rev " +
+       "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_rev " +
        "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"),
     "win_range_frame" ->
       ("SELECT event_id, user_id, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id " +
-       "ORDER BY (epoch_us(ts) // 1000000) RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trail_sum " +
+       "ORDER BY (epoch_us(ts) // 1000000) RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_sum " +
        "FROM events ORDER BY event_id"),
     "win_first_last" ->
       ("SELECT event_id, user_id, first_value(event_type) OVER w AS first_et, " +

@@ -23,7 +23,9 @@ class ApproxSpec extends SparkSpec {
       .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     val approx = SparkEntry.queries("agg_quantiles_approx")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
     assert(exact.keySet === approx.keySet)
     for ((t, e) <- exact; (a, x) <- approx(t).zip(e)) {
       val spread = e.last - e.head

@@ -37,11 +37,11 @@ class CatalogSpec extends SparkSpec {
 
   test("agg_rollup grand total equals ungrouped total") {
     val df = SparkEntry.queries("agg_rollup")(spark, sf)
-    val grand = df.where(col("gid") === 3).select("revenue").head.getDecimal(0)
+    val grand = df.where(col("gid") === 3).select("revenue").head.getDouble(0)
     val direct = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)"))
-      .head.getDecimal(0)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .head.getDouble(0)
     assert(grand === direct)
   }
 
