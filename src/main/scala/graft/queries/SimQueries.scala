@@ -15,6 +15,27 @@ import Qutil._
   * Catalyst HOFs (zip_with/aggregate), codegen'd, no UDFs. */
 object SimQueries {
 
+  /** All within-label (a, b) pairs with a_id < b_id, as a salted shuffle
+    * self-join. `label` has only 10 values, so an unsalted shuffle join
+    * would land each label block on one reducer, and the round-1 broadcast
+    * hint was worse: it shipped the ENTIRE embeddings table as the build
+    * side, which is unbounded at 100 TB (VERDICT.md defect #3). Here the
+    * left side gets a deterministic salt from its vec_id and the right side
+    * is replicated once per salt (Scale.saltedJoin's shape specialized to
+    * pair enumeration), so each label spreads over `salts` reducers; the
+    * `merge` hint pins sort-merge — the strategy that survives an unbounded
+    * build side — instead of letting AQE re-broadcast at fixture scale.
+    * Output columns: a_label, a_id/b_id, a_emb/b_emb, a_nrm/b_nrm. */
+  private def labelPairs(e: org.apache.spark.sql.DataFrame, salts: Int = 8) = {
+    val a = e.toDF("a_id", "a_label", "a_emb", "a_nrm")
+      .withColumn("sa", pmod(xxhash64(col("a_id")), lit(salts)).cast("int"))
+    val b = e.toDF("b_id", "b_label", "b_emb", "b_nrm")
+      .withColumn("sb", explode(array((0 until salts).map(lit): _*)))
+    a.hint("merge").join(b,
+      col("a_label") === col("b_label") && col("sa") === col("sb") &&
+        col("a_id") < col("b_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Top-10 neighbors of vec_id=0 by cosine (exact, brute force; the
     // single query vector is broadcast so the scan stays shuffle-free).
@@ -30,21 +51,22 @@ object SimQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
-    // Per label: the max-cosine pair (self-join within label groups).
+    // Per label: the max-cosine pair (salted self-join within label groups).
+    // The per-label argmax is a min(struct) AGGREGATE, not a window: partial
+    // aggregation runs map-side over the pair stream, so the 10-value label
+    // key never funnels all pairs through 10 window reducers. Tie-break
+    // (cos desc, vec_a, vec_b) is encoded as min((-cos, vec_a, vec_b)).
     "sim_join_label" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         col("embedding"), normD(col("embedding")).as("nrm"))
-      val w = Window.partitionBy(col("a.label"))
-        .orderBy(col("cos").desc, col("a.vec_id"), col("b.vec_id"))
-      // broadcast: same 10-value-label skew rationale as dedup_embed_cosine
-      e.as("a").join(broadcast(e.as("b")),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", dotD(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
-          col("b.vec_id").as("vec_b"), r6(col("cos")).as("cosine"))
+      labelPairs(e)
+        .withColumn("cos", dotD(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm")))
+        .groupBy(col("a_label").as("label"))
+        .agg(min(struct((-col("cos")).as("nc"), col("a_id").as("va"),
+          col("b_id").as("vb"))).as("best"))
+        .select(col("label"), col("best.va").as("vec_a"),
+          col("best.vb").as("vec_b"), r6(-col("best.nc")).as("cosine"))
         .orderBy("label")
     }),
 
@@ -55,17 +77,12 @@ object SimQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
           normD(col("embedding")).as("nrm"))
-      // label has only 10 values — a shuffled join would skew onto 10
-      // reducers. The embedding table is bounded (vectors, not documents),
-      // so broadcast one side; at true 100 TB vector scale this becomes a
-      // bucketed-by-label co-located join instead.
-      e.as("a").join(broadcast(e.as("b")),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      labelPairs(e)
         .withColumn("cos",
-          dotD(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+          dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
         .where(col("cos") >= 0.35)
-        .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
-          col("b.vec_id").as("vec_b"), r6(col("cos")).as("cosine"))
+        .select(col("a_label").as("label"), col("a_id").as("vec_a"),
+          col("b_id").as("vec_b"), r6(col("cos")).as("cosine"))
         .orderBy("label", "vec_a", "vec_b")
     }),
 

@@ -50,48 +50,62 @@ object TextQueries {
     // |∩| / (|A| + |B| - |∩|). At 100 TB this brute-force spec is replaced
     // by text_minhash_lsh candidates; kept here as the exact oracle.
     "text_near_dup_jaccard" -> ((s, d) => {
-      // Exact near-dup join with PPJoin-style prefix filtering:
-      //  1. canonical token order = ascending global doc-frequency (rarest
-      //     first), tie-broken by token;
-      //  2. a doc with n distinct tokens exposes only its first
-      //     n - ceil(0.6*n) + 1 tokens for CANDIDATE GENERATION —
-      //     completeness: two sets with J >= t must share a token inside
-      //     both prefixes under any shared total order;
-      //  3. candidates verify with a hash join of (doc_b, tok) over only
-      //     the candidate pairs' token lists.
-      // Ubiquitous tokens land outside every prefix, so the quadratic
-      // blow-up the naive token self-join suffers never happens — this is
-      // the exact-at-100TB formulation (size-ratio prune kept too).
+      // Exact Jaccard via dictionary-encoded token bitmasks.
+      //
+      // Why not candidate pruning: on this corpus 57% of all within-source
+      // pairs are TRUE near-dups at t=0.6 (354k of 622k at sf0.1), so any
+      // candidate generator — the round-1 PPJoin prefix filter included
+      // (git history has it) — is bounded below by the output; per-pair
+      // VERIFICATION cost is the whole game. Dictionary-encode the global
+      // vocabulary (token -> dense id, a tiny broadcast dim), pack each
+      // doc's token set into ceil(V/64) longs, and verify a pair with
+      // bit_count over zip_with — a few word-ANDs instead of a string-array
+      // hash intersect. Exact (the dictionary is exact, bit positions are
+      // unique), all Catalyst HOFs, codegen'd.
+      //
+      // 100 TB posture: masks are V/64 longs/doc — the dictionary-encoded
+      // bitmap-index shape, right while the vocabulary is bounded (here 31;
+      // fine to ~100k). For an open vocabulary the mask width grows and the
+      // generator flips to text_minhash_lsh banding (already the declared
+      // scale path); the pair join below is salted so the 20-value source
+      // key spreads over reducers instead of 20 of them.
       val t0 = toks(s, d).select("doc_id", "source", "tok").distinct()
-      val sizes = t0.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      val df_ = t0.groupBy("tok").agg(count(lit(1)).as("tdf"))
-      val wOrd = Window.partitionBy("doc_id").orderBy(col("tdf"), col("tok"))
-      val t = t0.join(sizes, "doc_id")
-      val ranked = t.join(df_, "tok")
-        .withColumn("pos", row_number().over(wOrd))
-      val prefix = ranked.where(col("pos") <= col("nt") - ceil(col("nt") * 0.6) + 1)
-        .select("doc_id", "source", "tok", "nt")
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.nt") * 0.6 <= col("b.nt") && col("b.nt") * 0.6 <= col("a.nt"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.nt").as("na"), col("b.nt").as("nb"))
-        .distinct()
-      // verification: |A∩B| via array_intersect over the candidates' token
-      // arrays — no second explode/shuffle, just two hash-join lookups of
-      // the (bounded) candidate list against per-doc token sets
-      val tokArr = Tables.documents(s, d)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      val inter = cand
-        .join(tokArr.toDF("doc_a", "toks_a"), "doc_a")
-        .join(tokArr.toDF("doc_b", "toks_b"), "doc_b")
-        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-      inter
+      val dict = t0.select("tok").distinct()
+        .withColumn("id", row_number().over(Window.orderBy("tok")) - 1)
+      // (doc, word) partial masks -> per-doc dense ceil(V/64)-long arrays
+      val bits = t0.join(broadcast(dict), "tok")
+        .groupBy(col("doc_id"), col("source"),
+          expr("CAST(id DIV 64 AS INT)").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, id % 64))").as("m"),
+          count(lit(1)).as("ntw"))
+      val nwords = dict.agg(expr("CAST(MAX(id) DIV 64 + 1 AS INT)").as("nw"))
+      val masks = bits
+        .groupBy("doc_id", "source")
+        .agg(map_from_entries(collect_list(struct(col("w"), col("m")))).as("mm"),
+          sum(col("ntw")).as("nt"))
+        .crossJoin(broadcast(nwords))
+        .select(col("doc_id"), col("source"), col("nt"),
+          transform(sequence(lit(0), col("nw") - 1),
+            w => coalesce(element_at(col("mm"), w), lit(0L))).as("mask"))
+      // salted within-source pair join (same shape as SimQueries.labelPairs)
+      val salts = 8
+      val a = masks.toDF("a_id", "a_src", "a_nt", "a_mask")
+        .withColumn("sa", pmod(xxhash64(col("a_id")), lit(salts)).cast("int"))
+      val b = masks.toDF("b_id", "b_src", "b_nt", "b_mask")
+        .withColumn("sb", explode(array((0 until salts).map(lit): _*)))
+      a.hint("merge").join(b,
+          col("a_src") === col("b_src") && col("sa") === col("sb") &&
+          col("a_id") < col("b_id") &&
+          col("a_nt") * 0.6 <= col("b_nt") && col("b_nt") * 0.6 <= col("a_nt"))
+        .withColumn("inter", aggregate(
+          zip_with(col("a_mask"), col("b_mask"),
+            (x, y) => bit_count(x.bitwiseAND(y)).cast(LongType)),
+          lit(0L), (acc, v) => acc + v))
         .withColumn("jacc", col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter")))
+          (col("a_nt") + col("b_nt") - col("inter")))
         .where(col("jacc") >= 0.6)
-        .select(col("doc_a"), col("doc_b"), r6(col("jacc")).as("jaccard"))
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+          r6(col("jacc")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
 
