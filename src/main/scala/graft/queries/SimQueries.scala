@@ -36,6 +36,21 @@ object SimQueries {
         col("a_id") < col("b_id"))
   }
 
+  /** splitmix64 — fixed literal stream for the LSH hyperplanes. */
+  private def sm(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 16 hyperplanes × 64 dims as INTEGER thousandths in [-1000, 1000].
+    * Kept integral so the Spark plan (Scala `v / 1000.0`) and the DuckDB
+    * oracle (`v / 1000.0` in SQL) derive the identical IEEE double and the
+    * sign tests agree bit-for-bit. */
+  private val planeInts: Seq[Seq[Long]] = (0 until 16).map(k =>
+    (0 until 64).map(j => math.floorMod(sm(k * 64L + j), 2001L) - 1000L))
+
   val queries: Map[String, Q] = Map(
     // Top-10 neighbors of vec_id=0 by cosine (exact, brute force; the
     // single query vector is broadcast so the scan stays shuffle-free).
@@ -89,20 +104,13 @@ object SimQueries {
     // LSH-bucketed ANN (the 100 TB scale path for sim_search_topk):
     // 16 random-hyperplane sign bits -> candidates within Hamming<=5 of the
     // query signature -> exact cosine re-rank of the survivors. Hyperplanes
-    // are fixed splitmix64-derived literals (deterministic reruns).
-    // Oracle-less; recall vs the exact top-10 asserted in SimSpec.
+    // are fixed splitmix64-derived literals (deterministic reruns), and the
+    // whole pipeline is IEEE-portable, so unlike round 1 the result is
+    // oracle-checked (lshOracleSql) on top of SimSpec's recall bound.
     "sim_search_lsh" -> ((s, d) => {
-      def sm(x0: Long): Long = {
-        var x = x0 + 0x9E3779B97F4A7C15L
-        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-        x ^ (x >>> 31)
-      }
-      val planes = (0 until 16).map(k => (0 until 64).map(j =>
-        (math.floorMod(sm(k * 64L + j), 2001L) - 1000L) / 1000.0))
       def sig(v: org.apache.spark.sql.Column) =
         (0 until 16).map { k =>
-          val plane = array(planes(k).map(lit): _*)
+          val plane = array(planeInts(k).map(i => lit(i / 1000.0)): _*)
           when(dotD(v, plane) > 0.0, lit(1 << k)).otherwise(0)
         }.reduce(_ + _)
       val e = Tables.embeddings(s, d)
@@ -182,7 +190,28 @@ object SimQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
 
+  /** DuckDB mirror of the full hyperplane-LSH pipeline: same integral-
+    * thousandths planes (identical IEEE doubles after the /1000.0), same
+    * left-fold dot products, same Hamming<=5 gate and exact re-rank. */
+  private def lshOracleSql: String = {
+    def planeDot(k: Int): String = {
+      val arr = planeInts(k).mkString("[", ", ", "]")
+      s"list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * ($arr[i] / 1000.0)))"
+    }
+    val sgExpr = (0 until 16).map(k =>
+      s"(CASE WHEN ${planeDot(k)} > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
+    "WITH sg AS (SELECT vec_id, embedding, " + sgExpr + " AS sg FROM embeddings), " +
+      "q AS (SELECT embedding AS qv, sg AS qsg FROM sg WHERE vec_id = 0), " +
+      "c AS (SELECT s.vec_id, s.embedding, qv FROM sg s CROSS JOIN q " +
+      "WHERE s.vec_id <> 0 AND bit_count(xor(CAST(s.sg AS BIGINT), CAST(qsg AS BIGINT))) <= 5), " +
+      s"sc AS (SELECT vec_id, ${dotSql("embedding", "qv")} AS dp, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS ne, sqrt(${dotSql("qv", "qv")}) AS nq FROM c) " +
+      "SELECT vec_id, cosine FROM (SELECT vec_id, ROUND(dp/(ne*nq), 6) AS cosine, dp/(ne*nq) AS rawc " +
+      "FROM sc ORDER BY rawc DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_search_lsh" -> lshOracleSql,
     "sim_search_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
        s"s AS (SELECT vec_id, ${dotSql("embedding", "qv")} AS dp, " +

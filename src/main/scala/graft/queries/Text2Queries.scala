@@ -124,28 +124,31 @@ object Text2Queries {
         .orderBy("doc_id")
     }),
 
-    // SimHash near-dup: 64-bit signature from signed bit-sums of token
-    // hashes; candidate pairs blocked by 16-bit bands within a source, kept
-    // at Hamming distance <= 8. Oracle-less (xxhash64 has no DuckDB
-    // equivalent); structural invariants asserted in tests.
+    // SimHash near-dup: 60-bit signature from signed bit-sums of token
+    // hashes; candidate pairs blocked by 15-bit bands within a source, kept
+    // at Hamming distance <= 8. The token hash is the portable sha256-
+    // derived 60-bit value (same as text_minhash_lsh), so the result is
+    // fully oracle-checked (round 1 used xxhash64 — no DuckDB equivalent —
+    // and had only structural locality tests).
     "text_simhash" -> ((s, d) => {
-      val hs = transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))
+      val hs = transform(array_distinct(split(col("text"), " ")),
+        t => conv(substring(sha2(t, 256), 1, 15), 16, 10).cast(LongType))
       // Single pass over the token hashes: the accumulator is the array of
-      // 64 signed bit-votes, merged per token with zip_with against literal
-      // bit masks (vs 64 separate aggregate passes — ~8× less work/doc).
-      val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+      // 60 signed bit-votes, merged per token with zip_with against literal
+      // bit masks (vs 60 separate aggregate passes — ~8× less work/doc).
+      val masks = array((0 until 60).map(j => lit(1L << j)): _*)
       val votes = aggregate(hs,
-        array_repeat(lit(0L), 64),
+        array_repeat(lit(0L), 60),
         (acc, h) => zip_with(acc, masks,
           (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
-      val bits = (0 until 64).map(j =>
+      val bits = (0 until 60).map(j =>
         when(element_at(col("votes"), j + 1) > 0, lit(1L << j)).otherwise(0L))
       val sim = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), votes.as("votes"))
         .select(col("doc_id"), col("source"), bits.reduce(_ + _).as("simhash"))
       val bands = sim.select(col("doc_id"), col("source"), col("simhash"),
         explode(array((0 until 4).map(k => struct(lit(k).as("k"),
-          shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("b"))
+          shiftright(col("simhash"), k * 15).bitwiseAND(lit(0x7FFFL)).as("bv"))): _*)).as("b"))
         .select(col("doc_id"), col("source"), col("simhash"),
           col("b.k").as("k"), col("b.bv").as("bv"))
       bands.as("x").join(bands.as("y"),
@@ -159,6 +162,26 @@ object Text2Queries {
     })
   )
 
+  /** DuckDB mirror of the SimHash pipeline: same sha256-derived 60-bit
+    * token hash, same majority-vote bits, same 4×15-bit band blocking. */
+  private def simhashOracleSql: String = {
+    val simExpr = (0 until 60).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH base AS (SELECT doc_id, source, " +
+      "list_transform(list_distinct(string_split(text, ' ')), " +
+      "t -> CAST('0x' || substring(sha256(t), 1, 15) AS BIGINT)) AS hs FROM documents), " +
+      s"sh AS (SELECT doc_id, source, $simExpr AS simhash FROM base), " +
+      "bands AS (SELECT doc_id, source, simhash, band, (simhash >> (band * 15)) & 32767 AS bv " +
+      "FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)) " +
+      "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming " +
+      "FROM bands x JOIN bands y ON x.source = y.source AND x.band = y.band " +
+      "AND x.bv = y.bv AND x.doc_id < y.doc_id " +
+      "WHERE bit_count(xor(x.simhash, y.simhash)) <= 8 ORDER BY doc_a, doc_b"
+  }
+
   val oracle: Map[String, String] = {
     val markerSql = markers.map { case (l, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -170,6 +193,7 @@ object Text2Queries {
     val stopArr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
     Map(
+      "text_simhash" -> simhashOracleSql,
       "text_langid" ->
         (s"WITH sc AS (SELECT doc_id, lang, $markerSql FROM documents) " +
          // GREATEST over INTs comes back BIGINT from DuckDB; Spark's side is
