@@ -13,16 +13,23 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Execute a query END-TO-END: write to the noop sink, not count().
+    // count() lets Catalyst elide final Sorts and project nothing, which
+    // flattered sort/projection-heavy queries (round-2 verdict); the noop
+    // sink materializes every output row through the full plan and
+    // discards it — the standard Spark benchmarking sink.
+    def exec(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      // a failed query must be loudly visible, not silently timed as fast
+      try df.write.mode("overwrite").format("noop").save() catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
+      }
     // warm the session (scheduler, codegen, parquet footer reads) so the
     // first measured query doesn't absorb startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("agg_pricing_summary").foreach(_(spark, sfDir).count())
+    SparkEntry.queries.get("agg_pricing_summary").foreach(f => exec("warmup", f(spark, sfDir)))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // a failed query must be loudly visible, not silently timed as fast
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
-      }
+      exec(name, fn(spark, sfDir))
       name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-dp timings keep the JSON line short enough to survive the driver's
@@ -36,7 +43,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    // resolved against an explicit root (env override) — a relative path
+    // would silently land wherever the JVM was launched from; the file is
+    // .gitignored so bench runs never dirty the working tree
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      sys.props("user.dir") + "/BENCH_LOCAL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     println(line)
     spark.stop()
   }

@@ -52,6 +52,45 @@ object Scale {
   def sortedRepartition(df: DataFrame, n: Int, keys: Column*): DataFrame =
     df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
 
+  /** Distributed global row_number (1-based) over `keys` — the two-pass
+    * replacement for `row_number().over(Window.orderBy(...))`, which moves
+    * the whole table to ONE partition. Pass 1: range-repartition on the
+    * key (partition ranges are globally ordered), count rows per
+    * partition — one row PER PARTITION, so the prefix-sum window over
+    * partition ids is bounded work at any data size. Pass 2: local
+    * row_number within each partition + broadcast-joined offset. Exact
+    * global rank when `keys` is a unique ordering. persist() pins
+    * partition identity across the two passes (the range sampler is not
+    * guaranteed stable across re-execution; at cluster scale you'd
+    * checkpoint). Output: input columns + `rankCol` (LongType, 1-based)
+    * + `nCol` (total row count, for rank arithmetic: ntile/percent_rank/
+    * cume_dist are pure functions of (rank, n) under a unique ordering). */
+  def globalRank(df: DataFrame, parts: Int, rankCol: String, nCol: String,
+      keys: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    // Per-partition counts: ONE row per partition, so this collect() is
+    // bounded (≤ `parts` rows) at ANY data size — driver prefix-sum is the
+    // prescribed shape, and it avoids reintroducing a partitionless window
+    // (which would single-partition even a 32-row frame and WARN).
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    // offset of pid_i = rows in all earlier partitions (exclusive prefix sum)
+    val offByPid: Seq[(Int, Long)] =
+      counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+    // ≤ `parts` entries — embed as a literal map (no join, no shuffle)
+    val offExpr = map(offByPid.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val wLocal = Window.partitionBy("__pid").orderBy(keys: _*)
+    ranged.withColumn("__lrank", row_number().over(wLocal))
+      .withColumn(rankCol,
+        col("__lrank").cast("long") + element_at(offExpr, col("__pid")))
+      .withColumn(nCol, lit(n))
+      .drop("__pid", "__lrank")
+  }
+
   /** Small-file compaction: rewrite a landed directory into
     * ceil(rows/rowsPerFile) files. Incremental appends (per Airflow tick)
     * accrete small files until scans are metadata-bound; periodic

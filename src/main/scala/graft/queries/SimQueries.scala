@@ -77,6 +77,12 @@ object SimQueries {
       labelPairs(e)
         .withColumn("cos", dotD(col("a_emb"), col("b_emb")) /
           (col("a_nrm") * col("b_nrm")))
+        // a zero-norm embedding yields cos = NaN; NaN sorts LARGEST in
+        // Spark but the min(-cos) encoding would invert that relative to
+        // the oracle's ORDER BY cos DESC — drop NaN pairs explicitly so
+        // both engines agree even on degenerate vectors (none in the
+        // fixtures; this guards the latent divergence, ADVICE r2).
+        .where(!isnan(col("cos")))
         .groupBy(col("a_label").as("label"))
         .agg(min(struct((-col("cos")).as("nc"), col("a_id").as("va"),
           col("b_id").as("vb"))).as("best"))

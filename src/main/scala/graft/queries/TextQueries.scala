@@ -44,8 +44,12 @@ object TextQueries {
     * source key spreads over `salts` reducers instead of 20. */
   private def bitmaskJaccardPairs(items: org.apache.spark.sql.DataFrame,
       threshold: Double, salts: Int = 8): org.apache.spark.sql.DataFrame = {
-    val dict = items.select("item").distinct()
-      .withColumn("id", row_number().over(Window.orderBy("item")) - 1)
+    // dense ids 0..V-1 via the distributed two-pass rank (no global
+    // single-partition window — open-vocabulary safe; ScaleSpec proves the
+    // plan has no single-partition Exchange at a 100k-item vocabulary)
+    val dict = graft.operators.Scale
+      .globalRank(items.select("item").distinct(), 32, "rk", "nn", col("item"))
+      .select(col("item"), (col("rk") - 1).cast("int").as("id"))
     // (doc, word) partial masks -> per-doc dense ceil(V/64)-long arrays
     val bits = items.join(broadcast(dict), "item")
       .groupBy(col("doc_id"), col("source"),

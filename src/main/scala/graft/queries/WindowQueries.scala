@@ -69,17 +69,35 @@ object WindowQueries {
         .orderBy("event_id")
     }),
 
-    // Quartile / percent_rank / cume_dist of customers by balance.
-    // NOTE: a single global window — fine for a ranked report (bounded
-    // output); at 100 TB you'd partition by a bucketing key or compute
-    // quantile boundaries via approx_percentile instead.
+    // Quartile / percent_rank / cume_dist of customers by balance —
+    // DISTRIBUTED two-pass form (no global single-partition WindowExec;
+    // round 2's `Window.orderBy(...)` was the one real scale-killer).
+    //
+    // The order key (c_acctbal, c_custkey) is UNIQUE, so rank()==row_number()
+    // and all three functions are pure arithmetic on (global rank, n):
+    //   pct_rank = (rank-1)/(n-1); cume = rank/n; ntile = bucket-of-rank.
+    // Scale.globalRank supplies (rank, n) via range-repartition + local
+    // ranks + prefix-summed per-partition counts (bounded: one row per
+    // partition). Same answer as the global window, fully distributed.
     "win_ntile_pctrank" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_acctbal"))
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pct_rank", r6(percent_rank().over(w)))
-        .withColumn("cume", r6(cume_dist().over(w)))
+      graft.operators.Scale.globalRank(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          32, "rank", "n", col("c_acctbal"), col("c_custkey"))
+        // ntile(4): first (n%4) buckets get (n DIV 4)+1 rows, rest n DIV 4.
+        // ANSI-safe: q>=1 whenever n>=4 (fixture: 1500+ customers).
+        .withColumn("q", expr("n DIV 4"))
+        .withColumn("rem", expr("n % 4"))
+        .withColumn("quartile",
+          when(col("rank") <= col("rem") * (col("q") + lit(1L)),
+            expr("(rank - 1) DIV (q + 1) + 1"))
+          .otherwise(expr("rem + (rank - rem * (q + 1) - 1) DIV q + 1"))
+          .cast(IntegerType))
+        .withColumn("pct_rank",
+          r6((col("rank") - lit(1)).cast(DoubleType) /
+             (col("n") - lit(1)).cast(DoubleType)))
+        .withColumn("cume",
+          r6(col("rank").cast(DoubleType) / col("n").cast(DoubleType)))
+        .select("c_custkey", "c_acctbal", "quartile", "pct_rank", "cume")
         .orderBy("c_custkey")
     })
   )

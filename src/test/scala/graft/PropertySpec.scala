@@ -69,6 +69,27 @@ class PropertySpec extends SparkSpec {
     assert(twice.count() === once.count())
   }
 
+  test("emitD precondition: money sums stay below 2^53 cents at the largest checked SF") {
+    // emitD's bit-identical DECIMAL->DOUBLE claim (Qutil.scala) holds only
+    // while the summed UNSCALED value (cents) is < 2^53; past that, Java
+    // BigDecimal.doubleValue and DuckDB's hugeint/10^s path may round
+    // differently and hash parity would silently break (ADVICE r2). Pin the
+    // bound at the largest driver-checked SF so a future fixture bump
+    // surfaces it here instead of as an opaque hash mismatch. The whole-
+    // table sums upper-bound every grouped money sum in the catalog.
+    val sfBench = "/root/testdata/sf0.1"
+    val liCents = Tables.lineitem(spark, sfBench)
+      .agg(sum(Qutil.dec2(col("l_extendedprice"))).as("s"))
+      .select((abs(col("s")) * 100).cast("long")).head.getLong(0)
+    val ordCents = Tables.orders(spark, sfBench)
+      .agg(sum(Qutil.dec2(col("o_totalprice"))).as("s"))
+      .select((abs(col("s")) * 100).cast("long")).head.getLong(0)
+    val bound = 1L << 53
+    assert(liCents < bound && ordCents < bound,
+      f"unscaled money sums (li=$liCents%,d ord=$ordCents%,d cents) must stay " +
+      f"below 2^53=$bound%,d — emitD's cross-engine cast parity depends on it")
+  }
+
   test("session windows partition events (no loss, no overlap per user)") {
     val sess = SparkEntry.queries("ts_session")(spark, sf)
     val overlaps = sess.as("x").join(sess.as("y"),

@@ -37,6 +37,58 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("globalRank equals a global-window row_number") {
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+    val ranked = Scale.globalRank(cust, 8, "rank", "n",
+      col("c_acctbal"), col("c_custkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val ref = cust.withColumn("rank", row_number().over(w).cast("long"))
+      .select("c_custkey", "rank")
+    val got = ranked.select("c_custkey", "rank")
+    assert(got.except(ref).count() === 0 && ref.except(got).count() === 0)
+    assert(ranked.select(max("n")).head.getLong(0) === cust.count())
+  }
+
+  test("globalRank: 100k-item dictionary with no single-partition exchange") {
+    val items = spark.range(100000)
+      .select(format_string("tok_%07d", col("id")).as("item"))
+    val ranked = Scale.globalRank(items, 32, "rk", "nn", col("item"))
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"open-vocabulary dictionary encoding must not single-partition:\n$plan")
+    // dense, complete, order-respecting ids
+    val ids = ranked.select(col("item"), (col("rk") - 1).as("id"))
+    assert(ids.agg(min("id"), max("id"), count_distinct(col("id")))
+      .head.toSeq === Seq(0L, 99999L, 100000L))
+    assert(ids.where(col("item") === "tok_0000000").head.getLong(1) === 0L)
+    assert(ids.where(col("item") === "tok_0099999").head.getLong(1) === 99999L)
+  }
+
+  test("partitioned sink: o_year predicate prunes partitions on re-read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val totalYears = spark.read.parquet(out)
+      .select("o_year").distinct().count()
+    assert(totalYears > 1, "fixture must span multiple years")
+    val pruned = spark.read.parquet(out).where(col("o_year") === 1997)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    assert(scan.partitionFilters.nonEmpty,
+      "the o_year predicate must reach the scan as a PartitionFilter")
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected === 1 && selected < totalYears,
+      s"scan must read 1 of $totalYears year partitions, read $selected")
+    // and the pruned read is still correct
+    val expected = Tables.orders(spark, sf)
+      .where(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() === expected)
+  }
+
   test("sortedRepartition yields range-disjoint sorted partitions") {
     val df = Scale.sortedRepartition(
       Tables.orders(spark, sf).select("o_orderkey"), 4, col("o_orderkey"))

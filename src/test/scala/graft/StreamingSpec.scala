@@ -189,6 +189,54 @@ class StreamingSpec extends SparkSpec {
       s"one merged session expected, got: ${sess7.mkString(", ")}")
   }
 
+  test("timer-based transformWithState sessionization equals fMGWS under the same replay") {
+    // transformWithState requires the RocksDB state store provider in
+    // streaming mode; scope it to this query and restore after.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.Encoders
+      // identical replay fed to both engines: a session straddling two
+      // micro-batches, then watermark advances (12:00, 14:00) so the
+      // event-time timer / EventTimeTimeout flushes the open tail.
+      val batches = Seq(
+        Seq((7L, ts("2024-01-01 10:00:00"), 1.0)),
+        Seq((7L, ts("2024-01-01 10:10:00"), 2.0)),
+        Seq((99L, ts("2024-01-01 12:00:00"), 0.5)),
+        Seq((99L, ts("2024-01-01 14:00:00"), 0.25)))
+      type DS[T] = org.apache.spark.sql.Dataset[T]
+      def run(name: String,
+          f: DS[graft.streaming.Streams.Ev] => DS[graft.streaming.Streams.SessionOut]) = {
+        val input = MemoryStream[(Long, Timestamp, Double)](spark)
+        val evs = input.toDF().toDF("user_id", "ts", "value")
+          .withWatermark("ts", "1 minute")
+          .as[graft.streaming.Streams.Ev](Encoders.product)
+        val q = f(evs).writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+            r.getLong(3), r.getLong(4))).toSet
+      }
+      val tws = run("sess_tws_timer",
+        graft.streaming.SessionProcessor.sessionizeStream(_, 30))
+      val fmgws = run("sess_fmgws_ref",
+        graft.streaming.Streams.sessionizeStream(_, 30))
+      assert(tws === fmgws, "timer-based transformWithState must match fMGWS")
+      assert(tws.contains((7L, ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:40:00"), 2L, 300L)),
+        s"user 7's straddling session must flush via the timer; got $tws")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming session_window matches the batch session computation") {
     val input = MemoryStream[(Long, Timestamp, Double)](spark)
     val df = input.toDF().toDF("user_id", "ts", "value")

@@ -56,6 +56,11 @@ def norm_dateish(series):
 
 def column_diff(name, o, s):
     """Return None if the driver would hash these columns equal, else a reason."""
+    # NOTE: treating date-object vs datetime64 encodings as hash-equal is
+    # an EMPIRICAL inference from round-1 driver behavior (every r01
+    # date-emitting query passed), not read from the driver's hash code.
+    # If a date-emitting query ever fails driver-side while locally green,
+    # re-check this branch first (ADVICE r2).
     o_date = o.dtype.kind == "M" or (o.dtype.kind == "O" and is_dateish(o))
     s_date = s.dtype.kind == "M" or (s.dtype.kind == "O" and is_dateish(s))
     if o_date and s_date:
