@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 /** Bounds for the approximate operators (SURVEY §5.2.6). */
 class ApproxSpec extends SparkSpec {
 
-  test("approx_count_distinct within ±2% of exact per returnflag") {
+  test("approx_count_distinct: pinned deterministic sketch values (±2% sanity)") {
     val exact = SparkEntry.queries("agg_distinct_exact")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val approx = SparkEntry.queries("agg_distinct_approx")(spark, sf)
@@ -15,22 +15,41 @@ class ApproxSpec extends SparkSpec {
       val a = approx(flag)
       assert(math.abs(a - e).toDouble / e <= 0.02, s"$flag: exact=$e approx=$a")
     }
+    // HLL++ is DETERMINISTIC for a fixed dataset + rsd, so the sketch
+    // output is pin-able: 199 vs exact 200 per flag (0.5% error) at
+    // sf0.001. Any change to the query (column, rsd) or a regression in
+    // the sketch path fails HERE, not as a silent accuracy drift.
+    // Re-derive these three literals if the fixtures or Spark version bump.
+    assert(approx === Map("A" -> 199L, "N" -> 199L, "R" -> 199L),
+      s"deterministic HLL golden changed: $approx")
   }
 
-  test("approx_percentile quartiles bracket the exact percentile per type") {
-    val exact = Tables.events(spark, sf)
-      .groupBy("event_type")
-      .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+  test("approx_percentile quartiles honor the rank-error guarantee per type") {
+    // approx_percentile(value, ps, 1000) GUARANTEES rank error <= n/1000
+    // (GK sketch). Assert the tight form of that contract per event_type:
+    // each reported quartile must (a) be an actual data value — GK returns
+    // observed values, never interpolates — and (b) lie within the exact
+    // value bracket at ranks [floor(p*n) - err - 1, floor(p*n) + err + 1].
+    // Tighter and failing-on-regression vs the old spread*0.1 tolerance.
+    val byType = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.map(_.getDouble(1)).sorted }
     val approx = SparkEntry.queries("agg_quantiles_approx")(spark, sf)
       .collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .toMap
-    assert(exact.keySet === approx.keySet)
-    for ((t, e) <- exact; (a, x) <- approx(t).zip(e)) {
-      val spread = e.last - e.head
-      assert(math.abs(a - x) <= math.max(spread * 0.1, 1.0),
-        s"$t: approx=$a exact=$x (quartile spread $spread)")
+    assert(byType.keySet === approx.keySet)
+    for ((t, vals) <- byType; (p, a) <- Seq(0.25, 0.5, 0.75).zip(approx(t))) {
+      val n = vals.length
+      val err = math.max(1, n / 1000)
+      val r = (p * n).toInt
+      val lo = vals(math.max(0, r - err - 1))
+      val hi = vals(math.min(n - 1, r + err + 1))
+      assert(vals.contains(a),
+        s"$t p=$p: approx=$a is not an observed data value")
+      assert(a >= lo && a <= hi,
+        s"$t p=$p: approx=$a outside rank-error bracket [$lo, $hi] (n=$n, err=$err)")
     }
   }
 
