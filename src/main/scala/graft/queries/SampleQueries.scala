@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Qutil._
+
+/** SURVEY §2.12 additions (round 3) — deterministic sampling / data-mixing
+  * operators a training-data pipeline runs at corpus-assembly time:
+  * stratified per-source rate sampling, leakage-safe train/valid/test
+  * splits, and per-source capping.
+  *
+  * Every selection decision is a pure function of a PORTABLE salted hash
+  * (top 60 bits of sha256 — the text_minhash_lsh base hash), never
+  * rand()/TABLESAMPLE: (a) re-runs and incremental backfills pick
+  * IDENTICAL rows on any engine — the property that matters when a 100 TB
+  * corpus is rebuilt in pieces; (b) membership of a doc never depends on
+  * which other docs are present (no reservoir state), so the op is
+  * map-side and embarrassingly parallel; (c) all three queries are fully
+  * DuckDB-oracle-checked. Only sample_cap_per_source shuffles (one window
+  * keyed by `source`, where WindowGroupLimit prunes to K per group). */
+object SampleQueries {
+
+  /** Portable salted 60-bit hash. DuckDB mirror:
+    * CAST('0x'||substring(sha256(salt||CAST(x AS VARCHAR)),1,15) AS BIGINT). */
+  private def phash(c: org.apache.spark.sql.Column, salt: String) =
+    conv(substring(sha2(concat(lit(salt), c.cast(StringType)), 256), 1, 15), 16, 10)
+      .cast(LongType)
+
+  private def phashSql(expr: String, salt: String) =
+    s"CAST('0x' || substring(sha256('$salt' || CAST($expr AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  val queries: Map[String, Q] = Map(
+    // Stratified data mixing: per-source keep-rates in basis points
+    // (curated src0-4 kept whole, mid-tier half, tail 10%). The rate table
+    // is a policy CASE here; in production it would broadcast-join a tiny
+    // rates dim — either way selection is hash < rate, map-side, no state.
+    "sample_stratified" -> ((s, d) => {
+      val srcNum = substring(col("source"), 4, 6).cast(IntegerType)
+      val rateBp = when(srcNum < 5, 10000).when(srcNum < 13, 5000).otherwise(1000)
+      Tables.documents(s, d)
+        .withColumn("rate_bp", rateBp)
+        .where(pmod(phash(col("doc_id"), "mix:"), lit(10000)) < col("rate_bp"))
+        .select(col("doc_id"), col("source"), col("lang"), col("rate_bp"))
+        .orderBy("doc_id")
+    }),
+
+    // Leakage-safe deterministic split: bucket = hash(doc_id) % 100 with a
+    // split-specific salt, 80/10/10. A doc's split NEVER changes as the
+    // corpus grows (no row-number dependence) — the invariant that keeps
+    // eval sets honest across corpus rebuilds.
+    "split_train_test" -> ((s, d) => {
+      val bucket = pmod(phash(col("doc_id"), "split:"), lit(100))
+      Tables.documents(s, d)
+        .withColumn("bk", bucket)
+        .withColumn("split", when(col("bk") < 80, "train")
+          .when(col("bk") < 90, "valid").otherwise("test"))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source cap: keep at most K=15 docs per source, highest
+    // quality-score first (ties to the smaller doc_id) — source-balance
+    // enforcement so no single crawl dominates the mix. Shares the exact
+    // quality formula with text_quality/text_dedup_keep_best (defined once
+    // in Text2Queries), so rankings are bit-identical across engines. The
+    // window partitions by `source` (distributes) and row_number <= K
+    // triggers WindowGroupLimit: each partition prunes to K rows before
+    // the full sort — the same plan shape proven for win_topk_per_group.
+    "sample_cap_per_source" -> ((s, d) => {
+      val (_, _, _, _, _, score) = Text2Queries.qualityCols(col("text"))
+      val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), score.as("q"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 15)
+        .select(col("doc_id"), col("source"), col("rn").cast(IntegerType).as("rn"),
+          r6(col("q")).as("quality"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      ("WITH b AS (SELECT doc_id, source, lang, " +
+       "CASE WHEN CAST(substring(source, 4) AS INTEGER) < 5 THEN 10000 " +
+       "WHEN CAST(substring(source, 4) AS INTEGER) < 13 THEN 5000 ELSE 1000 END AS rate_bp, " +
+       phashSql("doc_id", "mix:") + " AS h FROM documents) " +
+       "SELECT doc_id, source, lang, rate_bp FROM b WHERE h % 10000 < rate_bp " +
+       "ORDER BY doc_id"),
+    "split_train_test" ->
+      ("WITH b AS (SELECT doc_id, source, " +
+       phashSql("doc_id", "split:") + " % 100 AS bk FROM documents) " +
+       "SELECT doc_id, source, CASE WHEN bk < 80 THEN 'train' " +
+       "WHEN bk < 90 THEN 'valid' ELSE 'test' END AS split FROM b ORDER BY doc_id"),
+    "sample_cap_per_source" ->
+      ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
+       "m AS (SELECT doc_id, source, " + Text2Queries.qualityScoreSql + " AS q FROM b), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn FROM m) " +
+       "SELECT doc_id, source, CAST(rn AS INT) AS rn, ROUND(q, 6) AS quality " +
+       "FROM r WHERE rn <= 15 ORDER BY doc_id")
+  )
+}

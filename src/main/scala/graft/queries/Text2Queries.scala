@@ -32,7 +32,7 @@ object Text2Queries {
     * the oracle SQL (text_quality and text_dedup_keep_best must rank with
     * the identical score or dedup survivors silently drift). Returns the
     * component columns + composite; all from exact integer ratios. */
-  private def qualityCols(textCol: org.apache.spark.sql.Column) = {
+  private[queries] def qualityCols(textCol: org.apache.spark.sql.Column) = {
     val tk = split(textCol, " ")
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = size(tk)
@@ -47,7 +47,7 @@ object Text2Queries {
   }
 
   /** Same formula as a DuckDB SQL fragment over a `tk` list column. */
-  private def qualityScoreSql: String = {
+  private[queries] def qualityScoreSql: String = {
     val stopArr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     "(CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk))*0.5 + " +
       s"(1.0 - CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk))*0.3 + " +

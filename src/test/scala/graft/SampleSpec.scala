@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the deterministic sampling operators (SURVEY §2.12,
+  * round 3) — the properties that make them safe at corpus-rebuild scale,
+  * beyond the cell-level oracle parity the driver already checks. */
+class SampleSpec extends SparkSpec {
+
+  test("split_train_test is stable under corpus subsetting (no leakage drift)") {
+    // A doc's split must be a pure function of doc_id: recomputing on an
+    // arbitrary half of the corpus yields the identical assignment. This is
+    // the invariant rand()/row_number-based splitters break.
+    val full = SparkEntry.queries("split_train_test")(spark, sf)
+      .select("doc_id", "split")
+    val half = Tables.documents(spark, sf).where(col("doc_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_split_half").toString
+    half.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val onHalf = SparkEntry.queries("split_train_test")(spark, dir)
+      .select("doc_id", "split")
+    val joined = onHalf.as("h").join(full.as("f"), "doc_id")
+      .where(col("h.split") =!= col("f.split"))
+    assert(joined.count() === 0, "subset recompute must not move any doc's split")
+    // and the 80/10/10 buckets are all populated
+    val counts = full.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "valid", "test"))
+    assert(counts("train") > counts("valid") && counts("train") > counts("test"))
+  }
+
+  test("sample_stratified keeps full-rate sources whole and respects rates") {
+    val sampled = SparkEntry.queries("sample_stratified")(spark, sf)
+    val perSource = Tables.documents(spark, sf).groupBy("source")
+      .agg(count(lit(1)).as("total"))
+      .join(sampled.groupBy("source").agg(count(lit(1)).as("kept")), Seq("source"), "left")
+      .na.fill(0, Seq("kept"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((src, (total, kept)) <- perSource) {
+      val n = src.stripPrefix("src").toInt
+      if (n < 5) assert(kept === total, s"$src is a full-rate source, kept $kept/$total")
+      else assert(kept <= total, s"$src kept more than exists")
+    }
+    // downsampled tiers keep strictly less than everything, in aggregate
+    val (dsTotal, dsKept) = perSource.collect {
+      case (src, t) if src.stripPrefix("src").toInt >= 5 => t
+    }.foldLeft((0L, 0L)) { case ((a, b), (t, k)) => (a + t, b + k) }
+    assert(dsKept < dsTotal, "downsampled tiers must actually drop rows")
+  }
+
+  test("sample_cap_per_source caps at 15 and keeps the highest-quality docs") {
+    val capped = SparkEntry.queries("sample_cap_per_source")(spark, sf)
+    val maxPer = capped.groupBy("source").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxPer <= 15L)
+    // survivors dominate: per source, the minimum kept quality >= the
+    // maximum dropped quality (ties broken by doc_id are still >=).
+    // text_quality emits the same shared score formula per doc.
+    val all = SparkEntry.queries("text_quality")(spark, sf)
+      .select(col("doc_id"), col("quality_score").as("q"))
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+    val dropped = all.join(capped.select("doc_id"), Seq("doc_id"), "left_anti")
+    val minKept = capped.groupBy("source").agg(min("quality").as("min_kept"))
+    val maxDrop = dropped.groupBy("source").agg(max("q").as("max_drop"))
+    val bad = minKept.join(maxDrop, "source")
+      .where(col("max_drop") > col("min_kept"))
+    assert(bad.count() === 0, "a dropped doc outscored a kept doc in its source")
+  }
+}
