@@ -91,6 +91,22 @@ object FnQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("kmod", "nkeys")),
 
+    // Spark 4 VariantType path (r3): parse the JSON payload ONCE into a
+    // variant, extract typed fields with variant_get, aggregate. Variant
+    // is the modern semi-structured answer (binary-encoded, no schema
+    // declared up front — vs from_json's fixed StructType/MapType in
+    // source_json_infer/fn_map_json); at 100 TB the parse happens once at
+    // land time and extraction is a cheap binary traversal per query.
+    "fn_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          round(sum(col("k")).cast(DoubleType) / count(col("k")), 6).as("avg_k"))
+        .orderBy("event_type")),
+
     // Generator surface: split -> explode -> token rows -> top-50.
     "fn_explode_tokens" -> ((s, d) =>
       Tables.documents(s, d)
@@ -145,6 +161,11 @@ object FnQueries {
       ("SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS kmod, " +
        "CAST(len(json_keys(props)) AS INT) AS nkeys, COUNT(*) AS n " +
        "FROM events GROUP BY 1,2 ORDER BY 1,2"),
+    "fn_variant" ->
+      ("SELECT event_type, COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k, " +
+       "ROUND(CAST(SUM(k) AS DOUBLE)/COUNT(k), 6) AS avg_k FROM " +
+       "(SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) " +
+       "GROUP BY 1 ORDER BY 1"),
     "fn_explode_tokens" ->
       ("SELECT tok, COUNT(*) AS cnt FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +

@@ -37,6 +37,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // One hot key carries 90% of the left side. With salting's sibling —
+    // AQE's runtime skew split — the hot reducer partition is divided by
+    // advisory size instead of melting one task. Thresholds are shrunk so
+    // the fixture-scale skew crosses them; the assertions are (a) the
+    // final adaptive plan actually marks the join skew-handled and (b)
+    // semantics are unchanged.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000).select(
+        when(col("id") % 10 =!= 0, 0L).otherwise(col("id") % 97).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 97).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k").agg(count(lit(1)).as("n"))
+      val n = joined.collect()(0).getLong(0)
+      assert(n === 200000L, "every left row matches exactly one right key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"final adaptive plan must mark the skewed join as split:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("globalRank equals a global-window row_number") {
     val cust = Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
     val ranked = Scale.globalRank(cust, 8, "rank", "n",
