@@ -18,8 +18,10 @@ object Bench {
     // flattered sort/projection-heavy queries (round-2 verdict); the noop
     // sink materializes every output row through the full plan and
     // discards it — the standard Spark benchmarking sink.
-    def exec(name: String, df: org.apache.spark.sql.DataFrame): Unit =
-      // a failed query must be loudly visible, not silently timed as fast
+    // by-name df: queries that do real work at CONSTRUCTION time
+    // (sink_partitioned's write, globalRank's count jobs) must fail inside
+    // the try — a failed query is loudly visible, never a bench abort
+    def exec(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
       try df.write.mode("overwrite").format("noop").save() catch {
         case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
       }

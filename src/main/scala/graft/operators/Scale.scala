@@ -68,6 +68,12 @@ object Scale {
   def globalRank(df: DataFrame, parts: Int, rankCol: String, nCol: String,
       keys: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOTE: the persist is held for the session lifetime (the result is
+    // consumed lazily, so there is no safe point to unpersist from inside
+    // this helper) and construction EAGERLY runs the count job below.
+    // Callers that build the frame repeatedly in one session accumulate
+    // bounded cache entries (the projected key columns only); a long-lived
+    // service would wrap this with its own unpersist-after-use discipline.
     val ranged = df.repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
@@ -78,6 +84,11 @@ object Scale {
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum
+    // empty input: no partitions to offset (and map() of zero entries
+    // would not analyze) — emit the schema with no rows
+    if (counts.isEmpty)
+      return ranged.withColumn(rankCol, lit(0L)).withColumn(nCol, lit(0L))
+        .drop("__pid")
     // offset of pid_i = rows in all earlier partitions (exclusive prefix sum)
     val offByPid: Seq[(Int, Long)] =
       counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toSeq

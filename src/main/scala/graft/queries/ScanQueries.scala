@@ -13,6 +13,20 @@ import Qutil._
   */
 object ScanQueries {
 
+  /** The partitioned-landing recipe — ONE definition shared by the
+    * declared sink_partitioned query, ScaleSpec's pruning test, and the
+    * PLANS.md pruned-re-read audit, so the evidence always documents the
+    * layout the query actually writes. The repartition co-locates rows
+    * with their partition: one file per year directory instead of
+    * numTasks x numYears small files (at 100 TB, unmanaged partitionBy
+    * writes are a small-file explosion). */
+  def landPartitionedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String, out: String): Unit =
+    graft.Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+
   val queries: Map[String, Q] = Map(
     // Full scan, all columns. NOTE: (l_orderkey, l_linenumber) is NOT
     // unique in the fixtures — l_extendedprice completes a total order.
@@ -41,17 +55,12 @@ object ScanQueries {
     }),
 
     // Partitioned S3-load pattern (README.md:7,9): re-land orders
-    // partitioned by year, read back, count per partition. At 100 TB the
-    // partitionBy column is the pruning key for every downstream read.
+    // partitioned by year (landPartitionedOrders), read back, count per
+    // partition. At 100 TB the partitionBy column is the pruning key for
+    // every downstream read (proven: ScaleSpec + PLANS.md pruned re-read).
     "sink_partitioned" -> ((s, d) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned"
-      Tables.orders(s, d)
-        .withColumn("o_year", year(col("o_orderdate")))
-        // co-locate rows with their partition before writing: one file per
-        // year directory instead of numTasks × numYears small files (at
-        // 100 TB, unmanaged partitionBy writes are a small-file explosion)
-        .repartition(col("o_year"))
-        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      landPartitionedOrders(s, d, out)
       s.read.parquet(out)
         .groupBy("o_year")
         .agg(count(lit(1)).as("n_orders"), sumDec2(col("o_totalprice")).as("sum_price"))

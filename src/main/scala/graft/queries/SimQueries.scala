@@ -255,7 +255,10 @@ object SimQueries {
        s"${dotSql("a.embedding", "b.embedding")} / " +
        s"(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos " +
        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), " +
-       "r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) AS rn FROM p) " +
+       // NaN guard mirrored from the Spark side (DuckDB sorts NaN largest,
+       // so an unfiltered zero-norm pair would win here and diverge)
+       "f AS (SELECT * FROM p WHERE NOT isnan(cos)), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) AS rn FROM f) " +
        "SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cosine FROM r WHERE rn = 1 ORDER BY label"),
     "sim_knn_classify" ->
       ("WITH q AS (SELECT vec_id AS qid, label AS true_label, embedding AS qv " +

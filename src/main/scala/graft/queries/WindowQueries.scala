@@ -92,9 +92,12 @@ object WindowQueries {
             expr("(rank - 1) DIV (q + 1) + 1"))
           .otherwise(expr("rem + (rank - rem * (q + 1) - 1) DIV q + 1"))
           .cast(IntegerType))
+        // n=1 would make (rank-1)/(n-1) = 0/0 = NaN; both engines define
+        // percent_rank of a single row as 0 — guard the degenerate case
         .withColumn("pct_rank",
-          r6((col("rank") - lit(1)).cast(DoubleType) /
-             (col("n") - lit(1)).cast(DoubleType)))
+          when(col("n") === 1, lit(0.0)).otherwise(
+            r6((col("rank") - lit(1)).cast(DoubleType) /
+               (col("n") - lit(1)).cast(DoubleType))))
         .withColumn("cume",
           r6(col("rank").cast(DoubleType) / col("n").cast(DoubleType)))
         .select("c_custkey", "c_acctbal", "quartile", "pct_rank", "cume")

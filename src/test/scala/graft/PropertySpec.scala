@@ -77,7 +77,8 @@ class PropertySpec extends SparkSpec {
     // bound at the largest driver-checked SF so a future fixture bump
     // surfaces it here instead of as an opaque hash mismatch. The whole-
     // table sums upper-bound every grouped money sum in the catalog.
-    val sfBench = "/root/testdata/sf0.1"
+    val sfBench = TestSession.sf01
+    assume(new java.io.File(sfBench).isDirectory, s"bench fixture $sfBench absent")
     val liCents = Tables.lineitem(spark, sfBench)
       .agg(sum(Qutil.dec2(col("l_extendedprice"))).as("s"))
       .select((abs(col("s")) * 100).cast("long")).head.getLong(0)

@@ -100,10 +100,7 @@ class ScaleSpec extends SparkSpec {
 
   test("partitioned sink: o_year predicate prunes partitions on re-read") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
-    Tables.orders(spark, sf)
-      .withColumn("o_year", year(col("o_orderdate")))
-      .repartition(col("o_year"))
-      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    graft.queries.ScanQueries.landPartitionedOrders(spark, sf, out)
     val totalYears = spark.read.parquet(out)
       .select("o_year").distinct().count()
     assert(totalYears > 1, "fixture must span multiple years")

@@ -22,6 +22,9 @@ object TestSession {
   }
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+  /** Bench-scale fixture — the largest SF checks run against. Tests that
+    * read it should assume() it exists so a small checkout stays green. */
+  val sf01 = "/root/testdata/sf0.1"
 }
 
 trait SparkSpec extends AnyFunSuite {
