@@ -114,6 +114,22 @@ object AggQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Argument-extrema aggregates (r3): median + min_by/max_by — "which
+    // order had the extreme price", the lookup that otherwise costs a
+    // self-join back to the row. min_by/max_by are deterministic HERE
+    // because the per-group price extremes are unique in the fixtures
+    // (verified at all three SFs); with ties you'd use the min(struct)
+    // tie-break pattern (sim_join_label) instead.
+    "agg_extrema" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(r6(median(col("l_extendedprice"))).as("med_price"),
+          min_by(col("l_orderkey"), col("l_extendedprice")).as("cheapest_order"),
+          max_by(col("l_orderkey"), col("l_extendedprice")).as("dearest_order"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag")),
+
     // Approximate quantiles (Greenwald-Khanna sketch) — the mergeable
     // 100 TB path for agg_stats' exact percentile, as HLL is for
     // countDistinct. Deterministic for fixed input, but sketch bounds are
@@ -190,6 +206,12 @@ object AggQueries {
       ("SELECT c_mktsegment, ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_bal, " +
        "COUNT(*) AS n_cust FROM customer GROUP BY 1 " +
        "HAVING ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) > 4000.0 ORDER BY 1"),
+    "agg_extrema" ->
+      ("SELECT l_returnflag, ROUND(median(l_extendedprice), 6) AS med_price, " +
+       "arg_min(l_orderkey, l_extendedprice) AS cheapest_order, " +
+       "arg_max(l_orderkey, l_extendedprice) AS dearest_order, " +
+       "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price " +
+       "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_stats" ->
       ("SELECT event_type, MIN(value) AS min_v, MAX(value) AS max_v, " +
        "ROUND(STDDEV_SAMP(value), 6) AS std_v, ROUND(quantile_cont(value, 0.5), 6) AS med_v, " +

@@ -26,6 +26,27 @@ class PipelineSpec extends SparkSpec {
     base.unionByName(dirty)
   }
 
+  test("observe piggybacks DQ metrics on the landing pass (no second scan)") {
+    // The 100 TB DQ pattern: df.observe attaches aggregate metrics to the
+    // SAME physical pass that lands the data — rule counts arrive with the
+    // write, instead of dq_checks' separate (if single-scan) query. The
+    // numbers must agree with the standalone dq_checks rules.
+    val obs = org.apache.spark.sql.Observation("dq_land")
+    val li = Tables.lineitem(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_observe").toString
+    li.observe(obs,
+        count(lit(1)).as("rows"),
+        count(when(col("l_orderkey").isNull, 1)).as("null_key"),
+        count(when(col("l_extendedprice") <= 0, 1)).as("neg_price"))
+      .write.mode("overwrite").parquet(out)
+    val m = obs.get
+    assert(m("rows") === li.count())
+    assert(m("null_key") === 0L)
+    assert(m("neg_price") === 0L)
+    // the landed data is complete — metrics did not alter the write
+    assert(spark.read.parquet(out).count() === li.count())
+  }
+
   test("conform casts stringly columns; bad values become NULL (try_cast)") {
     val typed = Migrate.conform(staging, StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
