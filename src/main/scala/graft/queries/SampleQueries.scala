@@ -31,6 +31,15 @@ object SampleQueries {
   private def phashSql(expr: String, salt: String) =
     s"CAST('0x' || substring(sha256('$salt' || CAST($expr AS VARCHAR)), 1, 15) AS BIGINT)"
 
+  /** The split assignment as a reusable column expression — stateless and
+    * row-local, so the SAME dialect runs on a batch table or a readStream
+    * (splits get assigned at land time on each Airflow-tick increment;
+    * StreamingSpec asserts batch/stream parity). */
+  def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = pmod(phash(docId, "split:"), lit(100))
+    when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+  }
+
   val queries: Map[String, Q] = Map(
     // Stratified data mixing: per-source keep-rates in basis points
     // (curated src0-4 kept whole, mid-tier half, tail 10%). The rate table
@@ -50,15 +59,11 @@ object SampleQueries {
     // split-specific salt, 80/10/10. A doc's split NEVER changes as the
     // corpus grows (no row-number dependence) — the invariant that keeps
     // eval sets honest across corpus rebuilds.
-    "split_train_test" -> ((s, d) => {
-      val bucket = pmod(phash(col("doc_id"), "split:"), lit(100))
+    "split_train_test" -> ((s, d) =>
       Tables.documents(s, d)
-        .withColumn("bk", bucket)
-        .withColumn("split", when(col("bk") < 80, "train")
-          .when(col("bk") < 90, "valid").otherwise("test"))
+        .withColumn("split", splitCol(col("doc_id")))
         .select(col("doc_id"), col("source"), col("split"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Per-source cap: keep at most K=15 docs per source, highest
     // quality-score first (ties to the smaller doc_id) — source-balance

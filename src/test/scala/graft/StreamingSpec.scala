@@ -237,6 +237,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("split assignment on a stream equals the batch split (land-time curation)") {
+    // The sampling dialect is stateless and row-local, so split/sample
+    // decisions can be stamped at land time on each incremental batch —
+    // and MUST agree with a batch recompute (SampleSpec proves subset-
+    // stability; this proves the streaming surface runs the same dialect).
+    val dir = java.nio.file.Files.createTempDirectory("graft_split_stream").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+      .withColumn("split", graft.queries.SampleQueries.splitCol(col("doc_id")))
+    val q = stream.writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("split_stream")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = SparkEntry.queries("split_train_test")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(streamed === batch, "stream-assigned splits must equal the batch dialect")
+  }
+
   test("streaming session_window matches the batch session computation") {
     val input = MemoryStream[(Long, Timestamp, Double)](spark)
     val df = input.toDF().toDF("user_id", "ts", "value")
