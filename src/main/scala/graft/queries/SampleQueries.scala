@@ -65,6 +65,26 @@ object SampleQueries {
         .select(col("doc_id"), col("source"), col("split"))
         .orderBy("doc_id")),
 
+    // Overlapping token-window chunking (size 8, stride 4 = 50% overlap) —
+    // the op every embedding / context-window pipeline runs per document
+    // before encoding. Pure HOFs (sequence -> transform -> slice ->
+    // explode), row-local and map-side like the samplers: a doc's chunks
+    // never depend on other docs, so it distributes trivially and re-chunks
+    // identically on any engine (fully oracled).
+    "text_chunk" -> ((s, d) => {
+      val size8 = 8
+      val stride = 4
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)), lit(stride)),
+          i => struct((i / stride).cast(IntegerType).as("chunk_id"),
+            concat_ws(" ", slice(col("tk"), i + 1, lit(size8))).as("chunk")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+        .where(length(col("chunk")) > 0)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Per-source cap: keep at most K=15 docs per source, highest
     // quality-score first (ties to the smaller doc_id) — source-balance
     // enforcement so no single crawl dominates the mix. Shares the exact
@@ -99,6 +119,13 @@ object SampleQueries {
        phashSql("doc_id", "split:") + " % 100 AS bk FROM documents) " +
        "SELECT doc_id, source, CASE WHEN bk < 80 THEN 'train' " +
        "WHEN bk < 90 THEN 'valid' ELSE 'test' END AS split FROM b ORDER BY doc_id"),
+    "text_chunk" ->
+      ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+       "s AS (SELECT doc_id, tk, unnest(range(0, GREATEST(len(tk), 1), 4)) AS st FROM b), " +
+       "c AS (SELECT doc_id, CAST(st // 4 AS INT) AS chunk_id, " +
+       "array_to_string(tk[st+1:st+8], ' ') AS chunk FROM s) " +
+       "SELECT doc_id, chunk_id, chunk FROM c WHERE length(chunk) > 0 " +
+       "ORDER BY doc_id, chunk_id"),
     "sample_cap_per_source" ->
       ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
        "m AS (SELECT doc_id, source, " + Text2Queries.qualityScoreSql + " AS q FROM b), " +
