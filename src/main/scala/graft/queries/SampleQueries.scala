@@ -74,10 +74,15 @@ object SampleQueries {
     "text_chunk" -> ((s, d) => {
       val size8 = 8
       val stride = 4
+      // Window starts run 0..len-(size-stride)-1: the LAST window is the
+      // minimal one whose tail reaches the final token — stopping at len-1
+      // would emit a trailing chunk fully contained in its predecessor
+      // (pure redundancy a downstream embedder would double-process).
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), explode(transform(
-          sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)), lit(stride)),
+          sequence(lit(0),
+            greatest(size(col("tk")) - (size8 - stride) - 1, lit(0)), lit(stride)),
           i => struct((i / stride).cast(IntegerType).as("chunk_id"),
             concat_ws(" ", slice(col("tk"), i + 1, lit(size8))).as("chunk")))).as("c"))
         .select(col("doc_id"), col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
@@ -121,7 +126,8 @@ object SampleQueries {
        "WHEN bk < 90 THEN 'valid' ELSE 'test' END AS split FROM b ORDER BY doc_id"),
     "text_chunk" ->
       ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-       "s AS (SELECT doc_id, tk, unnest(range(0, GREATEST(len(tk), 1), 4)) AS st FROM b), " +
+       // range stop is EXCLUSIVE (Spark sequence is inclusive): bound+1
+       "s AS (SELECT doc_id, tk, unnest(range(0, GREATEST(len(tk) - 5, 0) + 1, 4)) AS st FROM b), " +
        "c AS (SELECT doc_id, CAST(st // 4 AS INT) AS chunk_id, " +
        "array_to_string(tk[st+1:st+8], ' ') AS chunk FROM s) " +
        "SELECT doc_id, chunk_id, chunk FROM c WHERE length(chunk) > 0 " +

@@ -33,6 +33,7 @@ class PipelineSpec extends SparkSpec {
     // numbers must agree with the standalone dq_checks rules.
     val obs = org.apache.spark.sql.Observation("dq_land")
     val li = Tables.lineitem(spark, sf)
+    val expected = li.count()
     val out = java.nio.file.Files.createTempDirectory("graft_observe").toString
     li.observe(obs,
         count(lit(1)).as("rows"),
@@ -40,11 +41,11 @@ class PipelineSpec extends SparkSpec {
         count(when(col("l_extendedprice") <= 0, 1)).as("neg_price"))
       .write.mode("overwrite").parquet(out)
     val m = obs.get
-    assert(m("rows") === li.count())
+    assert(m("rows") === expected)
     assert(m("null_key") === 0L)
     assert(m("neg_price") === 0L)
     // the landed data is complete — metrics did not alter the write
-    assert(spark.read.parquet(out).count() === li.count())
+    assert(spark.read.parquet(out).count() === expected)
   }
 
   test("conform casts stringly columns; bad values become NULL (try_cast)") {

@@ -29,7 +29,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "query must finish within the timeout")
     val got = spark.table("tumbling_parity")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(got === expected)
@@ -108,7 +108,7 @@ class StreamingSpec extends SparkSpec {
     // batch 1
     Tables.events(spark, sf).select("event_id", "event_type")
       .where(col("event_id") < 500).write.mode("append").parquet(srcDir)
-    val q1 = startQuery(); q1.awaitTermination(60000)
+    val q1 = startQuery(); assert(q1.awaitTermination(60000))
     val n1 = spark.read.parquet(outDir).count()
     assert(n1 === 500L)
 
@@ -116,7 +116,7 @@ class StreamingSpec extends SparkSpec {
     Tables.events(spark, sf).select("event_id", "event_type")
       .where(col("event_id") >= 500 && col("event_id") < 800)
       .write.mode("append").parquet(srcDir)
-    val q2 = startQuery(); q2.awaitTermination(60000)
+    val q2 = startQuery(); assert(q2.awaitTermination(60000))
 
     val out = spark.read.parquet(outDir)
     assert(out.count() === 800L, "restart must process only the new files")
@@ -249,7 +249,7 @@ class StreamingSpec extends SparkSpec {
       .withColumn("split", graft.queries.SampleQueries.splitCol(col("doc_id")))
     val q = stream.writeStream.format("memory").queryName("split_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "query must finish within the timeout")
     val streamed = spark.table("split_stream")
       .select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
