@@ -45,9 +45,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // resolved against an explicit root (env override) — a relative path
-    // would silently land wherever the JVM was launched from; the file is
-    // .gitignored so bench runs never dirty the working tree
+    // SPARK_GRAFT_BENCH_OUT pins the output location explicitly; the
+    // default is the JVM working directory (spelled out via user.dir —
+    // same resolution as a bare relative path, made visible rather than
+    // implicit). The file is .gitignored so bench runs never dirty the
+    // working tree.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       sys.props("user.dir") + "/BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

@@ -68,15 +68,19 @@ object Scale {
   def globalRank(df: DataFrame, parts: Int, rankCol: String, nCol: String,
       keys: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // NOTE: the persist is held for the session lifetime (the result is
-    // consumed lazily, so there is no safe point to unpersist from inside
-    // this helper) and construction EAGERLY runs the count job below.
-    // Callers that build the frame repeatedly in one session accumulate
-    // bounded cache entries (the projected key columns only); a long-lived
-    // service would wrap this with its own unpersist-after-use discipline.
+    // localCheckpoint (not persist): the offsets below are a snapshot of
+    // spark_partition_id, and a lineage recompute after block loss could
+    // re-sample different range bounds — silently WRONG ranks with a
+    // cache. Checkpointing truncates lineage, so a lost block fails the
+    // job loudly instead (the correct trade for an exactness helper; a
+    // cluster deployment would use reliable checkpoint() to survive it).
+    // The materialized data is held for the session lifetime (the result
+    // is consumed lazily — no safe release point inside this helper) and
+    // construction EAGERLY runs the count job below; entries are bounded
+    // (the projected key columns only).
     val ranged = df.repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     // Per-partition counts: ONE row per partition, so this collect() is
     // bounded (≤ `parts` rows) at ANY data size — driver prefix-sum is the
     // prescribed shape, and it avoids reintroducing a partitionless window

@@ -63,6 +63,20 @@ object Qutil {
   /** Exact sum of derived money, emitted as double (see emitD). */
   def sumMoneyD(c: Column): Column = emitD(sum(moneyD(c)))
 
+  /** THE portable cross-engine 60-bit hash: top 15 hex chars of sha256,
+    * cast through base-16. One definition for every hash-dependent query
+    * (MinHash base hash, SimHash token hash, sampling selectors) and its
+    * DuckDB mirror below — change BOTH together or the engines silently
+    * drift on a subset of queries. 60 bits keeps the value positive and
+    * ANSI-overflow-safe in downstream modular arithmetic. */
+  def hash60(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB mirror of hash60 for oracle SQL fragments ($e is any SQL
+    * string expression, e.g. a column or lambda parameter). */
+  def hash60Sql(e: String): String =
+    s"CAST('0x' || substring(sha256($e), 1, 15) AS BIGINT)"
+
   /** Dot product of two float vectors, accumulated in double (left fold) —
     * same shape as the oracle's list_sum(list_transform(...)). Stays inside
     * Catalyst codegen (HOFs, no UDF) so it survives whole-stage codegen and

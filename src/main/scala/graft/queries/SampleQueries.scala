@@ -22,14 +22,13 @@ import Qutil._
   * keyed by `source`, where WindowGroupLimit prunes to K per group). */
 object SampleQueries {
 
-  /** Portable salted 60-bit hash. DuckDB mirror:
-    * CAST('0x'||substring(sha256(salt||CAST(x AS VARCHAR)),1,15) AS BIGINT). */
+  /** Salted selector over Qutil.hash60 — the ONE portable hash definition
+    * shared with MinHash/SimHash; the salt namespaces each decision. */
   private def phash(c: org.apache.spark.sql.Column, salt: String) =
-    conv(substring(sha2(concat(lit(salt), c.cast(StringType)), 256), 1, 15), 16, 10)
-      .cast(LongType)
+    hash60(concat(lit(salt), c.cast(StringType)))
 
   private def phashSql(expr: String, salt: String) =
-    s"CAST('0x' || substring(sha256('$salt' || CAST($expr AS VARCHAR)), 1, 15) AS BIGINT)"
+    hash60Sql(s"'$salt' || CAST($expr AS VARCHAR)")
 
   /** The split assignment as a reusable column expression — stateless and
     * row-local, so the SAME dialect runs on a batch table or a readStream

@@ -236,7 +236,10 @@ object SimQueries {
        s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos " +
        "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) " +
        "SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cosine FROM p " +
-       "WHERE cos >= 0.35 ORDER BY label, vec_a, vec_b"),
+       // NOT isnan mirrors Spark's comparison semantics: NaN >= 0.35 is
+       // FALSE in Spark but TRUE under DuckDB's NaN-sorts-largest ordering,
+       // so a zero-norm embedding would diverge without the guard
+       "WHERE NOT isnan(cos) AND cos >= 0.35 ORDER BY label, vec_a, vec_b"),
     "sim_search_ivf" ->
       (s"WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
        "c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16), " +

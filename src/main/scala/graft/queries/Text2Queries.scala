@@ -132,7 +132,7 @@ object Text2Queries {
     // and had only structural locality tests).
     "text_simhash" -> ((s, d) => {
       val hs = transform(array_distinct(split(col("text"), " ")),
-        t => conv(substring(sha2(t, 256), 1, 15), 16, 10).cast(LongType))
+        t => hash60(t))
       // Single pass over the token hashes: the accumulator is the array of
       // 60 signed bit-votes, merged per token with zip_with against literal
       // bit masks (vs 60 separate aggregate passes — ~8× less work/doc).
@@ -171,7 +171,7 @@ object Text2Queries {
     }.mkString(" + ")
     "WITH base AS (SELECT doc_id, source, " +
       "list_transform(list_distinct(string_split(text, ' ')), " +
-      "t -> CAST('0x' || substring(sha256(t), 1, 15) AS BIGINT)) AS hs FROM documents), " +
+      s"t -> ${hash60Sql("t")}) AS hs FROM documents), " +
       s"sh AS (SELECT doc_id, source, $simExpr AS simhash FROM base), " +
       "bands AS (SELECT doc_id, source, simhash, band, (simhash >> (band * 15)) & 32767 AS bv " +
       "FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)) " +

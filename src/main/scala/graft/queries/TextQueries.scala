@@ -176,8 +176,7 @@ object TextQueries {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           transform(array_distinct(split(col("text"), " ")),
-            t => conv(substring(sha2(t, 256), 1, 15), 16, 10)
-              .cast(LongType)).as("hs"))
+            t => hash60(t)).as("hs"))
       // Fixed multipliers/offsets (golden-ratio stream) reduced mod the
       // Mersenne prime 2^31-1: pmod(h,p) < 2^31 and a < p keep every
       // product under 2^62, so ANSI-mode long arithmetic never overflows
@@ -256,7 +255,7 @@ object TextQueries {
     }.mkString(" UNION ALL ")
     "WITH base AS (SELECT doc_id, source, " +
       "list_transform(list_distinct(string_split(text, ' ')), " +
-      "t -> CAST('0x' || substring(sha256(t), 1, 15) AS BIGINT)) AS hs FROM documents), " +
+      s"t -> ${hash60Sql("t")}) AS hs FROM documents), " +
       s"sigs AS (SELECT doc_id, source, $sigExprs FROM base), " +
       s"buckets AS ($bucketSelects) " +
       "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x " +

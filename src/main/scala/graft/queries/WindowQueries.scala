@@ -7,8 +7,10 @@ import org.apache.spark.sql.types._
 import Qutil._
 
 /** SURVEY §2.5 — window functions. Each window partitions by a natural key
-  * (nation / user / customer) so the shuffle distributes; the one global
-  * window (ntile) is flagged below. */
+  * (nation / user / customer) so the shuffle distributes; the formerly
+  * global ntile/percent_rank window now runs as Scale.globalRank's
+  * distributed two-pass form (no single-partition WindowExec — enforced
+  * by PlanGuardSpec). */
 object WindowQueries {
 
   val queries: Map[String, Q] = Map(
