@@ -21,9 +21,13 @@ object Bench {
     // by-name df: queries that do real work at CONSTRUCTION time
     // (sink_partitioned's write, globalRank's count jobs) must fail inside
     // the try — a failed query is loudly visible, never a bench abort
+    // NonFatal only (r3 advice): an OutOfMemoryError / codegen LinkageError
+    // means the session may be corrupted — timing the remaining queries
+    // against it would write misleading numbers, so fatal errors abort.
     def exec(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
       try df.write.mode("overwrite").format("noop").save() catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name FAILED: $e")
       }
     // warm the session (scheduler, codegen, parquet footer reads) so the
     // first measured query doesn't absorb startup cost

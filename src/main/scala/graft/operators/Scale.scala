@@ -74,10 +74,14 @@ object Scale {
     // cache. Checkpointing truncates lineage, so a lost block fails the
     // job loudly instead (the correct trade for an exactness helper; a
     // cluster deployment would use reliable checkpoint() to survive it).
-    // The materialized data is held for the session lifetime (the result
-    // is consumed lazily — no safe release point inside this helper) and
-    // construction EAGERLY runs the count job below; entries are bounded
-    // (the projected key columns only).
+    // CALLER CONTRACT (r3 advice): the checkpoint materializes the FULL
+    // input row, construction EAGERLY runs the count job below, and the
+    // blocks are pinned for the session lifetime (the result is consumed
+    // lazily — there is no safe release point inside this helper). Callers
+    // must therefore pre-project to the ordering keys plus only the
+    // columns they need ranked (both in-repo callers project to ≤2
+    // columns); repeated construction in catalog sweeps accretes one
+    // bounded checkpoint per call.
     val ranged = df.repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)

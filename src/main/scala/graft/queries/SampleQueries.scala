@@ -45,7 +45,10 @@ object SampleQueries {
     // is a policy CASE here; in production it would broadcast-join a tiny
     // rates dim — either way selection is hash < rate, map-side, no state.
     "sample_stratified" -> ((s, d) => {
-      val srcNum = substring(col("source"), 4, 6).cast(IntegerType)
+      // unbounded tail substring, textually aligned with the oracle's
+      // substring(source, 4) — a length-capped Spark side would silently
+      // diverge on source ids longer than the cap (r3 advice)
+      val srcNum = expr("substring(source, 4)").cast(IntegerType)
       val rateBp = when(srcNum < 5, 10000).when(srcNum < 13, 5000).otherwise(1000)
       Tables.documents(s, d)
         .withColumn("rate_bp", rateBp)

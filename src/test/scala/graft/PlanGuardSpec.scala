@@ -6,35 +6,82 @@ package graft
   * side, a global window reintroduced); these tests pin the constructs
   * that must never (re)appear in any declared plan. */
 class PlanGuardSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.WholeStageCodegenExec
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  import org.apache.spark.sql.execution.joins.CartesianProductExec
+  import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
 
   // join_cross is the deliberately-bounded 5x25 Cartesian demo.
   private val cartesianOk = Set("join_cross")
 
+  /** Structural traversal (r3 advice: the line-pattern matcher could go
+    * silently vacuous on a plan-format change). AdaptiveSparkPlanExec does
+    * not expose its inner plan as a child, so recurse into it explicitly —
+    * pre-execution that is the initial physical plan, which is exactly what
+    * these contracts pin (AQE may only improve on it at runtime). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
   /** A SinglePartition exchange is scale-safe ONLY when it feeds the final
     * stage of a keyless (scalar) aggregate: the shuffled stream is the
     * map-side partials — one row per upstream partition, bounded at any
-    * data size. Anything else funneled to one partition is an OOM at 100x. */
-  private def unboundedSinglePartitions(plan: String): Seq[String] = {
-    val lines = plan.linesIterator.toVector
-    lines.zipWithIndex.collect {
-      case (l, i) if l.contains("Exchange SinglePartition") &&
-        !(i + 1 < lines.length && lines(i + 1).contains("keys=[]") &&
-          lines(i + 1).contains("partial_")) =>
-        lines.lift(i + 1).getOrElse(l).trim.take(80)
+    * data size. Anything else funneled to one partition is an OOM at 100x.
+    * Matched structurally: the exchange child (unwrapped of codegen) must
+    * be a grouping-free aggregate whose expressions are all partial-mode. */
+  private def isBoundedScalarAggFeed(e: ShuffleExchangeExec): Boolean = {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case other => other
+    }
+    unwrap(e.child) match {
+      case agg: BaseAggregateExec =>
+        agg.groupingExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+          agg.aggregateExpressions.forall(ae =>
+            ae.mode == Partial || ae.mode == PartialMerge)
+      case _ => false
     }
   }
+
+  private def singlePartitionExchanges(plan: SparkPlan): Seq[ShuffleExchangeExec] =
+    allNodes(plan).collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
 
   test("catalog-wide: no CartesianProduct, no unbounded single-partition Exchange") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        val cart = if (!cartesianOk(name) && plan.contains("CartesianProduct"))
-          Seq(s"$name: CartesianProduct") else Nil
-        cart ++ unboundedSinglePartitions(plan)
-          .map(c => s"$name: Exchange SinglePartition over [$c]")
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        val nodes = allNodes(plan)
+        val cart =
+          if (!cartesianOk(name) && nodes.exists(_.isInstanceOf[CartesianProductExec]))
+            Seq(s"$name: CartesianProduct") else Nil
+        cart ++ singlePartitionExchanges(plan).filterNot(isBoundedScalarAggFeed)
+          .map(e => s"$name: Exchange SinglePartition over [${e.child.nodeName}]")
     }
     assert(offenders.isEmpty,
       s"scale-unsafe constructs crept back into declared plans:\n${offenders.mkString("\n")}")
+  }
+
+  test("self-check: the bounded-scalar-agg exception matches real plans") {
+    // If a Spark upgrade changed the aggregate node shapes, the exception
+    // above could stop matching and the guard would start flagging every
+    // legitimate global scalar aggregate (loud) — or, worse, a traversal
+    // bug could make singlePartitionExchanges find nothing and the guard
+    // silently vacuous. Pin both directions on known plans: dq_checks'
+    // conditional-aggregation pass ends in a keyless global aggregate.
+    val plan = SparkEntry.queries("dq_checks")(spark, sf)
+      .queryExecution.executedPlan
+    val sp = singlePartitionExchanges(plan)
+    assert(sp.nonEmpty,
+      s"traversal found no SinglePartition exchange in dq_checks — matcher vacuous:\n$plan")
+    assert(sp.exists(isBoundedScalarAggFeed),
+      s"bounded-scalar-agg exception no longer matches dq_checks' global agg:\n$plan")
   }
 
   test("top-k windows prune via WindowGroupLimit") {
