@@ -110,6 +110,57 @@ object Scale {
       .drop("__pid", "__lrank")
   }
 
+  /** Distributed connected components by iterated min-label propagation —
+    * the clustering step that turns near-dup PAIRS (MinHash/SimHash/cosine
+    * candidates) into dedup GROUPS, so a pipeline can keep one survivor
+    * per component instead of dropping both ends of every pair.
+    *
+    * `nodes`: one column `id`; `edges`: columns `src`,`dst` (undirected,
+    * given once — mirrored internally). Returns (`id`, `cluster`) where
+    * `cluster` is the component's minimum id — deterministic, so it
+    * oracle-checks against a transitive-closure recursive CTE.
+    *
+    * Each round every node takes the min label over itself and its
+    * neighbors: converges in O(graph diameter) rounds. LSH cluster graphs
+    * are near-cliques (every member pair tends to collide in some band),
+    * so 2-3 rounds suffice in practice; a long-chain adversarial graph is
+    * the documented upgrade path to the O(log n) large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — public algorithm). Every round is shuffle-on-key
+    * (join + groupBy on node id), nothing driver-sided but the bounded
+    * convergence counter; per-round localCheckpoint truncates the
+    * otherwise-exponential lineage (same rationale as globalRank; blocks
+    * accrete one label table per round, bounded by maxIter).
+    *
+    * Fails loudly if not converged within `maxIter` — a silent partial
+    * clustering would under-merge and let near-dups through. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min neighbor label per node (shuffle on v, then on u)
+      val nb = e.join(labels, e("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      val m = labels.join(nb, labels("id") === nb("u"), "left")
+        .select(labels("id").as("id"), labels("lbl").as("lbl"),
+          least(labels("lbl"), coalesce(nb("nlbl"), labels("lbl"))).as("nxt"))
+        .localCheckpoint(true)
+      // scalar count over the checkpointed round — bounded driver work
+      changed = m.where(col("nxt") =!= col("lbl")).count()
+      labels = m.select(col("id"), col("nxt").as("lbl"))
+      iter += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(long-chain graph? switch to large-star/small-star)")
+    labels.withColumnRenamed("lbl", "cluster")
+  }
+
   /** Small-file compaction: rewrite a landed directory into
     * ceil(rows/rowsPerFile) files. Incremental appends (per Airflow tick)
     * accrete small files until scans are metadata-bound; periodic

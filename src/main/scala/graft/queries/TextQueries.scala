@@ -95,7 +95,7 @@ object TextQueries {
     math.floorMod((2 * i + 1) * 0x9E3779B97F4A7C15L, minhashP - 1) + 1,
     math.floorMod((i + 1) * 0xC2B2AE3D27D4EB4FL, minhashP))
 
-  val queries: Map[String, Q] = Map(
+  private val queries1: Map[String, Q] = Map(
     // Corpus stats per language.
     "text_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -172,7 +172,36 @@ object TextQueries {
     // DuckDB as CAST('0x'||substring(sha256(t),1,15) AS BIGINT) — so unlike
     // round 1 (xxhash64, no DuckDB equivalent) the full candidate PAIR SET
     // is oracle-checked; recall vs exact Jaccard stays asserted in tests.
-    "text_minhash_lsh" -> ((s, d) => {
+    "text_minhash_lsh" -> ((s, d) =>
+      minhashPairs(s, d).orderBy("doc_a", "doc_b")),
+
+    // Near-dup CLUSTERS from the MinHash pair graph: connected components
+    // via distributed min-label propagation (Scale.connectedComponents).
+    // Pairs alone can't drive dedup — keeping "one of each pair" drops a
+    // doc once per partner; the component is the dedup unit (keep min id /
+    // best quality per cluster). cluster_id = min doc_id in the component,
+    // so the whole assignment is deterministic and oracle-checked against
+    // a DuckDB transitive-closure recursive CTE. Singletons cluster as
+    // themselves (csize 1). 100 TB shape: edges come from the banded-LSH
+    // equality join (never all-pairs) and every propagation round is a
+    // shuffle-on-node-id join; rounds ~ diameter (near-clique LSH
+    // components converge in 2-3).
+    "dedup_cluster_cc" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+      val cc = graft.operators.Scale.connectedComponents(
+        Tables.documents(s, d).select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      cc.join(sizes, "cluster")
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("csize"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** MinHash+LSH candidate pairs (distinct, doc_a < doc_b) — shared by the
+    * declared pair query and the connected-components clustering. */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           transform(array_distinct(split(col("text"), " ")),
@@ -205,9 +234,9 @@ object TextQueries {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
-    }),
+  }
 
+  private val queries2: Map[String, Q] = Map(
     // TF-IDF: top-5 terms per language (tf within lang, idf over all docs).
     "text_tfidf_topterms" -> ((s, d) => {
       val t = toks(s, d)
@@ -241,10 +270,12 @@ object TextQueries {
     })
   )
 
+  val queries: Map[String, Q] = queries1 ++ queries2
+
   /** DuckDB mirror of the full MinHash+LSH pipeline (round-1 VERDICT
     * "What's missing" #2): same sha256-derived 60-bit base hash, same
     * affine family, same 8×4 banding — checks the candidate PAIR SET. */
-  private def minhashOracleSql: String = {
+  private def minhashPairsSql: String = {
     val sigExprs = (0 until 32).map { i =>
       val (a, b) = minhashAB(i)
       s"list_min(list_transform(hs, h -> ((h % $minhashP) * $a + $b) % $minhashP)) AS h$i"
@@ -260,11 +291,26 @@ object TextQueries {
       s"buckets AS ($bucketSelects) " +
       "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x " +
       "JOIN buckets y ON x.source = y.source AND x.band = y.band AND x.bh = y.bh " +
-      "AND x.doc_id < y.doc_id ORDER BY doc_a, doc_b"
+      "AND x.doc_id < y.doc_id"
   }
 
+  /** Transitive closure over the SAME pair SQL: reach(doc, r) holds every
+    * (node, component-member) pair, so MIN(r) per doc is exactly the
+    * min-label fixpoint the Spark propagation loop computes. */
+  private def clusterOracleSql: String =
+    s"WITH RECURSIVE pairs AS ($minhashPairsSql), " +
+      "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+      "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT doc_id AS doc, doc_id AS r FROM documents " +
+      "UNION SELECT e.v AS doc, reach.r AS r FROM reach JOIN e ON e.u = reach.doc), " +
+      "c AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc), " +
+      "s AS (SELECT cluster_id, COUNT(*) AS csize FROM c GROUP BY 1) " +
+      "SELECT c.doc AS doc_id, c.cluster_id, s.csize FROM c " +
+      "JOIN s USING (cluster_id) ORDER BY doc_id"
+
   val oracle: Map[String, String] = Map(
-    "text_minhash_lsh" -> minhashOracleSql,
+    "text_minhash_lsh" -> (minhashPairsSql + " ORDER BY doc_a, doc_b"),
+    "dedup_cluster_cc" -> clusterOracleSql,
     "text_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
        "ROUND(CAST(SUM(n_chars) AS DOUBLE)/COUNT(*), 6) AS avg_chars, " +

@@ -119,6 +119,31 @@ class ScaleSpec extends SparkSpec {
     assert(pruned.count() === expected)
   }
 
+  test("connectedComponents: chain, clique, and singleton components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 — forces multiple propagation rounds),
+    // triangle 5-6-7, isolated node 10
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("src", "dst")
+    val got = Scale.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L))
+  }
+
+  test("connectedComponents: long chain converges (worst-case diameter)") {
+    // 64-node path graph: min-label propagation needs ~diameter rounds;
+    // proves the convergence loop actually iterates far past the
+    // near-clique LSH regime without tripping the maxIter guard.
+    import spark.implicits._
+    val n = 64
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Scale.connectedComponents(nodes, edges, maxIter = n + 2)
+    assert(got.where(col("cluster") === 1L).count() === n.toLong)
+  }
+
   test("sortedRepartition yields range-disjoint sorted partitions") {
     val df = Scale.sortedRepartition(
       Tables.orders(spark, sf).select("o_orderkey"), 4, col("o_orderkey"))
