@@ -159,6 +159,23 @@ object AggQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Per-group mode (most frequent value) — two-stage: count per
+    // (group, value) then min(struct(-cnt, value)) per group, so the
+    // argmax runs as an AGGREGATE with map-side partials (never a window
+    // over the counted table) and ties break deterministically to the
+    // lexicographically smallest value. Same min-struct pattern as
+    // sim_join_label; both stages distribute at any scale.
+    "agg_mode" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(min(struct((-col("cnt")).as("nc"), col("o_orderpriority").as("p"))).as("m"),
+          sum(col("cnt")).as("n_orders"))
+        .select(col("o_orderstatus"), col("m.p").as("mode_priority"),
+          (-col("m.nc")).as("mode_cnt"), col("n_orders"))
+        .orderBy("o_orderstatus")),
+
     // Custom typed UDAF surface. Rounded to 3 dp: the log-sum order differs
     // between engines and exp() amplifies the ulp drift past 1e-6.
     "agg_udaf_geomean" -> ((s, d) => {
@@ -220,6 +237,14 @@ object AggQueries {
       ("SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, " +
        "ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price, " +
        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "agg_mode" ->
+      ("WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt " +
+       "FROM orders GROUP BY 1,2), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus " +
+       "ORDER BY cnt DESC, o_orderpriority) AS rn, " +
+       "CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_orders FROM c) " +
+       "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt, n_orders " +
+       "FROM r WHERE rn = 1 ORDER BY o_orderstatus"),
     "agg_udaf_geomean" ->
       ("SELECT l_returnflag, ROUND(EXP(AVG(LN(l_extendedprice))), 3) AS geomean_price, " +
        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")

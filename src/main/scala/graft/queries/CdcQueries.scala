@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import Qutil._
 
 /** SURVEY §2.10 — migration/CDC & data-quality operators: the reference's
@@ -73,6 +74,70 @@ object CdcQueries {
         .orderBy("rule")
     }),
 
+    // MERGE (upsert-apply): the other half of CDC — cdc_snapshot_diff
+    // DERIVES the I/U/D changeset, this op APPLIES one to a base snapshot.
+    // Shape: full-outer join of base and changes on the key, then
+    //   D -> drop, I/U -> take the change's value, no-change -> keep base.
+    // 100 TB posture: the join shuffles both sides on the key once; a real
+    // deployment broadcasts the (typically tiny) changeset or lands both
+    // bucketed on the key (Scale.bucketedJoin) so the merge is
+    // shuffle-free — the classic storage-layer MERGE INTO, expressed
+    // relationally. Applying diff(prev,curr) back onto prev must
+    // reconstruct curr exactly; the oracle checks precisely that merge.
+    "cdc_merge_upsert" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val base = ord.where(col("o_orderdate") < lit("2000-01-01"))
+        .select(col("o_orderkey").as("key"), dec2(col("o_totalprice")).as("price"))
+      val curr = ord.where(col("o_orderdate") < lit("2000-07-01") &&
+          !(col("o_orderkey") % 97 === 0))
+        .select(col("o_orderkey").as("key"),
+          moneyD(when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.05)
+            .otherwise(col("o_totalprice"))).as("c_price"))
+      val changes = base.join(curr, Seq("key"), "full_outer")
+        .withColumn("op",
+          when(col("price").isNull, "I")
+            .when(col("c_price").isNull, "D")
+            .when(col("price") =!= col("c_price"), "U"))
+        .where(col("op").isNotNull)
+        .select(col("key"), col("op"), col("c_price"))
+      base.join(changes, Seq("key"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        // comparisons/selection on exact decimals; only the EMISSION is double
+        .select(col("key"),
+          emitD(when(col("op").isin("I", "U"), col("c_price"))
+            .otherwise(col("price"))).as("price"))
+        .orderBy("key")
+    }),
+
+    // Per-hour event-count anomalies per type: two-pass z-score with
+    // EXPLICIT moment arithmetic — counts, sums and sums-of-squares are
+    // exact BIGINTs (overflow only past ~3e9 events/hour under ANSI), so
+    // the derived doubles are a FIXED sequence of IEEE ops mirrored
+    // verbatim in the oracle; built-in stddev would instead expose
+    // cross-engine sum-order drift. Both aggregations are map-side
+    // partial + final (distribute at any scale); the stats side is one
+    // row per event_type — broadcast-joined back, never a window over
+    // the full stream.
+    "dq_anomaly_zscore" -> ((s, d) => {
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = hc.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+      val withStats = hc.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("s").cast(DoubleType) / col("n"))
+        .withColumn("variance",
+          (col("ss").cast(DoubleType) - col("s").cast(DoubleType) * col("s") / col("n"))
+            / (col("n") - 1))
+      val zRaw = when(col("variance") <= 0.0, lit(0.0))
+        .otherwise((col("cnt") - col("mean")) / sqrt(col("variance")))
+      withStats
+        .select(col("event_type"), col("h"), col("cnt"),
+          r6(zRaw).as("z"), (abs(zRaw) > lit(3.0)).as("is_anomaly"))
+        .orderBy("event_type", "h")
+    }),
+
     // Per-row content fingerprint for source/target reconciliation hashing.
     "dq_row_hash" -> ((s, d) =>
       Tables.nation(s, d)
@@ -131,6 +196,34 @@ object CdcQueries {
        "UNION ALL SELECT 'neg_price', COUNT(*) FROM lineitem WHERE l_extendedprice < 0.0 " +
        "UNION ALL SELECT 'null_key', COUNT(*) FROM lineitem WHERE l_orderkey IS NULL " +
        "ORDER BY rule"),
+    "cdc_merge_upsert" ->
+      ("WITH base AS (SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS price " +
+       "FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'), " +
+       "curr AS (SELECT o_orderkey AS key, CAST(CAST(FLOOR((CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice*1.05 " +
+       "ELSE o_totalprice END)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS c_price FROM orders " +
+       "WHERE o_orderdate < TIMESTAMP '2000-07-01' AND NOT (o_orderkey % 97 = 0)), " +
+       "changes AS (SELECT COALESCE(b.key, c.key) AS key, c_price, " +
+       "CASE WHEN b.key IS NULL THEN 'I' WHEN c.key IS NULL THEN 'D' " +
+       "WHEN price <> c_price THEN 'U' END AS op " +
+       "FROM base b FULL OUTER JOIN curr c ON b.key = c.key WHERE " +
+       "(CASE WHEN b.key IS NULL THEN 'I' WHEN c.key IS NULL THEN 'D' " +
+       "WHEN price <> c_price THEN 'U' END) IS NOT NULL) " +
+       "SELECT COALESCE(b.key, g.key) AS key, " +
+       "CAST(CASE WHEN g.op IN ('I','U') THEN g.c_price ELSE b.price END AS DOUBLE) AS price " +
+       "FROM base b FULL OUTER JOIN changes g ON b.key = g.key " +
+       "WHERE g.op IS NULL OR g.op <> 'D' ORDER BY key"),
+    "dq_anomaly_zscore" ->
+      ("WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt " +
+       "FROM events GROUP BY 1,2), " +
+       "st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS s, " +
+       "CAST(SUM(cnt*cnt) AS BIGINT) AS ss FROM hc GROUP BY 1), " +
+       "j AS (SELECT hc.event_type, h, cnt, CAST(s AS DOUBLE)/n AS mean, " +
+       "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n)/(n-1) AS variance " +
+       "FROM hc JOIN st USING (event_type)) " +
+       "SELECT event_type, h, cnt, " +
+       "ROUND(CASE WHEN variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END, 6) AS z, " +
+       "CASE WHEN variance <= 0.0 THEN FALSE ELSE abs((cnt - mean)/sqrt(variance)) > 3.0 END AS is_anomaly " +
+       "FROM j ORDER BY event_type, h"),
     "dq_row_hash" ->
       ("SELECT n_nationkey, sha256(concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name, " +
        "CAST(n_regionkey AS VARCHAR))) AS row_hash FROM nation ORDER BY n_nationkey"),

@@ -85,6 +85,25 @@ object JoinQueries {
         .orderBy("event_id")
     }),
 
+    // Skew-salted equi-join, declared and oracled: Scale.saltedJoin
+    // spreads each join key over 8 sub-keys (salt on the large side,
+    // 8-way explode on the small side) so ONE hot key occupies 8 reducers
+    // instead of melting one — the manual companion to the AQE runtime
+    // skew split (ScaleSpec). Semantics identical to the plain inner
+    // join, which is exactly what the oracle asserts; the salt is
+    // nondeterministic (row-id hash) but collapses in the aggregation.
+    "join_skew_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("key"), col("l_quantity"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("key"), col("o_orderpriority"))
+      graft.operators.Scale.saltedJoin(li, ord, "key")
+        .groupBy("o_orderpriority")
+        .agg(sumDec2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Cartesian 5×25 (bounded!) — nested-loop path.
     "join_cross" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
@@ -137,6 +156,11 @@ object JoinQueries {
       ("SELECT event_id, user_id, last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS) " +
        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
        "AS last_signup_ts FROM events ORDER BY event_id"),
+    "join_skew_salted" ->
+      ("SELECT o_orderpriority, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+       "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "GROUP BY 1 ORDER BY 1"),
     "join_cross" ->
       ("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +
        "ORDER BY r_regionkey, n_nationkey"),

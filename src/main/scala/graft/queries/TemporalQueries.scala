@@ -40,6 +40,28 @@ object TemporalQueries {
           col("session_window.end").as("sess_end"), col("n_events"), col("sum_value"))
         .orderBy("user_id", "sess_start")),
 
+    // Gap filling: the dense (event_type × hour) grid over the corpus span
+    // with zero-filled missing buckets — what every downstream
+    // rate/anomaly job needs (a missing bucket is NOT the same as an
+    // unobserved one). Shape: aggregate counts (distributes), then a
+    // bounded generated dimension — |types| × span-hours rows, data-size
+    // independent — broadcast-left-joined against the counts. The grid is
+    // generated with sequence/explode, never materialized row-per-event.
+    "ts_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val cnts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+      val bounds = ev.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("mn"),
+          explode(expr("sequence(0, CAST(timestampdiff(HOUR, mn, mx) AS INT))")).as("i"))
+        .select(col("event_type"), expr("timestampadd(HOUR, i, mn)").as("h"))
+      grid.join(cnts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("event_type", "h")
+    }),
+
     // CDC "last write wins": latest event per (user, type) — the Salesforce
     // upsert-compaction the reference's migration performs per object.
     "ts_dedup_latest" -> ((s, d) => {
@@ -71,6 +93,20 @@ object TemporalQueries {
        "SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end, " +
        "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start"),
+    "ts_gap_fill" ->
+      // range stop is exclusive (Spark sequence inclusive): bound+1.
+      // Lateral column args work for unnest(range(...)) in a subquery
+      // (generate_series rejects them — text_chunk precedent).
+      ("WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events), " +
+       "c AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1,2), " +
+       "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM ev), " +
+       "t AS (SELECT DISTINCT event_type FROM ev), " +
+       "g0 AS (SELECT event_type, mn, unnest(range(0, date_diff('hour', mn, mx) + 1)) AS i " +
+       "FROM t CROSS JOIN b), " +
+       "g AS (SELECT event_type, mn + to_hours(i) AS h FROM g0) " +
+       "SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt FROM g " +
+       "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h " +
+       "ORDER BY g.event_type, g.h"),
     "ts_dedup_latest" ->
       ("SELECT user_id, event_type, event_id, ts, value FROM " +
        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn " +
