@@ -195,6 +195,28 @@ object TextQueries {
       cc.join(sizes, "cluster")
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("csize"))
         .orderBy("doc_id")
+    }),
+
+    // The end-to-end near-dup dedup a training pipeline actually runs:
+    // cluster (above) -> ONE survivor per cluster, highest shared quality
+    // score (ties to the smaller doc_id). The argmax is a min(struct)
+    // AGGREGATE over (cluster, -q, id) — map-side partials, never a
+    // window over the corpus. Output is one row per cluster, so
+    // downstream keeps survivors and drops |cluster|-1 near-dups each.
+    "text_dedup_cluster_survivor" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+      val cc = graft.operators.Scale.connectedComponents(
+        Tables.documents(s, d).select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val (_, _, _, _, _, score) = Text2Queries.qualityCols(col("text"))
+      val scored = Tables.documents(s, d).select(col("doc_id"), score.as("q"))
+      cc.join(scored, cc("id") === scored("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(min(struct((-col("q")).as("nq"), col("id").as("sid"))).as("m"),
+          count(lit(1)).as("csize"))
+        .select(col("cluster").as("cluster_id"), col("m.sid").as("survivor"),
+          r6(-col("m.nq")).as("quality"), col("csize"))
+        .orderBy("cluster_id")
     })
   )
 
@@ -308,9 +330,27 @@ object TextQueries {
       "SELECT c.doc AS doc_id, c.cluster_id, s.csize FROM c " +
       "JOIN s USING (cluster_id) ORDER BY doc_id"
 
+  /** Cluster + per-cluster argmax survivor: the same closure CTEs, joined
+    * to the shared quality formula (Text2Queries.qualityScoreSql). */
+  private def survivorOracleSql: String =
+    s"WITH RECURSIVE pairs AS ($minhashPairsSql), " +
+      "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+      "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT doc_id AS doc, doc_id AS r FROM documents " +
+      "UNION SELECT e.v AS doc, reach.r AS r FROM reach JOIN e ON e.u = reach.doc), " +
+      "c AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc), " +
+      "q AS (SELECT doc_id, " + Text2Queries.qualityScoreSql + " AS q FROM " +
+      "(SELECT doc_id, string_split(text, ' ') AS tk FROM documents)), " +
+      "j AS (SELECT c.cluster_id, q.doc_id, q.q FROM c JOIN q ON c.doc = q.doc_id), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY cluster_id) AS csize FROM j) " +
+      "SELECT cluster_id, doc_id AS survivor, ROUND(q, 6) AS quality, csize " +
+      "FROM r WHERE rn = 1 ORDER BY cluster_id"
+
   val oracle: Map[String, String] = Map(
     "text_minhash_lsh" -> (minhashPairsSql + " ORDER BY doc_a, doc_b"),
     "dedup_cluster_cc" -> clusterOracleSql,
+    "text_dedup_cluster_survivor" -> survivorOracleSql,
     "text_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
        "ROUND(CAST(SUM(n_chars) AS DOUBLE)/COUNT(*), 6) AS avg_chars, " +

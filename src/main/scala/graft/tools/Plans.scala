@@ -51,7 +51,33 @@ object Plans {
     "sim_join_label" ->
       "salted SortMergeJoin on (label, salt) — NO BroadcastExchange of the embeddings table; per-label argmax is a partial-aggregable min(struct), not a 10-partition window.",
     "dedup_embed_cosine" ->
-      "same salted SortMergeJoin pair enumeration — no unbounded broadcast build side.")
+      "same salted SortMergeJoin pair enumeration — no unbounded broadcast build side.",
+    "dedup_cluster_cc" ->
+      ("clusters from the MinHash pair graph via min-label propagation. The plan shown is the FINAL " +
+       "pass (checkpointed label table joined to cluster sizes): each propagation round is a " +
+       "shuffle-on-node-id join + groupBy whose lineage is deliberately truncated by a per-round " +
+       "localCheckpoint — that truncation point, not one big plan, is the scale control."),
+    "cdc_merge_upsert" ->
+      ("derive + apply in one plan: two full-outer SortMergeJoins on the key (shuffle-on-key once " +
+       "per side). At deployment the changeset side is tiny — broadcast it, or land both bucketed " +
+       "on the key (Scale.bucketedJoin) and MERGE shuffle-free."),
+    "ts_gap_fill" ->
+      ("the event scan ends at a partial+final count aggregate; everything after (bounds, grid, " +
+       "left join) operates on the bounded (event_type x hour) cardinality — the generated grid is " +
+       "data-size independent, so gap filling costs one aggregation at any scale."),
+    "dq_anomaly_zscore" ->
+      ("two cascaded partial+final HashAggregates (hourly counts, then per-type moments); the " +
+       "one-row-per-type stats re-enter via BroadcastHashJoin — no window over the event stream, " +
+       "no second scan."),
+    "agg_mode" ->
+      ("two-stage aggregation, both stages with map-side partials; the per-group argmax is a " +
+       "min(struct) AGGREGATE, not a row_number window over the counted table."),
+    "join_skew_salted" ->
+      ("hash-salt column on the probe side + 8-way explode of the build side; the join key becomes " +
+       "(key, salt) so one hot key spreads over 8 reducers — semantics proven identical by the " +
+       "plain-join oracle. At fixture scale the exploded build side still fits the broadcast " +
+       "threshold, so the plan shows BroadcastHashJoin (where salt is a no-op); past the threshold " +
+       "the same code plans the (key, salt) SMJ, which is where the salt does its work."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
