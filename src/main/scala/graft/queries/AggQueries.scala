@@ -159,6 +159,22 @@ object AggQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Quantity-weighted average price — the exact-decimal discipline
+    // applied to a RATIO of sums: numerator sum(dec2(p)*dec2(q)) and
+    // denominator sum(dec2(q)) are both exact decimals (order-independent
+    // partials at any scale); ONE double division + round(6) at emission,
+    // mirrored op-for-op in the oracle. A single partial+final aggregate
+    // pass — never avg(p*q) over doubles (sum-order drift).
+    "agg_weighted_avg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
+            .cast(DoubleType) / sum(dec2(col("l_quantity"))).cast(DoubleType), 6)
+            .as("wavg_price"),
+          sumDec2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // Per-group mode (most frequent value) — two-stage: count per
     // (group, value) then min(struct(-cnt, value)) per group, so the
     // argmax runs as an AGGREGATE with map-side partials (never a window
@@ -236,6 +252,12 @@ object AggQueries {
     "agg_corr" ->
       ("SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, " +
        "ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price, " +
+       "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "agg_weighted_avg" ->
+      ("SELECT l_returnflag, " +
+       "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)" +
+       "/CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_mode" ->
       ("WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt " +

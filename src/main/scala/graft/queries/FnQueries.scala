@@ -57,6 +57,21 @@ object FnQueries {
         .orderBy("l_orderkey", "l_linenumber", "price_r1", "abs_d", "qty_sq",
           "ln_p", "sqrt_q")),
 
+    // Bitwise surface (completes §2.8's integer-function coverage): AND /
+    // OR / XOR / shifts / popcount — the ops partition-pruning bitmap
+    // tricks and bloom/bitmap indexes are built from. Row-local, codegen'd,
+    // shuffle only for the presentation sort. bit_count is INT on Spark
+    // and TINYINT on DuckDB — both sides cast to INT.
+    "fn_bitwise" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"),
+        col("c_custkey").bitwiseAND(lit(255L)).as("and_255"),
+        col("c_custkey").bitwiseOR(lit(16L)).as("or_16"),
+        col("c_custkey").bitwiseXOR(col("c_nationkey")).as("xor_nat"),
+        shiftleft(col("c_custkey"), 2).as("shl_2"),
+        shiftright(col("c_custkey"), 3).as("shr_3"),
+        bit_count(col("c_custkey")).cast(IntegerType).as("popcnt"))
+        .orderBy("c_custkey")),
+
     // Higher-order functions over the 64-dim float vectors — no UDF, all
     // Catalyst expressions (codegen + pushdown survive). The sorted head-4
     // slice is emitted as four scalar float columns, not one ARRAY column:
@@ -142,6 +157,11 @@ object FnQueries {
        "n_orders, revenue FROM (SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS n_orders, " +
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
        "FROM orders GROUP BY 1) ORDER BY mon"),
+    "fn_bitwise" ->
+      ("SELECT c_custkey, c_custkey & 255 AS and_255, c_custkey | 16 AS or_16, " +
+       "xor(c_custkey, c_nationkey) AS xor_nat, c_custkey << 2 AS shl_2, " +
+       "c_custkey >> 3 AS shr_3, CAST(bit_count(c_custkey) AS INT) AS popcnt " +
+       "FROM customer ORDER BY c_custkey"),
     "fn_math" ->
       ("SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 1) AS price_r1, " +
        "ABS(l_discount - 0.05) AS abs_d, CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_p, " +

@@ -32,7 +32,7 @@ object Text2Queries {
     * the oracle SQL (text_quality and text_dedup_keep_best must rank with
     * the identical score or dedup survivors silently drift). Returns the
     * component columns + composite; all from exact integer ratios. */
-  private[queries] def qualityCols(textCol: org.apache.spark.sql.Column) = {
+  private[graft] def qualityCols(textCol: org.apache.spark.sql.Column) = {
     val tk = split(textCol, " ")
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = size(tk)

@@ -221,8 +221,9 @@ object TextQueries {
   )
 
   /** MinHash+LSH candidate pairs (distinct, doc_a < doc_b) — shared by the
-    * declared pair query and the connected-components clustering. */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+    * declared pair query, the connected-components clustering, and the
+    * corpus-assembly pipeline (graft.pipeline.Corpus). */
+  private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),

@@ -84,6 +84,34 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === Tables.orders(spark, sf).count())
   }
 
+  test("corpus assembly: one survivor per cluster, splits stable, quality maximal") {
+    val corpus = graft.pipeline.Corpus.assemble(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+
+    // exactly one survivor per cluster, and cluster sizes cover the corpus
+    assert(corpus.groupBy("cluster_id").count().where(col("count") > 1).count() === 0)
+    assert(corpus.agg(sum("cluster_size")).head.getLong(0) === docs.count(),
+      "cluster sizes must partition the document set")
+
+    // the survivor is its cluster's best: re-derive quality for all docs,
+    // join through the declared clustering query, compare maxima
+    val clusters = graft.SparkEntry.queries("dedup_cluster_cc")(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    val (_, _, _, _, _, score) = graft.queries.Text2Queries.qualityCols(col("text"))
+    val best = docs.select(col("doc_id"), score.as("q"))
+      .join(clusters, "doc_id")
+      .groupBy("cluster_id").agg(round(max("q"), 6).as("maxq"))
+    val mismatch = corpus.join(best, "cluster_id")
+      .where(col("quality") < col("maxq")).count()
+    assert(mismatch === 0, "every survivor carries its cluster's max quality")
+
+    // split assignment matches the declared splitter (hash-stable)
+    val expected = graft.queries.SampleQueries.splitCol(col("doc_id"))
+    assert(corpus.where(col("split") =!= expected).count() === 0)
+    assert(corpus.select("split").distinct().count() === 3)
+    corpus.unpersist()
+  }
+
   test("full pipeline: DQ quarantines dirty rows, dedup compacts, SCD2 chains validity") {
     val out = java.nio.file.Files.createTempDirectory("graft_migrate").toString
     val (landed, report) = Migrate.runEventsPipeline(spark, staging, out)
