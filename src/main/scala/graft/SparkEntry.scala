@@ -29,9 +29,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     AggQueries.queries("agg_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. Duplicate keys
+    * across category maps would silently shadow under `++` (one query
+    * vanishes from the catalog with every gate still green) — fail loudly
+    * instead. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val keys = categories.flatMap(_.keys)
+    val dups = keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query keys across category maps: $dups")
     categories.reduce(_ ++ _)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

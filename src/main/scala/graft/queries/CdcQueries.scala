@@ -130,7 +130,10 @@ object CdcQueries {
         .withColumn("variance",
           (col("ss").cast(DoubleType) - col("s").cast(DoubleType) * col("s") / col("n"))
             / (col("n") - 1))
-      val zRaw = when(col("variance") <= 0.0, lit(0.0))
+      // n == 1 makes variance 0/0 = NaN, which is ORDERED GREATEST on both
+      // engines and would sail past a `<= 0` guard as a spurious anomaly —
+      // a single observation has no dispersion and scores 0 by definition
+      val zRaw = when(col("n") === 1 || col("variance") <= 0.0, lit(0.0))
         .otherwise((col("cnt") - col("mean")) / sqrt(col("variance")))
       withStats
         .select(col("event_type"), col("h"), col("cnt"),
@@ -217,12 +220,12 @@ object CdcQueries {
        "FROM events GROUP BY 1,2), " +
        "st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS s, " +
        "CAST(SUM(cnt*cnt) AS BIGINT) AS ss FROM hc GROUP BY 1), " +
-       "j AS (SELECT hc.event_type, h, cnt, CAST(s AS DOUBLE)/n AS mean, " +
+       "j AS (SELECT hc.event_type, h, cnt, n, CAST(s AS DOUBLE)/n AS mean, " +
        "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n)/(n-1) AS variance " +
        "FROM hc JOIN st USING (event_type)) " +
        "SELECT event_type, h, cnt, " +
-       "ROUND(CASE WHEN variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END, 6) AS z, " +
-       "CASE WHEN variance <= 0.0 THEN FALSE ELSE abs((cnt - mean)/sqrt(variance)) > 3.0 END AS is_anomaly " +
+       "ROUND(CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END, 6) AS z, " +
+       "CASE WHEN n = 1 OR variance <= 0.0 THEN FALSE ELSE abs((cnt - mean)/sqrt(variance)) > 3.0 END AS is_anomaly " +
        "FROM j ORDER BY event_type, h"),
     "dq_row_hash" ->
       ("SELECT n_nationkey, sha256(concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name, " +

@@ -51,8 +51,11 @@ object TemporalQueries {
       val ev = Tables.events(s, d)
         .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       val cnts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
-      val bounds = ev.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
-      val grid = ev.select("event_type").distinct()
+      // bounds and the type list re-derive from the AGGREGATED counts
+      // (identical values — every observed type/hour survives the groupBy),
+      // so the raw events table is scanned exactly once
+      val bounds = cnts.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val grid = cnts.select("event_type").distinct()
         .crossJoin(broadcast(bounds))
         .select(col("event_type"), col("mn"),
           explode(expr("sequence(0, CAST(timestampdiff(HOUR, mn, mx) AS INT))")).as("i"))
@@ -99,8 +102,8 @@ object TemporalQueries {
       // (generate_series rejects them — text_chunk precedent).
       ("WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events), " +
        "c AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1,2), " +
-       "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM ev), " +
-       "t AS (SELECT DISTINCT event_type FROM ev), " +
+       "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM c), " +
+       "t AS (SELECT DISTINCT event_type FROM c), " +
        "g0 AS (SELECT event_type, mn, unnest(range(0, date_diff('hour', mn, mx) + 1)) AS i " +
        "FROM t CROSS JOIN b), " +
        "g AS (SELECT event_type, mn + to_hours(i) AS h FROM g0) " +

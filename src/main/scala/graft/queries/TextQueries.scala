@@ -203,22 +203,33 @@ object TextQueries {
     // AGGREGATE over (cluster, -q, id) — map-side partials, never a
     // window over the corpus. Output is one row per cluster, so
     // downstream keeps survivors and drops |cluster|-1 near-dups each.
-    "text_dedup_cluster_survivor" -> ((s, d) => {
-      val pairs = minhashPairs(s, d)
-      val cc = graft.operators.Scale.connectedComponents(
-        Tables.documents(s, d).select(col("doc_id").as("id")),
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      val (_, _, _, _, _, score) = Text2Queries.qualityCols(col("text"))
-      val scored = Tables.documents(s, d).select(col("doc_id"), score.as("q"))
-      cc.join(scored, cc("id") === scored("doc_id"))
-        .groupBy(col("cluster"))
-        .agg(min(struct((-col("q")).as("nq"), col("id").as("sid"))).as("m"),
-          count(lit(1)).as("csize"))
-        .select(col("cluster").as("cluster_id"), col("m.sid").as("survivor"),
-          r6(-col("m.nq")).as("quality"), col("csize"))
-        .orderBy("cluster_id")
-    })
+    "text_dedup_cluster_survivor" -> ((s, d) =>
+      clusterSurvivors(s, d)
+        .select(col("cluster_id"), col("doc_id").as("survivor"),
+          r6(col("quality")).as("quality"), col("csize"))
+        .orderBy("cluster_id"))
   )
+
+  /** One best-quality survivor per connected component of the MinHash pair
+    * graph: (cluster_id, doc_id, quality UNROUNDED, csize). ONE definition
+    * shared by the declared (oracled) query above and pipeline.Corpus, so
+    * the tie-break and quality formula can never desynchronize between the
+    * hash-checked query and the pipeline that PipelineSpec cross-checks
+    * against it. */
+  private[graft] def clusterSurvivors(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cc = graft.operators.Scale.connectedComponents(
+      Tables.documents(s, d).select(col("doc_id").as("id")),
+      minhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val (_, _, _, _, _, score) = Text2Queries.qualityCols(col("text"))
+    val scored = Tables.documents(s, d).select(col("doc_id"), score.as("q"))
+    cc.join(scored, cc("id") === scored("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(min(struct((-col("q")).as("nq"), col("id").as("sid"))).as("m"),
+        count(lit(1)).as("csize"))
+      .select(col("cluster").as("cluster_id"), col("m.sid").as("doc_id"),
+        (-col("m.nq")).as("quality"), col("csize"))
+  }
 
   /** MinHash+LSH candidate pairs (distinct, doc_a < doc_b) — shared by the
     * declared pair query, the connected-components clustering, and the

@@ -22,10 +22,13 @@ class PlanGuardSpec extends SparkSpec {
     * silently vacuous on a plan-format change). AdaptiveSparkPlanExec does
     * not expose its inner plan as a child, so recurse into it explicitly —
     * pre-execution that is the initial physical plan, which is exactly what
-    * these contracts pin (AQE may only improve on it at runtime). */
+    * these contracts pin (AQE may only improve on it at runtime). Subquery
+    * plans (scalar/IN subqueries hang off expressions, not children) are
+    * traversed too — the replaced string matcher saw them via treeString,
+    * and a CartesianProduct inside a subquery is just as scale-unsafe. */
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
-    case _ => p +: p.children.flatMap(allNodes)
+    case _ => p +: (p.children ++ p.subqueries).flatMap(allNodes)
   }
 
   /** A SinglePartition exchange is scale-safe ONLY when it feeds the final
