@@ -92,6 +92,31 @@ object SampleQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Decontamination: train docs sharing any 5-gram shingle with the
+    // held-out test split — the leakage check every eval pipeline runs
+    // before trusting its numbers. Shingle generation is row-local HOFs
+    // (map-side); the overlap is an equality join on the shingle — the
+    // inverted-index shape (never train×test pairs), distributing on the
+    // shingle key at any corpus size. Output: contaminated train docs
+    // with their distinct shared-shingle count.
+    "text_decontaminate" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val sh5 = transform(sequence(lit(1), greatest(size(tk) - 4, lit(0))),
+        i => concat_ws(" ", slice(tk, i, lit(5))))
+      val shingled = Tables.documents(s, d)
+        .withColumn("split", splitCol(col("doc_id")))
+        .select(col("doc_id"), col("split"), explode(sh5).as("sh"))
+        .where(length(col("sh")) > 0)
+      val train = shingled.where(col("split") === "train")
+        .select("doc_id", "sh").distinct()
+      val test = shingled.where(col("split") === "test")
+        .select("sh").distinct()
+      train.join(test, "sh")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("sh")).as("n_contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // Per-source cap: keep at most K=15 docs per source, highest
     // quality-score first (ties to the smaller doc_id) — source-balance
     // enforcement so no single crawl dominates the mix. Shares the exact
@@ -134,6 +159,17 @@ object SampleQueries {
        "array_to_string(tk[st+1:st+8], ' ') AS chunk FROM s) " +
        "SELECT doc_id, chunk_id, chunk FROM c WHERE length(chunk) > 0 " +
        "ORDER BY doc_id, chunk_id"),
+    "text_decontaminate" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk, " +
+       phashSql("doc_id", "split:") + " % 100 AS bk FROM documents), " +
+       "s AS (SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'valid' " +
+       "ELSE 'test' END AS split, " +
+       "unnest(list_transform(generate_series(1, GREATEST(len(tk) - 4, 0)), " +
+       "i -> array_to_string(tk[i:i+4], ' '))) AS sh FROM d), " +
+       "tr AS (SELECT DISTINCT doc_id, sh FROM s WHERE split = 'train' AND length(sh) > 0), " +
+       "te AS (SELECT DISTINCT sh FROM s WHERE split = 'test' AND length(sh) > 0) " +
+       "SELECT tr.doc_id, COUNT(DISTINCT tr.sh) AS n_contaminated " +
+       "FROM tr JOIN te USING (sh) GROUP BY 1 ORDER BY 1"),
     "sample_cap_per_source" ->
       ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
        "m AS (SELECT doc_id, source, " + Text2Queries.qualityScoreSql + " AS q FROM b), " +

@@ -65,6 +65,22 @@ object TemporalQueries {
         .orderBy("event_type", "h")
     }),
 
+    // Cohort retention: users grouped by first-seen day, counted on each
+    // later active day as an offset from their cohort day — the matrix
+    // behind every retention curve. All stages are key-grouped aggregates
+    // (distinct activity on (user, day), cohort min per user, final count
+    // per (cohort, offset)) — no window, no self-join; distributes on the
+    // user key, then on the bounded (cohort × offset) key.
+    "ts_retention_cohort" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohort = act.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("day_k"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_k")
+    }),
+
     // CDC "last write wins": latest event per (user, type) — the Salesforce
     // upsert-compaction the reference's migration performs per object.
     "ts_dedup_latest" -> ((s, d) => {
@@ -110,6 +126,12 @@ object TemporalQueries {
        "SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt FROM g " +
        "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h " +
        "ORDER BY g.event_type, g.h"),
+    "ts_retention_cohort" ->
+      ("WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+       "c AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY 1) " +
+       "SELECT cohort_day, CAST(date_diff('day', cohort_day, d) AS INT) AS day_k, " +
+       "COUNT(DISTINCT act.user_id) AS n_users " +
+       "FROM act JOIN c USING (user_id) GROUP BY 1,2 ORDER BY 1,2"),
     "ts_dedup_latest" ->
       ("SELECT user_id, event_type, event_id, ts, value FROM " +
        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn " +

@@ -72,6 +72,13 @@ object Plans {
     "agg_mode" ->
       ("two-stage aggregation, both stages with map-side partials; the per-group argmax is a " +
        "min(struct) AGGREGATE, not a row_number window over the counted table."),
+    "text_decontaminate" ->
+      ("row-local shingle generation (HOFs in the scan stage), then an inverted-index equality " +
+       "join on the shingle between train and test splits — never a train x test pair join; " +
+       "distributes on the shingle key at any corpus size."),
+    "ts_retention_cohort" ->
+      ("three key-grouped aggregates (distinct activity, per-user cohort min, per-(cohort, offset) " +
+       "count-distinct) — no window, no self-join; the final key space is bounded (days x offsets)."),
     "join_skew_salted" ->
       ("hash-salt column on the probe side + 8-way explode of the build side; the join key becomes " +
        "(key, salt) so one hot key spreads over 8 reducers — semantics proven identical by the " +
