@@ -65,6 +65,29 @@ object TemporalQueries {
         .orderBy("event_type", "h")
     }),
 
+    // Conversion funnel view -> click -> purchase, ordered by each user's
+    // FIRST occurrence of each stage: one conditional-aggregation pass
+    // builds the per-user stage timestamps (min-when, partial-aggregable),
+    // then one bounded scalar aggregate counts stage survivors. Ordering
+    // uses strict < on first-occurrence times — no self-join, no window,
+    // one scan of the event stream.
+    "ts_funnel" -> ((s, d) => {
+      val f = Tables.events(s, d).groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      def cnt(pred: org.apache.spark.sql.Column) =
+        sum(when(pred, 1L).otherwise(0L))
+      f.agg(
+        cnt(col("t_view").isNotNull).as("n_view"),
+        cnt(col("t_view") < col("t_click")).as("n_view_click"),
+        cnt(col("t_view") < col("t_click") && col("t_click") < col("t_buy"))
+          .as("n_view_click_buy"))
+        .selectExpr("stack(3, 'v_view', n_view, 'w_view_click', n_view_click, " +
+          "'x_view_click_buy', n_view_click_buy) AS (stage, n_users)")
+        .orderBy("stage")
+    }),
+
     // Cohort retention: users grouped by first-seen day, counted on each
     // later active day as an offset from their cohort day — the matrix
     // behind every retention curve. All stages are key-grouped aggregates
@@ -126,6 +149,21 @@ object TemporalQueries {
        "SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt FROM g " +
        "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h " +
        "ORDER BY g.event_type, g.h"),
+    "ts_funnel" ->
+      ("WITH f AS (SELECT user_id, " +
+       "MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view, " +
+       "MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click, " +
+       "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy " +
+       "FROM events GROUP BY 1), " +
+       "c AS (SELECT " +
+       "SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view, " +
+       "SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS n_view_click, " +
+       "SUM(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS n_view_click_buy " +
+       "FROM f) " +
+       "SELECT 'v_view' AS stage, CAST(n_view AS BIGINT) AS n_users FROM c " +
+       "UNION ALL SELECT 'w_view_click', CAST(n_view_click AS BIGINT) FROM c " +
+       "UNION ALL SELECT 'x_view_click_buy', CAST(n_view_click_buy AS BIGINT) FROM c " +
+       "ORDER BY stage"),
     "ts_retention_cohort" ->
       ("WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
        "c AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY 1) " +
