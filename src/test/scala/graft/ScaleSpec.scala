@@ -119,6 +119,39 @@ class ScaleSpec extends SparkSpec {
     assert(pruned.count() === expected)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // The third pruning tool next to salting and bucketing: with a
+    // selective filter on the dim side, Catalyst injects a bloom-filter
+    // semi-join filter on the fact side's scan stage — rows that cannot
+    // join are dropped BEFORE the shuffle, which at 100 TB is the
+    // difference between shuffling the corpus and shuffling the match set.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val sel = Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val joined = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"expected an injected runtime bloom filter on the fact side:\n$plan")
+      // and it is still correct
+      val expected = li.join(sel.hint("broadcast"),
+        li("l_orderkey") === sel("o_orderkey")).count()
+      assert(joined.head.getLong(0) === expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("connectedComponents: chain, clique, and singleton components") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3 — forces multiple propagation rounds),
