@@ -65,6 +65,46 @@ object TemporalQueries {
         .orderBy("event_type", "h")
     }),
 
+    // Linear interpolation over the gap-filled hourly series — gap_fill's
+    // sibling for VALUE series (a missing bucket needs an estimate, not a
+    // zero). Observed hours carry the deterministic decimal-sum mean;
+    // missing interior hours interpolate between the nearest observed
+    // neighbors (fraction = integer hour offsets, one fixed IEEE op
+    // sequence, round 6); leading/trailing gaps clamp to the nearest
+    // observed value. The four neighbor columns come from running
+    // last/first IGNORE NULLS windows over the BOUNDED grid (|types| ×
+    // span-hours rows, data-size independent — the event scan itself ends
+    // at the partial+final mean aggregate).
+    "ts_interpolate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      val hourly = ev.groupBy("event_type", "h").agg(avgDec2(col("value")).as("v"))
+      val bounds = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val grid = hourly.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("mn"),
+          explode(expr("sequence(0, CAST(timestampdiff(HOUR, mn, mx) AS INT))")).as("i"))
+        .select(col("event_type"), expr("timestampadd(HOUR, i, mn)").as("h"))
+      val wP = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wN = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("__pv", last(col("v"), ignoreNulls = true).over(wP))
+        .withColumn("__ph", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wP))
+        .withColumn("__nv", first(col("v"), ignoreNulls = true).over(wN))
+        .withColumn("__nh", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wN))
+        .select(col("event_type"), col("h"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("__pv").isNull, col("__nv"))
+            .when(col("__nv").isNull, col("__pv"))
+            .otherwise(r6(col("__pv") + (col("__nv") - col("__pv")) *
+              (expr("CAST(timestampdiff(HOUR, __ph, h) AS DOUBLE)") /
+               expr("CAST(timestampdiff(HOUR, __ph, __nh) AS DOUBLE)")))).as("v"),
+          col("v").isNotNull.as("observed"))
+        .orderBy("event_type", "h")
+    }),
+
     // Conversion funnel view -> click -> purchase, ordered by each user's
     // FIRST occurrence of each stage: one conditional-aggregation pass
     // builds the per-user stage timestamps (min-when, partial-aggregable),
@@ -149,6 +189,32 @@ object TemporalQueries {
        "SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt FROM g " +
        "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h " +
        "ORDER BY g.event_type, g.h"),
+    "ts_interpolate" ->
+      ("WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events), " +
+       "hc AS (SELECT event_type, h, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS v " +
+       "FROM ev GROUP BY 1,2), " +
+       "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hc), " +
+       "t AS (SELECT DISTINCT event_type FROM hc), " +
+       "g0 AS (SELECT event_type, mn, unnest(range(0, date_diff('hour', mn, mx) + 1)) AS i " +
+       "FROM t CROSS JOIN b), " +
+       "g AS (SELECT event_type, mn + to_hours(i) AS h FROM g0), " +
+       "j AS (SELECT g.event_type, g.h, hc.v FROM g " +
+       "LEFT JOIN hc ON g.event_type = hc.event_type AND g.h = hc.h), " +
+       "w AS (SELECT event_type, h, v, " +
+       "last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+       "last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph, " +
+       "first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h " +
+       "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+       "first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h " +
+       "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh FROM j) " +
+       "SELECT event_type, h, " +
+       "CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+       "ELSE ROUND(pv + (nv - pv) * (CAST(date_diff('hour', ph, h) AS DOUBLE)" +
+       "/CAST(date_diff('hour', ph, nh) AS DOUBLE)), 6) END AS v, " +
+       "v IS NOT NULL AS observed " +
+       "FROM w ORDER BY event_type, h"),
     "ts_funnel" ->
       ("WITH f AS (SELECT user_id, " +
        "MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view, " +
