@@ -123,10 +123,10 @@ object Scale {
     * Each round every node takes the min label over itself and its
     * neighbors: converges in O(graph diameter) rounds. LSH cluster graphs
     * are near-cliques (every member pair tends to collide in some band),
-    * so 2-3 rounds suffice in practice; a long-chain adversarial graph is
-    * the documented upgrade path to the O(log n) large-star/small-star
-    * alternation (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond" — public algorithm). Every round is shuffle-on-key
+    * so 2-3 rounds suffice in practice; for adversarial / unknown
+    * topology use [[connectedComponentsStar]], the O(log n)
+    * large-star/small-star alternation (proven equivalent in ScaleSpec).
+    * Every round is shuffle-on-key
     * (join + groupBy on node id), nothing driver-sided but the bounded
     * convergence counter; per-round localCheckpoint truncates the
     * otherwise-exponential lineage (same rationale as globalRank; blocks
@@ -159,6 +159,75 @@ object Scale {
       s"connectedComponents did not converge in $maxIter rounds " +
         "(long-chain graph? switch to large-star/small-star)")
     labels.withColumnRenamed("lbl", "cluster")
+  }
+
+  /** Connected components by alternating large-star/small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — public algorithm): converges in O(log n) rounds on ANY
+    * graph, vs min-label propagation's O(diameter). Same contract as
+    * [[connectedComponents]] (nodes `id`; undirected edges `src`,`dst`;
+    * returns (`id`, `cluster`) with cluster = component min) and proven
+    * equivalent on shared tests (ScaleSpec). Use THIS for adversarial /
+    * unknown topology (long chains); min-label for near-clique LSH
+    * graphs, where 2-3 rounds beat the star rounds' constant factor.
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its neighborhood (incl. itself) — halves long tails;
+    *  - small-star: edges canonicalized child>parent, every node links
+    *    all smaller neighbors (and itself) to the neighborhood minimum.
+    *
+    * Both steps are groupBy-on-node-id aggregates + joins (shuffle-on-key,
+    * fully distributed); the fixpoint check compares the canonical edge
+    * set via a bounded (count, xor-of-hashes) scalar aggregate. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.where(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = both.groupBy("src").agg(min(col("dst")).as("mn"))
+      both.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), least(col("mn"), col("src")).as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val c = canon(e)
+      val mins = c.groupBy("src").agg(min(col("dst")).as("m"))
+      c.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // bounded fingerprint of the canonical edge set: count + xor of row
+    // hashes — one scalar row per comparison at any graph size
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("x")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = canon(edges).localCheckpoint(true)
+    var fp = fingerprint(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = canon(smallStar(largeStar(e))).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      e = next; fp = nfp; iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // converged state is a union of stars rooted at each component's min:
+    // every non-root appears as src with its root as dst; roots and
+    // singletons label themselves
+    nodes.join(e.groupBy("src").agg(min(col("dst")).as("__root")),
+        nodes("id") === col("src"), "left")
+      .select(nodes("id"), coalesce(col("__root"), nodes("id")).as("cluster"))
   }
 
   /** Small-file compaction: rewrite a landed directory into

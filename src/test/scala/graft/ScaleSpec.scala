@@ -177,6 +177,31 @@ class ScaleSpec extends SparkSpec {
     assert(got.where(col("cluster") === 1L).count() === n.toLong)
   }
 
+  test("connectedComponentsStar equals min-label propagation (seeded random graph)") {
+    val n = 500
+    val nodes = spark.range(n).select(col("id"))
+    // deterministic pseudo-random edge list (hash-derived endpoints)
+    val edges = spark.range(800).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
+      pmod(xxhash64(col("id"), lit(2)), lit(n)).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val a = Scale.connectedComponents(nodes, edges)
+    val b = Scale.connectedComponentsStar(nodes, edges)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("connectedComponentsStar: 64-node chain within O(log n) rounds") {
+    // The whole point of the star alternation: a path graph needs ~64
+    // propagation rounds but must finish in ~log2(64)+c star rounds —
+    // maxIter=12 fails loudly if the algorithm degrades to linear.
+    import spark.implicits._
+    val n = 64
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Scale.connectedComponentsStar(nodes, edges, maxIter = 12)
+    assert(got.where(col("cluster") === 1L).count() === n.toLong)
+  }
+
   test("sortedRepartition yields range-disjoint sorted partitions") {
     val df = Scale.sortedRepartition(
       Tables.orders(spark, sf).select("o_orderkey"), 4, col("o_orderkey"))
