@@ -26,6 +26,20 @@ object SimQueries {
     * `merge` hint pins sort-merge — the strategy that survives an unbounded
     * build side — instead of letting AQE re-broadcast at fixture scale.
     * Output columns: a_label, a_id/b_id, a_emb/b_emb, a_nrm/b_nrm. */
+  /** Within-label cosine near-dup pairs (cos >= 0.35, a_id < b_id) with
+    * the cosine kept as `cos` — shared by the declared pair query and the
+    * connected-components clustering. */
+  private def cosinePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normD(col("embedding")).as("nrm"))
+    labelPairs(e)
+      .withColumn("cos",
+        dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .where(col("cos") >= 0.35)
+  }
+
   private def labelPairs(e: org.apache.spark.sql.DataFrame, salts: Int = 8) = {
     val a = e.toDF("a_id", "a_label", "a_emb", "a_nrm")
       .withColumn("sa", pmod(xxhash64(col("a_id")), lit(salts)).cast("int"))
@@ -94,17 +108,27 @@ object SimQueries {
     // Embedding-cosine near-dup pairs within a label block (norms
     // precomputed once per vector, not per pair). Threshold 0.35 sits at
     // the fixture's p99.9 — the survivors list is the dedup drop-set.
-    "dedup_embed_cosine" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          normD(col("embedding")).as("nrm"))
-      labelPairs(e)
-        .withColumn("cos",
-          dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
-        .where(col("cos") >= 0.35)
+    "dedup_embed_cosine" -> ((s, d) =>
+      cosinePairs(s, d)
         .select(col("a_label").as("label"), col("a_id").as("vec_a"),
           col("b_id").as("vec_b"), r6(col("cos")).as("cosine"))
-        .orderBy("label", "vec_a", "vec_b")
+        .orderBy("label", "vec_a", "vec_b")),
+
+    // Semantic dedup CLUSTERS: connected components over the
+    // embedding-cosine pair graph — the SAME clustering operator that
+    // powers dedup_cluster_cc, composed with a second (vector) pair
+    // generator. Proves the dedup unit generalizes: any candidate
+    // generator (LSH bands, cosine threshold, simhash) feeds the same
+    // component step. Oracle: transitive-closure recursive CTE over the
+    // same cosine pair SQL.
+    "dedup_cluster_embed" -> ((s, d) => {
+      val cc = graft.operators.Scale.connectedComponents(
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        cosinePairs(s, d).select(col("a_id").as("src"), col("b_id").as("dst")))
+      val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      cc.join(sizes, "cluster")
+        .select(col("id").as("vec_id"), col("cluster").as("cluster_id"), col("csize"))
+        .orderBy("vec_id")
     }),
 
     // LSH-bucketed ANN (the 100 TB scale path for sim_search_topk):
@@ -193,6 +217,19 @@ object SimQueries {
 
   // Shared SQL fragment: double-accumulated dot product over 1-based list
   // positions — the exact mirror of Qutil.dotD's left fold.
+  /** CTE list producing `f` = the filtered cosine pair set — shared by the
+    * dedup_embed_cosine oracle and the clustering oracle's closure.
+    * NOT isnan mirrors Spark's comparison semantics: NaN >= 0.35 is FALSE
+    * in Spark but TRUE under DuckDB's NaN-sorts-largest ordering, so a
+    * zero-norm embedding would diverge without the guard. */
+  private def cosinePairsCteSql: String =
+    "n AS (SELECT vec_id, label, embedding, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "p AS (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos " +
+      "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id), " +
+      "f AS (SELECT label, vec_a, vec_b, cos FROM p WHERE NOT isnan(cos) AND cos >= 0.35)"
+
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
 
@@ -230,16 +267,19 @@ object SimQueries {
        "SELECT vec_id, cosine FROM (SELECT vec_id, ROUND(dp/(ne*nq), 6) AS cosine, dp/(ne*nq) AS rawc " +
        "FROM s ORDER BY rawc DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"),
     "dedup_embed_cosine" ->
-      ("WITH n AS (SELECT vec_id, label, embedding, " +
-       s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
-       "p AS (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-       s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos " +
-       "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) " +
-       "SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cosine FROM p " +
-       // NOT isnan mirrors Spark's comparison semantics: NaN >= 0.35 is
-       // FALSE in Spark but TRUE under DuckDB's NaN-sorts-largest ordering,
-       // so a zero-norm embedding would diverge without the guard
-       "WHERE NOT isnan(cos) AND cos >= 0.35 ORDER BY label, vec_a, vec_b"),
+      (s"WITH $cosinePairsCteSql " +
+       "SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cosine FROM f " +
+       "ORDER BY label, vec_a, vec_b"),
+    "dedup_cluster_embed" ->
+      (s"WITH RECURSIVE $cosinePairsCteSql, " +
+       "e AS (SELECT vec_a AS u, vec_b AS v FROM f " +
+       "UNION ALL SELECT vec_b, vec_a FROM f), " +
+       "reach AS (SELECT vec_id AS doc, vec_id AS r FROM embeddings " +
+       "UNION SELECT e.v AS doc, reach.r AS r FROM reach JOIN e ON e.u = reach.doc), " +
+       "c AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc), " +
+       "s AS (SELECT cluster_id, COUNT(*) AS csize FROM c GROUP BY 1) " +
+       "SELECT c.doc AS vec_id, c.cluster_id, s.csize FROM c " +
+       "JOIN s USING (cluster_id) ORDER BY vec_id"),
     "sim_search_ivf" ->
       (s"WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
        "c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16), " +
