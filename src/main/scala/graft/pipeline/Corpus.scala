@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.queries.{SampleQueries, TextQueries}
+import graft.queries.{SampleQueries, SimQueries, TextQueries}
 
 /** The B-mandate twin of Migrate.runEventsPipeline: corpus ASSEMBLY, the
   * job an LLM-training-data pipeline runs over a landed document crawl —
@@ -28,9 +28,25 @@ object Corpus {
   /** Assemble the dedup'd, split-assigned corpus manifest from the
     * documents table at `sfDir`. One row per SURVIVING doc. Cluster +
     * survivor selection is TextQueries.clusterSurvivors — the same
-    * definition the declared (oracled) query runs. */
-  def assemble(spark: SparkSession, sfDir: String): DataFrame = {
-    val survivors = TextQueries.clusterSurvivors(spark, sfDir)
+    * definition the declared (oracled) query runs.
+    *
+    * `semantic = true` unions a SECOND candidate source into the dedup
+    * graph: the banded embedding pairs (SimQueries.embedBandPairs, the
+    * oracled dedup_embed_lsh generator), reading vec_id as the embedded
+    * doc's id — the fixture's embeddings cover the id-dense prefix of the
+    * corpus, the production shape being an embedding column per doc. A doc
+    * pair then dedups if it is a TEXTUAL near-dup (shared MinHash band) OR
+    * a SEMANTIC one (shared hyperplane band + cosine >= 0.35); both
+    * generators are bucketed equality joins, and the union feeds the SAME
+    * component/survivor step — the generator-agnostic clustering contract
+    * PipelineSpec proves against an independent recompute. */
+  def assemble(spark: SparkSession, sfDir: String,
+      semantic: Boolean = false): DataFrame = {
+    val textPairs = TextQueries.minhashPairs(spark, sfDir)
+    val pairGraph = if (!semantic) textPairs else textPairs.union(
+      SimQueries.embedBandPairs(spark, sfDir)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+    val survivors = TextQueries.clusterSurvivorsOver(spark, sfDir, pairGraph)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("lang"))
     survivors.join(docs, "doc_id")

@@ -95,6 +95,14 @@ object TextQueries {
     math.floorMod((2 * i + 1) * 0x9E3779B97F4A7C15L, minhashP - 1) + 1,
     math.floorMod((i + 1) * 0xC2B2AE3D27D4EB4FL, minhashP))
 
+  /** Normalized content hash — ONE definition shared by the batch dedup
+    * query (text_normalize_dedup_exact, whose DuckDB oracle mirrors it)
+    * and the streaming incremental dedup (streaming.DedupProcessor), so
+    * the batch and streaming dialects can never disagree on what "same
+    * content" means. */
+  private[graft] def contentHash(c: org.apache.spark.sql.Column) =
+    sha2(regexp_replace(lower(c), "[^a-z0-9 ]", ""), 256)
+
   private val queries1: Map[String, Q] = Map(
     // Corpus stats per language.
     "text_stats" -> ((s, d) =>
@@ -111,8 +119,7 @@ object TextQueries {
     "text_normalize_dedup_exact" -> ((s, d) => {
       val w = Window.partitionBy("h").orderBy("doc_id")
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          sha2(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 256).as("h"))
+        .select(col("doc_id"), col("lang"), contentHash(col("text")).as("h"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select("doc_id", "lang", "h")
@@ -217,10 +224,18 @@ object TextQueries {
     * hash-checked query and the pipeline that PipelineSpec cross-checks
     * against it. */
   private[graft] def clusterSurvivors(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    clusterSurvivorsOver(s, d, minhashPairs(s, d))
+
+  /** clusterSurvivors over an ARBITRARY candidate-pair graph (doc_a,
+    * doc_b) — the component/survivor step is generator-agnostic (MinHash
+    * bands, embedding bands, or their union all feed the same clustering;
+    * PipelineSpec proves it on the composed graph). */
+  private[graft] def clusterSurvivorsOver(s: org.apache.spark.sql.SparkSession,
+      d: String, pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cc = graft.operators.Scale.connectedComponents(
       Tables.documents(s, d).select(col("doc_id").as("id")),
-      minhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val (_, _, _, _, _, score) = Text2Queries.qualityCols(col("text"))
     val scored = Tables.documents(s, d).select(col("doc_id"), score.as("q"))
     cc.join(scored, cc("id") === scored("doc_id"))

@@ -112,6 +112,46 @@ class PipelineSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("corpus assembly with semantic union: two generators feed one component step") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = graft.pipeline.Corpus.assemble(spark, sf, semantic = true).cache()
+
+    // still a partition of the corpus: every doc in exactly one cluster
+    assert(corpus.groupBy("cluster_id").count().where(col("count") > 1).count() === 0)
+    assert(corpus.agg(sum("cluster_size")).head.getLong(0) === docs.count())
+
+    // the union graph can only COARSEN: fewer-or-equal clusters than the
+    // text-only assembly (semantic edges merge, never split)
+    val textOnly = graft.pipeline.Corpus.assemble(spark, sf).cache()
+    assert(corpus.count() <= textOnly.count())
+
+    // independent recompute of the survivor set: union the two DECLARED
+    // (oracled) pair queries, cluster with the OTHER CC algorithm
+    // (large-star/small-star instead of min-label propagation), pick
+    // survivors with a window argmax instead of the min-struct aggregate —
+    // every component differs, the result may not.
+    val textPairs = SparkEntry.queries("text_minhash_lsh")(spark, sf)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val embPairs = SparkEntry.queries("dedup_embed_lsh")(spark, sf)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val cc = graft.operators.Scale.connectedComponentsStar(
+      docs.select(col("doc_id").as("id")), textPairs.union(embPairs))
+    val (_, _, _, _, _, score) = graft.queries.Text2Queries.qualityCols(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("q").desc, col("id"))
+    val expected = cc
+      .join(docs.select(col("doc_id").as("id"), score.as("q")), "id")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("cluster"), col("id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val got = corpus.select(col("cluster_id"), col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got === expected,
+      "semantic-union survivors must match the independent recompute " +
+        s"(star CC + window argmax); diff: ${got.diff(expected).take(5)} / ${expected.diff(got).take(5)}")
+    corpus.unpersist(); textOnly.unpersist()
+  }
+
   test("full pipeline: DQ quarantines dirty rows, dedup compacts, SCD2 chains validity") {
     val out = java.nio.file.Files.createTempDirectory("graft_migrate").toString
     val (landed, report) = Migrate.runEventsPipeline(spark, staging, out)

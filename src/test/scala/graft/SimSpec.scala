@@ -61,6 +61,33 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("embedBandPairs: banded candidates recover the exact cosine pairs (recall)") {
+    // sf0.01: 26 exact pairs at cos >= 0.35 — enough for a non-vacuous
+    // recall floor (sf0.001 has only 14; 3 misses there is sample noise,
+    // not a geometry regression).
+    val d = TestSession.sf001
+    val exact = graft.queries.SimQueries.cosinePairs(spark, d)
+      .select(col("a_id"), col("b_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = graft.queries.SimQueries.embedBandPairs(spark, d)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The banded generator re-checks candidates with the SAME exact cosine,
+    // so its output is a strict subset of the exact pair set: banding can
+    // only lose pairs (false negatives), never invent them.
+    assert(banded.subsetOf(exact.keySet),
+      s"banded pairs not a subset of exact: ${banded.diff(exact.keySet)}")
+    // The r4 verdict's acceptance bar: every strongly-similar pair
+    // (cos >= 0.5) must be recovered. Fixture pairs concentrate at
+    // 0.35-0.51, so also pin a 0.9 recall floor at the full 0.35
+    // threshold — the harder regime (p_bit ~= 0.614 per hyperplane).
+    val strong = exact.collect { case (p, c) if c >= 0.5 => p }
+    assert(strong.forall(banded),
+      s"cos>=0.5 pairs missed by banding: ${strong.filterNot(banded)}")
+    val recall = if (exact.isEmpty) 1.0 else banded.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@0.35 = $recall (${banded.size}/${exact.size})")
+  }
+
   test("text_langid predicts a declared language or 'und'") {
     val df = SparkEntry.queries("text_langid")(spark, sf)
     val preds = df.select("pred_lang").distinct().collect().map(_.getString(0)).toSet

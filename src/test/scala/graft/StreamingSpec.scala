@@ -237,6 +237,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState incremental exact-dedup equals the batch dedup under replay") {
+    // the streaming face of text_normalize_dedup_exact (r4 verdict ask #2):
+    // same content-hash definition, first-seen survivor, replay-safe state.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select("doc_id", "lang", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      // three id-ascending micro-batches — the land-time incremental shape
+      // under which first-seen == the batch min-doc_id winner
+      val batches = docs.grouped((docs.length + 2) / 3).toSeq
+      val input = MemoryStream[(Long, String, String)](spark)
+      val stream = graft.streaming.DedupProcessor.dedupStream(
+        input.toDF().toDF("doc_id", "lang", "text"))
+      val q = stream.writeStream.format("memory").queryName("dedup_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val afterAll = spark.table("dedup_incr").count()
+      // REPLAY batch 1 in full: every hash is in state -> nothing new
+      input.addData(batches.head: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("dedup_incr").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(spark.table("dedup_incr").count() === afterAll,
+        "replaying a delivered batch must emit nothing (replay-safe state)")
+      val expected = SparkEntry.queries("text_normalize_dedup_exact")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got === expected,
+        "streaming survivors must equal the batch dedup on the same replay")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("split assignment on a stream equals the batch split (land-time curation)") {
     // The sampling dialect is stateless and row-local, so split/sample
     // decisions can be stamped at land time on each incremental batch —
