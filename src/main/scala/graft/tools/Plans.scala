@@ -79,6 +79,33 @@ object Plans {
     "ts_retention_cohort" ->
       ("three key-grouped aggregates (distinct activity, per-user cohort min, per-(cohort, offset) " +
        "count-distinct) — no window, no self-join; the final key space is bounded (days x offsets)."),
+    "ts_interpolate" ->
+      ("linear interpolation over the gap-filled hourly grid: the neighbor lookups are IGNORE-NULLS " +
+       "last/first windows partitioned by event_type over the BOUNDED (type x hour) grid — the " +
+       "event-scale work remains the one count aggregate inherited from ts_gap_fill; window width " +
+       "is grid cardinality, data-size independent."),
+    "ts_funnel" ->
+      ("one conditional-aggregation pass per user (min-when per stage), then a bounded per-stage " +
+       "count — no per-stage self-joins, no window over the event stream; stage ordering is " +
+       "enforced by timestamp comparison between the per-user minima."),
+    "dedup_cluster_embed" ->
+      ("clusters over the EXACT cosine pair graph — the oracle-checkable spec of semantic dedup. " +
+       "Pair generation is the salted all-pairs-within-label SMJ (quadratic per label block): " +
+       "correct, bounded at fixture scale, and deliberately kept as the spec; the DEPLOYED path is " +
+       "dedup_cluster_embed_lsh's banded generator below. Clustering itself is the same " +
+       "shuffle-on-node-id CC loop as dedup_cluster_cc."),
+    "dedup_embed_lsh" ->
+      ("banded hyperplane-LSH pair generation: 64 plane dots computed in the scan-stage projection, " +
+       "candidates from an EQUALITY join on (label, band, bits) — never an all-pairs join; only " +
+       "candidates pay the exact-cosine re-check, via join-back on vec_id so the 16x band explode " +
+       "never carries the embedding payload. The bucket join shows as broadcast purely by SIZE at " +
+       "fixture scale (no hint) — past the threshold AQE plans the same equality join as SMJ, " +
+       "exactly like text_minhash_lsh's buckets."),
+    "dedup_cluster_embed_lsh" ->
+      ("the end-to-end 100 TB semantic-dedup plan: banded equality-join candidates (dedup_embed_lsh) " +
+       "feeding the same checkpoint-truncated CC loop as dedup_cluster_cc — every stage is " +
+       "shuffle-on-key; nothing quadratic, nothing single-partition, driver work bounded to the " +
+       "per-round convergence scalar."),
     "join_skew_salted" ->
       ("hash-salt column on the probe side + 8-way explode of the build side; the join key becomes " +
        "(key, salt) so one hot key spreads over 8 reducers — semantics proven identical by the " +
