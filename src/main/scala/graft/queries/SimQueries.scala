@@ -83,12 +83,26 @@ object SimQueries {
   private val embedBands = 16
   private val embedRows = 4
 
-  /** One band's sign bits packed into an int: bit j = [v . plane(b*4+j) > 0]. */
-  private def bandBits(v: org.apache.spark.sql.Column, b: Int) =
-    (0 until embedRows).map { j =>
-      val plane = array(planeInts(b * embedRows + j).map(i => lit(i / 1000.0)): _*)
-      when(dotD(v, plane) > 0.0, lit(1 << j)).otherwise(0)
-    }.reduce(_ + _)
+  /** All 64 hyperplane sign bits packed into ONE long in a single HOF
+    * pass: the planes enter as one typed 64x64 literal (a single Literal
+    * node — inlining 64 separate plane arrays bloated the generated code
+    * past useful codegen and cost ~2 s/run in recompilation), transform
+    * computes the 64 dots, and the fold ORs sign bits together (bitwise,
+    * so no ANSI overflow semantics to reason about). Bit k = sign of
+    * plane k, identical to the unpacked form — band b's bits are the
+    * nibble shiftright(sig, 4b) & 15, so oracle and goldens are
+    * untouched by this packing. */
+  private def packedSig(v: org.apache.spark.sql.Column) = {
+    val planes = typedlit(planeInts.map(_.map(_ / 1000.0)))
+    // functions.shiftleft takes only a literal shift — look the power up
+    // from a 64-entry literal table instead (exact longs, 1-based index)
+    val pow2 = typedlit((0 until embedBands * embedRows).map(k => 1L << k))
+    aggregate(
+      zip_with(transform(planes, p => dotD(v, p)),
+        sequence(lit(0), lit(embedBands * embedRows - 1)),
+        (d, k) => when(d > 0.0, element_at(pow2, k.cast("int") + 1)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
 
   /** Banded random-hyperplane pair generator — the 100 TB replacement for
     * cosinePairs' all-pairs-within-label join (r4 verdict's one `weak`
@@ -106,9 +120,15 @@ object SimQueries {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         normD(col("embedding")).as("nrm"))
+    // sig lands in its own projection; the 16 nibble extractions below are
+    // multi-use of a non-cheap expression, so CollapseProject keeps the
+    // boundary and the 64-dot pass runs once per row
     val bandCols = (0 until embedBands).map(b =>
-      struct(lit(b).as("band"), bandBits(col("embedding"), b).as("bits")))
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * embedRows)
+          .bitwiseAND(lit((1L << embedRows) - 1)).cast("int").as("bits")))
     val buckets = e
+      .withColumn("sig", packedSig(col("embedding")))
       .select(col("vec_id"), col("label"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("label"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
