@@ -192,6 +192,27 @@ object AggQueries {
           (-col("m.nc")).as("mode_cnt"), col("n_orders"))
         .orderBy("o_orderstatus")),
 
+    // Fixed-width value histogram — the DQ-profiling aggregate behind every
+    // distribution dashboard. Bucketing is EXACT across engines: the
+    // moneyD cents trick (floor(x*100+0.5), the one shared derived-money
+    // rounding) then INTEGER division by the cents width — never a double
+    // divide whose boundary cell could differ between engines. Output is
+    // bounded (|price range| / width buckets); the fraction is one IEEE
+    // division off exact longs, round 6. Map-side partial agg, one shuffle
+    // on the bucket id.
+    "agg_histogram" -> ((s, d) => {
+      val buckets = Tables.orders(s, d)
+        .select(expr(
+          "CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DIV 5000000 AS INT)")
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val total = buckets.agg(sum(col("n")).as("tot"))
+      buckets.crossJoin(broadcast(total))
+        .select(col("bucket"), (col("bucket") * 50000L).as("lo_dollars"),
+          col("n"), r6(col("n").cast("double") / col("tot").cast("double")).as("frac"))
+        .orderBy("bucket")
+    }),
+
     // Custom typed UDAF surface. Rounded to 3 dp: the log-sum order differs
     // between engines and exp() amplifies the ulp drift past 1e-6.
     "agg_udaf_geomean" -> ((s, d) => {
@@ -205,6 +226,16 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram" ->
+      // // is DuckDB integer division; SUM(BIGINT) returns HUGEINT — cast
+      // back (CLAUDE.md rule) so the totals dtype matches
+      ("WITH b AS (SELECT CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) // 5000000 AS INT) AS bucket " +
+       "FROM orders), " +
+       "c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1), " +
+       "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c) " +
+       "SELECT bucket, CAST(bucket AS BIGINT) * 50000 AS lo_dollars, n, " +
+       "ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS frac " +
+       "FROM c CROSS JOIN t ORDER BY bucket"),
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

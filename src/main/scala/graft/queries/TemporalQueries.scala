@@ -11,6 +11,28 @@ import Qutil._
   * Structured Streaming source (see graft.streaming + StreamingSpec). */
 object TemporalQueries {
 
+  /** Zero-filled dense (event_type × hour) grid — the ts_gap_fill body,
+    * shared with ts_ema_smooth so the two queries can never disagree on
+    * what the gap-filled series is. Bounded output: |types| × span-hours
+    * rows at any data size; the event scan ends at the count aggregate. */
+  private def hourlyGrid(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val cnts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+    // bounds and the type list re-derive from the AGGREGATED counts
+    // (identical values — every observed type/hour survives the groupBy),
+    // so the raw events table is scanned exactly once
+    val bounds = cnts.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val grid = cnts.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("mn"),
+        explode(expr("sequence(0, CAST(timestampdiff(HOUR, mn, mx) AS INT))")).as("i"))
+      .select(col("event_type"), expr("timestampadd(HOUR, i, mn)").as("h"))
+    grid.join(cnts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   val queries: Map[String, Q] = Map(
     // 1-hour tumbling windows per event type.
     "ts_tumbling" -> ((s, d) =>
@@ -47,21 +69,39 @@ object TemporalQueries {
     // bounded generated dimension — |types| × span-hours rows, data-size
     // independent — broadcast-left-joined against the counts. The grid is
     // generated with sequence/explode, never materialized row-per-event.
-    "ts_gap_fill" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      val cnts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
-      // bounds and the type list re-derive from the AGGREGATED counts
-      // (identical values — every observed type/hour survives the groupBy),
-      // so the raw events table is scanned exactly once
-      val bounds = cnts.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
-      val grid = cnts.select("event_type").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("event_type"), col("mn"),
-          explode(expr("sequence(0, CAST(timestampdiff(HOUR, mn, mx) AS INT))")).as("i"))
-        .select(col("event_type"), expr("timestampadd(HOUR, i, mn)").as("h"))
-      grid.join(cnts, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    "ts_gap_fill" -> ((s, d) =>
+      hourlyGrid(s, d).orderBy("event_type", "h")),
+
+    // Truncated exponential moving average (window 20 hours, alpha = 1/2)
+    // over the zero-filled hourly counts — the smoothing every
+    // rate-monitoring job runs downstream of gap filling. Weights are
+    // EXACT negative powers of two from a literal table and every
+    // count*2^-k term (and every partial sum — mantissa span <= 19 weight
+    // bits + count bits) is exactly representable, so the groupBy sum is
+    // order-independent and the ONLY rounding is the final normalize
+    // division — bit-deterministic on both engines with no window
+    // function at all: each grid hour SCATTERS its count forward to the
+    // next 20 hours (bounded 20x explode of the bounded grid), and one
+    // shuffle-on-(type,hour) aggregate gathers numerator and normalizer
+    // (heads normalize over the lags that exist). All post-scan work is
+    // grid-cardinality, data-size independent.
+    "ts_ema_smooth" -> ((s, d) => {
+      val gf = hourlyGrid(s, d)
+      val w20 = typedlit((0 until 20).map(k => 1.0 / (1L << k)))
+      val contrib = gf
+        .select(col("event_type"), col("h"), col("cnt"),
+          explode(sequence(lit(0), lit(19))).as("k"))
+        .select(col("event_type"),
+          expr("timestampadd(HOUR, k, h)").as("h"),
+          (col("cnt").cast("double") * element_at(w20, col("k") + 1)).as("wc"),
+          element_at(w20, col("k") + 1).as("w"))
+      val ema = contrib.groupBy("event_type", "h")
+        .agg(sum(col("wc")).as("num"), sum(col("w")).as("den"))
+      // inner join back to the grid drops contributions scattered past the
+      // series end and re-attaches the hour's own count
+      gf.join(ema, Seq("event_type", "h"))
+        .select(col("event_type"), col("h"), col("cnt"),
+          r6(col("num") / col("den")).as("ema"))
         .orderBy("event_type", "h")
     }),
 
@@ -189,6 +229,27 @@ object TemporalQueries {
        "SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt FROM g " +
        "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h " +
        "ORDER BY g.event_type, g.h"),
+    "ts_ema_smooth" ->
+      // weight 1.0/(1<<k): integer shift then one division — the same
+      // exact power-of-two reciprocals as the Spark literal table
+      ("WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events), " +
+       "c AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1,2), " +
+       "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM c), " +
+       "t AS (SELECT DISTINCT event_type FROM c), " +
+       "g0 AS (SELECT event_type, mn, unnest(range(0, date_diff('hour', mn, mx) + 1)) AS i " +
+       "FROM t CROSS JOIN b), " +
+       "g AS (SELECT event_type, mn + to_hours(i) AS h FROM g0), " +
+       "gf AS (SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt FROM g " +
+       "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h), " +
+       "contrib AS (SELECT event_type, h + to_hours(k) AS h, " +
+       "CAST(cnt AS DOUBLE) * (1.0 / CAST((1 << k) AS DOUBLE)) AS wc, " +
+       "1.0 / CAST((1 << k) AS DOUBLE) AS w " +
+       "FROM gf CROSS JOIN (SELECT unnest(range(0, 20)) AS k)), " +
+       "e AS (SELECT event_type, h, SUM(wc) AS num, SUM(w) AS den " +
+       "FROM contrib GROUP BY 1,2) " +
+       "SELECT gf.event_type, gf.h, gf.cnt, ROUND(num / den, 6) AS ema " +
+       "FROM gf JOIN e ON gf.event_type = e.event_type AND gf.h = e.h " +
+       "ORDER BY gf.event_type, gf.h"),
     "ts_interpolate" ->
       ("WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events), " +
        "hc AS (SELECT event_type, h, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS v " +

@@ -124,6 +124,28 @@ object Text2Queries {
         .orderBy("doc_id")
     }),
 
+    // Unigram log-probability scoring — the LM-based quality signal every
+    // training-data pipeline runs (docs of improbable tokens are noise;
+    // the "LM" is the corpus's own unigram distribution, so the op is two
+    // aggregates + an inverted join, no model). score_d = mean over d's
+    // token OCCURRENCES of ln(corpus_freq(tok)/total_tokens). Rounded to
+    // 3 dp like agg_udaf_geomean: the per-doc sum of ln() terms is order-
+    // sensitive at the ulp level and engines' libm may differ by 1 ulp
+    // per term — 6 dp would flake, 3 is stable (<=64 tokens/doc).
+    // Distributes on the token key (freq join) then the doc key.
+    "text_unigram_logprob" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = t.groupBy("tok").agg(count(lit(1)).as("cf"))
+      val tot = freq.agg(sum(col("cf")).as("tn"))
+      t.join(freq, "tok").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("cf").cast("double") / col("tn").cast("double"))), 3)
+            .as("logprob"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup: 60-bit signature from signed bit-sums of token
     // hashes; candidate pairs blocked by 15-bit bands within a source, kept
     // at Hamming distance <= 8. The token hash is the portable sha256-
@@ -194,6 +216,14 @@ object Text2Queries {
 
     Map(
       "text_simhash" -> simhashOracleSql,
+      "text_unigram_logprob" ->
+        // SUM(BIGINT) -> HUGEINT: cast back so tn's division matches
+        ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+         "f AS (SELECT tok, COUNT(*) AS cf FROM t GROUP BY 1), " +
+         "n AS (SELECT CAST(SUM(cf) AS BIGINT) AS tn FROM f) " +
+         "SELECT doc_id, COUNT(*) AS n_tokens, " +
+         "ROUND(AVG(ln(CAST(cf AS DOUBLE) / CAST(tn AS DOUBLE))), 3) AS logprob " +
+         "FROM t JOIN f USING (tok) CROSS JOIN n GROUP BY doc_id ORDER BY doc_id"),
       "text_langid" ->
         (s"WITH sc AS (SELECT doc_id, lang, $markerSql FROM documents) " +
          // GREATEST over INTs comes back BIGINT from DuckDB; Spark's side is

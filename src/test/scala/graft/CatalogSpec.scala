@@ -74,6 +74,39 @@ class CatalogSpec extends SparkSpec {
     assert(rows.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("agg_histogram fractions sum to 1 and counts cover every order") {
+    val df = SparkEntry.queries("agg_histogram")(spark, sf)
+    assert(df.agg(sum("n")).head.getLong(0) === Tables.orders(spark, sf).count(),
+      "histogram must partition the table (no dropped or double-counted rows)")
+    val fracSum = df.agg(sum("frac")).head.getDouble(0)
+    assert(math.abs(fracSum - 1.0) < 1e-4, s"fractions sum to $fracSum")
+  }
+
+  test("ts_ema_smooth: EMA is a convex combination of the trailing counts") {
+    val rows = SparkEntry.queries("ts_ema_smooth")(spark, sf)
+      .select("event_type", "cnt", "ema").collect()
+    assert(rows.nonEmpty)
+    // convexity: every EMA lies within [min, max] of its type's counts —
+    // the invariant any correctly-normalized weighted average satisfies
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      val counts = rs.map(_.getLong(1).toDouble)
+      val (lo, hi) = (counts.min, counts.max)
+      rs.foreach { r =>
+        val e = r.getDouble(2)
+        assert(e >= lo - 1e-9 && e <= hi + 1e-9,
+          s"$t: ema $e outside count range [$lo, $hi]")
+      }
+    }
+  }
+
+  test("text_unigram_logprob: scores negative, bounded by the rarest/commonest token") {
+    val df = SparkEntry.queries("text_unigram_logprob")(spark, sf)
+    assert(df.count() === Tables.documents(spark, sf).count())
+    val bad = df.where(col("logprob") >= 0.0).count()
+    assert(bad === 0L, "every token probability < 1 => every mean log-prob < 0")
+  }
+
   test("text_normalize_dedup_exact is idempotent on survivors") {
     val df = SparkEntry.queries("text_normalize_dedup_exact")(spark, sf)
     // survivors' hashes are unique: dedup(dedup(x)) == dedup(x)
