@@ -249,9 +249,13 @@ object TextQueries {
   /** MinHash+LSH candidate pairs (distinct, doc_a < doc_b) — shared by the
     * declared pair query, the connected-components clustering, and the
     * corpus-assembly pipeline (graft.pipeline.Corpus). */
-  private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-      val base = Tables.documents(s, d)
+  /** MinHash band buckets (doc_id, source, band, bh) for ANY
+    * (doc_id, source, text) frame — batch or readStream; every expression
+    * is row-local, so the streaming LSH index (streaming.LshIndexProcessor)
+    * computes byte-identical bucket keys to the batch pair join. */
+  private[graft] def minhashBuckets(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val base = docs
         .select(col("doc_id"), col("source"),
           transform(array_distinct(split(col("text"), " ")),
             t => hash60(t)).as("hs"))
@@ -271,12 +275,17 @@ object TextQueries {
       val bandCols = (0 until 8).map(b =>
         struct(lit(b).as("band"),
           concat_ws(",", (b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*).as("bh")))
+      sigs
+        .select(col("doc_id"), col("source"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("source"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       // Candidates are blocked by (source, band, hash) — same scope as the
       // exact Jaccard op, and the shard-blocked join shape that keeps the
       // pair explosion bounded on a self-similar corpus at 100 TB.
-      val buckets = sigs
-        .select(col("doc_id"), col("source"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("source"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val buckets = minhashBuckets(Tables.documents(s, d))
       buckets.as("x").join(buckets.as("y"),
           col("x.source") === col("y.source") &&
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

@@ -106,6 +106,19 @@ object Plans {
        "feeding the same checkpoint-truncated CC loop as dedup_cluster_cc — every stage is " +
        "shuffle-on-key; nothing quadratic, nothing single-partition, driver work bounded to the " +
        "per-round convergence scalar."),
+    "ts_ema_smooth" ->
+      ("EMA without a window function: the event scan ends at the count aggregate; the bounded " +
+       "grid scatters each hour's count forward over 20 lags (20x explode of grid-cardinality " +
+       "rows) and ONE keyed partial+final aggregate gathers numerator and normalizer — " +
+       "order-independent because every power-of-two-weighted term and partial sum is IEEE-exact."),
+    "agg_histogram" ->
+      ("single-scan bucketing: exact-cents integer division inside the scan projection, map-side " +
+       "partial aggregation on the bounded bucket id, and the scalar total re-enters via " +
+       "broadcast — no second scan of the table, no sort until presentation."),
+    "text_unigram_logprob" ->
+      ("two aggregates + an inverted-index join, no model and no window: token frequencies " +
+       "shuffle on the token key, the bounded scalar total broadcasts, and the per-doc mean is " +
+       "a partial-aggregable average on the doc key — every stage distributes at corpus scale."),
     "join_skew_salted" ->
       ("hash-salt column on the probe side + 8-way explode of the build side; the join key becomes " +
        "(key, salt) so one hot key spreads over 8 reducers — semantics proven identical by the " +

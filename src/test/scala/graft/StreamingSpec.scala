@@ -279,6 +279,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming LSH index emits the batch candidate pair set under any batching") {
+    // the state store as an incremental LSH index: candidate SET parity
+    // with the batch text_minhash_lsh join, independent of arrival order
+    // (bucket membership is order-free — no id-ascending assumption here).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // deliberately NOT id-sorted: reverse order, split unevenly
+      val shuffled = docs.sortBy(-_._1)
+      val batches = Seq(shuffled.take(50), shuffled.slice(50, 300), shuffled.drop(300))
+      val input = MemoryStream[(Long, String, String)](spark)
+      val stream = graft.streaming.LshIndexProcessor.candidatePairsStream(
+        input.toDF().toDF("doc_id", "source", "text"))
+      val q = stream.writeStream.format("memory").queryName("lsh_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("lsh_incr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = SparkEntry.queries("text_minhash_lsh")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected,
+        s"incremental candidates != batch: extra=${got.diff(expected).take(5)} " +
+          s"missing=${expected.diff(got).take(5)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("split assignment on a stream equals the batch split (land-time curation)") {
     // The sampling dialect is stateless and row-local, so split/sample
     // decisions can be stamped at land time on each incremental batch —
