@@ -151,12 +151,19 @@ object SimQueries {
   val queries: Map[String, Q] = Map(
     // Top-10 neighbors of vec_id=0 by cosine (exact, brute force; the
     // single query vector is broadcast so the scan stays shuffle-free).
+    // The cosine here is the NATIVE CosineSim expression (doGenCode fused
+    // loop, whole-stage codegen) rather than the HOF composition — the two
+    // are bit-identical (same per-accumulator fold order; ExpressionSpec
+    // pins it with doubleToLongBits), so the DuckDB oracle and goldens are
+    // untouched while the hot loop leaves the CodegenFallback HOF path.
+    // registerAll is idempotent and session-local.
     "sim_search_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
       Tables.embeddings(s, d).where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("cos", cosineD(col("embedding"), col("qv")))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), r6(col("cos")).as("cosine"))

@@ -8,7 +8,12 @@ import graft.queries.Qutil
   * SQL-registry availability. */
 class ExpressionSpec extends SparkSpec {
 
-  test("cosine_sim equals the HOF cosine on the embeddings fixture") {
+  test("cosine_sim is BIT-identical to the HOF cosine (drop-in swap, zero drift)") {
+    // Stronger than approximate agreement: the native fused loop adds each
+    // accumulator's terms in the same index order as the three HOF folds,
+    // so every IEEE intermediate matches and the swap is exact — meaning
+    // the catalog's oracled queries could adopt the codegen'd expression
+    // at deployment without invalidating a single golden or oracle hash.
     GraftFunctions.registerAll(spark)
     val e = Tables.embeddings(spark, sf).limit(200)
     val q = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
@@ -20,7 +25,8 @@ class ExpressionSpec extends SparkSpec {
       .collect()
     assert(both.nonEmpty)
     both.foreach { r =>
-      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12,
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
         s"vec ${r.getLong(0)}: native=${r.getDouble(1)} hof=${r.getDouble(2)}")
     }
   }
