@@ -141,6 +141,25 @@ object CdcQueries {
         .orderBy("event_type", "h")
     }),
 
+    // Landing freshness: per stream (event_type), the last event time and
+    // how many FULL hours it lags the freshest stream — the staleness
+    // monitor every scheduled ingestion checks before trusting a partition.
+    // Two key-grouped aggregates + a broadcast scalar. Elapsed hours via
+    // epoch-µs integer floor division — NOT timestampdiff/date_diff, whose
+    // semantics differ across engines (Spark counts complete elapsed
+    // hours, DuckDB counts hour-boundary crossings).
+    "dq_freshness" -> ((s, d) => {
+      val t = Tables.events(s, d).groupBy("event_type")
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+      val g = t.agg(max(col("last_ts")).as("gmax"))
+      t.crossJoin(broadcast(g))
+        .select(col("event_type"), col("last_ts"),
+          expr("CAST((unix_micros(gmax) - unix_micros(last_ts)) DIV 3600000000 AS INT)")
+            .as("hours_behind"),
+          col("n_events"))
+        .orderBy("event_type")
+    }),
+
     // Per-row content fingerprint for source/target reconciliation hashing.
     "dq_row_hash" -> ((s, d) =>
       Tables.nation(s, d)
@@ -174,6 +193,15 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_freshness" ->
+      // epoch_us floor-div mirrors Spark's unix_micros DIV exactly (both
+      // nonnegative, so floor == truncation); CAST pins INT vs BIGINT
+      ("WITH t AS (SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events " +
+       "FROM events GROUP BY 1), " +
+       "g AS (SELECT MAX(last_ts) AS gmax FROM t) " +
+       "SELECT event_type, last_ts, " +
+       "CAST((epoch_us(gmax) - epoch_us(last_ts)) // 3600000000 AS INT) AS hours_behind, n_events " +
+       "FROM t CROSS JOIN g ORDER BY event_type"),
     "cdc_snapshot_diff" ->
       ("WITH prev AS (SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS p_price " +
        "FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'), " +

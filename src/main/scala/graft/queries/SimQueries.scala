@@ -246,6 +246,29 @@ object SimQueries {
         .orderBy("vec_id")
     }),
 
+    // One survivor per semantic cluster — the embed twin of
+    // text_dedup_cluster_survivor, completing the end-to-end semantic
+    // dedup (banded candidates -> exact re-check -> components -> one
+    // kept vector). Vectors carry no quality score, so the survivor is
+    // the max-norm member (the least-truncated/most-informative embedding
+    // under L2 conventions), ties to the smaller vec_id; the argmax is the
+    // same min-struct AGGREGATE as the text side — map-side partials,
+    // never a window over the corpus.
+    "dedup_embed_survivor" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), normD(col("embedding")).as("nrm"))
+      val cc = graft.operators.Scale.connectedComponents(
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        embedBandPairs(s, d).select(col("a_id").as("src"), col("b_id").as("dst")))
+      cc.join(e, cc("id") === e("vec_id"))
+        .groupBy(col("cluster"))
+        .agg(min(struct((-col("nrm")).as("nn"), col("id").as("sid"))).as("m"),
+          count(lit(1)).as("csize"))
+        .select(col("cluster").as("cluster_id"), col("m.sid").as("survivor"),
+          r6(-col("m.nn")).as("norm"), col("csize"))
+        .orderBy("cluster_id")
+    }),
+
     // LSH-bucketed ANN (the 100 TB scale path for sim_search_topk):
     // 16 random-hyperplane sign bits -> candidates within Hamming<=5 of the
     // query signature -> exact cosine re-rank of the survivors. Hyperplanes
@@ -428,6 +451,18 @@ object SimQueries {
        "s AS (SELECT cluster_id, COUNT(*) AS csize FROM c GROUP BY 1) " +
        "SELECT c.doc AS vec_id, c.cluster_id, s.csize FROM c " +
        "JOIN s USING (cluster_id) ORDER BY vec_id"),
+    "dedup_embed_survivor" ->
+      (s"WITH RECURSIVE $embedBandPairsCteSql, " +
+       "e2 AS (SELECT vec_a AS u, vec_b AS v FROM g " +
+       "UNION ALL SELECT vec_b, vec_a FROM g), " +
+       "reach AS (SELECT vec_id AS doc, vec_id AS r FROM embeddings " +
+       "UNION SELECT e2.v AS doc, reach.r AS r FROM reach JOIN e2 ON e2.u = reach.doc), " +
+       "c AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc), " +
+       "j AS (SELECT c.cluster_id, n.vec_id, n.nrm FROM c JOIN n ON c.doc = n.vec_id), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY nrm DESC, vec_id) AS rn, " +
+       "COUNT(*) OVER (PARTITION BY cluster_id) AS csize FROM j) " +
+       "SELECT cluster_id, vec_id AS survivor, ROUND(nrm, 6) AS norm, csize " +
+       "FROM r WHERE rn = 1 ORDER BY cluster_id"),
     "dedup_cluster_embed" ->
       (s"WITH RECURSIVE $cosinePairsCteSql, " +
        "e AS (SELECT vec_a AS u, vec_b AS v FROM f " +

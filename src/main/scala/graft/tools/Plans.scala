@@ -106,6 +106,15 @@ object Plans {
        "feeding the same checkpoint-truncated CC loop as dedup_cluster_cc — every stage is " +
        "shuffle-on-key; nothing quadratic, nothing single-partition, driver work bounded to the " +
        "per-round convergence scalar."),
+    "dedup_embed_survivor" ->
+      ("survivor selection stays an AGGREGATE, not a corpus window: banded candidates -> CC -> " +
+       "join members to their norms -> min-struct argmax (-norm, id) with map-side partials on " +
+       "the cluster key. No single-partition stage; the only driver work is the CC loop's " +
+       "bounded convergence scalar — same plan family as text_dedup_cluster_survivor."),
+    "dq_freshness" ->
+      ("two key-grouped aggregates over ONE event scan; the global max re-enters as a broadcast " +
+       "one-row build side (BroadcastNestedLoopJoin over 5 x 1 rows, bounded by the event-type " +
+       "cardinality) — the lag arithmetic is epoch-us integer floor division, exact on both engines."),
     "ts_ema_smooth" ->
       ("EMA without a window function: the event scan ends at the count aggregate; the bounded " +
        "grid scatters each hour's count forward over 20 lags (20x explode of grid-cardinality " +

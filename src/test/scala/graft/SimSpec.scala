@@ -88,6 +88,30 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@0.35 = $recall (${banded.size}/${exact.size})")
   }
 
+  test("dedup_embed_survivor: one max-norm member per banded cluster") {
+    // Cross-check against dedup_cluster_embed_lsh (the membership view of
+    // the SAME banded pair graph): every cluster yields exactly one
+    // survivor, the survivor is a member, csize matches the membership
+    // count, and no member beats the survivor on (norm desc, vec_id asc).
+    val members = SparkEntry.queries("dedup_cluster_embed_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))           // (vec_id, cluster)
+    val byCluster = members.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    val norms = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.queries.Qutil.normD(col("embedding")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val surv = SparkEntry.queries("dedup_embed_survivor")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))       // (cluster, survivor, csize)
+    assert(surv.length === byCluster.size)
+    assert(surv.map(_._1).distinct.length === surv.length)
+    surv.foreach { case (c, s, n) =>
+      val mem = byCluster(c)
+      assert(mem.contains(s), s"survivor $s not in cluster $c")
+      assert(n === mem.size.toLong, s"csize mismatch for cluster $c")
+      val best = mem.minBy(id => (-norms(id), id))
+      assert(s === best, s"cluster $c: survivor $s != argmax-norm $best")
+    }
+  }
+
   test("text_langid predicts a declared language or 'und'") {
     val df = SparkEntry.queries("text_langid")(spark, sf)
     val preds = df.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
