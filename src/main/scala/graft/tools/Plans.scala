@@ -106,6 +106,17 @@ object Plans {
        "feeding the same checkpoint-truncated CC loop as dedup_cluster_cc — every stage is " +
        "shuffle-on-key; nothing quadratic, nothing single-partition, driver work bounded to the " +
        "per-round convergence scalar."),
+    "embed_kmeans" ->
+      ("Lloyd's k-means with NO join in the assignment: centroids enter as one k x 64 literal and " +
+       "the argmin is a map-side HOF projection over the scan; the update (inside construction) is " +
+       "one partial-aggregable groupBy on (cluster, dim) with bounded k*64 output collected per " +
+       "iteration — the same bounded construction-time driver work as globalRank's counts. The " +
+       "final plan is scan -> project -> sort; nothing scales with n except the map pass."),
+    "embed_outlier_dist" ->
+      ("per-label centroid QC entirely distributed: exact integer-moment means via posexplode + " +
+       "partial-aggregable groupBy on (label, dim), re-assembled with sort_array(collect_list) per " +
+       "label (bounded 64 rows/label), broadcast back (10 rows), and the top-5 ranking is a " +
+       "label-partitioned window — WindowGroupLimit prunes before the full sort."),
     "dedup_embed_survivor" ->
       ("survivor selection stays an AGGREGATE, not a corpus window: banded candidates -> CC -> " +
        "join members to their norms -> min-struct argmax (-norm, id) with map-side partials on " +

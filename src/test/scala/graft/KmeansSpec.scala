@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-checks the distributed k-means against an independent pure-Scala
+  * Lloyd reference (deliberately the OTHER implementation: driver-side
+  * arrays, no Spark) built from the same arithmetic contract — left-fold
+  * double distances, exact integer micro-unit centroid means. Since both
+  * use identical IEEE op orders, assignments must match EXACTLY, not
+  * approximately. */
+class KmeansSpec extends SparkSpec {
+
+  private val k = 8
+  private val iters = 3
+
+  private def lloydReference(vecs: Seq[(Long, Array[Float])]): Map[Long, (Int, Double)] = {
+    def sqDist(a: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val t = a(i).toDouble - c(i); acc += t * t; i += 1 }
+      acc
+    }
+    def assign(cents: Seq[(Int, Array[Double])]): Map[Long, (Int, Double)] =
+      vecs.map { case (id, v) =>
+        val ds = cents.map { case (c, cv) => (sqDist(v, cv), c) }
+        val best = ds.minBy { case (d, c) => (d, c) }
+        id -> (best._2, best._1)
+      }.toMap
+    var cents: Seq[(Int, Array[Double])] = vecs.filter(_._1 < k).sortBy(_._1)
+      .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }
+    for (_ <- 1 until iters) {
+      val asg = assign(cents)
+      cents = vecs.groupBy { case (id, _) => asg(id)._1 }.toSeq.sortBy(_._1)
+        .map { case (c, members) =>
+          val dims = members.head._2.length
+          val cv = Array.tabulate(dims) { i =>
+            val ss = members.map { case (_, v) =>
+              math.floor(v(i).toDouble * 1000000.0 + 0.5).toLong }.sum
+            ss.toDouble / members.size.toDouble / 1000000.0
+          }
+          (c, cv)
+        }
+    }
+    assign(cents)
+  }
+
+  test("embed_kmeans matches a pure-Scala Lloyd reference exactly") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val ref = lloydReference(vecs)
+    val out = SparkEntry.queries("embed_kmeans")(spark, sf).collect()
+    assert(out.length === vecs.length)
+    out.foreach { r =>
+      val (id, cl, d2) = (r.getLong(0), r.getInt(1), r.getDouble(2))
+      val (refCl, refD2) = ref(id)
+      assert(cl === refCl, s"vec $id: cluster $cl != reference $refCl")
+      assert(math.abs(d2 - refD2) < 1e-6, s"vec $id: d2 $d2 != reference $refD2")
+    }
+    // the fixture is not degenerate: multiple clusters survive
+    assert(out.map(_.getInt(1)).distinct.length > 1)
+  }
+
+  test("embed_outlier_dist: 5 per label, rank-ordered, true top by distance") {
+    val rows = SparkEntry.queries("embed_outlier_dist")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(rows.length === labels * 5)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+      // distances non-increasing with rank
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
