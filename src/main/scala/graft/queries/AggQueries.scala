@@ -213,6 +213,35 @@ object AggQueries {
         .orderBy("bucket")
     }),
 
+    // Exact per-group DISCRETE percentiles (p50/p90/p99) of order totals.
+    // Engine built-ins disagree across engines (Spark percentile()
+    // interpolates, DuckDB quantile_disc rounds positions differently), so
+    // the selection rule is defined once, in integers, on both sides:
+    // the element at 1-based position floor((n-1)*p)+1 of the
+    // (cents, o_orderkey)-sorted group — exact money cents, integer DIV,
+    // unique ordering. The rank window is PARTITIONED by the group (never
+    // a global sort; scales per-group) and the final pick is a conditional
+    // MAX aggregate with map-side partials.
+    "agg_percentile_disc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("grp").orderBy(col("cents"), col("o_orderkey"))
+      val b = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"),
+          col("o_orderkey"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      def pick(num: Int, den: Int) =
+        max(when(col("rn") === expr(s"((n - 1) * $num) DIV $den + 1"), col("cents")))
+      def money(c: org.apache.spark.sql.Column) =
+        (c.cast(DecimalType(18, 0)) *
+          lit(new java.math.BigDecimal("0.01"))).cast(DoubleType)
+      b.groupBy("grp")
+        .agg(money(pick(1, 2)).as("p50"), money(pick(9, 10)).as("p90"),
+          money(pick(99, 100)).as("p99"), count(lit(1)).as("n_orders"))
+        .orderBy("grp")
+    }),
+
     // Custom typed UDAF surface. Rounded to 3 dp: the log-sum order differs
     // between engines and exp() amplifies the ulp drift past 1e-6.
     "agg_udaf_geomean" -> ((s, d) => {
@@ -298,6 +327,20 @@ object AggQueries {
        "CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_orders FROM c) " +
        "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt, n_orders " +
        "FROM r WHERE rn = 1 ORDER BY o_orderstatus"),
+    "agg_percentile_disc" ->
+      // the shared selection rule: 1-based position ((n-1)*p_num) // p_den
+      // + 1 of the (cents, o_orderkey)-sorted group; // is DuckDB integer
+      // division (Spark DIV). ROW_NUMBER/COUNT stay BIGINT internally.
+      ("WITH b AS (SELECT o_orderpriority AS grp, " +
+       "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents, o_orderkey FROM orders), " +
+       "w AS (SELECT grp, cents, " +
+       "ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, o_orderkey) AS rn, " +
+       "COUNT(*) OVER (PARTITION BY grp) AS n FROM b) " +
+       "SELECT grp, " +
+       "CAST(CAST(MAX(CASE WHEN rn = ((n - 1) * 1) // 2 + 1 THEN cents END) AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE) AS p50, " +
+       "CAST(CAST(MAX(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN cents END) AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE) AS p90, " +
+       "CAST(CAST(MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN cents END) AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE) AS p99, " +
+       "COUNT(*) AS n_orders FROM w GROUP BY grp ORDER BY grp"),
     "agg_udaf_geomean" ->
       ("SELECT l_returnflag, ROUND(EXP(AVG(LN(l_extendedprice))), 3) AS geomean_price, " +
        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")

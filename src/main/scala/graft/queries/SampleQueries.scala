@@ -117,6 +117,30 @@ object SampleQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-budget data mixing: each source contributes docs, in salted-
+    // hash order, until its token budget (B=800) is spent — the "sample
+    // this domain down to N tokens" primitive of training-mix assembly
+    // (rate sampling bounds doc COUNTS; budgets bound what actually costs:
+    // tokens). Selection is a pure integer prefix-sum over the hash order:
+    // a doc is kept iff the tokens BEFORE it (exclusive cumsum) are under
+    // budget, so the first doc of a source always lands and membership is
+    // reproducible on any engine (no reservoir state, fully oracled). One
+    // window partitioned by source; at extreme per-source cardinality the
+    // same exclusive prefix-sum decomposes into the two-pass
+    // bucket-subtotal + offset shape Scale.globalRank uses.
+    "sample_token_budget" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(IntegerType).as("n_tok"),
+          phash(col("doc_id"), "budget:").as("hk"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .where(col("cum_before") < 800)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum_before"))
+        .orderBy("doc_id")
+    }),
+
     // Per-source cap: keep at most K=15 docs per source, highest
     // quality-score first (ties to the smaller doc_id) — source-balance
     // enforcement so no single crawl dominates the mix. Shares the exact
@@ -170,6 +194,18 @@ object SampleQueries {
        "te AS (SELECT DISTINCT sh FROM s WHERE split = 'test' AND length(sh) > 0) " +
        "SELECT tr.doc_id, COUNT(DISTINCT tr.sh) AS n_contaminated " +
        "FROM tr JOIN te USING (sh) GROUP BY 1 ORDER BY 1"),
+    "sample_token_budget" ->
+      // exclusive running sum: ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+      // PRECEDING; CAST to BIGINT (DuckDB window SUM widens) to match
+      // Spark's LongType cumsum
+      ("WITH b AS (SELECT doc_id, source, " +
+       "CAST(len(string_split(text, ' ')) AS INT) AS n_tok, " +
+       phashSql("doc_id", "budget:") + " AS hk FROM documents), " +
+       "c AS (SELECT doc_id, source, n_tok, " +
+       "CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM b) " +
+       "SELECT doc_id, source, n_tok, cum_before FROM c " +
+       "WHERE cum_before < 800 ORDER BY doc_id"),
     "sample_cap_per_source" ->
       ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
        "m AS (SELECT doc_id, source, " + Text2Queries.qualityScoreSql + " AS q FROM b), " +

@@ -91,6 +91,28 @@ class PropertySpec extends SparkSpec {
       f"below 2^53=$bound%,d — emitD's cross-engine cast parity depends on it")
   }
 
+  test("agg_percentile_disc matches an in-memory sorted-array reference") {
+    // The distributed rank-selection must agree with the naive definition:
+    // element at index floor((n-1)*p) of the sorted per-group cents array.
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("c"),
+        col("o_orderkey").as("k"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).sorted.map(_._1)).toMap
+    val got = SparkEntry.queries("agg_percentile_disc")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val arr = cents(r.getString(0))
+      def ref(num: Int, den: Int): Double =
+        BigDecimal(arr(((arr.length - 1).toLong * num / den).toInt)) .toDouble / 100.0
+      assert(r.getDouble(1) === ref(1, 2), s"p50 of ${r.getString(0)}")
+      assert(r.getDouble(2) === ref(9, 10), s"p90 of ${r.getString(0)}")
+      assert(r.getDouble(3) === ref(99, 100), s"p99 of ${r.getString(0)}")
+      assert(r.getLong(4) === arr.length.toLong)
+    }
+  }
+
   test("session windows partition events (no loss, no overlap per user)") {
     val sess = SparkEntry.queries("ts_session")(spark, sf)
     val overlaps = sess.as("x").join(sess.as("y"),

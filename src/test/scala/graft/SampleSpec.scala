@@ -47,6 +47,30 @@ class SampleSpec extends SparkSpec {
     assert(dsKept < dsTotal, "downsampled tiers must actually drop rows")
   }
 
+  test("sample_token_budget: budget bound, first-doc guarantee, subset stability") {
+    val kept = SparkEntry.queries("sample_token_budget")(spark, sf)
+    // exclusive-cumsum selection: everything BEFORE a kept doc fits under
+    // budget, so kept tokens minus the (possibly overshooting) last doc
+    // stay under B=800 per source
+    val bad = kept.where(col("cum_before") >= 800)
+    assert(bad.count() === 0, "a doc was kept after its source's budget was spent")
+    // every source with at least one doc contributes at least one doc
+    val srcAll = Tables.documents(spark, sf).select("source").distinct().count()
+    val srcKept = kept.select("source").distinct().count()
+    assert(srcKept === srcAll, "a non-empty source contributed nothing")
+    // selection order is a pure hash function: dropping the docs that were
+    // NOT selected and re-running selects the identical set (the prefix of
+    // the hash order is unchanged) — the incremental-rebuild invariant
+    val dir = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    Tables.documents(spark, sf)
+      .join(kept.select("doc_id"), Seq("doc_id"), "semi")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rerun = SparkEntry.queries("sample_token_budget")(spark, dir)
+    assert(rerun.select("doc_id").except(kept.select("doc_id")).count() === 0 &&
+      kept.select("doc_id").except(rerun.select("doc_id")).count() === 0,
+      "re-running on the kept subset must select the same docs")
+  }
+
   test("sample_cap_per_source caps at 15 and keeps the highest-quality docs") {
     val capped = SparkEntry.queries("sample_cap_per_source")(spark, sf)
     val maxPer = capped.groupBy("source").count()
