@@ -384,7 +384,7 @@ object SimQueries {
     * same band packing, same equality-join blocking, same re-check).
     * NOT isnan: same Spark-vs-DuckDB NaN-comparison guard as
     * cosinePairsCteSql. */
-  private def embedBandPairsCteSql: String = {
+  private[graft] def embedBandPairsCteSql: String = {
     def bandBitsSql(b: Int): String = (0 until embedRows).map(j =>
       s"(CASE WHEN ${planeDotSql(b * embedRows + j)} > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")

@@ -181,6 +181,41 @@ object Text2Queries {
         .distinct()
         .where(col("hamming") <= 8)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // ASYMMETRIC near-dup: containment C(a,b) = |sh(a) ∩ sh(b)| / |sh(a)|
+    // over distinct bigram shingles — catches a doc SUBSUMED by a longer
+    // one (quote inclusion, page-in-crawl, truncated re-crawl), which
+    // symmetric Jaccard misses when sizes differ (|A∩B|/|A∪B| shrinks as
+    // |B| grows; |A∩B|/|A| doesn't). Same sparse-regime inverted-index
+    // join as text_near_dup_ngram (the equality join IS the filter);
+    // ordered pairs survive iff inter*10 >= 8*|A| — the threshold is an
+    // exact integer cross-multiply, the emitted ratio one IEEE division.
+    // The size prefilter (|B| >= 0.8|A|, also integer) prunes pairs the
+    // threshold could never accept before the aggregate.
+    "text_containment" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val bigrams = zip_with(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(bigrams).as("bg"))
+        .distinct()
+      val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val ts = t.join(sizes, "doc_id")
+      ts.as("a").join(ts.as("b"),
+          col("a.bg") === col("b.bg") && col("a.source") === col("b.source") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.nt") * 10 >= col("a.nt") * 8)
+        .groupBy(col("a.doc_id").as("doc_inner"), col("b.doc_id").as("doc_outer"),
+          col("a.nt").as("na"), col("b.nt").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .where(col("inter") * 10 >= col("na") * 8)
+        .select(col("doc_inner"), col("doc_outer"), col("na"), col("nb"),
+          col("inter"),
+          r6(col("inter").cast(DoubleType) / col("na").cast(DoubleType)).as("containment"))
+        .orderBy("doc_inner", "doc_outer")
     })
   )
 
@@ -216,6 +251,19 @@ object Text2Queries {
 
     Map(
       "text_simhash" -> simhashOracleSql,
+      "text_containment" ->
+        ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
+         "t AS (SELECT DISTINCT doc_id, source, " +
+         "unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM b), " +
+         "sz AS (SELECT doc_id, COUNT(*) AS nt FROM t GROUP BY 1), " +
+         "ts AS (SELECT t.doc_id, t.source, t.bg, sz.nt FROM t JOIN sz USING (doc_id)), " +
+         "p AS (SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, " +
+         "a.nt AS na, b.nt AS nb, COUNT(*) AS inter " +
+         "FROM ts a JOIN ts b ON a.bg = b.bg AND a.source = b.source " +
+         "AND a.doc_id <> b.doc_id AND b.nt * 10 >= a.nt * 8 GROUP BY 1, 2, 3, 4) " +
+         "SELECT doc_inner, doc_outer, na, nb, inter, " +
+         "ROUND(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment " +
+         "FROM p WHERE inter * 10 >= na * 8 ORDER BY doc_inner, doc_outer"),
       "text_unigram_logprob" ->
         // SUM(BIGINT) -> HUGEINT: cast back so tn's division matches
         ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -91,6 +91,25 @@ class PropertySpec extends SparkSpec {
       f"below 2^53=$bound%,d — emitD's cross-engine cast parity depends on it")
   }
 
+  test("text_containment flags subsumed docs one-directionally") {
+    import spark.implicits._
+    // inner is a contiguous prefix of outer -> every inner bigram is an
+    // outer bigram -> containment(inner->outer) = 1.0; the reverse
+    // direction (7 shared of 9 outer bigrams = .78 < .8) must NOT fire,
+    // and the unrelated doc must pair with nothing.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8", "en", "srcT", 8L),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2", "en", "srcT", 10L),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "srcT", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)),
+      s"expected exactly inner->outer at 1.0, got ${got.toSeq}")
+  }
+
   test("agg_percentile_disc matches an in-memory sorted-array reference") {
     // The distributed rank-selection must agree with the naive definition:
     // element at index floor((n-1)*p) of the sorted per-group cents array.
