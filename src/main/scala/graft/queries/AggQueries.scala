@@ -242,6 +242,31 @@ object AggQueries {
         .orderBy("grp")
     }),
 
+    // Higher-moment distribution shape (skewness + excess kurtosis) per
+    // group — the dq_anomaly_zscore exactness pattern pushed to the 3rd
+    // and 4th moment: raw moments are EXACT integer sums of cents powers
+    // (DECIMAL(38,0) here, HUGEINT in DuckDB — c^4 reaches ~6e33, far past
+    // BIGINT), each cast once to double (both engines round to the same
+    // nearest double), then ONE shared fixed-order IEEE formula string
+    // (skewKurtFormulas — spliced verbatim into the oracle, so the op
+    // order CANNOT drift) with sqrt instead of pow (sqrt is correctly
+    // rounded; libm pow is not). Map-side partial sums; bounded output.
+    "agg_skew_kurt" -> ((s, d) => {
+      val cd = expr("CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))")
+      val (skewF, kurtF) = skewKurtFormulas
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cd).as("s1"), sum(cd * cd).as("s2"),
+          sum(cd * cd * cd).as("s3"), sum(cd * cd * cd * cd).as("s4"))
+        .selectExpr("grp", "n_items",
+          "CAST(n_items AS DOUBLE) AS n", "CAST(s1 AS DOUBLE) AS m1",
+          "CAST(s2 AS DOUBLE) AS m2", "CAST(s3 AS DOUBLE) AS m3",
+          "CAST(s4 AS DOUBLE) AS m4")
+        .selectExpr("grp", "n_items", s"$skewF AS skewness", s"$kurtF AS kurtosis")
+        .orderBy("grp")
+    }),
+
     // Custom typed UDAF surface. Rounded to 3 dp: the log-sum order differs
     // between engines and exp() amplifies the ulp drift past 1e-6.
     "agg_udaf_geomean" -> ((s, d) => {
@@ -254,7 +279,32 @@ object AggQueries {
     })
   )
 
+  /** ONE formula text for skewness / excess kurtosis over the double-cast
+    * raw moments (m1..m4, n) — valid Spark SQL AND DuckDB SQL, used
+    * verbatim by both so every intermediate IEEE op matches bit-for-bit.
+    * Standardization uses v*sqrt(v) (correctly-rounded primitives), never
+    * pow. Moments are in cents; skew/kurt are scale-invariant. */
+  private def skewKurtFormulas: (String, String) = {
+    val mu = "(m1/n)"
+    val v = s"(m2/n - $mu*$mu)"
+    (s"round((m3/n - 3*$mu*(m2/n) + 2*$mu*$mu*$mu) / ($v * sqrt($v)), 6)",
+     s"round((m4/n - 4*$mu*(m3/n) + 6*$mu*$mu*(m2/n) - 3*$mu*$mu*$mu*$mu) / ($v * $v) - 3, 6)")
+  }
+
   val oracle: Map[String, String] = Map(
+    "agg_skew_kurt" -> {
+      val (skewF, kurtF) = skewKurtFormulas
+      "WITH b AS (SELECT l_returnflag AS grp, " +
+        "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c FROM lineitem), " +
+        "m AS (SELECT grp, COUNT(*) AS n_items, " +
+        "CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS m1, " +
+        "CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS m2, " +
+        "CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS m3, " +
+        "CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS m4 FROM b GROUP BY 1) " +
+        s"SELECT grp, n_items, $skewF AS skewness, $kurtF AS kurtosis " +
+        "FROM m ORDER BY grp"
+    },
     "agg_histogram" ->
       // // is DuckDB integer division; SUM(BIGINT) returns HUGEINT — cast
       // back (CLAUDE.md rule) so the totals dtype matches

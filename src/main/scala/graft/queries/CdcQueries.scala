@@ -48,6 +48,27 @@ object CdcQueries {
         .orderBy("user_id", "event_type", "valid_from", "event_id")
     }),
 
+    // Point-in-time lookup over the SCD-2 ranges: reconstruct the state of
+    // every (user, type) dimension AS OF a fixed instant T — the "what did
+    // the warehouse say on Jan 15" query that makes SCD-2 worth keeping,
+    // and the validation tool for replaying a migration cutover. Version
+    // selection is pure range algebra on the ranges scd2_windows emits
+    // (valid_from <= T < valid_to, open tail = current): one partitioned
+    // window + a filter, no self-join, no extra shuffle beyond the SCD-2
+    // build itself.
+    "scd2_asof_lookup" -> ((s, d) => {
+      val asOf = lit("2024-01-15 12:00:00").cast(TimestampType)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .where(col("ts") <= asOf &&
+          (col("valid_to").isNull || col("valid_to") > asOf))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").as("valid_from"), col("value"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // DQ rule table: one row per rule with its violation count. Unions of
     // filtered counts + a dup-PK group check + an FK anti-join — the
     // migration-validation pass that runs after every load.
@@ -218,6 +239,14 @@ object CdcQueries {
       ("SELECT user_id, event_type, event_id, ts AS valid_from, " +
        "lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to " +
        "FROM events ORDER BY user_id, event_type, valid_from, event_id"),
+    "scd2_asof_lookup" ->
+      ("WITH v AS (SELECT user_id, event_type, event_id, value, ts, " +
+       "lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to " +
+       "FROM events) " +
+       "SELECT user_id, event_type, event_id, ts AS valid_from, value FROM v " +
+       "WHERE ts <= TIMESTAMP '2024-01-15 12:00:00' " +
+       "AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00') " +
+       "ORDER BY user_id, event_type"),
     "dq_checks" ->
       ("SELECT 'disc_range' AS rule, COUNT(*) AS violations FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0 " +
        "UNION ALL SELECT 'dup_pk', COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem " +

@@ -184,6 +184,26 @@ object TemporalQueries {
         .orderBy("cohort_day", "day_k")
     }),
 
+    // OHLC downsampling: per (event_type, hour) emit the opening value
+    // (first event by (ts, event_id)), high, low, and closing value (last
+    // event) — the candlestick compaction every metrics store runs before
+    // charting/retention. Open/close are min/max STRUCT argmax AGGREGATES
+    // over the (ts, event_id, value) triple (map-side partials, one
+    // shuffle on the group key, never a window over the stream); high/low
+    // are plain extrema; values pass through untouched (selection, not
+    // arithmetic — no rounding rule needed).
+    "ts_ohlc" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          min(col("value")).as("low"), max(col("value")).as("high"))
+        .select(col("event_type"), col("hr"), col("n"),
+          col("o.value").as("open"), col("high"), col("low"),
+          col("c.value").as("close"))
+        .orderBy("event_type", "hr")),
+
     // CDC "last write wins": latest event per (user, type) — the Salesforce
     // upsert-compaction the reference's migration performs per object.
     "ts_dedup_latest" -> ((s, d) => {
@@ -297,6 +317,14 @@ object TemporalQueries {
        "SELECT cohort_day, CAST(date_diff('day', cohort_day, d) AS INT) AS day_k, " +
        "COUNT(DISTINCT act.user_id) AS n_users " +
        "FROM act JOIN c USING (user_id) GROUP BY 1,2 ORDER BY 1,2"),
+    "ts_ohlc" ->
+      // struct comparison is field-order lexicographic in BOTH engines, so
+      // min/max over (ts, event_id, value) picks identical open/close rows
+      ("SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n, " +
+       "(MIN(struct_pack(ts := ts, event_id := event_id, value := value))).value AS open, " +
+       "MAX(value) AS high, MIN(value) AS low, " +
+       "(MAX(struct_pack(ts := ts, event_id := event_id, value := value))).value AS close " +
+       "FROM events GROUP BY 1, 2 ORDER BY event_type, hr"),
     "ts_dedup_latest" ->
       ("SELECT user_id, event_type, event_id, ts, value FROM " +
        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn " +

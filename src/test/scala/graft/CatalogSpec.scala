@@ -58,6 +58,56 @@ class CatalogSpec extends SparkSpec {
     assert(df.count() === pairs)
   }
 
+  test("scd2_asof_lookup returns exactly the current version per pre-T key") {
+    val t = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    val df = SparkEntry.queries("scd2_asof_lookup")(spark, sf)
+    // one row per (user, type), and exactly the set of keys active before T
+    assert(df.groupBy("user_id", "event_type").count().where(col("count") > 1).count() === 0)
+    val activeKeys = Tables.events(spark, sf).where(col("ts") <= t)
+      .select("user_id", "event_type").distinct().count()
+    assert(df.count() === activeKeys)
+    // the selected version is the LATEST event at or before T per key
+    val latest = Tables.events(spark, sf).where(col("ts") <= t)
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("event_type"), col("m.event_id").as("event_id"))
+    assert(df.select("user_id", "event_type", "event_id")
+      .except(latest).count() === 0)
+  }
+
+  test("ts_ohlc reconciles: counts cover events, open/close bracket the hour") {
+    val df = SparkEntry.queries("ts_ohlc")(spark, sf)
+    assert(df.agg(sum("n")).head.getLong(0) === Tables.events(spark, sf).count())
+    // high/low bound open and close, and bars exist for every (type, hour)
+    assert(df.where(col("open") > col("high") || col("open") < col("low") ||
+      col("close") > col("high") || col("close") < col("low")).count() === 0)
+    val hours = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts"))).distinct().count()
+    assert(df.count() === hours)
+  }
+
+  test("agg_skew_kurt matches a naive double reference within 1e-6") {
+    val rows = SparkEntry.queries("agg_skew_kurt")(spark, sf).collect()
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = data(r.getString(0)).map(_.toDouble)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val m2 = xs.map(x => (x - mu) * (x - mu)).sum / n
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - m3 / (m2 * math.sqrt(m2))) < 1e-6,
+        s"skewness of ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - (m4 / (m2 * m2) - 3.0)) < 1e-6,
+        s"kurtosis of ${r.getString(0)}")
+    }
+  }
+
   test("pivot_event_matrix row counts reconcile with raw events") {
     val df = SparkEntry.queries("pivot_event_matrix")(spark, sf)
     val pivotTotal = df.select(
