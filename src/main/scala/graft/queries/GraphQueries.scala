@@ -60,12 +60,14 @@ object GraphQueries {
     "graph_pagerank" -> ((s, d) => {
       val e = edges(s, d)
       val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
-      // Hash-partition the (static) edge side by the join key ONCE, then
-      // checkpoint: LogicalRDD keeps the outputPartitioning, so every
-      // round's join reshuffles only the rank side (|nodes| rows) while
-      // the edge blocks stay put — the "pre-partition edges so rounds
-      // co-locate" posture a cluster deployment would take.
-      val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+      // Checkpoint the degree-annotated edge list once (reused by all
+      // rounds). NOTE a pre-repartition(src) before the checkpoint does
+      // NOT survive it (the LogicalRDD comes back with Unknown
+      // partitioning under AQE — verified in PLANS.md), so each round
+      // shuffles both join sides on the key; on a real cluster the edge
+      // side would be BUCKETED by src at land time to make rounds
+      // edge-stationary.
+      val ed = e.join(deg, "src").localCheckpoint(true)
       var rank = deg.select(col("src").as("id"), lit(1000000L).as("r"))
       // A FIXED small round count needs no per-round checkpoint (unlike
       // Scale.connectedComponents, which runs an action per round): the

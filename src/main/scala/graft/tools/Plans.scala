@@ -144,7 +144,39 @@ object Plans {
        "(key, salt) so one hot key spreads over 8 reducers — semantics proven identical by the " +
        "plain-join oracle. At fixture scale the exploded build side still fits the broadcast " +
        "threshold, so the plan shows BroadcastHashJoin (where salt is a no-op); past the threshold " +
-       "the same code plans the (key, salt) SMJ, which is where the salt does its work."))
+       "the same code plans the (key, salt) SMJ, which is where the salt does its work."),
+    "graph_pagerank" ->
+      ("Pregel-as-DataFrame: the distinct edge set is checkpointed ONCE (its join+distinct would " +
+       "otherwise re-run for every consumer — measured 4x the query cost); each of the 3 rank " +
+       "rounds is one shuffle-on-key SMJ plus one map-side-combined groupBy. A pre-repartition " +
+       "does NOT survive the checkpoint (LogicalRDD returns Unknown partitioning under AQE — the " +
+       "Exchanges below prove it), so rounds shuffle both sides; a cluster deployment makes the " +
+       "edge side stationary by BUCKETING it on src at land time. All-integer rank arithmetic; " +
+       "zero driver-side data movement."),
+    "dedup_semantic_union" ->
+      ("the composed dedup: MinHash band pairs UNION hyperplane band pairs — both bucketed " +
+       "equality-join generators — feed ONE checkpoint-truncated CC loop and one min-struct argmax " +
+       "survivor aggregate. Proves the generator-agnostic clustering contract as a hash-checked " +
+       "plan, not just a spec cross-check."),
+    "text_containment" ->
+      ("asymmetric containment via the same sparse-regime inverted-index join as " +
+       "text_near_dup_ngram, plus an integer size prefilter (|B| >= 0.8|A|) INSIDE the join " +
+       "condition — pairs the threshold could never accept are dropped before the pair aggregate; " +
+       "the threshold itself is an integer cross-multiply, no division until emission."),
+    "sample_token_budget" ->
+      ("per-source budget selection: token counts and the salted order key are scan-stage " +
+       "projections; ONE window partitioned by source computes the exclusive prefix sum; the " +
+       "budget filter is a row-local integer compare. No global sort, no driver state — and the " +
+       "prefix-sum decomposes into globalRank's two-pass shape if one source outgrows a partition."),
+    "agg_percentile_disc" ->
+      ("exact discrete percentiles without a global sort: the rank window is PARTITIONED by the " +
+       "group, positions are integer expressions of (n, p), and the final pick is a conditional " +
+       "MAX aggregate with map-side partials — the only shuffles are the group-keyed window and " +
+       "the bounded final aggregate."),
+    "ts_ohlc" ->
+      ("candlestick downsampling as ONE partial+final aggregate on (type, hour): open/close are " +
+       "min/max struct argmax (combine map-side like any extremum), high/low plain extrema — " +
+       "no window over the event stream, no self-join, output bounded by the key space."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
