@@ -242,6 +242,20 @@ object AggQueries {
         .orderBy("grp")
     }),
 
+    // Ordered LISTAGG per group — the reconciliation-report surface
+    // (one line per region listing its members). collect_list is
+    // order-nondeterministic under parallel merge, so the sort happens
+    // INSIDE the row (array_sort before concat) — deterministic on any
+    // partitioning; group payload is bounded (nations per region), which
+    // is the contract that makes listagg safe at scale at all.
+    "agg_string_concat" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")),
+
     // Higher-moment distribution shape (skewness + excess kurtosis) per
     // group — the dq_anomaly_zscore exactness pattern pushed to the 3rd
     // and 4th moment: raw moments are EXACT integer sums of cents powers
@@ -292,6 +306,10 @@ object AggQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "agg_string_concat" ->
+      ("SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, " +
+       "COUNT(*) AS n_nations FROM nation JOIN region ON n_regionkey = r_regionkey " +
+       "GROUP BY 1 ORDER BY 1"),
     "agg_skew_kurt" -> {
       val (skewF, kurtF) = skewKurtFormulas
       "WITH b AS (SELECT l_returnflag AS grp, " +

@@ -48,6 +48,27 @@ object CdcQueries {
         .orderBy("user_id", "event_type", "valid_from", "event_id")
     }),
 
+    // Column profiling — the FIRST thing a migration runs against a landed
+    // object: per-column null count + exact distinct cardinality, emitted
+    // as one (col_name, n_null, n_distinct) row per column. ONE scan:
+    // all 12 aggregates compute in a single pass (Spark plans the
+    // multi-countDistinct via expand; at 100 TB swap countDistinct for
+    // approx_count_distinct and the same single-scan shape loses the
+    // expand), then a stack() unpivot of the 1-row result — driver-safe,
+    // output bounded by column count.
+    "dq_profile" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+      val stackArgs = cols.map(c => s"'$c', null_$c, nd_$c").mkString(", ")
+      Tables.orders(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)")
+        .orderBy("col_name")
+    }),
+
     // Point-in-time lookup over the SCD-2 ranges: reconstruct the state of
     // every (user, type) dimension AS OF a fixed instant T — the "what did
     // the warehouse say on Jan 15" query that makes SCD-2 worth keeping,
@@ -239,6 +260,14 @@ object CdcQueries {
       ("SELECT user_id, event_type, event_id, ts AS valid_from, " +
        "lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to " +
        "FROM events ORDER BY user_id, event_type, valid_from, event_id"),
+    "dq_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_null, " +
+          s"COUNT(DISTINCT $c) AS n_distinct FROM orders")
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     "scd2_asof_lookup" ->
       ("WITH v AS (SELECT user_id, event_type, event_id, value, ts, " +
        "lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to " +

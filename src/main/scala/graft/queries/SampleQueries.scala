@@ -141,6 +141,23 @@ object SampleQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-WEIGHTED sampling: each doc keeps with probability equal to
+    // its own quality score (CCNet-style quality-proportional curation —
+    // stratified rates are per-SOURCE policy; this is per-DOC signal).
+    // Deterministic weighted Bernoulli: keep iff salted_hash % 10000 <
+    // floor(q*10000 + 0.5) — the threshold is derived from the SHARED
+    // quality formula (bit-identical on both engines), so the integer
+    // compare needs no tolerance. Map-side, stateless, rebuild-stable
+    // like every sampler here.
+    "sample_quality_weighted" -> ((s, d) => {
+      val (_, _, _, _, _, score) = Text2Queries.qualityCols(col("text"))
+      Tables.documents(s, d)
+        .withColumn("rate_bp", floor(score * 10000.0 + 0.5).cast(IntegerType))
+        .where(pmod(phash(col("doc_id"), "qmix:"), lit(10000)) < col("rate_bp"))
+        .select(col("doc_id"), col("source"), col("rate_bp"))
+        .orderBy("doc_id")
+    }),
+
     // Per-source cap: keep at most K=15 docs per source, highest
     // quality-score first (ties to the smaller doc_id) — source-balance
     // enforcement so no single crawl dominates the mix. Shares the exact
@@ -206,6 +223,12 @@ object SampleQueries {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM b) " +
        "SELECT doc_id, source, n_tok, cum_before FROM c " +
        "WHERE cum_before < 800 ORDER BY doc_id"),
+    "sample_quality_weighted" ->
+      ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
+       "m AS (SELECT doc_id, source, " +
+       "CAST(FLOOR((" + Text2Queries.qualityScoreSql + ") * 10000.0 + 0.5) AS INT) AS rate_bp, " +
+       phashSql("doc_id", "qmix:") + " % 10000 AS h FROM b) " +
+       "SELECT doc_id, source, rate_bp FROM m WHERE h < rate_bp ORDER BY doc_id"),
     "sample_cap_per_source" ->
       ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
        "m AS (SELECT doc_id, source, " + Text2Queries.qualityScoreSql + " AS q FROM b), " +

@@ -108,6 +108,22 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("dq_profile reports the fixture's known column facts") {
+    val rows = SparkEntry.queries("dq_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows("o_orderkey") === ((0L, nOrders)), "o_orderkey is a unique non-null pk")
+    assert(rows.values.forall(_._1 === 0L), "fixture has no nulls in orders")
+    assert(rows("o_orderstatus")._2 <= 3L && rows("o_orderpriority")._2 <= 5L)
+  }
+
+  test("agg_string_concat lists every nation exactly once across regions") {
+    val df = SparkEntry.queries("agg_string_concat")(spark, sf)
+    assert(df.agg(sum("n_nations")).head.getLong(0) === Tables.nation(spark, sf).count())
+    val listed = df.collect().flatMap(_.getString(1).split(",")).toSeq
+    assert(listed.distinct.size === listed.size, "a nation appears twice")
+  }
+
   test("pivot_event_matrix row counts reconcile with raw events") {
     val df = SparkEntry.queries("pivot_event_matrix")(spark, sf)
     val pivotTotal = df.select(

@@ -71,6 +71,29 @@ class SampleSpec extends SparkSpec {
       "re-running on the kept subset must select the same docs")
   }
 
+  test("sample_quality_weighted selects in proportion to quality") {
+    val kept = SparkEntry.queries("sample_quality_weighted")(spark, sf)
+    val quality = SparkEntry.queries("text_quality")(spark, sf)
+      .select(col("doc_id"), col("quality_score").as("q"))
+    val dropped = quality.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val keptN = kept.count()
+    assert(keptN > 0 && keptN < quality.count(), "selection must be non-trivial")
+    // weighted Bernoulli: kept docs average a higher quality than dropped
+    val avgKept = quality.join(kept.select("doc_id"), "doc_id")
+      .agg(avg("q")).head.getDouble(0)
+    val avgDrop = dropped.agg(avg("q")).head.getDouble(0)
+    assert(avgKept > avgDrop, s"kept avg $avgKept !> dropped avg $avgDrop")
+    // selection is a pure per-doc function: recompute on the kept subset
+    // re-selects everything (membership never depends on other docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qmix").toString
+    Tables.documents(spark, sf)
+      .join(kept.select("doc_id"), Seq("doc_id"), "semi")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rerun = SparkEntry.queries("sample_quality_weighted")(spark, dir)
+    assert(rerun.count() === keptN &&
+      rerun.select("doc_id").except(kept.select("doc_id")).count() === 0)
+  }
+
   test("sample_cap_per_source caps at 15 and keeps the highest-quality docs") {
     val capped = SparkEntry.queries("sample_cap_per_source")(spark, sf)
     val maxPer = capped.groupBy("source").count()
