@@ -131,6 +131,32 @@ object FnQueries {
         .orderBy(col("cnt").desc, col("tok"))
         .limit(50)),
 
+    // Fuzzy entity matching — the master-data dedup every Salesforce
+    // migration runs ("are these two part names the same thing?"). Two
+    // scale controls: (1) match the DISTINCT-NAME dictionary, never part
+    // rows (names repeat heavily; row-level pairing squares the
+    // duplication — measured 106k pairs from 2k parts; the dictionary is
+    // the bounded vocabulary), carrying occurrence counts for triage;
+    // (2) BLOCK on the entity noun (second name token): candidate
+    // enumeration is an equality join — the inverted-index shape — and
+    // only block-mates pay the levenshtein DP. dist in [1,3]: 0 is exact
+    // dedup's job. Both engines implement classic unit-cost levenshtein;
+    // the threshold is an integer compare.
+    "fn_fuzzy_match" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+        .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+      val dist = levenshtein(col("a.p_name"), col("b.p_name"))
+      p.as("a").join(p.as("b"),
+          col("a.noun") === col("b.noun") &&
+          col("a.p_name") < col("b.p_name") &&
+          dist.between(1, 3))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          dist.cast(IntegerType).as("dist"))
+        .orderBy("name_a", "name_b")
+    }),
+
     // The single demo Scala UDF (SURVEY §4.3 rule 1 allows exactly one).
     "fn_udf_scalar" -> ((s, d) => {
       val cleanText = udf((t: String) =>
@@ -190,6 +216,13 @@ object FnQueries {
       ("SELECT tok, COUNT(*) AS cnt FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
        "GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 50"),
+    "fn_fuzzy_match" ->
+      ("WITH p AS (SELECT p_name, COUNT(*) AS n, string_split(p_name, ' ')[2] AS noun " +
+       "FROM part GROUP BY 1) " +
+       "SELECT a.p_name AS name_a, b.p_name AS name_b, a.n AS n_a, b.n AS n_b, " +
+       "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist " +
+       "FROM p a JOIN p b ON a.noun = b.noun AND a.p_name < b.p_name " +
+       "AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3 ORDER BY name_a, name_b"),
     "fn_udf_scalar" ->
       ("SELECT doc_id, regexp_replace(lower(substring(text, 1, 40)), '[^a-z0-9 ]', '', 'g') AS cleaned " +
        "FROM documents ORDER BY doc_id")

@@ -183,6 +183,33 @@ object Text2Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Bigram-LM quality scoring: per-doc mean ln P(w2 | w1) over bigram
+    // occurrences, with corpus-MLE conditionals c(w1 w2)/c(w1 ·) — one
+    // step up the LM-filter ladder from text_unigram_logprob (fluency:
+    // how predictable is each next word given the previous, the signal a
+    // perplexity filter thresholds on). Conditional counts are two
+    // shuffle-on-key aggregates over the exploded bigram stream; the
+    // per-doc mean is partial-aggregable on doc_id. ln follows the
+    // transcendental-aggregate rule: round 3, never 6.
+    "text_bigram_logprob" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val bigrams = zip_with(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      val c2 = t.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = t.groupBy("w1").agg(count(lit(1)).as("c1"))
+      t.join(c2, "bg").join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("c2").cast("double") / col("c1").cast("double"))), 3)
+            .as("logprob"))
+        .orderBy("doc_id")
+    }),
+
     // ASYMMETRIC near-dup: containment C(a,b) = |sh(a) ∩ sh(b)| / |sh(a)|
     // over distinct bigram shingles — catches a doc SUBSUMED by a longer
     // one (quote inclusion, page-in-crawl, truncated re-crawl), which
@@ -251,6 +278,17 @@ object Text2Queries {
 
     Map(
       "text_simhash" -> simhashOracleSql,
+      "text_bigram_logprob" ->
+        ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+         "t AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1), " +
+         "i -> tk[i] || ' ' || tk[i+1])) AS bg FROM b), " +
+         "tw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM t), " +
+         "f2 AS (SELECT bg, COUNT(*) AS c2 FROM tw GROUP BY 1), " +
+         "f1 AS (SELECT w1, COUNT(*) AS c1 FROM tw GROUP BY 1) " +
+         "SELECT doc_id, COUNT(*) AS n_bigrams, " +
+         "ROUND(AVG(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 3) AS logprob " +
+         "FROM tw JOIN f2 USING (bg) JOIN f1 USING (w1) " +
+         "GROUP BY doc_id ORDER BY doc_id"),
       "text_containment" ->
         ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
          "t AS (SELECT DISTINCT doc_id, source, " +

@@ -217,6 +217,32 @@ object TextQueries {
         .orderBy("cluster_id"))
   )
 
+  /** Sketch-based similarity ESTIMATION: for each banded candidate pair,
+    * estimate Jaccard as the signature agreement fraction — the sketch
+    * answer a 100 TB pipeline uses when re-materializing token sets for
+    * an exact verify is too expensive (E[agree/32] = J; the banding and
+    * the estimate read the SAME 32 signatures via minhashSigs). Fully
+    * deterministic (fixed affine family), so unlike classic sketch ops
+    * it is hash-checked cell-for-cell; SimSpec-style accuracy vs exact
+    * Jaccard is pinned in CatalogSpec. est values are multiples of 1/32
+    * (one exact IEEE division). */
+  private val queries4: Map[String, Q] = Map(
+    "dedup_minhash_est" -> ((s, d) => {
+      val sigs = minhashSigs(Tables.documents(s, d))
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until 32).map(i => col(s"h$i").as(s"a$i")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until 32).map(i => col(s"h$i").as(s"b$i")): _*)
+      val agree = (0 until 32)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      minhashPairs(s, d).join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), agree.cast(IntegerType).as("n_agree"))
+        .withColumn("est_jaccard", col("n_agree").cast(DoubleType) / 32.0)
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
   /** The COMPOSED dedup a production curation run deploys: a doc pair
     * dedups if it is a TEXTUAL near-dup (shared MinHash band) OR a
     * SEMANTIC one (shared hyperplane band + cosine >= 0.35, vec_id read
@@ -275,7 +301,11 @@ object TextQueries {
     * (doc_id, source, text) frame — batch or readStream; every expression
     * is row-local, so the streaming LSH index (streaming.LshIndexProcessor)
     * computes byte-identical bucket keys to the batch pair join. */
-  private[graft] def minhashBuckets(
+  /** The 32-column MinHash signature frame (doc_id, source, h0..h31) —
+    * shared by the band bucketing below and the sketch-estimation query
+    * (dedup_minhash_est), so the estimate and the blocking can never use
+    * different signatures. */
+  private[graft] def minhashSigs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val base = docs
         .select(col("doc_id"), col("source"),
@@ -291,7 +321,12 @@ object TextQueries {
         array_min(transform(col("hs"),
           h => pmod(pmod(h, lit(minhashP)) * lit(a) + lit(b), lit(minhashP)))).as(s"h$i")
       }
-      val sigs = base.select(col("doc_id") +: col("source") +: sigCols: _*)
+      base.select(col("doc_id") +: col("source") +: sigCols: _*)
+  }
+
+  private[graft] def minhashBuckets(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val sigs = minhashSigs(docs)
       // band key: the 4 member signatures joined as a string — portable
       // across engines (round 1 xxhash64'd them; equality is all we need)
       val bandCols = (0 until 8).map(b =>
@@ -350,12 +385,15 @@ object TextQueries {
     })
   )
 
-  val queries: Map[String, Q] = queries1 ++ queries2 ++ queries3
+  val queries: Map[String, Q] = queries1 ++ queries2 ++ queries3 ++ queries4
 
   /** DuckDB mirror of the full MinHash+LSH pipeline (round-1 VERDICT
     * "What's missing" #2): same sha256-derived 60-bit base hash, same
     * affine family, same 8×4 banding — checks the candidate PAIR SET. */
-  private def minhashPairsSql: String = {
+  /** The shared CTE list (base -> sigs -> buckets -> cpairs) of the
+    * MinHash pipeline mirror — reused whole by minhashPairsSql and with a
+    * signature join-back by the dedup_minhash_est oracle. */
+  private def minhashCtesSql: String = {
     val sigExprs = (0 until 32).map { i =>
       val (a, b) = minhashAB(i)
       s"list_min(list_transform(hs, h -> ((h % $minhashP) * $a + $b) % $minhashP)) AS h$i"
@@ -364,15 +402,18 @@ object TextQueries {
       val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(", ")
       s"SELECT doc_id, source, $b AS band, concat_ws(',', $cols) AS bh FROM sigs"
     }.mkString(" UNION ALL ")
-    "WITH base AS (SELECT doc_id, source, " +
+    "base AS (SELECT doc_id, source, " +
       "list_transform(list_distinct(string_split(text, ' ')), " +
       s"t -> ${hash60Sql("t")}) AS hs FROM documents), " +
       s"sigs AS (SELECT doc_id, source, $sigExprs FROM base), " +
-      s"buckets AS ($bucketSelects) " +
-      "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x " +
+      s"buckets AS ($bucketSelects), " +
+      "cpairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x " +
       "JOIN buckets y ON x.source = y.source AND x.band = y.band AND x.bh = y.bh " +
-      "AND x.doc_id < y.doc_id"
+      "AND x.doc_id < y.doc_id)"
   }
+
+  private def minhashPairsSql: String =
+    s"WITH $minhashCtesSql SELECT doc_a, doc_b FROM cpairs"
 
   /** Transitive closure over the SAME pair SQL: reach(doc, r) holds every
     * (node, component-member) pair, so MIN(r) per doc is exactly the
@@ -427,6 +468,15 @@ object TextQueries {
       "FROM r WHERE rn = 1 ORDER BY cluster_id"
 
   val oracle: Map[String, String] = Map(
+    "dedup_minhash_est" -> {
+      val agreeSql = (0 until 32)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH $minhashCtesSql " +
+        s"SELECT doc_a, doc_b, n_agree, CAST(n_agree AS DOUBLE) / 32.0 AS est_jaccard " +
+        s"FROM (SELECT p.doc_a, p.doc_b, CAST($agreeSql AS INT) AS n_agree " +
+        "FROM cpairs p JOIN sigs a ON a.doc_id = p.doc_a " +
+        "JOIN sigs b ON b.doc_id = p.doc_b) ORDER BY doc_a, doc_b"
+    },
     "dedup_semantic_union" -> unionSurvivorOracleSql,
     "text_minhash_lsh" -> (minhashPairsSql + " ORDER BY doc_a, doc_b"),
     "dedup_cluster_cc" -> clusterOracleSql,

@@ -108,6 +108,20 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_est estimates exact Jaccard within sketch error") {
+    // E[agreement/32] = J; with k=32 the per-pair std is ~sqrt(J(1-J)/32)
+    // <= 0.09 — the MEAN absolute deviation over the true near-dup pairs
+    // must come in well under 2 sigma.
+    val est = SparkEntry.queries("dedup_minhash_est")(spark, sf)
+      .select("doc_a", "doc_b", "est_jaccard")
+    val exact = SparkEntry.queries("text_near_dup_jaccard")(spark, sf)
+      .select("doc_a", "doc_b", "jaccard")
+    val joined = est.join(exact, Seq("doc_a", "doc_b")).collect()
+    assert(joined.length > 10, "expected a meaningful overlap of pairs")
+    val mad = joined.map(r => math.abs(r.getDouble(2) - r.getDouble(3))).sum / joined.length
+    assert(mad < 0.1, s"mean |est - exact| = $mad")
+  }
+
   test("dq_profile reports the fixture's known column facts") {
     val rows = SparkEntry.queries("dq_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
