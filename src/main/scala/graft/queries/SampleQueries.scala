@@ -23,9 +23,20 @@ import Qutil._
 object SampleQueries {
 
   /** Salted selector over Qutil.hash60 — the ONE portable hash definition
-    * shared with MinHash/SimHash; the salt namespaces each decision. */
-  private def phash(c: org.apache.spark.sql.Column, salt: String) =
+    * shared with MinHash/SimHash; the salt namespaces each decision.
+    * private[graft]: the streaming budget sampler stamps the SAME order
+    * key so stream admission can reproduce batch selection. */
+  private[graft] def phash(c: org.apache.spark.sql.Column, salt: String) =
     hash60(concat(lit(salt), c.cast(StringType)))
+
+  /** The token-budget selection constants/columns, shared by the batch
+    * query and streaming.BudgetProcessor (one definition or the two
+    * dialects silently drift). */
+  private[graft] val tokenBudget = 800L
+  private[graft] def tokenCount(text: org.apache.spark.sql.Column) =
+    size(split(text, " ")).cast(IntegerType)
+  private[graft] def budgetOrderKey(docId: org.apache.spark.sql.Column) =
+    phash(docId, "budget:")
 
   private def phashSql(expr: String, salt: String) =
     hash60Sql(s"'$salt' || CAST($expr AS VARCHAR)")
@@ -133,10 +144,10 @@ object SampleQueries {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast(IntegerType).as("n_tok"),
-          phash(col("doc_id"), "budget:").as("hk"))
+          tokenCount(col("text")).as("n_tok"),
+          budgetOrderKey(col("doc_id")).as("hk"))
         .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .where(col("cum_before") < 800)
+        .where(col("cum_before") < tokenBudget)
         .select(col("doc_id"), col("source"), col("n_tok"), col("cum_before"))
         .orderBy("doc_id")
     }),

@@ -279,6 +279,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming token-budget admission equals the batch sampler under hash-ordered arrival") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // deliver the corpus in the batch query's selection order (global
+      // (hk, doc_id) sort keeps every per-source subsequence hash-ordered),
+      // split into three uneven micro-batches
+      val docs = graft.streaming.BudgetProcessor.withBudgetCols(
+        Tables.documents(spark, sf).select("doc_id", "source", "text"))
+        .collect().sortBy(d => (d.hk, d.doc_id))
+      val withText = Tables.documents(spark, sf)
+        .select("doc_id", "source", "text").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      val ordered = docs.map(d => (d.doc_id, withText(d.doc_id)._1, withText(d.doc_id)._2))
+      val batches = Seq(ordered.take(40), ordered.slice(40, 180), ordered.drop(180))
+      val input = MemoryStream[(Long, String, String)](spark)
+      val stream = graft.streaming.BudgetProcessor.admitStream(
+        input.toDF().toDF("doc_id", "source", "text"))
+      val q = stream.writeStream.format("memory").queryName("budget_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("budget_incr").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+      val expected = SparkEntry.queries("sample_token_budget")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+      assert(got === expected,
+        "hash-ordered streaming admission must reproduce the batch selection, cum_before included")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming LSH index emits the batch candidate pair set under any batching") {
     // the state store as an incremental LSH index: candidate SET parity
     // with the batch text_minhash_lsh join, independent of arrival order
