@@ -84,6 +84,18 @@ object GraphQueries {
           when(col("id") % 2 === 0, lit("supplier")).otherwise(lit("customer")).as("kind"),
           expr("id DIV 2").as("entity_key"), col("r").as("pr"))
         .orderBy(col("pr").desc, col("node"))
+    }),
+
+    // Degree distribution of the same graph, split by entity kind — the
+    // skew diagnostic you run BEFORE choosing a join/partition strategy
+    // (a heavy-tailed histogram is the signal to salt or bucket). Two
+    // key-grouped aggregates; output bounded by the distinct-degree count.
+    "graph_degree_hist" -> ((s, d) => {
+      val deg = edges(s, d).groupBy("src").agg(count(lit(1)).as("deg"))
+      deg.groupBy("deg")
+        .agg(sum(when(col("src") % 2 === 0, 1L).otherwise(0L)).as("n_suppliers"),
+          sum(when(col("src") % 2 === 1, 1L).otherwise(0L)).as("n_customers"))
+        .orderBy("deg")
     })
   )
 
@@ -94,11 +106,23 @@ object GraphQueries {
       s"150000 + (17 * CAST(SUM(r // dg) AS BIGINT)) // 20 AS r " +
       s"FROM ed JOIN r${it - 1} ON ed.src = r${it - 1}.id GROUP BY dst)"
 
+  /** The shared edge-set CTE fragment (e0 -> symmetric e) of the graph
+    * mirror — one definition for both graph oracles. */
+  private def edgesCteSql: String =
+    "e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"
+
   val oracle: Map[String, String] = Map(
+    "graph_degree_hist" ->
+      (s"WITH $edgesCteSql, " +
+       "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1) " +
+       "SELECT deg, " +
+       "CAST(SUM(CASE WHEN src % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers, " +
+       "CAST(SUM(CASE WHEN src % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers " +
+       "FROM deg GROUP BY 1 ORDER BY 1"),
     "graph_pagerank" ->
-      ("WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst " +
-       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
-       "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+      (s"WITH $edgesCteSql, " +
        "deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1), " +
        "ed AS (SELECT e.src, e.dst, deg.dg FROM e JOIN deg ON e.src = deg.src), " +
        "r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg), " +

@@ -204,6 +204,26 @@ object TemporalQueries {
           col("c.value").as("close"))
         .orderBy("event_type", "hr")),
 
+    // Behavioral transition matrix: counts + row-normalized probabilities
+    // of consecutive event-type transitions per user (the first-order
+    // Markov summary behind funnel design and bot detection). One lag
+    // window per user partition (distributes on user_id), then a bounded
+    // (type x type) aggregate; the 5-row per-source totals re-enter via a
+    // broadcast join. Fraction = one IEEE division off exact longs, r6.
+    "ts_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      trans.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          r6(col("n").cast("double") / col("tot").cast("double")).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // CDC "last write wins": latest event per (user, type) — the Salesforce
     // upsert-compaction the reference's migration performs per object.
     "ts_dedup_latest" -> ((s, d) => {
@@ -317,6 +337,17 @@ object TemporalQueries {
        "SELECT cohort_day, CAST(date_diff('day', cohort_day, d) AS INT) AS day_k, " +
        "COUNT(DISTINCT act.user_id) AS n_users " +
        "FROM act JOIN c USING (user_id) GROUP BY 1,2 ORDER BY 1,2"),
+    "ts_transition_matrix" ->
+      // SUM(BIGINT) -> HUGEINT in DuckDB: cast tot back (CLAUDE.md rule)
+      ("WITH t AS (SELECT event_type AS from_type, " +
+       "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+       "FROM events), " +
+       "c AS (SELECT from_type, to_type, COUNT(*) AS n FROM t " +
+       "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+       "s AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1) " +
+       "SELECT c.from_type, c.to_type, c.n, " +
+       "ROUND(CAST(c.n AS DOUBLE) / CAST(s.tot AS DOUBLE), 6) AS p " +
+       "FROM c JOIN s USING (from_type) ORDER BY from_type, to_type"),
     "ts_ohlc" ->
       // struct comparison is field-order lexicographic in BOTH engines, so
       // min/max over (ts, event_id, value) picks identical open/close rows

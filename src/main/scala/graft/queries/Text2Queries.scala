@@ -183,6 +183,26 @@ object Text2Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Per-doc token ENTROPY: -sum p ln p over the doc's token histogram —
+    // the repetitiveness signal (low entropy = boilerplate/spam, the
+    // classic cheap quality gate next to the LM scores). Two keyed
+    // aggregates (per-(doc, tok) counts, then per-doc entropy) — both
+    // partial-aggregable, shuffling on doc-scoped keys. ln terms sum in
+    // engine-dependent order: transcendental-aggregate rule, round 3.
+    "text_entropy" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val cnt = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("doc_id").agg(sum(col("c")).as("n"))
+      cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_tokens"),
+          round(-sum((col("c").cast("double") / col("n").cast("double")) *
+            log(col("c").cast("double") / col("n").cast("double"))), 3)
+            .as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Bigram-LM quality scoring: per-doc mean ln P(w2 | w1) over bigram
     // occurrences, with corpus-MLE conditionals c(w1 w2)/c(w1 ·) — one
     // step up the LM-filter ladder from text_unigram_logprob (fluency:
@@ -278,6 +298,15 @@ object Text2Queries {
 
     Map(
       "text_simhash" -> simhashOracleSql,
+      "text_entropy" ->
+        // SUM(BIGINT) -> HUGEINT: cast n back so divisions match Spark
+        ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+         "c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2), " +
+         "n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1) " +
+         "SELECT doc_id, MAX(n) AS n_tokens, " +
+         "ROUND(-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+         "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 3) AS entropy " +
+         "FROM c JOIN n USING (doc_id) GROUP BY doc_id ORDER BY doc_id"),
       "text_bigram_logprob" ->
         ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
          "t AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1), " +

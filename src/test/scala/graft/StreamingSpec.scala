@@ -279,6 +279,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join equals the batch join on the same data") {
+    // the two-stream face of join_range: purchases attributed to a view by
+    // the same user within the next 30 minutes — event-time interval join
+    // with watermarks on BOTH sides (the state-cleanup contract: Spark can
+    // drop buffered rows once the watermark passes the interval bound).
+    val ev = Tables.events(spark, sf).select("user_id", "event_type", "ts", "event_id")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"), col("event_id").as("vid"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("event_id").as("pid"))
+    val cond = "v_user = p_user AND pts >= vts AND pts <= vts + interval 30 minutes"
+    val expected = views.join(purchases, expr(cond))
+      .select("vid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must contain attributable purchases")
+
+    val vIn = MemoryStream[(Long, Timestamp, Long)](spark)
+    val pIn = MemoryStream[(Long, Timestamp, Long)](spark)
+    val vS = vIn.toDF().toDF("v_user", "vts", "vid").withWatermark("vts", "1 hour")
+    val pS = pIn.toDF().toDF("p_user", "pts", "pid").withWatermark("pts", "1 hour")
+    val q = vS.join(pS, expr(cond)).select("vid", "pid")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    vIn.addData(views.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))): _*)
+    pIn.addData(purchases.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected, "stream-stream interval join must equal the batch join")
+  }
+
   test("streaming token-budget admission equals the batch sampler under hash-ordered arrival") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
