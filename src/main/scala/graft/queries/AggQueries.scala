@@ -281,6 +281,32 @@ object AggQueries {
         .orderBy("grp")
     }),
 
+    // Per-group least-squares regression (slope / intercept / r^2) of
+    // price on quantity — the agg_corr sibling that actually fits the
+    // line. Same exactness pattern as agg_skew_kurt: all five sums are
+    // EXACT integer centi-unit sums (DECIMAL(38,0) / HUGEINT — Syy
+    // reaches ~6e19, past BIGINT), one double cast each, then the THREE
+    // shared formula strings (regressionFormulas, spliced verbatim into
+    // the oracle). Never the built-ins: regr_slope/corr accumulate
+    // running doubles whose partial-merge order differs per engine.
+    "agg_regression" -> ((s, d) => {
+      val x = expr("CAST(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))")
+      val y = expr("CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))")
+      val (slopeF, interF, r2F) = regressionFormulas
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(x).as("sxd"), sum(y).as("syd"), sum(x * y).as("sxyd"),
+          sum(x * x).as("sxxd"), sum(y * y).as("syyd"))
+        .selectExpr("grp", "n_items",
+          "CAST(n_items AS DOUBLE) AS n", "CAST(sxd AS DOUBLE) AS sx",
+          "CAST(syd AS DOUBLE) AS sy", "CAST(sxyd AS DOUBLE) AS sxy",
+          "CAST(sxxd AS DOUBLE) AS sxx", "CAST(syyd AS DOUBLE) AS syy")
+        .selectExpr("grp", "n_items",
+          s"$slopeF AS slope", s"$interF AS intercept", s"$r2F AS r2")
+        .orderBy("grp")
+    }),
+
     // Custom typed UDAF surface. Rounded to 3 dp: the log-sum order differs
     // between engines and exp() amplifies the ulp drift past 1e-6.
     "agg_udaf_geomean" -> ((s, d) => {
@@ -305,7 +331,33 @@ object AggQueries {
      s"round((m4/n - 4*$mu*(m3/n) + 6*$mu*$mu*(m2/n) - 3*$mu*$mu*$mu*$mu) / ($v * $v) - 3, 6)")
   }
 
+  /** Shared least-squares formula texts over the double-cast exact sums
+    * (n, sx, sy, sxy, sxx, syy) — one definition for both engines, so
+    * every IEEE op matches bit-for-bit (the skewKurtFormulas pattern). */
+  private def regressionFormulas: (String, String, String) = {
+    val cov = "(n*sxy - sx*sy)"
+    val vx = "(n*sxx - sx*sx)"
+    val vy = "(n*syy - sy*sy)"
+    (s"round($cov / $vx, 6)",
+     s"round((sy - ($cov / $vx) * sx) / n, 6)",
+     s"round(($cov * $cov) / ($vx * $vy), 6)")
+  }
+
   val oracle: Map[String, String] = Map(
+    "agg_regression" -> {
+      val (slopeF, interF, r2F) = regressionFormulas
+      "WITH b AS (SELECT l_returnflag AS grp, " +
+        "CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS x, " +
+        "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y FROM lineitem), " +
+        "m AS (SELECT grp, COUNT(*) AS n_items, CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy FROM b GROUP BY 1) " +
+        s"SELECT grp, n_items, $slopeF AS slope, $interF AS intercept, $r2F AS r2 " +
+        "FROM m ORDER BY grp"
+    },
     "agg_string_concat" ->
       ("SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, " +
        "COUNT(*) AS n_nations FROM nation JOIN region ON n_regionkey = r_regionkey " +

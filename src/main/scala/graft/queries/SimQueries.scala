@@ -295,6 +295,39 @@ object SimQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // BATCH ANN — the production shape when MANY queries arrive at once
+    // (sim_search_lsh serves one query via a broadcast Hamming gate;
+    // broadcasting dies when the query set is itself a table). Both sides
+    // emit (band, bits) bucket rows from the SAME packed 64-bit signature
+    // as the dedup generator (16 bands x 4 sign bits), candidates come
+    // from the bucket EQUALITY join — query-count and corpus-size both
+    // just scale the join — and only candidates pay the exact cosine.
+    // Top-3 per query via the WindowGroupLimit row_number shape.
+    "sim_search_lsh_batch" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), packedSig(col("embedding")).as("sg"))
+      val bands = e.select(col("vec_id"), explode(array((0 until embedBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sg"), b * embedRows).bitwiseAND(lit(15L)).as("bits"))): _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      val qb = bands.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("band"), col("bits"))
+      val cand = qb.join(bands.where(col("vec_id") >= 20), Seq("band", "bits"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val qe = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ce = e.where(col("vec_id") >= 20).select(col("vec_id"), col("embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      cand.join(qe, "qid").join(ce, "vec_id")
+        .withColumn("cos", cosineD(col("embedding"), col("qv")))
+        .where(!isnan(col("cos")))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select(col("qid"), col("rn").cast(IntegerType).as("rank"),
+          col("vec_id"), r6(col("cos")).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
     // IVF-style ANN: coarse quantization against 16 fixed centroid
     // vectors (vec_id < 16 — deterministic stand-ins for trained k-means
     // centroids), nprobe=4 cells probed for the query, exact re-rank of
@@ -420,7 +453,33 @@ object SimQueries {
       "FROM sc ORDER BY rawc DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"
   }
 
+  /** DuckDB mirror of the batch-ANN pipeline: same 64 planes, same
+    * 16x4-bit banding, same equality-join candidates + exact re-rank. */
+  private def lshBatchOracleSql: String = {
+    def bandBitsSql(b: Int): String = (0 until embedRows).map(j =>
+      s"(CASE WHEN ${planeDotSql(b * embedRows + j)} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until embedBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${bandBitsSql(b)} AS bits FROM embeddings")
+      .mkString(" UNION ALL ")
+    s"WITH bb AS ($bandSelects), " +
+      "qb AS (SELECT vec_id AS qid, band, bits FROM bb WHERE vec_id < 20), " +
+      "cb AS (SELECT vec_id, band, bits FROM bb WHERE vec_id >= 20), " +
+      "cand AS (SELECT DISTINCT qid, vec_id FROM qb JOIN cb USING (band, bits)), " +
+      s"sc AS (SELECT cand.qid, cand.vec_id, " +
+      s"${dotSql("c.embedding", "q.embedding")} / " +
+      s"(sqrt(${dotSql("c.embedding", "c.embedding")}) * sqrt(${dotSql("q.embedding", "q.embedding")})) AS cos " +
+      "FROM cand JOIN embeddings q ON q.vec_id = cand.qid " +
+      "JOIN embeddings c ON c.vec_id = cand.vec_id), " +
+      "r AS (SELECT qid, vec_id, cos, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn " +
+      "FROM sc WHERE NOT isnan(cos)) " +
+      "SELECT qid, CAST(rn AS INT) AS rank, vec_id, ROUND(cos, 6) AS cosine " +
+      "FROM r WHERE rn <= 3 ORDER BY qid, rank"
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_search_lsh_batch" -> lshBatchOracleSql,
     "sim_search_lsh" -> lshOracleSql,
     "sim_search_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +

