@@ -176,7 +176,30 @@ object Plans {
     "ts_ohlc" ->
       ("candlestick downsampling as ONE partial+final aggregate on (type, hour): open/close are " +
        "min/max struct argmax (combine map-side like any extremum), high/low plain extrema — " +
-       "no window over the event stream, no self-join, output bounded by the key space."))
+       "no window over the event stream, no self-join, output bounded by the key space."),
+    "agg_skew_kurt" ->
+      ("one scan, one partial+final HashAggregate: the four raw moments are exact DECIMAL(38,0) " +
+       "sums (map-side combine like any sum), the shape formula runs on the 3-row result — the " +
+       "dq_anomaly_zscore exactness pattern at the 3rd/4th moment, no second pass, no window."),
+    "agg_regression" ->
+      ("same single-scan shape: five exact integer-moment sums feed the closed-form least-squares " +
+       "formulas on the bounded group rows; never the running-double built-ins " +
+       "(regr_slope/corr merge partials in engine-dependent order)."),
+    "dedup_minhash_est" ->
+      ("sketch estimation reuses the banded candidates: the pair set comes from the same equality " +
+       "join as text_minhash_lsh, then TWO hash joins back to the 32-column signature frame — the " +
+       "agreement count is a projection, so estimation adds no new shuffle class beyond the " +
+       "join-back, and no token-set re-materialization."),
+    "fn_fuzzy_match" ->
+      ("edit-distance matching at the DICTIONARY grain: a groupBy collapses part rows to distinct " +
+       "names first (the bounded vocabulary), then a blocked equality self-join on the entity noun " +
+       "— only block-mates run the levenshtein DP; row-grain pairing would square the name " +
+       "duplication (measured 106k pairs vs 80)."),
+    "sim_search_lsh_batch" ->
+      ("batch ANN as pure equality joins: both sides explode to (band, bits) buckets from the " +
+       "packed 64-bit signature, candidates = bucket join (query count and corpus size only scale " +
+       "the join — no broadcast of either side required), exact cosine only on candidates, top-3 " +
+       "per query via the WindowGroupLimit row_number shape."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
