@@ -281,6 +281,27 @@ object AggQueries {
         .orderBy("grp")
     }),
 
+    // Sketch ROLLUP — the pattern that makes approximate distinct usable
+    // at 100 TB: build HLL sketches at the fine grain (per nation, as a
+    // landing job would persist per shard/day), then roll up by MERGING
+    // sketches — the region answer never re-scans raw data. HLL registers
+    // are per-slot maxima, so build and merge are fully order- and
+    // partition-independent: the estimate is DETERMINISTIC for a given
+    // distinct set (ApproxSpec pins merged == direct-built exactly, and
+    // both within 5% of exact). No DuckDB oracle: its HLL is a different
+    // implementation (declared no_oracle like agg_distinct_approx).
+    "agg_sketch_rollup" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      val perNation = c.groupBy("r_name", "n_name")
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      perNation.groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"))
+        .orderBy("r_name")
+    }),
+
     // Per-group least-squares regression (slope / intercept / r^2) of
     // price on quantity — the agg_corr sibling that actually fits the
     // line. Same exactness pattern as agg_skew_kurt: all five sums are

@@ -24,6 +24,30 @@ class ApproxSpec extends SparkSpec {
       s"deterministic HLL golden changed: $approx")
   }
 
+  test("agg_sketch_rollup: merged sketches equal direct sketches, both near exact") {
+    val merged = SparkEntry.queries("agg_sketch_rollup")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val base = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+    // sketch built DIRECTLY at region grain: HLL registers are per-slot
+    // maxima, so merge-of-parts must equal the whole EXACTLY (order- and
+    // partition-independence is the property that makes sketch landing +
+    // rollup sound)
+    val direct = base.groupBy("r_name")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("c_custkey"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = base.groupBy("r_name")
+      .agg(countDistinct(col("c_custkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === exact.keySet)
+    merged.foreach { case (r, est) =>
+      assert(est === direct(r), s"merged != direct for $r")
+      assert(math.abs(est - exact(r)).toDouble / exact(r) < 0.05,
+        s"$r: est $est vs exact ${exact(r)}")
+    }
+  }
+
   test("approx_percentile quartiles honor the rank-error guarantee per type") {
     // approx_percentile(value, ps, 1000) GUARANTEES rank error <= n/1000
     // (GK sketch). Assert the tight form of that contract per event_type:
