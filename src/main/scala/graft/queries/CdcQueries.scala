@@ -48,6 +48,30 @@ object CdcQueries {
         .orderBy("user_id", "event_type", "valid_from", "event_id")
     }),
 
+    // Benford first-digit screening — the classic forensic DQ check on
+    // money columns (organic amounts follow log-uniform leading digits;
+    // fabricated ones don't). The digit is extracted from the exact-cents
+    // DECIMAL STRING (never log10 — transcendental, and floor(log10) can
+    // misbin at power-of-ten boundaries); expected Benford shares enter
+    // as literal thousandths so the deviation is one IEEE subtraction.
+    // One scan, bounded 9-row output, map-side partials.
+    "dq_benford" -> ((s, d) => {
+      val digit = expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS STRING), 1, 1) AS INT)")
+      val expects = (1 to 9).map(k => math.floor(math.log10(1.0 + 1.0 / k) * 1000.0) / 1000.0)
+      val expCol = element_at(typedlit(expects), col("digit"))
+      val counts = Tables.orders(s, d)
+        .select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("tot"))
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          r6(col("n").cast("double") / col("tot").cast("double")).as("observed"),
+          expCol.as("benford"),
+          r6(col("n").cast("double") / col("tot").cast("double") - expCol).as("deviation"))
+        .orderBy("digit")
+    }),
+
     // Column profiling — the FIRST thing a migration runs against a landed
     // object: per-column null count + exact distinct cardinality, emitted
     // as one (col_name, n_null, n_distinct) row per column. ONE scan:
@@ -260,6 +284,22 @@ object CdcQueries {
       ("SELECT user_id, event_type, event_id, ts AS valid_from, " +
        "lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to " +
        "FROM events ORDER BY user_id, event_type, valid_from, event_id"),
+    "dq_benford" -> {
+      // same literal thousandths as the Spark side (computed once here,
+      // printed as plain double literals); CAST to DOUBLE — DuckDB VALUES
+      // would otherwise type 0.301 as DECIMAL(4,3) and the dtype check
+      // fails
+      val expects = (1 to 9).map(k => math.floor(math.log10(1.0 + 1.0 / k) * 1000.0) / 1000.0)
+      val expList = expects.zipWithIndex
+        .map { case (e, i) => s"(${i + 1}, CAST($e AS DOUBLE))" }.mkString(", ")
+      "WITH b AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders), " +
+        "c AS (SELECT digit, COUNT(*) AS n FROM b GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c), " +
+        s"e AS (SELECT * FROM (VALUES $expList) AS v(digit, benford)) " +
+        "SELECT c.digit, c.n, ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed, " +
+        "benford, ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford, 6) AS deviation " +
+        "FROM c CROSS JOIN t JOIN e ON e.digit = c.digit ORDER BY c.digit"
+    },
     "dq_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")

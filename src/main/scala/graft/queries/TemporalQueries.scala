@@ -204,6 +204,31 @@ object TemporalQueries {
           col("c.value").as("close"))
         .orderBy("event_type", "hr")),
 
+    // DAU + trailing-7-day WAU per day — the engagement counters every
+    // product-analytics load computes. Rolling DISTINCT cannot be a
+    // window aggregate (distinct doesn't decompose over sliding frames);
+    // the scalable shape is the EMA scatter: each (user, active day)
+    // fans out to the <=7 anchor days whose trailing window contains it
+    // (bounded 7x explode of the distinct activity set), then one
+    // count_distinct per anchor day. Anchors are clipped to the observed
+    // day span so every emitted row reflects a full accounting.
+    "ts_active_users" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val bounds = act.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val dau = act.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+      val wau = act.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("k"), col("day"), col("mx"))
+        .select(col("user_id"), date_add(col("day"), col("k")).as("day"), col("mx"))
+        .where(col("day") <= col("mx"))
+        .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"))
+        .orderBy("day")
+    }),
+
     // Behavioral transition matrix: counts + row-normalized probabilities
     // of consecutive event-type transitions per user (the first-order
     // Markov summary behind funnel design and bot detection). One lag
@@ -348,6 +373,15 @@ object TemporalQueries {
        "SELECT c.from_type, c.to_type, c.n, " +
        "ROUND(CAST(c.n AS DOUBLE) / CAST(s.tot AS DOUBLE), 6) AS p " +
        "FROM c JOIN s USING (from_type) ORDER BY from_type, to_type"),
+    "ts_active_users" ->
+      ("WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+       "b AS (SELECT MAX(day) AS mx FROM act), " +
+       "dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY 1), " +
+       "w AS (SELECT user_id, day + k AS day FROM act " +
+       "CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k) kk " +
+       "CROSS JOIN b WHERE day + k <= mx), " +
+       "wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY 1) " +
+       "SELECT dau.day, dau.dau, wau.wau FROM dau JOIN wau USING (day) ORDER BY day"),
     "ts_ohlc" ->
       // struct comparison is field-order lexicographic in BOTH engines, so
       // min/max over (ts, event_id, value) picks identical open/close rows
