@@ -12,6 +12,12 @@ import Qutil._
   * and the per-user pivot report. */
 object CdcQueries {
 
+  /** Benford first-digit expectations as literal thousandths — ONE value
+    * list shared by the dq_benford query and its oracle (the hash60
+    * rule: change both together or the engines silently drift). */
+  private val benfordThousandths: Seq[Double] =
+    (1 to 9).map(k => math.floor(math.log10(1.0 + 1.0 / k) * 1000.0) / 1000.0)
+
   val queries: Map[String, Q] = Map(
     // Core of object-migration sync: full-outer join of previous vs current
     // snapshot, classify I/U/D by null pattern. "current" simulates deletes
@@ -58,8 +64,7 @@ object CdcQueries {
     "dq_benford" -> ((s, d) => {
       val digit = expr(
         "CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS STRING), 1, 1) AS INT)")
-      val expects = (1 to 9).map(k => math.floor(math.log10(1.0 + 1.0 / k) * 1000.0) / 1000.0)
-      val expCol = element_at(typedlit(expects), col("digit"))
+      val expCol = element_at(typedlit(benfordThousandths), col("digit"))
       val counts = Tables.orders(s, d)
         .select(digit.as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n"))
@@ -285,12 +290,10 @@ object CdcQueries {
        "lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to " +
        "FROM events ORDER BY user_id, event_type, valid_from, event_id"),
     "dq_benford" -> {
-      // same literal thousandths as the Spark side (computed once here,
-      // printed as plain double literals); CAST to DOUBLE — DuckDB VALUES
-      // would otherwise type 0.301 as DECIMAL(4,3) and the dtype check
-      // fails
-      val expects = (1 to 9).map(k => math.floor(math.log10(1.0 + 1.0 / k) * 1000.0) / 1000.0)
-      val expList = expects.zipWithIndex
+      // the SHARED thousandths (benfordThousandths), printed as plain
+      // double literals; CAST to DOUBLE — DuckDB VALUES would otherwise
+      // type 0.301 as DECIMAL(4,3) and the dtype check fails
+      val expList = benfordThousandths.zipWithIndex
         .map { case (e, i) => s"(${i + 1}, CAST($e AS DOUBLE))" }.mkString(", ")
       "WITH b AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders), " +
         "c AS (SELECT digit, COUNT(*) AS n FROM b GROUP BY 1), " +

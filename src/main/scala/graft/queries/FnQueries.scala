@@ -145,7 +145,10 @@ object FnQueries {
     "fn_fuzzy_match" -> ((s, d) => {
       val p = Tables.part(s, d)
         .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
-        .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+        // try_element_at: a one-token name must block as NULL (dropped by
+        // the equality join) like the oracle's string_split[2] — plain
+        // element_at THROWS under Spark 4 ANSI on out-of-bounds
+        .withColumn("noun", try_element_at(split(col("p_name"), " "), lit(2)))
       val dist = levenshtein(col("a.p_name"), col("b.p_name"))
       p.as("a").join(p.as("b"),
           col("a.noun") === col("b.noun") &&

@@ -81,6 +81,21 @@ object Qutil {
     * same shape as the oracle's list_sum(list_transform(...)). Stays inside
     * Catalyst codegen (HOFs, no UDF) so it survives whole-stage codegen and
     * is usable verbatim at 100 TB. */
+  /** Bigram shingles of a token array — ONE definition for every
+    * bigram-consuming query (text_ngrams, text_near_dup_ngram,
+    * text_containment, text_bigram_logprob) and one SQL mirror below, so
+    * the shingle a pair generator blocks on can never drift from the one
+    * a scorer counts. */
+  def bigramsOf(tk: Column): Column =
+    zip_with(
+      slice(tk, lit(1), size(tk) - 1),
+      slice(tk, lit(2), size(tk) - 1),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** DuckDB mirror of bigramsOf over a list-column expression `$tk`. */
+  def bigramsSqlOf(tk: String): String =
+    s"list_transform(generate_series(1, len($tk) - 1), i -> $tk[i] || ' ' || $tk[i+1])"
+
   def dotD(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),

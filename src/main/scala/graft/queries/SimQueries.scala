@@ -308,7 +308,8 @@ object SimQueries {
         .select(col("vec_id"), col("embedding"), packedSig(col("embedding")).as("sg"))
       val bands = e.select(col("vec_id"), explode(array((0 until embedBands).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("sg"), b * embedRows).bitwiseAND(lit(15L)).as("bits"))): _*)).as("bb"))
+            shiftright(col("sg"), b * embedRows)
+              .bitwiseAND(lit((1L << embedRows) - 1)).as("bits"))): _*)).as("bb"))
         .select(col("vec_id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
       val qb = bands.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("band"), col("bits"))
@@ -407,6 +408,14 @@ object SimQueries {
   /** Plane-dot SQL fragment: the DuckDB mirror of dotD(v, plane k) with the
     * plane's integral thousandths inlined — shared by the single-query LSH
     * oracle (planes 0-15) and the banded pair-generator oracle (all 64). */
+  /** Band b's 4-sign-bit integer — ONE definition shared by the dedup
+    * pair-generator mirror (embedBandPairsCteSql) and the batch-ANN
+    * mirror (lshBatchOracleSql); the Spark twin is packedSig's nibble
+    * shiftright(sig, b*embedRows) & ((1<<embedRows)-1). */
+  private def bandBitsSql(b: Int): String = (0 until embedRows).map(j =>
+    s"(CASE WHEN ${planeDotSql(b * embedRows + j)} > 0 THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
+
   private def planeDotSql(k: Int): String = {
     val arr = planeInts(k).mkString("[", ", ", "]")
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * ($arr[i] / 1000.0)))"
@@ -418,9 +427,6 @@ object SimQueries {
     * NOT isnan: same Spark-vs-DuckDB NaN-comparison guard as
     * cosinePairsCteSql. */
   private[graft] def embedBandPairsCteSql: String = {
-    def bandBitsSql(b: Int): String = (0 until embedRows).map(j =>
-      s"(CASE WHEN ${planeDotSql(b * embedRows + j)} > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
     val sgCols = (0 until embedBands).map(b => s"${bandBitsSql(b)} AS b$b").mkString(", ")
     val bkSelects = (0 until embedBands).map(b =>
       s"SELECT vec_id, label, $b AS band, b$b AS bits FROM sg").mkString(" UNION ALL ")
@@ -456,9 +462,6 @@ object SimQueries {
   /** DuckDB mirror of the batch-ANN pipeline: same 64 planes, same
     * 16x4-bit banding, same equality-join candidates + exact re-rank. */
   private def lshBatchOracleSql: String = {
-    def bandBitsSql(b: Int): String = (0 until embedRows).map(j =>
-      s"(CASE WHEN ${planeDotSql(b * embedRows + j)} > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
     val bandSelects = (0 until embedBands).map(b =>
       s"SELECT vec_id, $b AS band, ${bandBitsSql(b)} AS bits FROM embeddings")
       .mkString(" UNION ALL ")

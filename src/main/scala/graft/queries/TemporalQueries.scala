@@ -216,7 +216,7 @@ object TemporalQueries {
       val act = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("date").as("day"))
         .distinct()
-      val bounds = act.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val bounds = act.agg(max(col("day")).as("mx"))
       val dau = act.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
       val wau = act.crossJoin(broadcast(bounds))
         .select(col("user_id"),

@@ -212,11 +212,7 @@ object Text2Queries {
     // per-doc mean is partial-aggregable on doc_id. ln follows the
     // transcendental-aggregate rule: round 3, never 6.
     "text_bigram_logprob" -> ((s, d) => {
-      val tk = split(col("text"), " ")
-      val bigrams = zip_with(
-        slice(tk, lit(1), size(tk) - 1),
-        slice(tk, lit(2), size(tk) - 1),
-        (a, b) => concat_ws(" ", a, b))
+      val bigrams = bigramsOf(split(col("text"), " "))
       val t = Tables.documents(s, d)
         .select(col("doc_id"), explode(bigrams).as("bg"))
         .withColumn("w1", element_at(split(col("bg"), " "), 1))
@@ -241,11 +237,7 @@ object Text2Queries {
     // The size prefilter (|B| >= 0.8|A|, also integer) prunes pairs the
     // threshold could never accept before the aggregate.
     "text_containment" -> ((s, d) => {
-      val tk = split(col("text"), " ")
-      val bigrams = zip_with(
-        slice(tk, lit(1), size(tk) - 1),
-        slice(tk, lit(2), size(tk) - 1),
-        (a, b) => concat_ws(" ", a, b))
+      val bigrams = bigramsOf(split(col("text"), " "))
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(bigrams).as("bg"))
         .distinct()
@@ -309,8 +301,7 @@ object Text2Queries {
          "FROM c JOIN n USING (doc_id) GROUP BY doc_id ORDER BY doc_id"),
       "text_bigram_logprob" ->
         ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-         "t AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1), " +
-         "i -> tk[i] || ' ' || tk[i+1])) AS bg FROM b), " +
+         "t AS (SELECT doc_id, unnest(" + bigramsSqlOf("tk") + ") AS bg FROM b), " +
          "tw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM t), " +
          "f2 AS (SELECT bg, COUNT(*) AS c2 FROM tw GROUP BY 1), " +
          "f1 AS (SELECT w1, COUNT(*) AS c1 FROM tw GROUP BY 1) " +
@@ -321,7 +312,7 @@ object Text2Queries {
       "text_containment" ->
         ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
          "t AS (SELECT DISTINCT doc_id, source, " +
-         "unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM b), " +
+         "unnest(" + bigramsSqlOf("tk") + ") AS bg FROM b), " +
          "sz AS (SELECT doc_id, COUNT(*) AS nt FROM t GROUP BY 1), " +
          "ts AS (SELECT t.doc_id, t.source, t.bg, sz.nt FROM t JOIN sz USING (doc_id)), " +
          "p AS (SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, " +

@@ -146,11 +146,7 @@ object TextQueries {
     // within-source pair against 15-long masks. Same exact semantics; pick
     // by expected item df, not by habit.
     "text_near_dup_ngram" -> ((s, d) => {
-      val tk = split(col("text"), " ")
-      val bigrams = zip_with(
-        slice(tk, lit(1), size(tk) - 1),
-        slice(tk, lit(2), size(tk) - 1),
-        (a, b) => concat_ws(" ", a, b))
+      val bigrams = bigramsOf(split(col("text"), " "))
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(bigrams).as("bg"))
         .distinct()
@@ -372,12 +368,8 @@ object TextQueries {
 
     // Top-20 bigrams via zip_with over shifted slices (pure HOFs, no UDF).
     "text_ngrams" -> ((s, d) => {
-      val tk = split(col("text"), " ")
       Tables.documents(s, d)
-        .select(explode(zip_with(
-          slice(tk, lit(1), size(tk) - 1),
-          slice(tk, lit(2), size(tk) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .select(explode(bigramsOf(split(col("text"), " "))).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
@@ -502,8 +494,7 @@ object TextQueries {
        "WHERE CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter) >= 0.6 ORDER BY doc_a, doc_b"),
     "text_near_dup_ngram" ->
       ("WITH t AS (SELECT DISTINCT doc_id, source, bg FROM (" +
-       "SELECT doc_id, source, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
-       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg FROM documents)), " +
+       "SELECT doc_id, source, unnest(" + bigramsSqlOf("string_split(text, ' ')") + ") AS bg FROM documents)), " +
        "sizes AS (SELECT doc_id, COUNT(*) AS nt FROM t GROUP BY 1), " +
        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM t a " +
        "JOIN t b ON a.bg = b.bg AND a.source = b.source AND a.doc_id < b.doc_id " +
@@ -522,9 +513,8 @@ object TextQueries {
        "SELECT lang, CAST(rnk AS INT) AS rnk, term, ROUND(score, 6) AS score FROM r " +
        "WHERE rnk <= 5 ORDER BY lang, rnk"),
     "text_ngrams" ->
-      ("SELECT bigram, COUNT(*) AS cnt FROM (SELECT unnest(list_transform(" +
-       "generate_series(1, len(string_split(text, ' ')) - 1), " +
-       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram " +
+      ("SELECT bigram, COUNT(*) AS cnt FROM (SELECT unnest(" +
+       bigramsSqlOf("string_split(text, ' ')") + ") AS bigram " +
        "FROM documents) GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20")
   )
 }

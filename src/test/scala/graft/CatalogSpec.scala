@@ -59,7 +59,10 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("scd2_asof_lookup returns exactly the current version per pre-T key") {
-    val t = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    // UTC-constructed instant: the query's asOf literal parses in the UTC
+    // session timezone, while Timestamp.valueOf would use the JVM default
+    // tz — spuriously failing on a non-UTC machine
+    val t = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T12:00:00Z"))
     val df = SparkEntry.queries("scd2_asof_lookup")(spark, sf)
     // one row per (user, type), and exactly the set of keys active before T
     assert(df.groupBy("user_id", "event_type").count().where(col("count") > 1).count() === 0)
