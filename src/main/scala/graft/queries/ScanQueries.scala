@@ -65,6 +65,34 @@ object ScanQueries {
         .groupBy("o_year")
         .agg(count(lit(1)).as("n_orders"), sumDec2(col("o_totalprice")).as("sum_price"))
         .orderBy("o_year")
+    }),
+
+    // CSV round-trip — the Salesforce-EXPORT landing format
+    // (README.md:3: API/report extracts arrive as CSV before parquet
+    // conversion): write orders as headered CSV, read back with an
+    // EXPLICIT schema (never inferSchema at scale — one extra full pass
+    // and type drift), aggregate. The oracle aggregates the parquet
+    // directly, so the hash check proves the text round-trip is
+    // LOSSLESS: Spark writes doubles as shortest-roundtrip decimal
+    // (Java Double.toString), which reparses to the identical bits.
+    // Timestamp columns are deliberately excluded — CSV timestamp
+    // formats are the classic silent-corruption channel; a real landing
+    // would pin timestampFormat explicitly.
+    "source_csv_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_orderpriority STRING")
+        .option("header", "true").csv(out)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sumDec2(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("o_orderstatus", "o_orderpriority")
     })
   )
 
@@ -82,6 +110,13 @@ object ScanQueries {
     "sink_partitioned" ->
       ("SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders, " +
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
-       "FROM orders GROUP BY 1 ORDER BY 1")
+       "FROM orders GROUP BY 1 ORDER BY 1"),
+    "source_csv_roundtrip" ->
+      // aggregates the PARQUET directly: equality proves the CSV text
+      // round-trip lost nothing
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+       "COUNT(DISTINCT o_custkey) AS n_customers " +
+       "FROM orders GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }
