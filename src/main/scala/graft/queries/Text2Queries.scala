@@ -255,8 +255,73 @@ object Text2Queries {
           col("inter"),
           r6(col("inter").cast(DoubleType) / col("na").cast(DoubleType)).as("containment"))
         .orderBy("doc_inner", "doc_outer")
-    })
+    }),
+
+    // Zipf-slope vocabulary fit — the corpus-health curation signal (a
+    // natural-language corpus follows rank-frequency ln(f) ~= a + s*ln(r)
+    // with s near -1; templated/spammy corpora bend the curve). The fit
+    // domain is fixed to ranks 1..zipfK of the GLOBAL token frequency
+    // table: top-K is a distributed TakeOrderedAndProject (never a global
+    // window — no SinglePartition exchange over the vocabulary), and rank
+    // assignment happens on the bounded K-row set via one global
+    // collect_list aggregate + posexplode (the globalRank-style bounded
+    // shape, deterministic tie-break cf DESC, tok ASC on both engines).
+    // Cross-engine determinism: frequencies are exact integers; the only
+    // FP enters at ln(rank)/ln(cf) and the five moment sums over K<=100
+    // terms, so the geomean rule applies — ROUND 3, never 6 (libm ln
+    // differs by 1 ulp per term between engines and the sum order drifts
+    // ulps). Slope/intercept/r2 come from ONE shared formula string each
+    // (zipfSlope/zipfIntercept/zipfR2) used verbatim in both dialects, so
+    // the final op order cannot drift (the r5b agg_regression rule).
+    "text_zipf_slope" -> ((s, d) => zipfFit(Tables.documents(s, d)))
   )
+
+  /** The Zipf ln-ln fit over ANY corpus frame with a `text` column — ONE
+    * definition shared by the declared query (documents table) and the
+    * PropertySpec synthetic-Zipf harness (the fixture's 31-token
+    * near-uniform vocabulary cannot witness a natural-language slope, so
+    * the spec feeds a true-Zipf corpus through this same code path). */
+  private[graft] def zipfFit(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val freq = docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cf"))
+      val topk = freq.orderBy(col("cf").desc, col("tok")).limit(zipfK)
+      // bounded rank: negated count makes ascending struct sort = (cf
+      // DESC, tok ASC); posexplode position + 1 is the 1-based rank
+      val ranked = topk
+        .agg(sort_array(collect_list(struct((-col("cf")).as("negcf"),
+          col("tok")))).as("a"))
+        .select(posexplode(col("a")).as(Seq("pos", "r")))
+        .select((col("pos") + 1).cast(LongType).as("rank"),
+          (-col("r.negcf")).as("cf"))
+      val m = ranked
+        .select(log(col("rank").cast(DoubleType)).as("x"),
+          log(col("cf").cast(DoubleType)).as("y"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      m.selectExpr("CAST(n AS BIGINT) AS k",
+        s"ROUND($zipfSlope, 3) AS slope",
+        s"ROUND($zipfIntercept, 3) AS intercept",
+        s"ROUND($zipfR2, 3) AS r2")
+  }
+
+  /** Rank domain of the Zipf fit — ONE constant feeding the query, the
+    * oracle, and PropertySpec. */
+  private[graft] val zipfK = 100
+
+  /** The ln-ln least-squares emission formulas, shared verbatim between
+    * the Spark selectExpr and the DuckDB oracle so the final IEEE op
+    * order is identical by construction (never regr_* built-ins — their
+    * running-double partial merges are order-dependent per engine). */
+  private val zipfSlope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+  private val zipfIntercept = "(sy * sxx - sx * sxy) / (n * sxx - sx * sx)"
+  private val zipfR2 =
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / " +
+      "((n * sxx - sx * sx) * (n * syy - sy * sy))"
 
   /** DuckDB mirror of the SimHash pipeline: same sha256-derived 60-bit
     * token hash, same majority-vote bits, same 4×15-bit band blocking. */
@@ -290,6 +355,17 @@ object Text2Queries {
 
     Map(
       "text_simhash" -> simhashOracleSql,
+      "text_zipf_slope" ->
+        // same deterministic rank (cf DESC, tok ASC), same fixed 1..K
+        // domain, same shared formula strings; ln sums -> ROUND 3
+        ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+         "f AS (SELECT tok, COUNT(*) AS cf FROM t GROUP BY 1), " +
+         "r AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, tok) AS rank FROM f), " +
+         s"kk AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cf AS DOUBLE)) AS y FROM r WHERE rank <= $zipfK), " +
+         "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+         "SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy FROM kk) " +
+         s"SELECT CAST(n AS BIGINT) AS k, ROUND($zipfSlope, 3) AS slope, " +
+         s"ROUND($zipfIntercept, 3) AS intercept, ROUND($zipfR2, 3) AS r2 FROM m"),
       "text_entropy" ->
         // SUM(BIGINT) -> HUGEINT: cast n back so divisions match Spark
         ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -199,7 +199,18 @@ object Plans {
       ("batch ANN as pure equality joins: both sides explode to (band, bits) buckets from the " +
        "packed 64-bit signature, candidates = bucket join (query count and corpus size only scale " +
        "the join — no broadcast of either side required), exact cosine only on candidates, top-3 " +
-       "per query via the WindowGroupLimit row_number shape."))
+       "per query via the WindowGroupLimit row_number shape."),
+    "text_zipf_slope" ->
+      ("corpus-scale work is ONE partial+final count aggregate on the token key; top-K is " +
+       "TakeOrderedAndProject (per-partition heap, K rows to the driver-side merge — never a " +
+       "global sort or a SinglePartition window over the vocabulary); ranking happens on the " +
+       "bounded K-row set via a keys=[] partial collect_list aggregate + posexplode, and the " +
+       "five ln-moment sums are another bounded scalar aggregate — nothing after the frequency " +
+       "count scales with corpus size."),
+    "source_orc_roundtrip" ->
+      ("the read-back scan is an OrcScan with the o_orderstatus filter in PushedFilters and a " +
+       "5-column ReadSchema; the aggregate is the standard partial -> shuffle-on-2-keys -> final " +
+       "shape. The write side is a plain unpartitioned ORC land of the projected 5 columns."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -140,4 +140,68 @@ class PropertySpec extends SparkSpec {
         col("y.sess_start") < col("x.sess_end"))
     assert(overlaps.count() === 0, "sessions of one user must not overlap")
   }
+
+  /** In-memory ln-ln least-squares over top-k (cf DESC, tok ASC) — the
+    * independent reference for zipfFit (same formulas, plain Scala). */
+  private def zipfRef(counts: Map[String, Long], k: Int)
+      : (Long, Double, Double, Double) = {
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+    val xy = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val n = xy.length.toDouble
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    (xy.length.toLong,
+      (n * sxy - sx * sy) / (n * sxx - sx * sx),
+      (sy * sxx - sx * sxy) / (n * sxx - sx * sx),
+      ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+  }
+
+  // the fit rounds to 3dp and the engines' ln differs from Java's by ulps:
+  // reference parity holds within one rounding step
+  private val zipfTol = 1.1e-3
+
+  test("text_zipf_slope: fixture fit matches an in-memory reference; slope non-positive") {
+    // The fixture's documents vocabulary is 31 near-uniform tokens — it
+    // CANNOT witness a natural-language slope (that's the synthetic test
+    // below); what it does witness: the declared query computes exactly
+    // the defined fit, and the structural invariant that frequencies
+    // non-increasing in rank force a non-positive slope.
+    val counts = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ")).groupBy(identity)
+      .map { case (t, a) => t -> a.length.toLong }
+    val (rk, rs, ri, rr2) = zipfRef(counts, 100)
+    val r = SparkEntry.queries("text_zipf_slope")(spark, sf).collect()
+    assert(r.length === 1)
+    val (k, slope, intercept, r2) =
+      (r(0).getLong(0), r(0).getDouble(1), r(0).getDouble(2), r(0).getDouble(3))
+    assert(k === rk, s"fit domain: got $k, reference $rk")
+    assert(slope <= 0.0, s"rank-ordered frequencies force slope <= 0: $slope")
+    assert(math.abs(slope - rs) <= zipfTol &&
+      math.abs(intercept - ri) <= zipfTol && math.abs(r2 - rr2) <= zipfTol,
+      s"query ($slope, $intercept, $r2) vs reference ($rs, $ri, $rr2)")
+  }
+
+  test("text_zipf_slope: a true-Zipf corpus fits slope ~ -1 with a tight fit") {
+    // the r5 verdict "done" condition, run where it is actually
+    // satisfiable: a synthetic corpus with freq(r) = floor(3000/r) over
+    // 150 token types fed through the SAME zipfFit code path.
+    import spark.implicits._
+    val docs = (1 to 150).map { r =>
+      val tok = f"w$r%03d"
+      Seq.fill(math.max((3000 / r).toInt, 1))(tok).mkString(" ")
+    }.toDF("text")
+    val counts = (1 to 150).map(r =>
+      f"w$r%03d" -> math.max((3000 / r).toLong, 1L)).toMap
+    val (rk, rs, _, rr2) = zipfRef(counts, 100)
+    val row = graft.queries.Text2Queries.zipfFit(docs).collect()(0)
+    val (k, slope, r2) = (row.getLong(0), row.getDouble(1), row.getDouble(3))
+    assert(k === 100L && k === rk)
+    assert(math.abs(slope - rs) <= zipfTol, s"query $slope vs reference $rs")
+    assert(slope >= -1.05 && slope <= -0.95, s"Zipf corpus must fit slope ~ -1: $slope")
+    assert(r2 > 0.995 && math.abs(r2 - rr2) <= zipfTol, s"fit must be tight: $r2")
+  }
 }

@@ -51,8 +51,8 @@ class SampleSpec extends SparkSpec {
     val kept = SparkEntry.queries("sample_token_budget")(spark, sf)
     // exclusive-cumsum selection: everything BEFORE a kept doc fits under
     // budget, so kept tokens minus the (possibly overshooting) last doc
-    // stay under B=800 per source
-    val bad = kept.where(col("cum_before") >= 800)
+    // stay under the shared budget per source (ONE constant: SampleQueries.tokenBudget)
+    val bad = kept.where(col("cum_before") >= graft.queries.SampleQueries.tokenBudget)
     assert(bad.count() === 0, "a doc was kept after its source's budget was spent")
     // every source with at least one doc contributes at least one doc
     val srcAll = Tables.documents(spark, sf).select("source").distinct().count()

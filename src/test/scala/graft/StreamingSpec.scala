@@ -429,4 +429,86 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L)),
       s"got: ${rows.mkString(", ")}")
   }
+
+  /** transformWithState needs the RocksDB provider (CLAUDE.md r3 note);
+    * scoped per-test so the rest of the suite keeps the default. */
+  private def withRocksDB(body: => Unit): Unit = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("transformWithState incremental OHLC equals batch ts_ohlc under REVERSED batching") {
+    // the streaming face of ts_ohlc (r5 verdict ask #3). The candle fold
+    // is commutative (min/max/count only), so unlike the dedup/transition
+    // processors arrival order must NOT matter: feed the batches reversed
+    // (latest time slice first) and still demand exact batch parity.
+    withRocksDB {
+      val rows = Tables.events(spark, sf)
+        .select("event_type", "ts", "event_id", "value").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (Streams.toUs(t._2), t._3))
+      val batches = rows.grouped((rows.length + 3) / 4).toSeq.reverse
+      val input = MemoryStream[(String, Timestamp, Long, Double)](spark)
+      val stream = graft.streaming.OhlcProcessor.ohlcStream(
+        input.toDF().toDF("event_type", "ts", "event_id", "value"))
+      val q = stream.writeStream.format("memory").queryName("ohlc_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // every batch that delivers rows for a key re-emits the updated
+      // candle with a strictly larger n — the max-n row per key is final
+      val got = spark.table("ohlc_incr").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5),
+          r.getDouble(8), r.getDouble(9), r.getDouble(10)))
+        .groupBy(c => (c._1, c._2)).values.map(_.maxBy(_._3))
+        .map(c => (c._1, Streams.fromUs(c._2), c._3, c._4, c._7, c._6, c._5))
+        .toSet // (event_type, hr, n, open, high, low, close)
+      val expected = SparkEntry.queries("ts_ohlc")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .toSet
+      assert(got === expected,
+        "final streamed candles must equal the batch OHLC under any arrival order")
+    }
+  }
+
+  test("transformWithState incremental transitions equal batch ts_transition_matrix under uneven slices") {
+    // the streaming face of ts_transition_matrix (r5 verdict ask #3):
+    // per-user lag chained through ValueState. Arrival contract: the
+    // global (ts, event_id)-ascending feed — per-user ascending follows —
+    // sliced UNEVENLY so pairs must chain across batch boundaries.
+    withRocksDB {
+      val rows = Tables.events(spark, sf)
+        .select("user_id", "event_type", "ts", "event_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(t => (Streams.toUs(t._3), t._4))
+      val batches = Seq(rows.slice(0, rows.length / 5),
+        rows.slice(rows.length / 5, rows.length / 2),
+        rows.slice(rows.length / 2, rows.length))
+      val input = MemoryStream[(Long, String, Timestamp, Long)](spark)
+      val stream = graft.streaming.TransitionProcessor.transitionStream(
+        input.toDF().toDF("user_id", "event_type", "ts", "event_id"))
+      val q = stream.writeStream.format("memory").queryName("trans_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("trans_incr").groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val expected = SparkEntry.queries("ts_transition_matrix")(spark, sf)
+        .select("from_type", "to_type", "n").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(expected.nonEmpty, "fixture must contain transitions")
+      assert(got === expected,
+        "streamed transition counts must equal the batch matrix")
+    }
+  }
 }
