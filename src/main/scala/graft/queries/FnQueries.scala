@@ -160,6 +160,29 @@ object FnQueries {
         .orderBy("name_a", "name_b")
     }),
 
+    // PII landing transform (r6) — the policy pass a Salesforce-style
+    // migration runs BEFORE the first byte lands (README.md:3 objects are
+    // person records): deterministic pseudonymization (sha256 token —
+    // referential integrity and joins survive across tables/increments,
+    // the raw name does not), display masking (first char + '***'), and
+    // k-anonymity-style generalization of the numeric attribute into
+    // $1000 buckets. All row-local/codegen'd — map-side at any scale.
+    // Bucket arithmetic: exact cents (floor(x*100+0.5)) offset to
+    // non-negative THEN integer-divided — Spark DIV and DuckDB // agree
+    // on non-negative operands; a raw negative acctbal would hit their
+    // differing negative-division conventions, and a double divide would
+    // split boundary values across buckets per engine.
+    "fn_pii_mask" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        substring(sha2(concat(lit("pii:"), col("c_name")), 256), 1, 16)
+          .as("name_token"),
+        concat(substring(col("c_name"), 1, 1), lit("***")).as("name_masked"),
+        col("c_mktsegment"),
+        expr("CAST((CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + 1000000) DIV 100000 AS INT)")
+          .as("acctbal_bucket"))
+        .orderBy("c_custkey")),
+
     // The single demo Scala UDF (SURVEY §4.3 rule 1 allows exactly one).
     "fn_udf_scalar" -> ((s, d) => {
       val cleanText = udf((t: String) =>
@@ -171,6 +194,12 @@ object FnQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_pii_mask" ->
+      ("SELECT c_custkey, " +
+       "substring(sha256('pii:' || c_name), 1, 16) AS name_token, " +
+       "substring(c_name, 1, 1) || '***' AS name_masked, c_mktsegment, " +
+       "CAST((CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) + 1000000) // 100000 AS INT) AS acctbal_bucket " +
+       "FROM customer ORDER BY c_custkey"),
     "fn_string" ->
       ("SELECT p_partkey, UPPER(p_name) AS up_name, LOWER(p_brand) AS lo_brand, " +
        "TRIM(p_name) AS trimmed, substring(p_name, 1, 8) AS sub8, " +

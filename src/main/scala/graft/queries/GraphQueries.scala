@@ -96,8 +96,72 @@ object GraphQueries {
         .agg(sum(when(col("src") % 2 === 0, 1L).otherwise(0L)).as("n_suppliers"),
           sum(when(col("src") % 2 === 1, 1L).otherwise(0L)).as("n_customers"))
         .orderBy("deg")
+    }),
+
+    // Market-basket affinity (r6): co-purchase pairs with support >= 2
+    // and lift — association mining's first pass. Pair generation is the
+    // within-basket self-join on the ORDER key: pairs per basket are
+    // C(k,2) with k bounded by lines-per-order (<= 11 in the fixtures,
+    // small everywhere), so the blow-up is group-bounded, never
+    // corpus-quadratic. The support threshold then prunes ~1.2M distinct
+    // pairs to ~3.6k (sf0.1) BEFORE the item-support joins; lift is one
+    // fixed-order double expression off exact integer counts (r6 rule).
+    "graph_basket_affinity" -> ((s, d) => {
+      val p = basketItems(s, d)
+      val isup = p.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+      val n = p.agg(count_distinct(col("ok")).as("n_baskets"))
+      supportedPairs(p)
+        .join(isup.select(col("pk").as("p1"), col("s").as("s1")), "p1")
+        .join(isup.select(col("pk").as("p2"), col("s").as("s2")), "p2")
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("sup"), col("s1"), col("s2"),
+          r6(col("sup").cast("double") * col("n_baskets").cast("double") /
+            (col("s1").cast("double") * col("s2").cast("double"))).as("lift"))
+        .orderBy("p1", "p2")
+    }),
+
+    // Triangle enumeration (r6) over the SUPPORTED co-purchase graph:
+    // stable part triples that pairwise co-occur in >= 2 baskets each.
+    // The p1 < p2 edge invariant makes every triangle appear exactly once
+    // as a < b < c (no orientation dedup needed): wedge join on the
+    // middle vertex + closing-edge equality join. Scale posture: the
+    // support threshold bounds the edge set; at production scale the
+    // standard refinement is to re-orient each edge low-degree ->
+    // high-degree first so the wedge join fans out from the sparse end.
+    "graph_triangles" -> ((s, d) => {
+      val e = supportedPairs(basketItems(s, d)).select("p1", "p2")
+      e.select(col("p1").as("a"), col("p2").as("b"))
+        .join(e.select(col("p1").as("b2"), col("p2").as("c")),
+          col("b") === col("b2"))
+        .join(e.select(col("p1").as("a3"), col("p2").as("c3")),
+          col("a3") === col("a") && col("c3") === col("c"))
+        .select(col("a"), col("b"), col("c"))
+        .orderBy("a", "b", "c")
     })
   )
+
+  /** Distinct (order, part) basket membership — the shared base of the
+    * two market-basket queries (mirrored in basketCteSql). */
+  private def basketItems(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+
+  /** Co-purchase pairs (p1 < p2) with support >= 2 — ONE pair/threshold
+    * definition for affinity and triangles (and their oracles). */
+  private def supportedPairs(p: DataFrame): DataFrame =
+    p.as("a").join(p.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .where(col("sup") >= 2)
+
+  /** DuckDB mirror of basketItems + supportedPairs. */
+  private def basketCteSql: String =
+    "p AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+      "pr AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS sup FROM p a " +
+      "JOIN p b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 " +
+      "HAVING COUNT(*) >= 2)"
 
   /** One DuckDB rank round: the identical integer ops (// is DuckDB's
     * integer division; SUM(BIGINT) widens to HUGEINT — cast back). */
@@ -129,6 +193,24 @@ object GraphQueries {
        (1 to iters).map(roundSql).mkString(", ") + ", " +
        s"t AS (SELECT id, r FROM r$iters ORDER BY r DESC, id LIMIT 20) " +
        "SELECT id AS node, CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind, " +
-       "id // 2 AS entity_key, r AS pr FROM t ORDER BY pr DESC, node")
+       "id // 2 AS entity_key, r AS pr FROM t ORDER BY pr DESC, node"),
+    "graph_basket_affinity" ->
+      // COUNT(*) sums cast back from HUGEINT-free paths (plain BIGINT);
+      // lift = identical fixed-order double ops off exact integer counts
+      (s"WITH $basketCteSql, " +
+       "si AS (SELECT pk, COUNT(*) AS s FROM p GROUP BY 1), " +
+       "n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM p) " +
+       "SELECT p1, p2, sup, s1.s AS s1, s2.s AS s2, " +
+       "ROUND(CAST(sup AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
+       "(CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE)), 6) AS lift " +
+       "FROM pr JOIN si s1 ON pr.p1 = s1.pk JOIN si s2 ON pr.p2 = s2.pk " +
+       "CROSS JOIN n ORDER BY p1, p2"),
+    "graph_triangles" ->
+      (s"WITH $basketCteSql, " +
+       "e AS (SELECT p1, p2 FROM pr) " +
+       "SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c " +
+       "FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 " +
+       "JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2 " +
+       "ORDER BY a, b, c")
   )
 }

@@ -210,7 +210,17 @@ object Plans {
     "source_orc_roundtrip" ->
       ("the read-back scan is an OrcScan with the o_orderstatus filter in PushedFilters and a " +
        "5-column ReadSchema; the aggregate is the standard partial -> shuffle-on-2-keys -> final " +
-       "shape. The write side is a plain unpartitioned ORC land of the projected 5 columns."))
+       "shape. The write side is a plain unpartitioned ORC land of the projected 5 columns."),
+    "graph_basket_affinity" ->
+      ("pair generation is an equality self-join on the ORDER key (pairs per basket C(k,2), " +
+       "k = lines-per-order — group-bounded, never corpus-quadratic), immediately aggregated " +
+       "with map-side partials and pruned by support >= 2 BEFORE the item-support joins; the " +
+       "scalar basket count enters via broadcast. At fixture scale the support joins plan as " +
+       "broadcast by size; past the threshold they are plain shuffle-on-key joins."),
+    "graph_triangles" ->
+      ("wedge join on the middle vertex + closing-edge equality join over the SUPPORT-THRESHOLDED " +
+       "edge set (the threshold is the scale control: ~3.6k edges from ~1.2M raw pairs at sf0.1); " +
+       "the p1<p2 invariant yields each triangle once — no orientation dedup pass."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
