@@ -384,6 +384,42 @@ object SimQueries {
         .select(col("qid").as("vec_id"), col("label").as("pred_label"),
           col("true_label"))
         .orderBy("vec_id")
+    }),
+
+    // Symmetric per-vector int8 quantization (r6) — the storage/transfer
+    // path of every 100 TB ANN corpus (4x smaller than float32 before any
+    // PQ): scale = maxabs/127, code_k = floor(v_k/scale + 0.5). The
+    // half-up rounding is spelled as pure-IEEE floor(x + 0.5) so both
+    // engines bin identically (built-in ROUND conventions differ on
+    // doubles); GREATEST(maxabs, 1e-12) keeps a zero vector from
+    // dividing by zero (its codes degrade to all-zero, mse 0). Emitted
+    // per vector: scale + exact integer code stats + reconstruction mse
+    // (left-fold sum / 64, round 6 — the dotD/list_sum-mirror rule).
+    // Row-local map work — no shuffle but the presentation sort.
+    "embed_quantize_int8" -> ((s, d) => {
+      val maxabs = array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      // the raw scale is named scale_raw, NEVER scale: Spark 4's lateral
+      // column alias resolution makes a later same-select reference to
+      // "scale" bind to the r6(...) OUTPUT alias below, silently
+      // computing mse against the ROUNDED scale (caught as a 3-row
+      // boundary mismatch vs the oracle at sf0.01)
+      val codes = transform(col("embedding"),
+        x => floor(x.cast("double") / col("scale_raw") + 0.5).cast("long"))
+      val sqerr = zip_with(col("embedding"), col("codes"), (x, c) => {
+        val r = x.cast("double") - c.cast("double") * col("scale_raw")
+        r * r
+      })
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          (greatest(maxabs, lit(1e-12)) / 127.0).as("scale_raw"))
+        .withColumn("codes", codes)
+        .select(col("vec_id"), col("label"), r6(col("scale_raw")).as("scale"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"),
+          r6(aggregate(sqerr, lit(0.0), (a, x) => a + x) / 64.0).as("mse"))
+        .orderBy("vec_id")
     })
   )
 
@@ -482,6 +518,23 @@ object SimQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "embed_quantize_int8" ->
+      // same pure-IEEE half-up (floor(x/scale + 0.5)) and the same
+      // left-fold sums; list_sum over a BIGINT list widens -> cast back
+      ("WITH b AS (SELECT vec_id, label, embedding, " +
+       "GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale " +
+       "FROM embeddings), " +
+       "c AS (SELECT vec_id, label, scale, embedding, " +
+       "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS codes " +
+       "FROM b) " +
+       "SELECT vec_id, label, ROUND(scale, 6) AS scale, " +
+       "CAST(list_sum(codes) AS BIGINT) AS code_sum, " +
+       "CAST(list_min(codes) AS BIGINT) AS code_min, " +
+       "CAST(list_max(codes) AS BIGINT) AS code_max, " +
+       "ROUND(list_sum(list_transform(generate_series(1, 64), i -> " +
+       "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale) * " +
+       "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale))) / 64.0, 6) AS mse " +
+       "FROM c ORDER BY vec_id"),
     "sim_search_lsh_batch" -> lshBatchOracleSql,
     "sim_search_lsh" -> lshOracleSql,
     "sim_search_topk" ->
