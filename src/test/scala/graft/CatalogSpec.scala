@@ -242,4 +242,23 @@ class CatalogSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
   }
+
+  test("fn_pii_mask: total, injective on names, masked, buckets bounded") {
+    val src = Tables.customer(spark, sf)
+    val out = SparkEntry.queries("fn_pii_mask")(spark, sf)
+    assert(out.count() === src.count(), "the policy pass must keep every row")
+    // pseudonymization must be a FUNCTION of the name (same name -> same
+    // token) and collision-free on the fixture (distinct names -> distinct
+    // tokens), or cross-table joins on the token break
+    val names = src.select("c_name").distinct().count()
+    val tokens = out.select("name_token").distinct().count()
+    assert(tokens === names, s"token/name cardinality: $tokens vs $names")
+    val leaked = out.join(src, "c_custkey")
+      .where(col("name_masked") =!= concat(substring(col("c_name"), 1, 1), lit("***")) ||
+        length(col("name_token")) =!= 16)
+    assert(leaked.count() === 0, "mask/token shape violated")
+    val range = out.agg(min("acctbal_bucket"), max("acctbal_bucket")).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) <= 20,
+      s"bucket range ${range.getInt(0)}..${range.getInt(1)} outside the offset domain")
+  }
 }

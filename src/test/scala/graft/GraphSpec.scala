@@ -33,4 +33,55 @@ class GraphSpec extends SparkSpec {
     assert(rank.values.forall(_ >= 150000L), "damping floor violated")
     assert(kinds.nonEmpty && kinds.subsetOf(Set("supplier", "customer")))
   }
+
+  /** In-memory supported co-purchase edges (p1 < p2, support >= 2) —
+    * independent reference for the two market-basket queries. */
+  private def refEdges: Map[(Long, Long), Long] = {
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    baskets.toSeq.flatMap(ps =>
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).collect { case (e, os) if os.size >= 2 => e -> os.size.toLong }
+      .toMap
+  }
+
+  test("graph_basket_affinity equals an in-memory pair/support/lift reference") {
+    val edges = refEdges
+    val nBaskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    val got = SparkEntry.queries("graph_basket_affinity")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet === edges.keySet, "supported pair set diverges")
+    val itemSup = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case ((p1, p2), (sup, s1, s2, lift)) =>
+      assert(sup === edges((p1, p2)), s"support of ($p1,$p2)")
+      assert(s1 === itemSup(p1) && s2 === itemSup(p2), s"item supports of ($p1,$p2)")
+      assert(sup <= math.min(s1, s2), "support cannot exceed either item support")
+      val refLift = math.rint(sup.toDouble * nBaskets / (s1.toDouble * s2.toDouble) * 1e6) / 1e6
+      assert(math.abs(lift - refLift) < 1.1e-6, s"lift of ($p1,$p2): $lift vs $refLift")
+    }
+  }
+
+  test("graph_triangles equals an in-memory enumeration; every edge is supported") {
+    val edges = refEdges.keySet
+    val byA = edges.groupBy(_._1)
+    val refTris = (for {
+      (a, b) <- edges.toSeq
+      (_, c) <- byA.getOrElse(b, Set.empty)
+      if edges.contains((a, c))
+    } yield (a, b, c)).toSet
+    val got = SparkEntry.queries("graph_triangles")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === got.distinct.length, "a triangle was emitted twice")
+    assert(got.toSet === refTris, "triangle set diverges from the reference")
+    assert(refTris.nonEmpty, "fixture must contain triangles")
+    got.foreach { case (a, b, c) =>
+      assert(a < b && b < c, s"ordering invariant broken: ($a,$b,$c)") }
+  }
 }
