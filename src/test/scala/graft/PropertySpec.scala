@@ -204,4 +204,20 @@ class PropertySpec extends SparkSpec {
     assert(slope >= -1.05 && slope <= -0.95, s"Zipf corpus must fit slope ~ -1: $slope")
     assert(r2 > 0.995 && math.abs(r2 - rr2) <= zipfTol, s"fit must be tight: $r2")
   }
+
+  test("embed_quantize_int8: codes in int8 range, mse under the half-step bound") {
+    // half-up quantization guarantees |v - c*s| <= s/2 per dim, so
+    // mse <= s^2/4; both sides here are round-6 emissions, so allow one
+    // rounding step of slack. Codes must fit the symmetric int8 range.
+    val rows = SparkEntry.queries("embed_quantize_int8")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, cmin, cmax, mse) =
+        (r.getDouble(2), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(cmin >= -127L && cmax <= 127L, s"codes out of int8 range: $cmin..$cmax")
+      assert(scale > 0.0, "scale must be positive")
+      assert(mse <= scale * scale / 4.0 + 1.1e-6,
+        s"mse $mse exceeds the half-step bound ${scale * scale / 4.0}")
+    }
+  }
 }
