@@ -218,6 +218,45 @@ object CdcQueries {
         .orderBy("event_type", "h")
     }),
 
+    // Robust anomaly scoring (r6) — the MAD twin of dq_anomaly_zscore:
+    // mean/std are dragged by the very outliers being hunted; median/MAD
+    // are not (50% breakdown point). Both the per-type median of hourly
+    // counts and the median absolute deviation are EXACT INTEGERS picked
+    // by the agg_percentile_disc rank-selection rule (position
+    // (n-1) DIV 2 + 1 of the (value, h)-sorted partition — engine
+    // percentile built-ins disagree on conventions), so the only FP op
+    // is the final one-division score — cross-engine exact, r6. The
+    // consistency constant (1.4826 for normal data) is deliberately NOT
+    // baked in: the flag threshold |cnt-med| > 3*MAD is pure integer
+    // arithmetic. Windows partition on event_type (bounded hours per
+    // partition), stats re-enter via broadcast — no corpus window.
+    "dq_anomaly_mad" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val wn = Window.partitionBy("event_type")
+      def medianOf(df: org.apache.spark.sql.DataFrame, v: String) = {
+        val w = Window.partitionBy("event_type").orderBy(col(v), col("h"))
+        df.withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === expr("(n - 1) DIV 2 + 1"), col(v)))
+            .as(s"med_$v"))
+      }
+      val dev = hc.join(broadcast(medianOf(hc, "cnt")), "event_type")
+        .withColumn("dev", abs(col("cnt") - col("med_cnt")))
+      val scored = dev.join(broadcast(medianOf(dev, "dev")), "event_type")
+      scored.select(col("event_type"), col("h"), col("cnt"),
+          col("med_cnt").as("med"), col("med_dev").as("mad"),
+          r6(when(col("med_dev") === 0, lit(0.0))
+            .otherwise((col("cnt") - col("med_cnt")).cast(DoubleType)
+              / col("med_dev").cast(DoubleType))).as("score"),
+          (col("med_dev") > 0 &&
+            abs(col("cnt") - col("med_cnt")) > col("med_dev") * 3).as("is_anomaly"))
+        .orderBy("event_type", "h")
+    }),
+
     // Landing freshness: per stream (event_type), the last event time and
     // how many FULL hours it lags the freshest stream — the staleness
     // monitor every scheduled ingestion checks before trusting a partition.
@@ -362,6 +401,25 @@ object CdcQueries {
        "ROUND(CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END, 6) AS z, " +
        "CASE WHEN n = 1 OR variance <= 0.0 THEN FALSE ELSE abs((cnt - mean)/sqrt(variance)) > 3.0 END AS is_anomaly " +
        "FROM j ORDER BY event_type, h"),
+    "dq_anomaly_mad" ->
+      // same integer rank-selection medians ((n-1) // 2 + 1 over the
+      // (value, h)-sorted partition), one FP division, integer flag
+      ("WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt " +
+       "FROM events GROUP BY 1,2), " +
+       "r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt, h) AS rn, " +
+       "COUNT(*) OVER (PARTITION BY event_type) AS n FROM hc), " +
+       "md AS (SELECT event_type, CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN cnt END) AS BIGINT) AS med " +
+       "FROM r1 GROUP BY 1), " +
+       "dv AS (SELECT hc.event_type, h, cnt, med, abs(cnt - med) AS dev " +
+       "FROM hc JOIN md USING (event_type)), " +
+       "r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, h) AS rn, " +
+       "COUNT(*) OVER (PARTITION BY event_type) AS n FROM dv), " +
+       "mm AS (SELECT event_type, CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev END) AS BIGINT) AS mad " +
+       "FROM r2 GROUP BY 1) " +
+       "SELECT dv.event_type, h, cnt, med, mad, " +
+       "ROUND(CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END, 6) AS score, " +
+       "(mad > 0 AND abs(cnt - med) > mad * 3) AS is_anomaly " +
+       "FROM dv JOIN mm USING (event_type) ORDER BY event_type, h"),
     "dq_row_hash" ->
       ("SELECT n_nationkey, sha256(concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name, " +
        "CAST(n_regionkey AS VARCHAR))) AS row_hash FROM nation ORDER BY n_nationkey"),
