@@ -125,8 +125,53 @@ object KmeansQueries {
         .select(col("label"), col("vec_id"), r6(col("d2")).as("dist2"),
           col("rn").as("rank"))
         .orderBy("label", "rank")
+    }),
+
+    // Upper-triangle sample covariance matrix of the embedding corpus —
+    // the whitening / PCA-prep statistic every embedding QC pass wants.
+    // Cross-engine exactness: quantize each dim to micro-units
+    // (floor(x*1e6 + 0.5) BIGINT — |x| <= 0.58 on the fixtures, so a
+    // q_i*q_j product is <= ~3.4e11 and ANSI-safe), sum the products and
+    // the per-dim first moments as exact integers (DECIMAL(38,0) /
+    // HUGEINT headroom per the agg_skew_kurt precedent — order-free),
+    // then ONE shared formula string computes the covariance in a fixed
+    // IEEE op order on both engines (r5b rule). Shape: the 2080
+    // upper-triangle products generate IN-ROW (flatten of nested
+    // transforms — no self-join of the corpus), one shuffle on the
+    // bounded (i, j) key; the 64-row first-moment side broadcasts.
+    "embed_covariance" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000000.0 + 0.5).cast("long"))
+      val pairs = e.select(qs.as("qs"))
+        .select(explode(flatten(transform(sequence(lit(1), lit(dims)), i =>
+          transform(sequence(i, lit(dims)), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("qs"), i) * element_at(col("qs"), j)).as("p"))))))
+          .as("t"))
+        .groupBy(col("t.i").as("dim_i"), col("t.j").as("dim_j"))
+        .agg(sum(col("t.p").cast(DecimalType(38, 0))).as("sij"))
+      val moments = e
+        .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .select((col("pos0") + 1).as("pos"),
+          floor(col("x").cast(DoubleType) * 1000000.0 + 0.5).cast("long").as("q"))
+        .groupBy("pos").agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(moments.select(col("pos"), col("s").as("si"), col("n"))),
+          col("dim_i") === col("pos")).drop("pos")
+        .join(broadcast(moments.select(col("pos"), col("s").as("sj"))),
+          col("dim_j") === col("pos")).drop("pos")
+        .selectExpr("dim_i", "dim_j", "n", s"$covFormula AS cov")
+        .orderBy("dim_i", "dim_j")
     })
   )
+
+  /** THE covariance emission — one string evaluated verbatim by Spark's
+    * selectExpr and DuckDB so the IEEE op order cannot drift (r5b rule):
+    * (Sij - Si*Sj/n) / (n-1), descaled from micro^2 units, round 6. */
+  private val covFormula: String =
+    "ROUND((CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1000000000000.0, 6)"
 
   /** CTE chain for one DuckDB Lloyd iteration: assignment `a$it` against
     * centroids `c${it-1}`, exact integer micro-sums `s$it`, and the next
@@ -180,8 +225,25 @@ object KmeansQueries {
       "SELECT label, vec_id, ROUND(d2, 6) AS dist2, CAST(rn AS INT) AS rank " +
       "FROM r WHERE rn <= 5 ORDER BY label, rank"
 
+  private def covarianceSql: String =
+    "WITH q AS (SELECT list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qs FROM embeddings), " +
+      s"p AS (SELECT i AS dim_i, j AS dim_j, " +
+      "CAST(SUM(CAST(qs[i] AS HUGEINT) * qs[j]) AS HUGEINT) AS sij " +
+      s"FROM q CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) ii " +
+      s"CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS j) jj " +
+      "WHERE j >= i GROUP BY 1, 2), " +
+      "m AS (SELECT i AS pos, CAST(SUM(qs[i]) AS BIGINT) AS s, COUNT(*) AS n " +
+      s"FROM q CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) ii GROUP BY 1), " +
+      // alias into the shared column names so covFormula applies VERBATIM
+      "j1 AS (SELECT p.dim_i, p.dim_j, sij, mi.s AS si, mj.s AS sj, mi.n AS n " +
+      "FROM p JOIN m mi ON p.dim_i = mi.pos JOIN m mj ON p.dim_j = mj.pos) " +
+      "SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j, n, " +
+      s"$covFormula AS cov FROM j1 ORDER BY dim_i, dim_j"
+
   val oracle: Map[String, String] = Map(
     "embed_kmeans" -> kmeansSql,
-    "embed_outlier_dist" -> outlierSql
+    "embed_outlier_dist" -> outlierSql,
+    "embed_covariance" -> covarianceSql
   )
 }

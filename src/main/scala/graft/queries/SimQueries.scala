@@ -420,6 +420,56 @@ object SimQueries {
           array_max(col("codes")).as("code_max"),
           r6(aggregate(sqerr, lit(0.0), (a, x) => a + x) / 64.0).as("mse"))
         .orderBy("vec_id")
+    }),
+
+    // Asymmetric per-DIMENSION uint8 quantization (round-7 candidate
+    // list) — embed_quantize_int8's corpus-calibrated sibling: one
+    // bounded stats pass derives each dimension's [min, max] over the
+    // WHOLE corpus (exact float selection, no summing), then every
+    // vector quantizes dimension k against scale_k = (mx_k - mn_k)/255
+    // with zero-point mn_k — the per-dim affine grid that halves the
+    // reconstruction error symmetric per-vector scaling pays on skewed
+    // dims. Shape: posexplode -> bounded (64-row) groupBy -> ONE
+    // 1-row array-struct gather (the embed_outlier_dist centroid
+    // pattern) broadcast back over the corpus — the quantization itself
+    // is row-local map work against the broadcast literal, exactly how
+    // a 100 TB codec pass runs. All arithmetic is the fixed-op-order
+    // IEEE recipe (floor(x + 0.5) half-up, GREATEST span guard, left-
+    // fold mse / 64 at r6) mirrored 1:1 in the oracle.
+    "embed_quantize_perdim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val stats = e
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+            p => p.getField("mn")).as("mns"),
+          transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+            p => p.getField("mx")).as("mxs"))
+        .select(col("mns"),
+          zip_with(col("mxs"), col("mns"),
+            (mx, mn) => greatest(mx - mn, lit(1e-12)) / 255.0).as("scales"))
+      val idx = sequence(lit(1), lit(64))
+      val codes = transform(idx, i =>
+        floor((element_at(col("embedding"), i).cast("double") -
+          element_at(col("mns"), i)) / element_at(col("scales"), i) + 0.5)
+          .cast("long"))
+      val sqerr = transform(idx, i => {
+        val r = element_at(col("embedding"), i).cast("double") -
+          (element_at(col("mns"), i) +
+            element_at(col("codes"), i).cast("double") * element_at(col("scales"), i))
+        r * r
+      })
+      e.crossJoin(broadcast(stats))
+        .withColumn("codes", codes)
+        .select(col("vec_id"), col("label"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"),
+          r6(aggregate(sqerr, lit(0.0), (a, x) => a + x) / 64.0).as("mse"))
+        .orderBy("vec_id")
     })
   )
 
@@ -534,6 +584,27 @@ object SimQueries {
        "ROUND(list_sum(list_transform(generate_series(1, 64), i -> " +
        "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale) * " +
        "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale))) / 64.0, 6) AS mse " +
+       "FROM c ORDER BY vec_id"),
+    "embed_quantize_perdim" ->
+      // per-dim [mn, mx] are exact float selections; scales/codes/mse
+      // follow the same fixed IEEE op order as the Spark side: GREATEST
+      // span guard, /255, floor(x + 0.5) half-up, mn + code*scale
+      // reconstruction, left-fold /64 at round 6
+      ("WITH s AS (SELECT i AS pos, MIN(CAST(embedding[i] AS DOUBLE)) AS mn, " +
+       "MAX(CAST(embedding[i] AS DOUBLE)) AS mx " +
+       "FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims GROUP BY 1), " +
+       "a AS (SELECT list(mn ORDER BY pos) AS mns, " +
+       "list(GREATEST(mx - mn, 1e-12) / 255.0 ORDER BY pos) AS scales FROM s), " +
+       "c AS (SELECT vec_id, label, embedding, mns, scales, " +
+       "list_transform(generate_series(1, 64), i -> " +
+       "CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - mns[i]) / scales[i] + 0.5) AS BIGINT)) AS codes " +
+       "FROM embeddings CROSS JOIN a) " +
+       "SELECT vec_id, label, CAST(list_sum(codes) AS BIGINT) AS code_sum, " +
+       "CAST(list_min(codes) AS BIGINT) AS code_min, " +
+       "CAST(list_max(codes) AS BIGINT) AS code_max, " +
+       "ROUND(list_sum(list_transform(generate_series(1, 64), i -> " +
+       "(CAST(embedding[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) * scales[i])) * " +
+       "(CAST(embedding[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) * scales[i])))) / 64.0, 6) AS mse " +
        "FROM c ORDER BY vec_id"),
     "sim_search_lsh_batch" -> lshBatchOracleSql,
     "sim_search_lsh" -> lshOracleSql,

@@ -511,4 +511,43 @@ class StreamingSpec extends SparkSpec {
         "streamed transition counts must equal the batch matrix")
     }
   }
+
+  test("transformWithState incremental freshness equals batch dq_freshness under REVERSED batching") {
+    // the streaming face of dq_freshness (round-6 candidate list). The
+    // per-source fold is commutative (max/count only), so arrival order
+    // must NOT matter: feed the batches reversed (latest slice first)
+    // and still demand exact batch parity. hours_behind needs the GLOBAL
+    // max across sources, which a keyed processor cannot see — derive it
+    // here from the emitted per-source facts, exactly as a monitor
+    // consumer would.
+    withRocksDB {
+      val rows = Tables.events(spark, sf)
+        .select("event_type", "ts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)))
+        .sortBy(t => Streams.toUs(t._2))
+      val batches = rows.grouped((rows.length + 3) / 4).toSeq.reverse
+      val input = MemoryStream[(String, Timestamp)](spark)
+      val stream = graft.streaming.FreshnessProcessor.freshnessStream(
+        input.toDF().toDF("event_type", "ts"))
+      val q = stream.writeStream.format("memory").queryName("fresh_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // max-n row per source is the current watermark fact
+      val facts = spark.table("fresh_incr").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).values.map(_.maxBy(_._3)).toSeq
+      val gmaxUs = facts.map(_._2).max
+      val got = facts
+        .map(f => (f._1, Streams.fromUs(f._2),
+          ((gmaxUs - f._2) / 3600000000L).toInt, f._3))
+        .toSet
+      val expected = SparkEntry.queries("dq_freshness")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      assert(expected.nonEmpty, "fixture must contain events")
+      assert(got === expected,
+        "streamed freshness facts must reproduce the batch dq_freshness rows")
+    }
+  }
 }
