@@ -44,8 +44,10 @@ object KmeansQueries {
       lit(0.0), (acc, v) => acc + v)
 
   /** DuckDB mirror of sqDistD ($a indexes a float list, $c a double list). */
-  private def sqDistSql(a: String, c: String): String =
-    s"list_sum(list_transform(generate_series(1, $dims), i -> " +
+  private def sqDistSql(a: String, c: String): String = sqDistSqlN(dims, a, c)
+
+  private def sqDistSqlN(n: Int, a: String, c: String): String =
+    s"list_sum(list_transform(generate_series(1, $n), i -> " +
       s"(CAST($a[i] AS DOUBLE) - $c[i]) * (CAST($a[i] AS DOUBLE) - $c[i])))"
 
   /** One assignment pass against literal centroids: cluster = id of the
@@ -163,6 +165,24 @@ object KmeansQueries {
           col("dim_j") === col("pos")).drop("pos")
         .selectExpr("dim_i", "dim_j", "n", s"$covFormula AS cov")
         .orderBy("dim_i", "dim_j")
+    }),
+
+    // Product quantization (round-7 candidate list) — the codebook path
+    // that turns a 64-dim float vector into pqSubs small codes (here
+    // 4 subspaces x 16 dims, k=4 per subspace -> 4 bytes/vector, the
+    // 64x compression behind every billion-scale ANN index). All
+    // subspaces train in ONE plan: the corpus explodes 4x into
+    // (vec_id, sub, subvector) rows and the finalCentroids loop runs
+    // with (sub, cluster) as the codebook key — same exact integer
+    // micro-unit moments, same bounded per-iteration collect (256
+    // rows), same first-min tie-break. Emitted: each vector's per-
+    // subspace code + exact (then r6-display) squared residual — the
+    // ADC lookup table a PQ scorer consumes.
+    "embed_pq" -> ((s, d) => {
+      val cents = pqCodebooks(s, d)
+      pqAssign(pqSubvecs(s, d), cents)
+        .select(col("vec_id"), col("sub"), col("code"), r6(col("d2")).as("dist2"))
+        .orderBy("vec_id", "sub")
     })
   )
 
@@ -172,6 +192,73 @@ object KmeansQueries {
   private val covFormula: String =
     "ROUND((CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / " +
       "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1000000000000.0, 6)"
+
+  // ---- product quantization (embed_pq) ----
+
+  private val pqSubs = 4      // subspaces
+  private val pqSubdim = 16   // dims per subspace (pqSubs * pqSubdim = dims)
+  private val pqK = 4         // codebook size per subspace
+  private val pqIters = 2     // seed + one Lloyd update + final assign
+
+  /** (vec_id, sub, sv): each vector exploded into its pqSubs subvectors.
+    * Bounded 4x fan-out of the corpus, row-local slicing. */
+  private def pqSubvecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubs - 1))).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(embedding, sub * $pqSubdim + 1, $pqSubdim)").as("sv"))
+
+  /** Assignment against per-subspace literal codebooks: cents(sub) is the
+    * (cluster-id, centroid) list for that subspace (ids survive empty-
+    * cluster drops). First minimum -> smallest cluster id on ties, the
+    * oracle's ORDER BY d2, cluster. */
+  private def pqAssign(sv: DataFrame,
+      cents: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val cl = typedlit(cents.map(_.map(_._2)))
+    val cid = typedlit(cents.map(_.map(_._1)))
+    val d2s = transform(element_at(cl, col("sub") + 1),
+      c => sqDistD(col("sv"), c))
+    sv.withColumn("__d2s", d2s)
+      .withColumn("__idx",
+        array_position(col("__d2s"), array_min(col("__d2s"))).cast("int"))
+      .withColumn("code", element_at(element_at(cid, col("sub") + 1), col("__idx")))
+      .withColumn("d2", element_at(col("__d2s"), col("__idx")))
+      .drop("__d2s", "__idx")
+  }
+
+  /** PQ codebook training: seed = subvectors of vec_id 0..pqK-1, then
+    * pqIters-1 Lloyd updates over exact integer micro-unit moments —
+    * the finalCentroids loop with (sub, cluster) as the codebook key.
+    * Per-iteration collect is bounded: pqSubs*pqK*pqSubdim = 256 rows. */
+  private def pqCodebooks(s: SparkSession, d: String): Seq[Seq[(Int, Seq[Double])]] = {
+    val sv = pqSubvecs(s, d)
+    var cents: Seq[Seq[(Int, Seq[Double])]] = {
+      val seed = sv.where(col("vec_id") < pqK).orderBy("sub", "vec_id").collect()
+        .map(r => (r.getInt(1), r.getLong(0).toInt,
+          r.getSeq[Float](2).map(_.toDouble).toSeq))
+      (0 until pqSubs).map(su =>
+        seed.filter(_._1 == su).sortBy(_._2).map(t => (t._2, t._3)).toSeq)
+    }
+    for (_ <- 1 until pqIters) {
+      val upd = pqAssign(sv, cents)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .select(col("sub"), col("code"), col("pos"),
+          floor(col("x").cast(DoubleType) * 1000000.0 + 0.5).as("s"))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(col("s")).as("ss"), count(lit(1)).as("cnt"))
+        .select(col("sub"), col("code"), col("pos"),
+          (col("ss").cast(DoubleType) / col("cnt").cast(DoubleType) / 1000000.0).as("v"))
+        .collect()                               // bounded: 4*4*16 rows max
+      cents = (0 until pqSubs).map { su =>
+        upd.filter(_.getInt(0) == su).groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+          .map { case (c, rows) =>
+            (c, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }
+      }
+    }
+    cents
+  }
 
   /** CTE chain for one DuckDB Lloyd iteration: assignment `a$it` against
     * centroids `c${it-1}`, exact integer micro-sums `s$it`, and the next
@@ -241,9 +328,37 @@ object KmeansQueries {
       "SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j, n, " +
       s"$covFormula AS cov FROM j1 ORDER BY dim_i, dim_j"
 
+  /** DuckDB mirror of the PQ loop: subvector CTE, seed codebooks from
+    * vec_id 0..pqK-1, one Lloyd update over the same exact micro-unit
+    * moments, final assignment — the kmeansSql chain with (sub, cluster)
+    * as the codebook key. */
+  private def pqSql: String = {
+    val sd = pqSubdim
+    s"WITH sv AS (SELECT vec_id, sub, list_transform(generate_series(1, $sd), " +
+      s"i -> CAST(embedding[sub*$sd + i] AS DOUBLE)) AS sv " +
+      s"FROM embeddings CROSS JOIN (SELECT unnest(range(0, $pqSubs)) AS sub) ss), " +
+      s"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, sub, sv AS c FROM sv WHERE vec_id < $pqK), " +
+      "a1 AS (SELECT vec_id, sub, sv, cluster, d2, " +
+      "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn " +
+      "FROM (SELECT sv.vec_id, sv.sub, sv.sv, c0.cluster, " +
+      s"${sqDistSqlN(sd, "sv.sv", "c0.c")} AS d2 FROM sv JOIN c0 ON sv.sub = c0.sub)), " +
+      "s1 AS (SELECT sub, cluster, i AS pos, " +
+      "CAST(SUM(CAST(floor(sv[i]*1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss, COUNT(*) AS cnt " +
+      s"FROM a1 CROSS JOIN (SELECT unnest(range(1, ${sd + 1})) AS i) dd WHERE rn = 1 GROUP BY 1, 2, 3), " +
+      "c1 AS (SELECT sub, cluster, " +
+      "list(CAST(ss AS DOUBLE)/CAST(cnt AS DOUBLE)/1000000.0 ORDER BY pos) AS c FROM s1 GROUP BY 1, 2), " +
+      "af AS (SELECT vec_id, sub, cluster, d2, " +
+      "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn " +
+      "FROM (SELECT sv.vec_id, sv.sub, c1.cluster, " +
+      s"${sqDistSqlN(sd, "sv.sv", "c1.c")} AS d2 FROM sv JOIN c1 ON sv.sub = c1.sub)) " +
+      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, ROUND(d2, 6) AS dist2 " +
+      "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
+  }
+
   val oracle: Map[String, String] = Map(
     "embed_kmeans" -> kmeansSql,
     "embed_outlier_dist" -> outlierSql,
-    "embed_covariance" -> covarianceSql
+    "embed_covariance" -> covarianceSql,
+    "embed_pq" -> pqSql
   )
 }

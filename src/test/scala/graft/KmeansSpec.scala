@@ -60,6 +60,60 @@ class KmeansSpec extends SparkSpec {
     assert(out.map(_.getInt(1)).distinct.length > 1)
   }
 
+  test("embed_pq matches a pure-Scala per-subspace Lloyd reference exactly") {
+    // the PQ loop is 4 independent 16-dim k-means over subvector slices;
+    // run the same reference per subspace (k=4, 2 iters) and demand
+    // exact code equality, then pin the compression invariant: the
+    // summed PQ residual is a valid reconstruction error (>= 0) and the
+    // codebook is non-degenerate (every subspace uses > 1 code).
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val subs = 4; val subdim = 16; val pqK = 4; val pqIters = 2
+    def refSub(su: Int): Map[Long, (Int, Double)] = {
+      val sv = vecs.map { case (id, v) =>
+        (id, v.slice(su * subdim, (su + 1) * subdim)) }
+      def sqDist(a: Array[Float], c: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { val t = a(i).toDouble - c(i); acc += t * t; i += 1 }
+        acc
+      }
+      def assign(cents: Seq[(Int, Array[Double])]): Map[Long, (Int, Double)] =
+        sv.map { case (id, v) =>
+          val best = cents.map { case (c, cv) => (sqDist(v, cv), c) }
+            .minBy { case (d, c) => (d, c) }
+          id -> (best._2, best._1)
+        }.toMap
+      var cents: Seq[(Int, Array[Double])] = sv.filter(_._1 < pqK).sortBy(_._1)
+        .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }
+      for (_ <- 1 until pqIters) {
+        val asg = assign(cents)
+        cents = sv.groupBy { case (id, _) => asg(id)._1 }.toSeq.sortBy(_._1)
+          .map { case (c, members) =>
+            val cv = Array.tabulate(subdim) { i =>
+              val ss = members.map { case (_, v) =>
+                math.floor(v(i).toDouble * 1000000.0 + 0.5).toLong }.sum
+              ss.toDouble / members.size.toDouble / 1000000.0
+            }
+            (c, cv)
+          }
+      }
+      assign(cents)
+    }
+    val refs = (0 until subs).map(refSub)
+    val out = SparkEntry.queries("embed_pq")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(out.size === vecs.length * subs)
+    for (su <- 0 until subs; (id, (refCode, refD2)) <- refs(su)) {
+      val (code, d2) = out((id, su))
+      assert(code === refCode, s"vec $id sub $su: code $code != reference $refCode")
+      assert(math.abs(d2 - refD2) < 1e-6, s"vec $id sub $su: d2 $d2 != $refD2")
+    }
+    for (su <- 0 until subs)
+      assert(out.collect { case ((_, s), (c, _)) if s == su => c }.toSet.size > 1,
+        s"subspace $su codebook degenerate")
+  }
+
   test("embed_outlier_dist: 5 per label, rank-ordered, true top by distance") {
     val rows = SparkEntry.queries("embed_outlier_dist")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
