@@ -187,6 +187,44 @@ object SampleQueries {
         .select(col("doc_id"), col("source"), col("rn").cast(IntegerType).as("rn"),
           r6(col("q")).as("quality"))
         .orderBy("doc_id")
+    }),
+
+    // Target-distribution data mixing (r6): resample the corpus so the
+    // SOURCE mix matches declared rational target weights — the domain-
+    // reweighting step every pretraining data recipe runs (a declared
+    // w_s per domain, not whatever the crawl happened to contain).
+    // Weights are integral (num_s / 50, num_s = source index % 4 + 1),
+    // so everything is exact integer arithmetic on both engines:
+    //   M   = min_s floor(n_s * den / num_s)   (largest feasible total)
+    //   k_s = floor(num_s * M / den)           (per-source quota)
+    // Selection inside a source is the shared salted hash (rebuild-
+    // stable, engine-portable), tie-broken by doc_id. Shape: bounded
+    // per-source counts -> one broadcast scalar (M) -> quota join ->
+    // one window per source partition. The quota is data-dependent, so
+    // WindowGroupLimit cannot constant-prune here — the rank is still
+    // one shuffle + per-partition sort on the source key, and the
+    // emitted quota column makes the selection auditable downstream.
+    "sample_target_mix" -> ((s, d) => {
+      val den = 50L
+      val num = (substring(col("source"), 4, 10).cast(LongType) % 4 + 1).as("num")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          phash(col("doc_id"), "mix:").as("hk"))
+      val counts = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .select(col("source"), num, col("n"))
+      val m = counts.agg(min(expr(s"n * $den DIV num")).as("m"))
+      val quotas = counts.crossJoin(broadcast(m))
+        .select(col("source"), col("num"),
+          expr(s"num * m DIV $den").as("quota"))
+      val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      base.join(quotas, "source")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"),
+          col("num").cast(IntegerType).as("target_w"),
+          col("quota").cast(IntegerType).as("quota"))
+        .orderBy("doc_id")
     })
   )
 
@@ -245,6 +283,19 @@ object SampleQueries {
        "m AS (SELECT doc_id, source, " + Text2Queries.qualityScoreSql + " AS q FROM b), " +
        "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn FROM m) " +
        "SELECT doc_id, source, CAST(rn AS INT) AS rn, ROUND(q, 6) AS quality " +
-       "FROM r WHERE rn <= 15 ORDER BY doc_id")
+       "FROM r WHERE rn <= 15 ORDER BY doc_id"),
+    "sample_target_mix" ->
+      // pure integer quota arithmetic (// mirrors Spark DIV — all terms
+      // nonnegative) + the shared salted hash selector
+      ("WITH c AS (SELECT source, (CAST(substring(source, 4) AS BIGINT) % 4 + 1) AS num, " +
+       "COUNT(*) AS n FROM documents GROUP BY 1), " +
+       "m AS (SELECT MIN(n * 50 // num) AS m FROM c), " +
+       "q AS (SELECT source, num, num * m // 50 AS quota FROM c CROSS JOIN m), " +
+       "b AS (SELECT doc_id, source, " + phashSql("doc_id", "mix:") + " AS hk FROM documents), " +
+       "r AS (SELECT b.doc_id, b.source, q.num, q.quota, " +
+       "row_number() OVER (PARTITION BY b.source ORDER BY hk, doc_id) AS rn " +
+       "FROM b JOIN q ON b.source = q.source) " +
+       "SELECT doc_id, source, CAST(num AS INT) AS target_w, CAST(quota AS INT) AS quota " +
+       "FROM r WHERE rn <= quota ORDER BY doc_id")
   )
 }

@@ -112,4 +112,29 @@ class SampleSpec extends SparkSpec {
       .where(col("max_drop") > col("min_kept"))
     assert(bad.count() === 0, "a dropped doc outscored a kept doc in its source")
   }
+
+  test("sample_target_mix hits every per-source quota and the declared mix") {
+    // quotas are derived integers: k_s = floor(num_s * M / 50) with
+    // M = min_s floor(n_s * 50 / num_s) — recompute both independently
+    // and demand the kept counts equal them EXACTLY; the achieved mix
+    // then matches the target weights by construction (each kept count
+    // is within one floor step of w_s * total).
+    val den = 50L
+    val counts = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def num(src: String) = src.drop(3).toLong % 4 + 1
+    val m = counts.map { case (s, n) => n * den / num(s) }.min
+    val quota = counts.keys.map(s => s -> num(s) * m / den).toMap
+    val kept = SparkEntry.queries("sample_target_mix")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(keptBySource === quota.filter(_._2 > 0),
+      "kept counts must equal the integer quotas exactly")
+    kept.foreach { case (_, s, w, q) =>
+      assert(w === num(s).toInt && q === quota(s).toInt,
+        s"emitted weight/quota mismatch for $s")
+    }
+    // feasibility: no quota exceeds its source's population
+    quota.foreach { case (s, q) => assert(q <= counts(s)) }
+  }
 }
