@@ -143,21 +143,8 @@ object KmeansQueries {
     // bounded (i, j) key; the 64-row first-moment side broadcasts.
     "embed_covariance" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val qs = transform(col("embedding"),
-        x => floor(x.cast(DoubleType) * 1000000.0 + 0.5).cast("long"))
-      val pairs = e.select(qs.as("qs"))
-        .select(explode(flatten(transform(sequence(lit(1), lit(dims)), i =>
-          transform(sequence(i, lit(dims)), j =>
-            struct(i.as("i"), j.as("j"),
-              (element_at(col("qs"), i) * element_at(col("qs"), j)).as("p"))))))
-          .as("t"))
-        .groupBy(col("t.i").as("dim_i"), col("t.j").as("dim_j"))
-        .agg(sum(col("t.p").cast(DecimalType(38, 0))).as("sij"))
-      val moments = e
-        .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
-        .select((col("pos0") + 1).as("pos"),
-          floor(col("x").cast(DoubleType) * 1000000.0 + 0.5).cast("long").as("q"))
-        .groupBy("pos").agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      val pairs = microPairs(e)
+      val moments = microMoments(e)
       pairs
         .join(broadcast(moments.select(col("pos"), col("s").as("si"), col("n"))),
           col("dim_i") === col("pos")).drop("pos")
@@ -165,6 +152,32 @@ object KmeansQueries {
           col("dim_j") === col("pos")).drop("pos")
         .selectExpr("dim_i", "dim_j", "n", s"$covFormula AS cov")
         .orderBy("dim_i", "dim_j")
+    }),
+
+    // Top principal component projection (r6) — the embedding-space
+    // drift/structure signal (and the whitening direction) every corpus
+    // QC dashboard plots. Deterministic cross-engine WITHOUT any new
+    // rounding rule: the covariance matrix and per-dim means derive
+    // from EXACT integer micro-unit sums (bounded 2080 + 64-row collect
+    // — the kmeans-class construction-time driver work), the 8-round
+    // power iteration runs in a FIXED op order (j-ascending left-fold
+    // matvec, max-abs normalize — exact selection, one division per
+    // element), the final vector normalizes through sqrt (correctly
+    // rounded on both engines, r5b), and the projection is the usual
+    // left-fold dot against broadcast literals. The oracle replays the
+    // IDENTICAL unrolled iteration in SQL — every intermediate is
+    // bit-equal, the only rounding is the display r6.
+    "embed_pca_top" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (means, u) = pcaTop(s, d)
+      val meansL = typedlit(means)
+      val uL = typedlit(u)
+      e.select(col("vec_id"), col("label"),
+        r6(aggregate(transform(sequence(lit(1), lit(dims)), i =>
+          (element_at(col("embedding"), i).cast(DoubleType) -
+            element_at(meansL, i)) * element_at(uL, i)),
+          lit(0.0), (a, x) => a + x)).as("pc1"))
+        .orderBy("vec_id")
     }),
 
     // Product quantization (round-7 candidate list) — the codebook path
@@ -185,6 +198,71 @@ object KmeansQueries {
         .orderBy("vec_id", "sub")
     })
   )
+
+  /** Exact upper-triangle micro-unit product sums (dim_i, dim_j, sij):
+    * the 2080 products generate IN-ROW (nested-transform flatten), one
+    * shuffle on the bounded (i, j) key. Shared by embed_covariance and
+    * the PCA power iteration. */
+  private def microPairs(e: DataFrame): DataFrame = {
+    val qs = transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * 1000000.0 + 0.5).cast("long"))
+    e.select(qs.as("qs"))
+      .select(explode(flatten(transform(sequence(lit(1), lit(dims)), i =>
+        transform(sequence(i, lit(dims)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("qs"), i) * element_at(col("qs"), j)).as("p"))))))
+        .as("t"))
+      .groupBy(col("t.i").as("dim_i"), col("t.j").as("dim_j"))
+      .agg(sum(col("t.p").cast(DecimalType(38, 0))).as("sij"))
+  }
+
+  private val pcaIters = 8
+
+  /** Driver-side exact-covariance power iteration: collects the bounded
+    * integer moment sums, builds the symmetric covariance in the SAME
+    * fixed IEEE op order as covFormula (un-rounded), runs pcaIters
+    * matvec+max-abs-normalize rounds (j-ascending left folds — the
+    * list_sum order), and returns (per-dim means, unit eigenvector).
+    * Pure deterministic Scala on bounded data — the oracle replays the
+    * identical arithmetic in unrolled SQL. */
+  private def pcaTop(s: SparkSession, d: String): (Seq[Double], Seq[Double]) = {
+    val e = Tables.embeddings(s, d)
+    val mom = microMoments(e).collect()              // bounded: 64 rows
+    val n = mom.head.getLong(2)
+    val si = Array.ofDim[Long](dims)
+    mom.foreach(r => si(r.getInt(0) - 1) = r.getLong(1))
+    val c = Array.ofDim[Double](dims, dims)
+    microPairs(e).collect().foreach { r =>           // bounded: 2080 rows
+      val i = r.getInt(0) - 1
+      val j = r.getInt(1) - 1
+      val sij = r.getDecimal(2).longValueExact()
+      val cov = (sij.toDouble - si(i).toDouble * si(j).toDouble / n.toDouble) /
+        (n.toDouble - 1.0) / 1.0e12
+      c(i)(j) = cov
+      c(j)(i) = cov
+    }
+    val means = si.map(v => v.toDouble / n.toDouble / 1000000.0)
+    var v = Array.fill(dims)(1.0)
+    for (_ <- 0 until pcaIters) {
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dims) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val mx = w.map(math.abs).max
+      v = w.map(_ / mx)
+    }
+    val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    (means.toIndexedSeq, v.map(_ / nrm).toIndexedSeq)
+  }
+
+  /** Exact per-dim micro-unit first moments (pos, s, n) — 64 rows. */
+  private def microMoments(e: DataFrame): DataFrame = e
+    .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+    .select((col("pos0") + 1).as("pos"),
+      floor(col("x").cast(DoubleType) * 1000000.0 + 0.5).cast("long").as("q"))
+    .groupBy("pos").agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
 
   /** THE covariance emission — one string evaluated verbatim by Spark's
     * selectExpr and DuckDB so the IEEE op order cannot drift (r5b rule):
@@ -355,10 +433,51 @@ object KmeansQueries {
       "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
   }
 
+  /** DuckDB mirror of pcaTop + the projection: the same exact integer
+    * moment CTEs as covarianceSql, the symmetric covariance assembled
+    * into ONE list-of-lists row, and the power iteration UNROLLED —
+    * each wk/vk pair is the j-ascending list_sum matvec and the
+    * max-abs normalize, arithmetic-identical to the Scala loop. */
+  private def pcaSql: String = {
+    val iterCtes = (1 to pcaIters).map { k =>
+      s"w$k AS (SELECT list_transform(generate_series(1, $dims), i -> " +
+        s"list_sum(list_transform(generate_series(1, $dims), j -> C[i][j] * v[j]))) AS w " +
+        s"FROM mat CROSS JOIN v${k - 1}), " +
+        s"v$k AS (SELECT list_transform(w, x -> x / mx) AS v FROM " +
+        s"(SELECT w, list_max(list_transform(w, y -> abs(y))) AS mx FROM w$k))"
+    }.mkString(", ")
+    "WITH q AS (SELECT list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qs FROM embeddings), " +
+      "p AS (SELECT i AS dim_i, j AS dim_j, " +
+      "CAST(SUM(CAST(qs[i] AS HUGEINT) * qs[j]) AS HUGEINT) AS sij " +
+      s"FROM q CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) ii " +
+      s"CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS j) jj " +
+      "WHERE j >= i GROUP BY 1, 2), " +
+      "m AS (SELECT i AS pos, CAST(SUM(qs[i]) AS BIGINT) AS s, COUNT(*) AS n " +
+      s"FROM q CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) ii GROUP BY 1), " +
+      "fullp AS (SELECT dim_i AS i, dim_j AS j, sij FROM p " +
+      "UNION ALL SELECT dim_j, dim_i, sij FROM p WHERE dim_i <> dim_j), " +
+      "cv AS (SELECT f.i, f.j, " +
+      "(CAST(sij AS DOUBLE) - CAST(mi.s AS DOUBLE) * CAST(mj.s AS DOUBLE) / " +
+      "CAST(mi.n AS DOUBLE)) / (CAST(mi.n AS DOUBLE) - 1.0) / 1000000000000.0 AS cov " +
+      "FROM fullp f JOIN m mi ON f.i = mi.pos JOIN m mj ON f.j = mj.pos), " +
+      "rws AS (SELECT i, list(cov ORDER BY j) AS r FROM cv GROUP BY 1), " +
+      "mat AS (SELECT list(r ORDER BY i) AS C FROM rws), " +
+      "mu AS (SELECT list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY pos) AS mus FROM m), " +
+      s"v0 AS (SELECT list_transform(generate_series(1, $dims), i -> 1.0) AS v), " +
+      iterCtes + ", " +
+      "uvec AS (SELECT list_transform(v, x -> x / nrm) AS u FROM " +
+      s"(SELECT v, sqrt(list_sum(list_transform(v, y -> y*y))) AS nrm FROM v$pcaIters)) " +
+      s"SELECT vec_id, label, ROUND(list_sum(list_transform(generate_series(1, $dims), i -> " +
+      "(CAST(embedding[i] AS DOUBLE) - mus[i]) * u[i])), 6) AS pc1 " +
+      "FROM embeddings CROSS JOIN uvec CROSS JOIN mu ORDER BY vec_id"
+  }
+
   val oracle: Map[String, String] = Map(
     "embed_kmeans" -> kmeansSql,
     "embed_outlier_dist" -> outlierSql,
     "embed_covariance" -> covarianceSql,
-    "embed_pq" -> pqSql
+    "embed_pq" -> pqSql,
+    "embed_pca_top" -> pcaSql
   )
 }

@@ -252,6 +252,27 @@ object TemporalQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // Hour-of-day seasonality baseline + spike flags (r6): per
+    // (event_type, hour-of-day) the expected hourly count over the
+    // ZERO-FILLED grid (a silent hour is 0 activity, not missing data —
+    // gap_fill's whole point), then each concrete hour compared against
+    // 2x its seasonal baseline. The spike test is pure integer cross-
+    // multiplication (cnt * n_hod > 2 * sum_hod) — no division, no
+    // rounding, no cross-engine FP risk; `expected` is display-only
+    // (exact integer sum -> one fixed division, r6). Shape: the bounded
+    // grid aggregates to a 24 x |types| baseline that broadcast-joins
+    // back — all post-scan work is grid-cardinality.
+    "ts_seasonal_baseline" -> ((s, d) => {
+      val gf = hourlyGrid(s, d).withColumn("hod", hour(col("h")))
+      val base = gf.groupBy("event_type", "hod")
+        .agg(sum(col("cnt")).as("s_hod"), count(lit(1)).as("n_hod"))
+      gf.join(broadcast(base), Seq("event_type", "hod"))
+        .select(col("event_type"), col("h"), col("cnt"), col("hod"),
+          r6(col("s_hod").cast("double") / col("n_hod").cast("double")).as("expected"),
+          (col("cnt") * col("n_hod") > col("s_hod") * 2).as("is_spike"))
+        .orderBy("event_type", "h")
+    }),
+
     // CDC "last write wins": latest event per (user, type) — the Salesforce
     // upsert-compaction the reference's migration performs per object.
     "ts_dedup_latest" -> ((s, d) => {
@@ -395,6 +416,27 @@ object TemporalQueries {
        "MAX(value) AS high, MIN(value) AS low, " +
        "(MAX(struct_pack(ts := ts, event_id := event_id, value := value))).value AS close " +
        "FROM events GROUP BY 1, 2 ORDER BY event_type, hr"),
+    "ts_seasonal_baseline" ->
+      // same gap-fill CTE chain as ts_gap_fill, then the 24 x |types|
+      // baseline; spike = integer cross-multiplication, expected = one
+      // fixed division r6; hour() is 0-23 on both engines (CAST pins INT)
+      ("WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events), " +
+       "c AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1,2), " +
+       "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM c), " +
+       "t AS (SELECT DISTINCT event_type FROM c), " +
+       "g0 AS (SELECT event_type, mn, unnest(range(0, date_diff('hour', mn, mx) + 1)) AS i " +
+       "FROM t CROSS JOIN b), " +
+       "g AS (SELECT event_type, mn + to_hours(i) AS h FROM g0), " +
+       "gf AS (SELECT g.event_type, g.h, CAST(hour(g.h) AS INT) AS hod, " +
+       "COALESCE(c.cnt, 0) AS cnt FROM g " +
+       "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h), " +
+       "base AS (SELECT event_type, hod, CAST(SUM(cnt) AS BIGINT) AS s_hod, " +
+       "COUNT(*) AS n_hod FROM gf GROUP BY 1, 2) " +
+       "SELECT gf.event_type, gf.h, gf.cnt, gf.hod, " +
+       "ROUND(CAST(s_hod AS DOUBLE) / CAST(n_hod AS DOUBLE), 6) AS expected, " +
+       "gf.cnt * n_hod > s_hod * 2 AS is_spike " +
+       "FROM gf JOIN base ON gf.event_type = base.event_type AND gf.hod = base.hod " +
+       "ORDER BY gf.event_type, gf.h"),
     "ts_dedup_latest" ->
       ("SELECT user_id, event_type, event_id, ts, value FROM " +
        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn " +

@@ -114,6 +114,27 @@ class KmeansSpec extends SparkSpec {
         s"subspace $su codebook degenerate")
   }
 
+  test("embed_pca_top captures a dominant direction (variance >= mean axis variance)") {
+    // the projection variance along the power-iterated direction must be
+    // at least the AVERAGE per-axis variance (trace/64 <= lambda_max —
+    // true for the exact eigenvector; 8 iterations from all-ones get
+    // far closer than that bound, so this is a safe convergence pin),
+    // and the projection of centered data must have ~zero mean (the
+    // micro-unit mean quantization bounds the residual).
+    val scores = SparkEntry.queries("embed_pca_top")(spark, sf).collect()
+      .map(_.getDouble(2))
+    val n = scores.length
+    val mean = scores.sum / n
+    assert(math.abs(mean) < 1e-4, s"centered projection mean drifted: $mean")
+    val pcVar = scores.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+    val diag = SparkEntry.queries("embed_covariance")(spark, sf)
+      .where(col("dim_i") === col("dim_j")).collect().map(_.getDouble(3))
+    assert(diag.length === 64)
+    val avgAxisVar = diag.sum / diag.length
+    assert(pcVar >= avgAxisVar,
+      s"pc1 variance $pcVar below mean axis variance $avgAxisVar")
+  }
+
   test("embed_outlier_dist: 5 per label, rank-ordered, true top by distance") {
     val rows = SparkEntry.queries("embed_outlier_dist")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
