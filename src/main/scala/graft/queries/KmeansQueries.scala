@@ -196,6 +196,48 @@ object KmeansQueries {
       pqAssign(pqSubvecs(s, d), cents)
         .select(col("vec_id"), col("sub"), col("code"), r6(col("d2")).as("dist2"))
         .orderBy("vec_id", "sub")
+    }),
+
+    // PQ asymmetric-distance search (r6) — what the embed_pq codebooks
+    // exist FOR: the query vector's squared distance to every centroid
+    // becomes a 4x4 LOOKUP TABLE (computed once, driver-side, same
+    // left-fold arithmetic), and each corpus vector's approximate
+    // distance is the sub-ascending fold of 4 table entries selected by
+    // its codes — ZERO float math per corpus row beyond the in-row code
+    // assignment, the trick that makes billion-scale scans memory-bound
+    // instead of FLOP-bound. Fully row-local map work against broadcast
+    // literals; top-10 via TakeOrderedAndProject on the raw (bit-
+    // identical) ADC value, display r6 after selection (the
+    // sim_search_topk convention).
+    "sim_search_pq" -> ((s, d) => {
+      val cents = pqCodebooks(s, d)
+      val e = Tables.embeddings(s, d)
+      val qv = e.where(col("vec_id") === 0).select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+      def sq(a: Array[Double], c: Seq[Double]): Double = {
+        var acc = 0.0
+        var i = 0
+        while (i < c.length) { val t = a(i) - c(i); acc += t * t; i += 1 }
+        acc
+      }
+      val dtab = cents.zipWithIndex.map { case (cs, su) =>
+        val qsub = qv.slice(su * pqSubdim, (su + 1) * pqSubdim)
+        cs.map { case (_, cvec) => sq(qsub, cvec) }
+      }
+      val cl = typedlit(cents.map(_.map(_._2)))
+      val dt = typedlit(dtab)
+      val adc = aggregate(transform(sequence(lit(0), lit(pqSubs - 1)), su => {
+        val sv = slice(col("embedding"), su * pqSubdim + 1, lit(pqSubdim))
+        val d2s = transform(element_at(cl, su + 1), c => sqDistD(sv, c))
+        element_at(element_at(dt, su + 1),
+          array_position(d2s, array_min(d2s)).cast("int"))
+      }), lit(0.0), (a, x) => a + x)
+      e.where(col("vec_id") =!= 0)
+        .select(col("vec_id"), adc.as("adc"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), r6(col("adc")).as("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
     })
   )
 
@@ -410,7 +452,10 @@ object KmeansQueries {
     * vec_id 0..pqK-1, one Lloyd update over the same exact micro-unit
     * moments, final assignment — the kmeansSql chain with (sub, cluster)
     * as the codebook key. */
-  private def pqSql: String = {
+  /** Shared CTE prefix (WITH sv..af): subvectors, seed, one Lloyd
+    * update, final assignment — used by both the embed_pq and the
+    * sim_search_pq mirrors so codebooks/codes can never drift. */
+  private def pqChainSql: String = {
     val sd = pqSubdim
     s"WITH sv AS (SELECT vec_id, sub, list_transform(generate_series(1, $sd), " +
       s"i -> CAST(embedding[sub*$sd + i] AS DOUBLE)) AS sv " +
@@ -428,9 +473,33 @@ object KmeansQueries {
       "af AS (SELECT vec_id, sub, cluster, d2, " +
       "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn " +
       "FROM (SELECT sv.vec_id, sv.sub, c1.cluster, " +
-      s"${sqDistSqlN(sd, "sv.sv", "c1.c")} AS d2 FROM sv JOIN c1 ON sv.sub = c1.sub)) " +
+      s"${sqDistSqlN(sd, "sv.sv", "c1.c")} AS d2 FROM sv JOIN c1 ON sv.sub = c1.sub))"
+  }
+
+  private def pqSql: String =
+    s"$pqChainSql " +
       "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, ROUND(d2, 6) AS dist2 " +
       "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
+
+  /** ADC mirror: the query's per-(sub, cluster) distance table from the
+    * SAME c1 codebooks, each corpus vector's ADC as the sub-ascending
+    * list_sum of its 4 selected entries (the Spark fold order), top-10
+    * on the raw bit-identical value, display ROUND after selection. */
+  private def pqSearchSql: String = {
+    val sd = pqSubdim
+    s"$pqChainSql, " +
+      s"qq AS (SELECT sub, list_transform(generate_series(1, $sd), " +
+      s"i -> CAST(embedding[sub*$sd + i] AS DOUBLE)) AS qs " +
+      s"FROM embeddings CROSS JOIN (SELECT unnest(range(0, $pqSubs)) AS sub) ss " +
+      "WHERE vec_id = 0), " +
+      s"dt AS (SELECT c1.sub, c1.cluster, ${sqDistSqlN(sd, "qq.qs", "c1.c")} AS d2q " +
+      "FROM c1 JOIN qq ON c1.sub = qq.sub), " +
+      "t AS (SELECT af.vec_id, af.sub, dt.d2q FROM af " +
+      "JOIN dt ON af.sub = dt.sub AND af.cluster = dt.cluster " +
+      "WHERE af.rn = 1 AND af.vec_id <> 0), " +
+      "sc AS (SELECT vec_id, list_sum(list(d2q ORDER BY sub)) AS adc FROM t GROUP BY 1), " +
+      "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
+      "SELECT vec_id, ROUND(adc, 6) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
   }
 
   /** DuckDB mirror of pcaTop + the projection: the same exact integer
@@ -478,6 +547,7 @@ object KmeansQueries {
     "embed_outlier_dist" -> outlierSql,
     "embed_covariance" -> covarianceSql,
     "embed_pq" -> pqSql,
+    "sim_search_pq" -> pqSearchSql,
     "embed_pca_top" -> pcaSql
   )
 }

@@ -135,6 +135,30 @@ class KmeansSpec extends SparkSpec {
       s"pc1 variance $pcVar below mean axis variance $avgAxisVar")
   }
 
+  test("sim_search_pq: ADC top-10 lands inside the exact-L2 top quartile") {
+    // usefulness pin for the coarse 4x4 codebook: every ADC top-10
+    // member must sit inside the exact-L2 top quartile (the DuckDB
+    // oracle already pins the ADC VALUES bit-for-bit; this guards the
+    // semantic claim that table-lookup distances rank usefully).
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val q = vecs(0L)
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; acc += t * t; i += 1 }
+      acc
+    }
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, sq(q, v)) }.sortBy { case (id, d) => (d, id) }
+    val quartile = exact.take(math.max(10, exact.length / 4)).map(_._1).toSet
+    val top = SparkEntry.queries("sim_search_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length === 10)
+    assert(top.forall { case (id, _) => quartile.contains(id) },
+      "an ADC top-10 member fell outside the exact-L2 top quartile")
+    top.foreach { case (_, adc) => assert(adc >= 0.0) }
+  }
+
   test("embed_outlier_dist: 5 per label, rank-ordered, true top by distance") {
     val rows = SparkEntry.queries("embed_outlier_dist")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
