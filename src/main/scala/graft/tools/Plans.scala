@@ -220,7 +220,32 @@ object Plans {
     "graph_triangles" ->
       ("wedge join on the middle vertex + closing-edge equality join over the SUPPORT-THRESHOLDED " +
        "edge set (the threshold is the scale control: ~3.6k edges from ~1.2M raw pairs at sf0.1); " +
-       "the p1<p2 invariant yields each triangle once — no orientation dedup pass."))
+       "the p1<p2 invariant yields each triangle once — no orientation dedup pass."),
+    "embed_covariance" ->
+      ("the 2080 upper-triangle micro-unit products generate IN-ROW (nested-transform flatten in " +
+       "the scan projection — never a corpus self-join), one partial-aggregable shuffle on the " +
+       "bounded (i, j) key, and the 64-row first-moment side re-enters via two broadcast joins; " +
+       "post-scan work is matrix-cardinality, data-size independent."),
+    "embed_pca_top" ->
+      ("the deployed plan is scan -> project -> sort: means and eigenvector enter as 64-element " +
+       "literals (the power iteration ran at construction over the bounded exact-integer moment " +
+       "collects — kmeans-class driver work), so the projection is one map pass; nothing in the " +
+       "plan scales with n."),
+    "sim_search_pq" ->
+      ("the ADC scan shape: code assignment AND table lookup are one in-row projection against " +
+       "broadcast literals (codebooks + the query's 4x4 distance table) — zero joins, zero " +
+       "shuffles until TakeOrderedAndProject merges 10 rows per partition; the memory-bound " +
+       "billion-scale ANN scan, as a plan."),
+    "sample_target_mix" ->
+      ("bounded per-source counts -> one broadcast scalar (the feasible total) -> quota join -> " +
+       "ONE window per source partition for the salted-hash rank; the quota is data-dependent so " +
+       "WindowGroupLimit cannot constant-prune, but the shuffle is still one source-keyed " +
+       "exchange and the emitted quota column keeps the selection auditable."),
+    "ts_seasonal_baseline" ->
+      ("the event scan ends at the hourly count aggregate (ts_gap_fill's inherited floor); the " +
+       "24 x |types| baseline is a second bounded aggregate broadcast back over the grid, and the " +
+       "spike test is integer cross-multiplication in the projection — no division, no FP " +
+       "comparison, no window."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
