@@ -214,26 +214,77 @@ object KmeansQueries {
       val e = Tables.embeddings(s, d)
       val qv = e.where(col("vec_id") === 0).select("embedding").head()
         .getSeq[Float](0).map(_.toDouble).toArray
-      def sq(a: Array[Double], c: Seq[Double]): Double = {
-        var acc = 0.0
-        var i = 0
-        while (i < c.length) { val t = a(i) - c(i); acc += t * t; i += 1 }
-        acc
-      }
-      val dtab = cents.zipWithIndex.map { case (cs, su) =>
-        val qsub = qv.slice(su * pqSubdim, (su + 1) * pqSubdim)
-        cs.map { case (_, cvec) => sq(qsub, cvec) }
-      }
-      val cl = typedlit(cents.map(_.map(_._2)))
-      val dt = typedlit(dtab)
-      val adc = aggregate(transform(sequence(lit(0), lit(pqSubs - 1)), su => {
-        val sv = slice(col("embedding"), su * pqSubdim + 1, lit(pqSubdim))
-        val d2s = transform(element_at(cl, su + 1), c => sqDistD(sv, c))
-        element_at(element_at(dt, su + 1),
-          array_position(d2s, array_min(d2s)).cast("int"))
-      }), lit(0.0), (a, x) => a + x)
       e.where(col("vec_id") =!= 0)
-        .select(col("vec_id"), adc.as("adc"))
+        .select(col("vec_id"), adcColumn(cents, qv).as("adc"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), r6(col("adc")).as("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+    }),
+
+    // OPQ — rotate-then-PQ (round-7 candidate list): the Walsh-Hadamard
+    // structured rotation spreads per-dimension energy evenly across the
+    // PQ subspaces (the practical stand-in for a learned OPQ rotation),
+    // then the SAME codebook trainer runs on rotated coordinates. The
+    // rotation is exact integer arithmetic (see hadamardRotate), so the
+    // whole path keeps the bit-identical cross-engine contract. Output
+    // mirrors embed_pq: per-(vector, subspace) code + squared residual.
+    "embed_opq" -> ((s, d) => {
+      // localCheckpoint: without it CollapseProject inlines the rotation
+      // expression into every distance reference (~12 evaluations per
+      // row — measured 53 s at sf0.001) and the trainer re-rotates on
+      // every pass; materialized once it's ~1 s. Same pattern (and same
+      // cluster caveat) as graph_pagerank's edge set.
+      val sv = opqSubvecs(s, d).localCheckpoint(true)
+      val cents = pqCodebooksFrom(sv)
+      pqAssign(sv, cents)
+        .select(col("vec_id"), col("sub"), col("code"), r6(col("d2")).as("dist2"))
+        .orderBy("vec_id", "sub")
+    }),
+
+    // Residual quantization — the OTHER classical multi-stage codebook
+    // (RQ: quantize, subtract, quantize the residual). Stage 1: one
+    // full-vector codebook (k=4, seeds vec 0..3, one Lloyd update);
+    // stage 2: a second codebook trained ON THE RESIDUALS (seeds =
+    // residuals of vec 4..7, so codes are 0..3 / 4..7 disjoint). The
+    // emitted dist2 is the stage-2 reconstruction error — what an
+    // RQ-based ANN index stores alongside the two 2-bit codes. Both
+    // stages are the exact micro-unit Lloyd loop; the residual
+    // subtraction is one IEEE op per element.
+    "embed_rq" -> ((s, d) => {
+      val fv = Tables.embeddings(s, d)
+        .select(col("vec_id"), lit(0).as("sub"), col("embedding").as("sv"))
+      val cents1 = pqCodebooksFrom(fv).head
+      val res = rqAssignResidual(fv, cents1, "code1")
+      val cents2 = pqCodebooksFrom(res.select("vec_id", "sub", "sv"), pqK).head
+      pqAssign(res, Seq(cents2))
+        .select(col("vec_id"), col("code1"), col("code").as("code2"),
+          r6(col("d2")).as("dist2"))
+        .orderBy("vec_id")
+    }),
+
+    // IVF + PQ composition (round-7 candidate list) — the index layout
+    // of every billion-scale ANN system (FAISS IVFPQ): coarse-quantize
+    // the corpus into 16 cells (nearest of 16 fixed centroid vectors by
+    // L2, the sim_search_ivf stand-in), probe the nprobe=4 cells nearest
+    // the query, and score ONLY cell members with the PQ ADC table. At
+    // 100 TB the cell is the partition key: a query touches nprobe
+    // shards, each row paying a table lookup instead of a 64-dim float
+    // scan. Cell routing + in-row codes are all map work against
+    // broadcast literals; top-10 via TakeOrderedAndProject.
+    "sim_search_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val coarse = e.where(col("vec_id") < ivfCells).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .toSeq                                       // bounded: 16 rows
+      val qv = e.where(col("vec_id") === 0).select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+      val probed = coarse.map { case (cid, c) => (cid, sqArr(qv, c)) }
+        .sortBy { case (cid, d2) => (d2, cid) }.take(ivfProbe).map(_._1)
+      val cents = pqCodebooks(s, d)
+      assign(e, coarse)
+        .where(col("cluster").isin(probed: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), adcColumn(cents, qv).as("adc"))
         .orderBy(col("adc"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"), r6(col("adc")).as("adc_d2"))
@@ -351,13 +402,25 @@ object KmeansQueries {
     * pqIters-1 Lloyd updates over exact integer micro-unit moments —
     * the finalCentroids loop with (sub, cluster) as the codebook key.
     * Per-iteration collect is bounded: pqSubs*pqK*pqSubdim = 256 rows. */
-  private def pqCodebooks(s: SparkSession, d: String): Seq[Seq[(Int, Seq[Double])]] = {
-    val sv = pqSubvecs(s, d)
+  private def pqCodebooks(s: SparkSession, d: String): Seq[Seq[(Int, Seq[Double])]] =
+    pqCodebooksFrom(pqSubvecs(s, d))
+
+  /** The same trainer over ANY (vec_id, sub, sv) frame (float or double
+    * sv — OPQ feeds rotated doubles, RQ feeds residuals), with the seed
+    * window [seedLo, seedLo+pqK) so a second-stage codebook can seed from
+    * different vectors than the first. Cluster ids = seed vec_ids. */
+  private def pqCodebooksFrom(sv: DataFrame, seedLo: Int = 0): Seq[Seq[(Int, Seq[Double])]] = {
+    val nsubs = pqSubs
     var cents: Seq[Seq[(Int, Seq[Double])]] = {
-      val seed = sv.where(col("vec_id") < pqK).orderBy("sub", "vec_id").collect()
+      val seed = sv
+        .where(col("vec_id") >= seedLo && col("vec_id") < seedLo + pqK)
+        .orderBy("sub", "vec_id").collect()
         .map(r => (r.getInt(1), r.getLong(0).toInt,
-          r.getSeq[Float](2).map(_.toDouble).toSeq))
-      (0 until pqSubs).map(su =>
+          r.getSeq[Any](2).map {
+            case f: Float => f.toDouble
+            case x: Double => x
+          }.toSeq))
+      (0 until nsubs).map(su =>
         seed.filter(_._1 == su).sortBy(_._2).map(t => (t._2, t._3)).toSeq)
     }
     for (_ <- 1 until pqIters) {
@@ -379,6 +442,95 @@ object KmeansQueries {
     }
     cents
   }
+
+  // ---- OPQ (Hadamard-rotated PQ), residual quantization, IVF+PQ ----
+
+  /** The 64x64 Walsh-Hadamard sign matrix H[i][j] = (-1)^popcount(i&j)
+    * (0-based), materialized once as a literal so the per-row rotation
+    * is array lookups + integer multiply-adds (the first cut computed
+    * bit_count per fold step — 68 s at sf0.001; this shape is ~1 s).
+    * The oracle recomputes the identical sign from bit_count((i-1)&(j-1))
+    * on its 1-based indices. */
+  private val hadSigns: Seq[Seq[Long]] =
+    (0 until dims).map(i => (0 until dims).map(j =>
+      if (java.lang.Long.bitCount((i & j).toLong) % 2 == 0) 1L else -1L))
+
+  /** Structured-rotation OPQ subvectors: rotate by H/8 (exactly
+    * orthonormal since 1/sqrt(64) = 1/8) and slice into PQ subspaces.
+    * Cross-engine exactness for free: the input quantizes to micro-unit
+    * BIGINTs, H has +-1 entries, so each rotated coordinate is an EXACT
+    * integer sum (order-free), and the descale is two fixed IEEE ops
+    * (cast, / 8e6). The explode comes FIRST and each (vec, sub) row
+    * computes only ITS 16 coordinates (zip_with against the literal H
+    * row, integer fold) — no 4x-inlined full-width rotation. Row-local
+    * map work, no shuffle. */
+  private def opqSubvecs(s: SparkSession, d: String): DataFrame = {
+    val hl = typedlit(hadSigns)
+    val qs = transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * 1000000.0 + 0.5).cast("long"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), qs.as("qs"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubs - 1))).as("sub"), col("qs"))
+      .select(col("vec_id"), col("sub"),
+        transform(sequence(lit(1), lit(pqSubdim)), i =>
+          aggregate(
+            zip_with(element_at(hl, col("sub") * pqSubdim + i), col("qs"),
+              (h, q) => h * q),
+            lit(0L), (acc, v) => acc + v)
+            .cast(DoubleType) / 8000000.0).as("sv"))
+  }
+
+  /** Assign against ONE codebook and replace sv with the residual
+    * x - centroid[code] (the RQ stage step). Same first-min tie-break
+    * as pqAssign; the residual subtraction is one IEEE op per element
+    * (double - double), identical on both engines. */
+  private def rqAssignResidual(df: DataFrame, cents: Seq[(Int, Seq[Double])],
+      codeName: String): DataFrame = {
+    val cl = typedlit(cents.map(_._2))
+    val cid = typedlit(cents.map(_._1))
+    val d2s = transform(cl, c => sqDistD(col("sv"), c))
+    df.withColumn("__d2s", d2s)
+      .withColumn("__idx",
+        array_position(col("__d2s"), array_min(col("__d2s"))).cast("int"))
+      .withColumn(codeName, element_at(cid, col("__idx")))
+      .withColumn("sv", zip_with(col("sv"), element_at(cl, col("__idx")),
+        (x, c) => x.cast(DoubleType) - c))
+      .drop("__d2s", "__idx")
+  }
+
+  /** Pure-Scala squared L2 — the i-ascending left fold every SQL mirror
+    * uses (sqDistSqlN order), for bounded driver-side distance tables. */
+  private def sqArr(a: Array[Double], c: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { val t = a(i) - c(i); acc += t * t; i += 1 }
+    acc
+  }
+
+  /** The ADC scoring column vs query vector qv: per-(sub, cluster)
+    * distance table computed once driver-side (bounded 4x4), each corpus
+    * row pays only the in-row code assignment + table lookup, summed in
+    * sub-ascending fold order. Shared by sim_search_pq and
+    * sim_search_ivfpq so the scoring arithmetic cannot drift. */
+  private def adcColumn(cents: Seq[Seq[(Int, Seq[Double])]],
+      qv: Array[Double]): Column = {
+    val dtab = cents.zipWithIndex.map { case (cs, su) =>
+      val qsub = qv.slice(su * pqSubdim, (su + 1) * pqSubdim)
+      cs.map { case (_, cvec) => sqArr(qsub, cvec) }
+    }
+    val cl = typedlit(cents.map(_.map(_._2)))
+    val dt = typedlit(dtab)
+    aggregate(transform(sequence(lit(0), lit(pqSubs - 1)), su => {
+      val sv = slice(col("embedding"), su * pqSubdim + 1, lit(pqSubdim))
+      val d2s = transform(element_at(cl, su + 1), c => sqDistD(sv, c))
+      element_at(element_at(dt, su + 1),
+        array_position(d2s, array_min(d2s)).cast("int"))
+    }), lit(0.0), (a, x) => a + x)
+  }
+
+  private val ivfCells = 16
+  private val ivfProbe = 4
 
   /** CTE chain for one DuckDB Lloyd iteration: assignment `a$it` against
     * centroids `c${it-1}`, exact integer micro-sums `s$it`, and the next
@@ -455,52 +607,126 @@ object KmeansQueries {
   /** Shared CTE prefix (WITH sv..af): subvectors, seed, one Lloyd
     * update, final assignment — used by both the embed_pq and the
     * sim_search_pq mirrors so codebooks/codes can never drift. */
-  private def pqChainSql: String = {
-    val sd = pqSubdim
-    s"WITH sv AS (SELECT vec_id, sub, list_transform(generate_series(1, $sd), " +
-      s"i -> CAST(embedding[sub*$sd + i] AS DOUBLE)) AS sv " +
-      s"FROM embeddings CROSS JOIN (SELECT unnest(range(0, $pqSubs)) AS sub) ss), " +
-      s"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, sub, sv AS c FROM sv WHERE vec_id < $pqK), " +
-      "a1 AS (SELECT vec_id, sub, sv, cluster, d2, " +
+  private def pqChainSql: String =
+    s"WITH $plainSvCte, ${chainCtes("", "sv", 0, pqSubdim)}"
+
+  /** The one codebook-chain generator behind every PQ-family mirror
+    * (pq, opq, both rq stages): seed `${p}c0` from vec_id in
+    * [seedLo, seedLo+pqK), assignment `${p}a1`, exact micro-unit sums
+    * `${p}s1`, updated codebooks `${p}c1`, final assignment `${p}af`
+    * (which also carries sv and the matched centroid c so a residual
+    * stage can chain off it). svn must provide (vec_id, sub, sv) with
+    * sv a DOUBLE list of length sd. */
+  private def chainCtes(p: String, svn: String, seedLo: Int, sd: Int): String =
+    s"${p}c0 AS (SELECT CAST(vec_id AS INT) AS cluster, sub, sv AS c FROM $svn " +
+      s"WHERE vec_id >= $seedLo AND vec_id < ${seedLo + pqK}), " +
+      s"${p}a1 AS (SELECT vec_id, sub, sv, cluster, d2, " +
       "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn " +
-      "FROM (SELECT sv.vec_id, sv.sub, sv.sv, c0.cluster, " +
-      s"${sqDistSqlN(sd, "sv.sv", "c0.c")} AS d2 FROM sv JOIN c0 ON sv.sub = c0.sub)), " +
-      "s1 AS (SELECT sub, cluster, i AS pos, " +
+      s"FROM (SELECT s.vec_id, s.sub, s.sv, c.cluster, " +
+      s"${sqDistSqlN(sd, "s.sv", "c.c")} AS d2 FROM $svn s JOIN ${p}c0 c ON s.sub = c.sub)), " +
+      s"${p}s1 AS (SELECT sub, cluster, i AS pos, " +
       "CAST(SUM(CAST(floor(sv[i]*1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss, COUNT(*) AS cnt " +
-      s"FROM a1 CROSS JOIN (SELECT unnest(range(1, ${sd + 1})) AS i) dd WHERE rn = 1 GROUP BY 1, 2, 3), " +
-      "c1 AS (SELECT sub, cluster, " +
-      "list(CAST(ss AS DOUBLE)/CAST(cnt AS DOUBLE)/1000000.0 ORDER BY pos) AS c FROM s1 GROUP BY 1, 2), " +
-      "af AS (SELECT vec_id, sub, cluster, d2, " +
+      s"FROM ${p}a1 CROSS JOIN (SELECT unnest(range(1, ${sd + 1})) AS i) dd WHERE rn = 1 GROUP BY 1, 2, 3), " +
+      s"${p}c1 AS (SELECT sub, cluster, " +
+      s"list(CAST(ss AS DOUBLE)/CAST(cnt AS DOUBLE)/1000000.0 ORDER BY pos) AS c FROM ${p}s1 GROUP BY 1, 2), " +
+      s"${p}af AS (SELECT vec_id, sub, sv, cluster, c, d2, " +
       "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn " +
-      "FROM (SELECT sv.vec_id, sv.sub, c1.cluster, " +
-      s"${sqDistSqlN(sd, "sv.sv", "c1.c")} AS d2 FROM sv JOIN c1 ON sv.sub = c1.sub))"
-  }
+      s"FROM (SELECT s.vec_id, s.sub, s.sv, c.cluster, c.c AS c, " +
+      s"${sqDistSqlN(sd, "s.sv", "c.c")} AS d2 FROM $svn s JOIN ${p}c1 c ON s.sub = c.sub))"
+
+  private def plainSvCte: String =
+    s"sv AS (SELECT vec_id, sub, list_transform(generate_series(1, $pqSubdim), " +
+      s"i -> CAST(embedding[sub*$pqSubdim + i] AS DOUBLE)) AS sv " +
+      s"FROM embeddings CROSS JOIN (SELECT unnest(range(0, $pqSubs)) AS sub) ss)"
 
   private def pqSql: String =
     s"$pqChainSql " +
       "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, ROUND(d2, 6) AS dist2 " +
       "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
 
-  /** ADC mirror: the query's per-(sub, cluster) distance table from the
-    * SAME c1 codebooks, each corpus vector's ADC as the sub-ascending
-    * list_sum of its 4 selected entries (the Spark fold order), top-10
-    * on the raw bit-identical value, display ROUND after selection. */
-  private def pqSearchSql: String = {
+  /** Query-side ADC table CTEs (qq: the query's subvectors; dt: its
+    * distance to every c1 codebook entry) — shared by the sim_search_pq
+    * and sim_search_ivfpq mirrors so the scoring table cannot drift. */
+  private def adcTableCtes: String = {
     val sd = pqSubdim
-    s"$pqChainSql, " +
-      s"qq AS (SELECT sub, list_transform(generate_series(1, $sd), " +
+    s"qq AS (SELECT sub, list_transform(generate_series(1, $sd), " +
       s"i -> CAST(embedding[sub*$sd + i] AS DOUBLE)) AS qs " +
       s"FROM embeddings CROSS JOIN (SELECT unnest(range(0, $pqSubs)) AS sub) ss " +
       "WHERE vec_id = 0), " +
       s"dt AS (SELECT c1.sub, c1.cluster, ${sqDistSqlN(sd, "qq.qs", "c1.c")} AS d2q " +
-      "FROM c1 JOIN qq ON c1.sub = qq.sub), " +
+      "FROM c1 JOIN qq ON c1.sub = qq.sub)"
+  }
+
+  /** ADC mirror: the query's per-(sub, cluster) distance table from the
+    * SAME c1 codebooks, each corpus vector's ADC as the sub-ascending
+    * list_sum of its 4 selected entries (the Spark fold order), top-10
+    * on the raw bit-identical value, display ROUND after selection. */
+  private def pqSearchSql: String =
+    s"$pqChainSql, $adcTableCtes, " +
       "t AS (SELECT af.vec_id, af.sub, dt.d2q FROM af " +
       "JOIN dt ON af.sub = dt.sub AND af.cluster = dt.cluster " +
       "WHERE af.rn = 1 AND af.vec_id <> 0), " +
       "sc AS (SELECT vec_id, list_sum(list(d2q ORDER BY sub)) AS adc FROM t GROUP BY 1), " +
       "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
       "SELECT vec_id, ROUND(adc, 6) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
-  }
+
+  /** OPQ mirror: micro-quantize, Walsh-Hadamard rotate in exact BIGINT
+    * arithmetic (the sign computed from bit_count of the index AND —
+    * identical formula to hadamardRotate), descale by 8e6, then the
+    * standard codebook chain on the rotated subvectors. */
+  private def opqSvCte: String =
+    "oq AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qs FROM embeddings), " +
+      s"orv AS (SELECT vec_id, list_transform(generate_series(1, $dims), i -> " +
+      s"CAST(list_sum(list_transform(generate_series(1, $dims), j -> " +
+      "(1 - 2 * (bit_count((i-1) & (j-1)) % 2)) * qs[j])) AS DOUBLE) / 8000000.0) AS rv FROM oq), " +
+      s"sv AS (SELECT vec_id, sub, list_transform(generate_series(1, $pqSubdim), " +
+      s"i -> rv[sub*$pqSubdim + i]) AS sv " +
+      s"FROM orv CROSS JOIN (SELECT unnest(range(0, $pqSubs)) AS sub) ss)"
+
+  private def opqSql: String =
+    s"WITH $opqSvCte, ${chainCtes("", "sv", 0, pqSubdim)} " +
+      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, ROUND(d2, 6) AS dist2 " +
+      "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
+
+  /** RQ mirror: stage-1 chain (g*) over full vectors, residual CTE off
+    * gaf (sv - matched centroid, per element), stage-2 chain (h*) over
+    * the residuals seeded from vec 4..7, final join-back for code1. */
+  private def rqSql: String =
+    "WITH fv AS (SELECT vec_id, 0 AS sub, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv FROM embeddings), " +
+      chainCtes("g", "fv", 0, dims) + ", " +
+      s"rs AS (SELECT vec_id, sub, cluster AS code1, " +
+      s"list_transform(generate_series(1, $dims), i -> sv[i] - c[i]) AS sv " +
+      "FROM gaf WHERE rn = 1), " +
+      chainCtes("h", "rs", pqK, dims) + " " +
+      "SELECT h.vec_id, r.code1, h.cluster AS code2, ROUND(h.d2, 6) AS dist2 " +
+      "FROM haf h JOIN rs r ON h.vec_id = r.vec_id WHERE h.rn = 1 ORDER BY h.vec_id"
+
+  /** IVFPQ mirror: coarse cells from the 16 fixed centroid vectors
+    * (first-min by d2 then cid — the assign() tie-break), the query's
+    * nprobe=4 nearest cells, then the sim_search_pq ADC scoring
+    * restricted to members of probed cells. */
+  private def ivfpqSql: String =
+    s"$pqChainSql, " +
+      "co AS (SELECT CAST(vec_id AS INT) AS cid, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c FROM embeddings " +
+      s"WHERE vec_id < $ivfCells), " +
+      "ca AS (SELECT vec_id, cid, d2, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn " +
+      s"FROM (SELECT e.vec_id, co.cid, ${sqDistSqlN(dims, "e.embedding", "co.c")} AS d2 " +
+      "FROM embeddings e CROSS JOIN co)), " +
+      "cells AS (SELECT vec_id, cid AS cell FROM ca WHERE rn = 1), " +
+      s"qc AS (SELECT cid AS cell FROM ca WHERE vec_id = 0 ORDER BY d2, cid LIMIT $ivfProbe), " +
+      s"$adcTableCtes, " +
+      "t AS (SELECT af.vec_id, af.sub, dt.d2q FROM af " +
+      "JOIN dt ON af.sub = dt.sub AND af.cluster = dt.cluster " +
+      "JOIN cells ON af.vec_id = cells.vec_id " +
+      "JOIN qc ON cells.cell = qc.cell " +
+      "WHERE af.rn = 1 AND af.vec_id <> 0), " +
+      "sc AS (SELECT vec_id, list_sum(list(d2q ORDER BY sub)) AS adc FROM t GROUP BY 1), " +
+      "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
+      "SELECT vec_id, ROUND(adc, 6) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
 
   /** DuckDB mirror of pcaTop + the projection: the same exact integer
     * moment CTEs as covarianceSql, the symmetric covariance assembled
@@ -548,6 +774,9 @@ object KmeansQueries {
     "embed_covariance" -> covarianceSql,
     "embed_pq" -> pqSql,
     "sim_search_pq" -> pqSearchSql,
-    "embed_pca_top" -> pcaSql
+    "embed_pca_top" -> pcaSql,
+    "embed_opq" -> opqSql,
+    "embed_rq" -> rqSql,
+    "sim_search_ivfpq" -> ivfpqSql
   )
 }

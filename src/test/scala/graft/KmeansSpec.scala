@@ -159,6 +159,160 @@ class KmeansSpec extends SparkSpec {
     top.foreach { case (_, adc) => assert(adc >= 0.0) }
   }
 
+  // ---- shared pure-Scala machinery for the OPQ / RQ / IVFPQ references
+  // (double-vector subspace Lloyd, k=4, 2 iters — the pqCodebooksFrom
+  // arithmetic contract re-implemented driver-side) ----
+
+  private val pqK = 4
+  private val pqIters = 2
+
+  private def sqDistD(a: Array[Double], c: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - c(i); acc += t * t; i += 1 }
+    acc
+  }
+
+  /** Lloyd over double vectors: seeds = ids [seedLo, seedLo+4) with
+    * cluster id = vec_id, one exact micro-unit update, final assign.
+    * Returns (final centroids, id -> (code, d2)). */
+  private def lloydD(sv: Seq[(Long, Array[Double])], seedLo: Int)
+      : (Seq[(Int, Array[Double])], Map[Long, (Int, Double)]) = {
+    def assign(cents: Seq[(Int, Array[Double])]): Map[Long, (Int, Double)] =
+      sv.map { case (id, v) =>
+        val best = cents.map { case (c, cv) => (sqDistD(v, cv), c) }
+          .minBy { case (d, c) => (d, c) }
+        id -> (best._2, best._1)
+      }.toMap
+    var cents: Seq[(Int, Array[Double])] =
+      sv.filter(t => t._1 >= seedLo && t._1 < seedLo + pqK).sortBy(_._1)
+        .map { case (id, v) => (id.toInt, v.clone()) }
+    for (_ <- 1 until pqIters) {
+      val asg = assign(cents)
+      cents = sv.groupBy { case (id, _) => asg(id)._1 }.toSeq.sortBy(_._1)
+        .map { case (c, members) =>
+          val dims = members.head._2.length
+          val cv = Array.tabulate(dims) { i =>
+            val ss = members.map { case (_, v) =>
+              math.floor(v(i) * 1000000.0 + 0.5).toLong }.sum
+            ss.toDouble / members.size.toDouble / 1000000.0
+          }
+          (c, cv)
+        }
+    }
+    (cents, assign(cents))
+  }
+
+  private def loadVecs(): Seq[(Long, Array[Float])] =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  /** Integer Walsh-Hadamard rotation — the hadSigns/opqSubvecs formula. */
+  private def rotate(v: Array[Float]): Array[Double] = {
+    val q = v.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong)
+    Array.tabulate(v.length) { i =>
+      var s = 0L; var j = 0
+      while (j < v.length) {
+        s += (if (java.lang.Long.bitCount((i & j).toLong) % 2 == 0) q(j) else -q(j))
+        j += 1
+      }
+      s.toDouble / 8000000.0
+    }
+  }
+
+  test("embed_opq matches a pure-Scala rotated-subspace Lloyd reference exactly") {
+    val vecs = loadVecs()
+    val rot = vecs.map { case (id, v) => (id, rotate(v)) }
+    // isometry: H/8 is orthonormal, so the rotation preserves norms up
+    // to FP summation — the semantic point of OPQ's energy spreading
+    rot.zip(vecs).foreach { case ((_, y), (_, v)) =>
+      val ny = y.map(x => x * x).sum
+      val nq = v.map(x => math.floor(x.toDouble * 1000000.0 + 0.5) / 1000000.0)
+        .map(x => x * x).sum
+      assert(math.abs(ny - nq) <= 1e-9 * (nq + 1e-12), s"rotation not isometric: $ny vs $nq")
+    }
+    val subdim = 16
+    val refs = (0 until 4).map { su =>
+      lloydD(rot.map { case (id, y) => (id, y.slice(su * subdim, (su + 1) * subdim)) }, 0)._2
+    }
+    val out = SparkEntry.queries("embed_opq")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getDouble(3)))).toMap
+    assert(out.size === vecs.length * 4)
+    for (su <- 0 until 4; (id, (refCode, refD2)) <- refs(su)) {
+      val (code, d2) = out((id, su))
+      assert(code === refCode, s"vec $id sub $su: code $code != reference $refCode")
+      assert(math.abs(d2 - refD2) < 1e-6, s"vec $id sub $su: d2 $d2 != $refD2")
+    }
+    for (su <- 0 until 4)
+      assert(out.collect { case ((_, s), (c, _)) if s == su => c }.toSet.size > 1,
+        s"rotated subspace $su codebook degenerate")
+  }
+
+  test("embed_rq matches a pure-Scala two-stage residual reference exactly") {
+    val vecs = loadVecs()
+    val full = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }
+    val (cents1, asg1) = lloydD(full, 0)
+    val c1map = cents1.toMap
+    val resid = full.map { case (id, v) =>
+      val code1 = asg1(id)._1
+      (id, v.zip(c1map(code1)).map { case (x, c) => x - c })
+    }
+    val (_, asg2) = lloydD(resid, pqK)      // stage-2 seeds: vecs 4..7
+    val out = SparkEntry.queries("embed_rq")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out.size === vecs.length)
+    full.foreach { case (id, _) =>
+      val (code1, code2, d2) = out(id)
+      assert(code1 === asg1(id)._1, s"vec $id: code1 $code1 != ${asg1(id)._1}")
+      assert(code2 === asg2(id)._1, s"vec $id: code2 $code2 != ${asg2(id)._1}")
+      assert(math.abs(d2 - asg2(id)._2) < 1e-6, s"vec $id: d2 $d2 != ${asg2(id)._2}")
+    }
+    // two-stage refinement reduces TOTAL reconstruction error (Lloyd
+    // argmin per row can only improve on the stage-1 centroid IF a
+    // near-zero residual code exists; assert the corpus-level claim)
+    val e1 = full.map { case (id, _) => asg1(id)._2 }.sum
+    val e2 = full.map { case (id, _) => asg2(id)._2 }.sum
+    assert(e2 < e1, s"stage-2 total error $e2 not below stage-1 $e1")
+  }
+
+  test("sim_search_ivfpq: top-10 ADC restricted to the 4 probed cells, exact") {
+    val vecs = loadVecs()
+    val q = vecs.toMap.apply(0L).map(_.toDouble)
+    // coarse cells: nearest of the 16 fixed centroid vectors by L2
+    val coarse = vecs.filter(_._1 < 16).sortBy(_._1)
+      .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }
+    def cellOf(v: Array[Double]): Int =
+      coarse.map { case (cid, c) => (sqDistD(v, c), cid) }.min._2
+    val probed = coarse.map { case (cid, c) => (sqDistD(q, c), cid) }
+      .sorted.take(4).map(_._2).toSet
+    // PQ codebooks: the embed_pq trainer (float subvector slices)
+    val subdim = 16
+    val books = (0 until 4).map { su =>
+      lloydD(vecs.map { case (id, v) =>
+        (id, v.slice(su * subdim, (su + 1) * subdim).map(_.toDouble)) }, 0)
+    }
+    val adcRef = vecs.filter(_._1 != 0L)
+      .filter { case (_, v) => probed.contains(cellOf(v.map(_.toDouble))) }
+      .map { case (id, v) =>
+        val adc = (0 until 4).map { su =>
+          val sv = v.slice(su * subdim, (su + 1) * subdim).map(_.toDouble)
+          val (code, _) = books(su)._2(id)
+          val cvec = books(su)._1.toMap.apply(code)
+          val qsub = q.slice(su * subdim, (su + 1) * subdim)
+          sqDistD(qsub, cvec)
+        }.foldLeft(0.0)(_ + _)
+        (id, adc)
+      }.sortBy { case (id, adc) => (adc, id) }.take(10)
+    val out = SparkEntry.queries("sim_search_ivfpq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length === 10)
+    assert(out.map(_._1).toSet === adcRef.map(_._1).toSet,
+      s"ivfpq ids ${out.map(_._1).toSeq} != reference ${adcRef.map(_._1)}")
+    val refMap = adcRef.toMap
+    out.foreach { case (id, adc) =>
+      assert(math.abs(adc - refMap(id)) < 1e-6, s"vec $id: adc $adc != ${refMap(id)}")
+    }
+  }
+
   test("embed_outlier_dist: 5 per label, rank-ordered, true top by distance") {
     val rows = SparkEntry.queries("embed_outlier_dist")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
