@@ -18,6 +18,15 @@ object CdcQueries {
   private val benfordThousandths: Seq[Double] =
     (1 to 9).map(k => math.floor(math.log10(1.0 + 1.0 / k) * 1000.0) / 1000.0)
 
+  /** THE psi term — one string evaluated verbatim by Spark's selectExpr
+    * and DuckDB (r5b shared-formula rule): +1/+10 Laplace smoothing,
+    * exact-integer-derived doubles into ln, fixed op order. */
+  private val psiTermFormula: String =
+    "(CAST(base_cnt + 1 AS DOUBLE) / CAST(n_base + 10 AS DOUBLE) - " +
+      "CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)) * " +
+      "ln((CAST(base_cnt + 1 AS DOUBLE) / CAST(n_base + 10 AS DOUBLE)) / " +
+      "(CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)))"
+
   val queries: Map[String, Q] = Map(
     // Core of object-migration sync: full-outer join of previous vs current
     // snapshot, classify I/U/D by null pattern. "current" simulates deletes
@@ -276,6 +285,46 @@ object CdcQueries {
         .orderBy("event_type")
     }),
 
+    // Population Stability Index (r6c) — THE distribution-drift gauge
+    // every feature/training-data monitor reports: bucket the metric,
+    // compare the first-half-of-days cohort (baseline) against the
+    // second (current), psi = sum (p-q)*ln(p/q) with +1 smoothing.
+    // Determinism: day split and bucket edges are pure integer
+    // arithmetic off one broadcast bounds row (epoch-day DIV, cents
+    // DIV — the dq_freshness / histogram recipes); counts are exact;
+    // p, q are exact-integer-derived doubles so both engines feed ln
+    // IDENTICAL arguments, and each term has exactly ONE ln (round 6
+    // holds: unlike the geomean's corpus-sized ln-sum, a 1-ulp libm
+    // difference on 10 bounded terms cannot reach the 6th decimal).
+    // The total folds the 10 terms in bucket order via the zipf
+    // collect_list+sort+aggregate shape (PlanGuard-safe, no window).
+    "dq_drift_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d).selectExpr(
+        "unix_micros(ts) DIV 86400000000 AS day",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents")
+      val bounds = ev.agg(min("day").as("min_day"), max("day").as("max_day"),
+        min("cents").as("minc"), max("cents").as("maxc"))
+      val bucketed = ev.crossJoin(broadcast(bounds)).selectExpr(
+        "CASE WHEN day <= min_day + (max_day - min_day) DIV 2 THEN 0 ELSE 1 END AS cohort",
+        "CAST(((cents - minc) * 10) DIV (maxc - minc + 1) AS INT) AS bucket")
+      val cnts = bucketed.groupBy("bucket").agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("base_cnt"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("cur_cnt"))
+      val grid = s.range(0, 10).select(col("id").cast(IntegerType).as("bucket"))
+      val filled = grid.join(cnts, Seq("bucket"), "left")
+        .na.fill(0L, Seq("base_cnt", "cur_cnt"))
+      val totals = filled.agg(sum("base_cnt").as("n_base"), sum("cur_cnt").as("n_cur"))
+      val terms = filled.crossJoin(broadcast(totals))
+        .selectExpr("bucket", "base_cnt", "cur_cnt", s"$psiTermFormula AS term_raw")
+      val tot = terms.agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(bucket, term_raw))), " +
+          "x -> x.term_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("psi_raw"))
+      terms.crossJoin(broadcast(tot))
+        .selectExpr("bucket", "base_cnt", "cur_cnt",
+          "ROUND(term_raw, 6) AS term", "ROUND(psi_raw, 6) AS psi")
+        .orderBy("bucket")
+    }),
+
     // Per-row content fingerprint for source/target reconciliation hashing.
     "dq_row_hash" -> ((s, d) =>
       Tables.nation(s, d)
@@ -309,6 +358,27 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_drift_psi" ->
+      // identical integer split/bucket arithmetic (// == DIV on
+      // nonnegative), COALESCE-zero-filled 10-bucket grid, the shared
+      // psiTermFormula verbatim, and the bucket-ordered list_sum fold
+      ("WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+       "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events), " +
+       "b AS (SELECT MIN(day) AS min_day, MAX(day) AS max_day, " +
+       "MIN(cents) AS minc, MAX(cents) AS maxc FROM ev), " +
+       "bk AS (SELECT CASE WHEN day <= min_day + (max_day - min_day) // 2 THEN 0 ELSE 1 END AS cohort, " +
+       "CAST(((cents - minc) * 10) // (maxc - minc + 1) AS INT) AS bucket FROM ev CROSS JOIN b), " +
+       "c AS (SELECT bucket, CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt, " +
+       "CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt FROM bk GROUP BY 1), " +
+       "g AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket), " +
+       "f AS (SELECT g.bucket, COALESCE(base_cnt, 0) AS base_cnt, " +
+       "COALESCE(cur_cnt, 0) AS cur_cnt FROM g LEFT JOIN c ON g.bucket = c.bucket), " +
+       "t AS (SELECT CAST(SUM(base_cnt) AS BIGINT) AS n_base, " +
+       "CAST(SUM(cur_cnt) AS BIGINT) AS n_cur FROM f), " +
+       s"tr AS (SELECT bucket, base_cnt, cur_cnt, $psiTermFormula AS term_raw FROM f CROSS JOIN t), " +
+       "pp AS (SELECT list_sum(list(term_raw ORDER BY bucket)) AS psi_raw FROM tr) " +
+       "SELECT bucket, base_cnt, cur_cnt, ROUND(term_raw, 6) AS term, " +
+       "ROUND(psi_raw, 6) AS psi FROM tr CROSS JOIN pp ORDER BY bucket"),
     "dq_freshness" ->
       // epoch_us floor-div mirrors Spark's unix_micros DIV exactly (both
       // nonnegative, so floor == truncation); CAST pins INT vs BIGINT

@@ -137,8 +137,45 @@ object GraphQueries {
           col("a3") === col("a") && col("c3") === col("c"))
         .select(col("a"), col("b"), col("c"))
         .orderBy("a", "b", "c")
+    }),
+
+    // Adamic-Adar link scoring (r6c) over the co-purchase bipartite
+    // graph: AA(p1, p2) = sum over shared baskets o of 1/ln(|o|) — the
+    // classic link-prediction weight (rare, small baskets say more than
+    // huge ones). Cross-engine exactness WITHOUT cross-engine ln: the
+    // per-basket-size weights are precomputed ONCE in Scala as exact
+    // nano-unit BIGINTs (aaWeights) and interpolated into BOTH the query
+    // (literal array) and the oracle SQL (literal list) — the
+    // benfordThousandths pattern — so the shuffled sum is order-free
+    // integer arithmetic and the only FP is one fixed final division.
+    // Pair generation is the group-bounded within-basket self-join
+    // (C(k,2), k <= lines/order); the >= 2 common-basket floor prunes
+    // the output like supportedPairs does.
+    "graph_adamic_adar" -> ((s, d) => {
+      val p = basketItems(s, d)
+      val kk = p.groupBy("ok").agg(count(lit(1)).as("k")).where(col("k") >= 2)
+      val wts = p.join(kk, "ok")
+        .select(col("ok"), col("pk"),
+          element_at(typedlit(aaWeights),
+            least(col("k") - 1, lit(aaWeights.size.toLong)).cast("int")).as("w"))
+      wts.as("a").join(wts.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(sum(col("a.w")).as("sw"), count(lit(1)).as("common"))
+        .where(col("common") >= 2)
+        .select(col("p1"), col("p2"), col("common"),
+          r6(col("sw").cast("double") / 1.0e9).as("aa_score"))
+        .orderBy("p1", "p2")
     })
   )
+
+  /** Exact nano-unit Adamic-Adar weights floor(1e9/ln(k) + 0.5) for
+    * basket sizes k = 2..65 (fixture max is ~11; sizes past the table
+    * clamp to the last entry via LEAST on both engines). ONE Scala
+    * derivation feeds query AND oracle, so no cross-engine ln ever runs
+    * — the benfordThousandths precedent. */
+  private[queries] val aaWeights: Seq[Long] =
+    (2 to 65).map(k => math.floor(1.0e9 / math.log(k.toDouble) + 0.5).toLong)
 
   /** Distinct (order, part) basket membership — the shared base of the
     * two market-basket queries (mirrored in basketCteSql). */
@@ -211,6 +248,19 @@ object GraphQueries {
        "SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c " +
        "FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 " +
        "JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2 " +
-       "ORDER BY a, b, c")
+       "ORDER BY a, b, c"),
+    "graph_adamic_adar" ->
+      // the SAME Scala-derived nano-unit weight literals as the query
+      // (no DuckDB ln anywhere); integer sum, one final fixed division
+      ("WITH p AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+       "kk AS (SELECT ok, COUNT(*) AS k FROM p GROUP BY 1 HAVING COUNT(*) >= 2), " +
+       s"w AS (SELECT p.ok, p.pk, (${aaWeights.mkString("[", ", ", "]")})" +
+       s"[LEAST(CAST(k - 1 AS INT), ${aaWeights.size})] AS w " +
+       "FROM p JOIN kk ON p.ok = kk.ok), " +
+       "pr2 AS (SELECT a.pk AS p1, b.pk AS p2, CAST(SUM(a.w) AS BIGINT) AS sw, " +
+       "COUNT(*) AS common FROM w a JOIN w b ON a.ok = b.ok AND a.pk < b.pk " +
+       "GROUP BY 1, 2 HAVING COUNT(*) >= 2) " +
+       "SELECT p1, p2, common, ROUND(CAST(sw AS DOUBLE) / 1000000000.0, 6) AS aa_score " +
+       "FROM pr2 ORDER BY p1, p2")
   )
 }

@@ -68,6 +68,38 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("graph_adamic_adar equals an in-memory exact-integer-weight reference") {
+    // re-derive the nano-unit weights independently (same formula the
+    // engine's aaWeights literal bakes in) and fold pairs basket-by-
+    // basket — integer sums, so exact equality modulo the final r6
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted).filter(_.length >= 2)
+    def w(k: Int): Long =
+      math.floor(1.0e9 / math.log(math.min(k, 65).toDouble) + 0.5).toLong
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    baskets.foreach { ps =>
+      val wk = w(ps.length)
+      for (i <- ps.indices; j <- (i + 1) until ps.length) {
+        val key = (ps(i), ps(j))
+        val (sw, c) = acc.getOrElse(key, (0L, 0L))
+        acc(key) = (sw + wk, c + 1)
+      }
+    }
+    val ref = acc.collect { case (k, (sw, c)) if c >= 2 => k -> (sw, c) }.toMap
+    val got = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === ref.keySet, "scored pair set diverges")
+    got.foreach { case (k, (common, score)) =>
+      val (sw, c) = ref(k)
+      assert(common === c, s"common baskets of $k")
+      val refScore = math.rint(sw.toDouble / 1.0e9 * 1e6) / 1e6
+      assert(math.abs(score - refScore) < 1.1e-6, s"score of $k: $score vs $refScore")
+      assert(score > 0.0)
+    }
+  }
+
   test("graph_triangles equals an in-memory enumeration; every edge is supported") {
     val edges = refEdges.keySet
     val byA = edges.groupBy(_._1)

@@ -205,6 +205,44 @@ class PropertySpec extends SparkSpec {
     assert(r2 > 0.995 && math.abs(r2 - rr2) <= zipfTol, s"fit must be tight: $r2")
   }
 
+  test("dq_drift_psi: independent recompute; Gibbs nonnegativity holds") {
+    // recompute PSI from raw events in plain Scala (sharing only the
+    // unix_micros extraction with the engine): integer day split,
+    // integer bucket edges, +1/+10 smoothing, bucket-ascending fold
+    val raw = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) AS us", "value").collect()
+      .map(r => (r.getLong(0) / 86400000000L,
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    val (minD, maxD) = (raw.map(_._1).min, raw.map(_._1).max)
+    val (minC, maxC) = (raw.map(_._2).min, raw.map(_._2).max)
+    val mid = minD + (maxD - minD) / 2
+    val base = Array.fill(10)(0L)
+    val cur = Array.fill(10)(0L)
+    raw.foreach { case (day, cents) =>
+      val b = (((cents - minC) * 10) / (maxC - minC + 1)).toInt
+      if (day <= mid) base(b) += 1 else cur(b) += 1
+    }
+    val (nb, nc) = (base.sum, cur.sum)
+    val terms = (0 until 10).map { b =>
+      val p = (base(b) + 1).toDouble / (nb + 10).toDouble
+      val q = (cur(b) + 1).toDouble / (nc + 10).toDouble
+      (p - q) * math.log(p / q)
+    }
+    val psi = terms.foldLeft(0.0)(_ + _)
+    val rows = SparkEntry.queries("dq_drift_psi")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (b, bc, cc, term, psiGot) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(bc === base(b), s"bucket $b baseline count")
+      assert(cc === cur(b), s"bucket $b current count")
+      assert(math.abs(term - terms(b)) < 1.1e-6, s"bucket $b term: $term vs ${terms(b)}")
+      assert(term >= 0.0, s"Gibbs nonnegativity broken at bucket $b")
+      assert(math.abs(psiGot - psi) < 1.1e-6, s"psi: $psiGot vs $psi")
+      assert(psiGot >= 0.0)
+    }
+  }
+
   test("embed_quantize_int8: codes in int8 range, mse under the half-step bound") {
     // half-up quantization guarantees |v - c*s| <= s/2 per dim, so
     // mse <= s^2/4; both sides here are round-6 emissions, so allow one
