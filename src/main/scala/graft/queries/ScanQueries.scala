@@ -126,6 +126,37 @@ object ScanQueries {
           sumDec2(col("o_totalprice")).as("sum_price"),
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_year", "o_orderstatus")
+    }),
+
+    // Bucketed landing + shuffle-free join (r6c) — the cluster fix
+    // PLANS.md names for every iterative/reused join side ("bucket the
+    // edge side at land time"), demonstrated as a declared query: land
+    // orders AND lineitem bucketed by the join key (8 buckets, external
+    // tables over per-invocation scratch paths), read back through the
+    // catalog, and sort-merge-join them — the bucketed scans supply the
+    // join partitioning, so NEITHER side shuffles (SourcesSpec pins the
+    // exchange-free join subtree structurally). The merge hint keeps the
+    // demo honest at fixture scale, where the planner would otherwise
+    // broadcast the small side and never exercise the bucket path. At
+    // 100 TB this is the difference between re-shuffling 100 TB per
+    // join and reading co-located buckets.
+    "source_bucketed_join" -> ((s, d) => {
+      val suffix = s"${java.lang.Integer.toHexString(d.hashCode)}_" +
+        s"${ProcessHandle.current().pid()}"
+      val (to, tl) = (s"graft_bko_$suffix", s"graft_bkl_$suffix")
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", scratch("bucket_orders", d)).saveAsTable(to)
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", scratch("bucket_lineitem", d)).saveAsTable(tl)
+      s.table(to).hint("merge")
+        .join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sumDec2(col("l_quantity")).as("sum_qty"),
+          sumDec2(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -158,6 +189,15 @@ object ScanQueries {
        "COUNT(*) AS n_orders, " +
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
        "COUNT(DISTINCT o_custkey) AS n_customers " +
-       "FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1, 2 ORDER BY 1, 2")
+       "FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1, 2 ORDER BY 1, 2"),
+    "source_bucketed_join" ->
+      // joins the ORIGINAL parquet directly: hash equality proves the
+      // bucketed landing + catalog read-back + bucket-wise join change
+      // nothing about the data, only about the shuffle
+      ("SELECT o_orderpriority, COUNT(*) AS n_lines, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+       "GROUP BY 1 ORDER BY 1")
   )
 }

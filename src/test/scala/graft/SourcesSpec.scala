@@ -65,6 +65,30 @@ class SourcesSpec extends SparkSpec {
       s"ORC scan must receive pushed filters:\n$plan")
   }
 
+  test("source_bucketed_join: the bucketed SMJ subtree is exchange-free") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case _ => p +: (p.children ++ p.subqueries).flatMap(allNodes)
+    }
+    val df = SparkEntry.queries("source_bucketed_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    val smjs = allNodes(plan).collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "bucketed landing must plan a sort-merge join")
+    val shuffled = smjs.flatMap(j => allNodes(j).collect {
+      case e: ShuffleExchangeExec => e })
+    assert(shuffled.isEmpty,
+      "the bucketed join re-shuffled an input — bucket pruning regressed: " +
+        shuffled.map(_.child.nodeName).mkString(", "))
+    // and the result is real: priorities present, counts positive
+    val rows = df.collect()
+    assert(rows.length >= 2)
+    assert(rows.forall(_.getLong(1) > 0L))
+  }
+
   test("schema inference itself works for stringly CSV (tested capability)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_inf").toString
     java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.csv"),
