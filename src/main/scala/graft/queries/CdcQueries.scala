@@ -27,6 +27,51 @@ object CdcQueries {
       "ln((CAST(base_cnt + 1 AS DOUBLE) / CAST(n_base + 10 AS DOUBLE)) / " +
       "(CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)))"
 
+  /** THE KS emission — exact integer numerator over the exact cohort-
+    * size product, one division (shared-formula rule). */
+  private def ksFormula(num: String): String =
+    s"CAST($num AS DOUBLE) / (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE))"
+
+  /** Shared drift machinery (dq_drift_psi, dq_ks_drift): integer
+    * day-split cohorts (first half of days = baseline) and b integer-
+    * edged value buckets off ONE broadcast bounds row, zero-filled grid,
+    * cohort totals. Mirrored verbatim by driftCteSql. */
+  private def driftBuckets(s: org.apache.spark.sql.SparkSession, d: String,
+      b: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val ev = Tables.events(s, d).selectExpr(
+      "unix_micros(ts) DIV 86400000000 AS day",
+      "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents")
+    val bounds = ev.agg(min("day").as("min_day"), max("day").as("max_day"),
+      min("cents").as("minc"), max("cents").as("maxc"))
+    val bucketed = ev.crossJoin(broadcast(bounds)).selectExpr(
+      "CASE WHEN day <= min_day + (max_day - min_day) DIV 2 THEN 0 ELSE 1 END AS cohort",
+      s"CAST(((cents - minc) * $b) DIV (maxc - minc + 1) AS INT) AS bucket")
+    val cnts = bucketed.groupBy("bucket").agg(
+      sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("base_cnt"),
+      sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("cur_cnt"))
+    val grid = s.range(0, b).select(col("id").cast(IntegerType).as("bucket"))
+    val filled = grid.join(cnts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("base_cnt", "cur_cnt"))
+    val totals = filled.agg(sum("base_cnt").as("n_base"), sum("cur_cnt").as("n_cur"))
+    (filled, totals)
+  }
+
+  /** DuckDB mirror of driftBuckets: CTEs ev/b/bk/c/g/f/t. */
+  private def driftCteSql(b: Int): String =
+    "ev AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+      "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events), " +
+      "b AS (SELECT MIN(day) AS min_day, MAX(day) AS max_day, " +
+      "MIN(cents) AS minc, MAX(cents) AS maxc FROM ev), " +
+      "bk AS (SELECT CASE WHEN day <= min_day + (max_day - min_day) // 2 THEN 0 ELSE 1 END AS cohort, " +
+      s"CAST(((cents - minc) * $b) // (maxc - minc + 1) AS INT) AS bucket FROM ev CROSS JOIN b), " +
+      "c AS (SELECT bucket, CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt, " +
+      "CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt FROM bk GROUP BY 1), " +
+      s"g AS (SELECT CAST(unnest(range(0, $b)) AS INT) AS bucket), " +
+      "f AS (SELECT g.bucket, COALESCE(base_cnt, 0) AS base_cnt, " +
+      "COALESCE(cur_cnt, 0) AS cur_cnt FROM g LEFT JOIN c ON g.bucket = c.bucket), " +
+      "t AS (SELECT CAST(SUM(base_cnt) AS BIGINT) AS n_base, " +
+      "CAST(SUM(cur_cnt) AS BIGINT) AS n_cur FROM f)"
+
   val queries: Map[String, Q] = Map(
     // Core of object-migration sync: full-outer join of previous vs current
     // snapshot, classify I/U/D by null pattern. "current" simulates deletes
@@ -299,21 +344,7 @@ object CdcQueries {
     // The total folds the 10 terms in bucket order via the zipf
     // collect_list+sort+aggregate shape (PlanGuard-safe, no window).
     "dq_drift_psi" -> ((s, d) => {
-      val ev = Tables.events(s, d).selectExpr(
-        "unix_micros(ts) DIV 86400000000 AS day",
-        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents")
-      val bounds = ev.agg(min("day").as("min_day"), max("day").as("max_day"),
-        min("cents").as("minc"), max("cents").as("maxc"))
-      val bucketed = ev.crossJoin(broadcast(bounds)).selectExpr(
-        "CASE WHEN day <= min_day + (max_day - min_day) DIV 2 THEN 0 ELSE 1 END AS cohort",
-        "CAST(((cents - minc) * 10) DIV (maxc - minc + 1) AS INT) AS bucket")
-      val cnts = bucketed.groupBy("bucket").agg(
-        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("base_cnt"),
-        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("cur_cnt"))
-      val grid = s.range(0, 10).select(col("id").cast(IntegerType).as("bucket"))
-      val filled = grid.join(cnts, Seq("bucket"), "left")
-        .na.fill(0L, Seq("base_cnt", "cur_cnt"))
-      val totals = filled.agg(sum("base_cnt").as("n_base"), sum("cur_cnt").as("n_cur"))
+      val (filled, totals) = driftBuckets(s, d, 10)
       val terms = filled.crossJoin(broadcast(totals))
         .selectExpr("bucket", "base_cnt", "cur_cnt", s"$psiTermFormula AS term_raw")
       val tot = terms.agg(expr(
@@ -322,6 +353,32 @@ object CdcQueries {
       terms.crossJoin(broadcast(tot))
         .selectExpr("bucket", "base_cnt", "cur_cnt",
           "ROUND(term_raw, 6) AS term", "ROUND(psi_raw, 6) AS psi")
+        .orderBy("bucket")
+    }),
+
+    // Kolmogorov-Smirnov drift (r6c) — the psi's nonparametric sibling:
+    // max CDF gap between the same two day-split cohorts, on a finer
+    // 20-bucket grid. ENTIRELY integer until the last step: cumulative
+    // counts come from the bounded grid self-join (20x20 — no
+    // partitionless window, PlanGuard-safe), the gap numerator is the
+    // exact cross-multiplication |cumb*n_cur - cumc*n_base| (the
+    // ts_seasonal_baseline trick lifted to CDFs), the max is an integer
+    // max, and ONE shared-formula division emits the statistic. No ln,
+    // no smoothing, nothing to round but the display.
+    "dq_ks_drift" -> ((s, d) => {
+      val (filled, totals) = driftBuckets(s, d, 20)
+      val cum = filled.as("a")
+        .join(filled.as("b"), col("b.bucket") <= col("a.bucket"))
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(sum(col("b.base_cnt")).as("cum_base"), sum(col("b.cur_cnt")).as("cum_cur"))
+      val dnumExpr = "abs(cum_base * n_cur - cum_cur * n_base)"
+      val gaps = cum.crossJoin(broadcast(totals))
+        .selectExpr("bucket", "cum_base", "cum_cur", s"$dnumExpr AS dnum",
+          s"ROUND(${ksFormula(dnumExpr)}, 6) AS gap")
+      val mx = gaps.agg(max(col("dnum")).as("mdn")).crossJoin(broadcast(totals))
+        .selectExpr(s"ROUND(${ksFormula("mdn")}, 6) AS ks")
+      gaps.select(col("bucket"), col("cum_base"), col("cum_cur"), col("gap"))
+        .crossJoin(broadcast(mx))
         .orderBy("bucket")
     }),
 
@@ -362,23 +419,25 @@ object CdcQueries {
       // identical integer split/bucket arithmetic (// == DIV on
       // nonnegative), COALESCE-zero-filled 10-bucket grid, the shared
       // psiTermFormula verbatim, and the bucket-ordered list_sum fold
-      ("WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
-       "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events), " +
-       "b AS (SELECT MIN(day) AS min_day, MAX(day) AS max_day, " +
-       "MIN(cents) AS minc, MAX(cents) AS maxc FROM ev), " +
-       "bk AS (SELECT CASE WHEN day <= min_day + (max_day - min_day) // 2 THEN 0 ELSE 1 END AS cohort, " +
-       "CAST(((cents - minc) * 10) // (maxc - minc + 1) AS INT) AS bucket FROM ev CROSS JOIN b), " +
-       "c AS (SELECT bucket, CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt, " +
-       "CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt FROM bk GROUP BY 1), " +
-       "g AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket), " +
-       "f AS (SELECT g.bucket, COALESCE(base_cnt, 0) AS base_cnt, " +
-       "COALESCE(cur_cnt, 0) AS cur_cnt FROM g LEFT JOIN c ON g.bucket = c.bucket), " +
-       "t AS (SELECT CAST(SUM(base_cnt) AS BIGINT) AS n_base, " +
-       "CAST(SUM(cur_cnt) AS BIGINT) AS n_cur FROM f), " +
+      (s"WITH ${driftCteSql(10)}, " +
        s"tr AS (SELECT bucket, base_cnt, cur_cnt, $psiTermFormula AS term_raw FROM f CROSS JOIN t), " +
        "pp AS (SELECT list_sum(list(term_raw ORDER BY bucket)) AS psi_raw FROM tr) " +
        "SELECT bucket, base_cnt, cur_cnt, ROUND(term_raw, 6) AS term, " +
        "ROUND(psi_raw, 6) AS psi FROM tr CROSS JOIN pp ORDER BY bucket"),
+    "dq_ks_drift" ->
+      // cumulative counts via the bounded grid self-join, exact integer
+      // cross-multiplied CDF gaps, integer max, the shared ksFormula
+      (s"WITH ${driftCteSql(20)}, " +
+       "cum AS (SELECT a.bucket, CAST(SUM(b2.base_cnt) AS BIGINT) AS cum_base, " +
+       "CAST(SUM(b2.cur_cnt) AS BIGINT) AS cum_cur " +
+       "FROM f a JOIN f b2 ON b2.bucket <= a.bucket GROUP BY 1), " +
+       "gp AS (SELECT bucket, cum_base, cum_cur, " +
+       "abs(cum_base * n_cur - cum_cur * n_base) AS dnum, " +
+       s"ROUND(${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")}, 6) AS gap " +
+       "FROM cum CROSS JOIN t), " +
+       s"mx AS (SELECT ROUND(${ksFormula("mdn")}, 6) AS ks " +
+       "FROM (SELECT MAX(dnum) AS mdn FROM gp) CROSS JOIN t) " +
+       "SELECT bucket, cum_base, cum_cur, gap, ks FROM gp CROSS JOIN mx ORDER BY bucket"),
     "dq_freshness" ->
       // epoch_us floor-div mirrors Spark's unix_micros DIV exactly (both
       // nonnegative, so floor == truncation); CAST pins INT vs BIGINT

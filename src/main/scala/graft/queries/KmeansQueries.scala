@@ -263,6 +263,31 @@ object KmeansQueries {
         .orderBy("vec_id")
     }),
 
+    // Matryoshka-style truncated-prefix retrieval (r6c) — the MRL
+    // two-stage trick: embeddings trained so prefixes are themselves
+    // usable let stage 1 scan only the FIRST 16 of 64 dims (4x less
+    // memory traffic — at 100 TB the prefix columns are a separate,
+    // 4x-smaller scan), taking top-50 candidates by prefix L2; stage 2
+    // re-ranks just those 50 with the exact full-width distance.
+    // Entirely exact arithmetic on both engines (slice + the shared
+    // left-fold distance), two TakeOrderedAndProject stages, query
+    // enters as a broadcast scalar row — no driver literals needed.
+    "sim_search_mrl" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("pd2", sqDistD(slice(col("embedding"), 1, mrlPrefix),
+          slice(col("qv"), 1, mrlPrefix)))
+        .orderBy(col("pd2"), col("vec_id"))
+        .limit(50)
+        .withColumn("d2", sqDistD(col("embedding"), col("qv")))
+        .orderBy(col("d2"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), r6(col("pd2")).as("prefix_d2"), r6(col("d2")).as("dist2"))
+        .orderBy("dist2", "vec_id")
+    }),
+
     // IVF + PQ composition (round-7 candidate list) — the index layout
     // of every billion-scale ANN system (FAISS IVFPQ): coarse-quantize
     // the corpus into 16 cells (nearest of 16 fixed centroid vectors by
@@ -531,6 +556,7 @@ object KmeansQueries {
 
   private val ivfCells = 16
   private val ivfProbe = 4
+  private val mrlPrefix = 16
 
   /** CTE chain for one DuckDB Lloyd iteration: assignment `a$it` against
     * centroids `c${it-1}`, exact integer micro-sums `s$it`, and the next
@@ -703,6 +729,21 @@ object KmeansQueries {
       "SELECT h.vec_id, r.code1, h.cluster AS code2, ROUND(h.d2, 6) AS dist2 " +
       "FROM haf h JOIN rs r ON h.vec_id = r.vec_id WHERE h.rn = 1 ORDER BY h.vec_id"
 
+  /** MRL mirror: prefix-L2 top-50 candidates, exact full-width re-rank
+    * to top-10 — the same two ORDER BY/LIMIT stages, same left-fold
+    * distances (float promotes to double identically on both engines). */
+  private def mrlSql: String =
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+      "cand AS (SELECT vec_id, embedding, " +
+      s"${sqDistSqlN(mrlPrefix, "embedding", "qv")} AS pd2 " +
+      "FROM embeddings CROSS JOIN q WHERE vec_id <> 0 " +
+      "ORDER BY pd2, vec_id LIMIT 50), " +
+      "rr AS (SELECT vec_id, pd2, " +
+      s"${sqDistSqlN(dims, "embedding", "qv")} AS d2 " +
+      "FROM cand CROSS JOIN q ORDER BY d2, vec_id LIMIT 10) " +
+      "SELECT vec_id, ROUND(pd2, 6) AS prefix_d2, ROUND(d2, 6) AS dist2 " +
+      "FROM rr ORDER BY dist2, vec_id"
+
   /** IVFPQ mirror: coarse cells from the 16 fixed centroid vectors
     * (first-min by d2 then cid — the assign() tie-break), the query's
     * nprobe=4 nearest cells, then the sim_search_pq ADC scoring
@@ -777,6 +818,7 @@ object KmeansQueries {
     "embed_pca_top" -> pcaSql,
     "embed_opq" -> opqSql,
     "embed_rq" -> rqSql,
-    "sim_search_ivfpq" -> ivfpqSql
+    "sim_search_ivfpq" -> ivfpqSql,
+    "sim_search_mrl" -> mrlSql
   )
 }

@@ -313,6 +313,32 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("sim_search_mrl: two-stage truncated retrieval matches an exact reference") {
+    val vecs = loadVecs()
+    val q = vecs.toMap.apply(0L).map(_.toDouble)
+    def sq(v: Array[Float], lo: Int, hi: Int): Double = {
+      var acc = 0.0; var i = lo
+      while (i < hi) { val t = v(i).toDouble - q(i); acc += t * t; i += 1 }
+      acc
+    }
+    val stage1 = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, sq(v, 0, 16)) }
+      .sortBy { case (id, d) => (d, id) }.take(50)
+    val byId = vecs.toMap
+    val stage2 = stage1.map { case (id, pd2) => (id, pd2, sq(byId(id), 0, 64)) }
+      .sortBy { case (id, _, d) => (d, id) }.take(10)
+    val got = SparkEntry.queries("sim_search_mrl")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === 10)
+    got.zip(stage2).foreach { case ((id, pd2, d2), (rid, rpd2, rd2)) =>
+      assert(id === rid, s"rank order diverges: $id vs $rid")
+      assert(math.abs(pd2 - math.rint(rpd2 * 1e6) / 1e6) < 1.1e-6)
+      assert(math.abs(d2 - math.rint(rd2 * 1e6) / 1e6) < 1.1e-6)
+      // a nonneg-term prefix sum can never exceed the full sum
+      assert(pd2 <= d2 + 1.1e-6, s"prefix distance exceeded full distance for $id")
+    }
+  }
+
   test("embed_outlier_dist: 5 per label, rank-ordered, true top by distance") {
     val rows = SparkEntry.queries("embed_outlier_dist")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

@@ -243,6 +243,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dq_ks_drift: independent recompute; CDF gaps and max agree exactly") {
+    val raw = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) AS us", "value").collect()
+      .map(r => (r.getLong(0) / 86400000000L,
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    val (minD, maxD) = (raw.map(_._1).min, raw.map(_._1).max)
+    val (minC, maxC) = (raw.map(_._2).min, raw.map(_._2).max)
+    val mid = minD + (maxD - minD) / 2
+    val base = Array.fill(20)(0L)
+    val cur = Array.fill(20)(0L)
+    raw.foreach { case (day, cents) =>
+      val b = (((cents - minC) * 20) / (maxC - minC + 1)).toInt
+      if (day <= mid) base(b) += 1 else cur(b) += 1
+    }
+    val (nb, nc) = (base.sum, cur.sum)
+    val cumB = base.scanLeft(0L)(_ + _).tail
+    val cumC = cur.scanLeft(0L)(_ + _).tail
+    val dnums = (0 until 20).map(b => math.abs(cumB(b) * nc - cumC(b) * nb))
+    val ks = dnums.max.toDouble / (nb.toDouble * nc.toDouble)
+    val rows = SparkEntry.queries("dq_ks_drift")(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (b, cb, cc, gap, ksGot) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(cb === cumB(b), s"bucket $b cumulative baseline")
+      assert(cc === cumC(b), s"bucket $b cumulative current")
+      val refGap = dnums(b).toDouble / (nb.toDouble * nc.toDouble)
+      assert(math.abs(gap - refGap) < 1.1e-6, s"bucket $b gap: $gap vs $refGap")
+      assert(math.abs(ksGot - ks) < 1.1e-6, s"ks: $ksGot vs $ks")
+      assert(gap <= ksGot + 1.1e-6, "a gap exceeded the reported max")
+    }
+    // the last bucket closes both CDFs
+    val last = rows.maxBy(_.getInt(0))
+    assert(last.getLong(1) === nb && last.getLong(2) === nc)
+  }
+
   test("embed_quantize_int8: codes in int8 range, mse under the half-step bound") {
     // half-up quantization guarantees |v - c*s| <= s/2 per dim, so
     // mse <= s^2/4; both sides here are round-6 emissions, so allow one
