@@ -32,19 +32,42 @@ object CdcQueries {
   private def ksFormula(num: String): String =
     s"CAST($num AS DOUBLE) / (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE))"
 
-  /** Shared drift machinery (dq_drift_psi, dq_ks_drift): integer
-    * day-split cohorts (first half of days = baseline) and b integer-
-    * edged value buckets off ONE broadcast bounds row, zero-filled grid,
-    * cohort totals. Mirrored verbatim by driftCteSql. */
-  private def driftBuckets(s: org.apache.spark.sql.SparkSession, d: String,
-      b: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+  /** Welch-t shared formula strings over the double-cast moment columns
+    * n$x/m1$x/m2$x (x = b|c): mean, unbiased variance via the exact-
+    * numerator form (n*s2 - s1^2)/(n*(n-1)), the t statistic, and the
+    * Welch–Satterthwaite df — every IEEE op in ONE fixed order on both
+    * engines (the agg_regression rule; squares spelled x*x, never pow). */
+  private def ttestMean(x: String): String = s"m1$x / n$x"
+  private def ttestVar(x: String): String =
+    s"(n$x * m2$x - m1$x * m1$x) / (n$x * (n$x - 1.0))"
+  private val ttestT = "(mb - mc) / sqrt(vb / nb + vc / nc)"
+  private val ttestDf =
+    "((vb / nb + vc / nc) * (vb / nb + vc / nc)) / " +
+      "(((vb / nb) * (vb / nb)) / (nb - 1.0) + ((vc / nc) * (vc / nc)) / (nc - 1.0))"
+
+  /** THE day-split cohort frame (dq_drift_psi, dq_ks_drift,
+    * dq_cohort_ttest): first half of days = cohort 0 (baseline), second
+    * half = cohort 1 (current), off ONE broadcast bounds row; carries
+    * cents + the value bounds so callers can bucket or aggregate.
+    * Mirrored verbatim by cohortCteSql. */
+  private def cohortSplit(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val ev = Tables.events(s, d).selectExpr(
       "unix_micros(ts) DIV 86400000000 AS day",
       "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents")
     val bounds = ev.agg(min("day").as("min_day"), max("day").as("max_day"),
       min("cents").as("minc"), max("cents").as("maxc"))
-    val bucketed = ev.crossJoin(broadcast(bounds)).selectExpr(
+    ev.crossJoin(broadcast(bounds)).selectExpr(
       "CASE WHEN day <= min_day + (max_day - min_day) DIV 2 THEN 0 ELSE 1 END AS cohort",
+      "cents", "minc", "maxc")
+  }
+
+  /** Shared drift machinery (dq_drift_psi, dq_ks_drift): integer
+    * day-split cohorts (cohortSplit) and b integer-edged value buckets,
+    * zero-filled grid, cohort totals. Mirrored verbatim by driftCteSql. */
+  private def driftBuckets(s: org.apache.spark.sql.SparkSession, d: String,
+      b: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val bucketed = cohortSplit(s, d).selectExpr("cohort",
       s"CAST(((cents - minc) * $b) DIV (maxc - minc + 1) AS INT) AS bucket")
     val cnts = bucketed.groupBy("bucket").agg(
       sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("base_cnt"),
@@ -56,14 +79,19 @@ object CdcQueries {
     (filled, totals)
   }
 
-  /** DuckDB mirror of driftBuckets: CTEs ev/b/bk/c/g/f/t. */
-  private def driftCteSql(b: Int): String =
+  /** DuckDB mirror of cohortSplit: CTEs ev/b/ck. */
+  private def cohortCteSql: String =
     "ev AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
       "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events), " +
       "b AS (SELECT MIN(day) AS min_day, MAX(day) AS max_day, " +
       "MIN(cents) AS minc, MAX(cents) AS maxc FROM ev), " +
-      "bk AS (SELECT CASE WHEN day <= min_day + (max_day - min_day) // 2 THEN 0 ELSE 1 END AS cohort, " +
-      s"CAST(((cents - minc) * $b) // (maxc - minc + 1) AS INT) AS bucket FROM ev CROSS JOIN b), " +
+      "ck AS (SELECT CASE WHEN day <= min_day + (max_day - min_day) // 2 THEN 0 ELSE 1 END AS cohort, " +
+      "cents, minc, maxc FROM ev CROSS JOIN b)"
+
+  /** DuckDB mirror of driftBuckets: CTEs ev/b/ck/bk/c/g/f/t. */
+  private def driftCteSql(b: Int): String =
+    s"$cohortCteSql, " +
+      s"bk AS (SELECT cohort, CAST(((cents - minc) * $b) // (maxc - minc + 1) AS INT) AS bucket FROM ck), " +
       "c AS (SELECT bucket, CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt, " +
       "CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt FROM bk GROUP BY 1), " +
       s"g AS (SELECT CAST(unnest(range(0, $b)) AS INT) AS bucket), " +
@@ -382,6 +410,38 @@ object CdcQueries {
         .orderBy("bucket")
     }),
 
+    // Welch's two-sample t (r6d) — the parametric member of the drift
+    // family (psi = binned divergence, ks = CDF gap, t = mean shift):
+    // did the value's MEAN move between the same day-split cohorts,
+    // scaled by the pooled standard error. Moments are EXACT integer
+    // cent sums (DECIMAL(38,0) — cents^2 sums pass BIGINT at 1000x;
+    // HUGEINT in the oracle), one double cast each, then ONE shared
+    // fixed-order formula string per emission (mean/var/t/df — the
+    // agg_skew_kurt rule; sqrt is correctly rounded so round 6 holds).
+    // One conditional global aggregate over the cohort frame: map-side
+    // partials, 1-row output.
+    "dq_cohort_ttest" -> ((s, d) => {
+      val cd = expr("CAST(cents AS DECIMAL(38,0))")
+      cohortSplit(s, d)
+        .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("cohort") === 0, cd).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s1b"),
+          sum(when(col("cohort") === 0, cd * cd).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s2b"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_cur"),
+          sum(when(col("cohort") === 1, cd).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s1c"),
+          sum(when(col("cohort") === 1, cd * cd).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s2c"))
+        .selectExpr("n_base", "n_cur",
+          "CAST(n_base AS DOUBLE) AS nb", "CAST(s1b AS DOUBLE) AS m1b",
+          "CAST(s2b AS DOUBLE) AS m2b", "CAST(n_cur AS DOUBLE) AS nc",
+          "CAST(s1c AS DOUBLE) AS m1c", "CAST(s2c AS DOUBLE) AS m2c")
+        .selectExpr("n_base", "n_cur", "nb", "nc",
+          s"${ttestMean("b")} AS mb", s"${ttestVar("b")} AS vb",
+          s"${ttestMean("c")} AS mc", s"${ttestVar("c")} AS vc")
+        .selectExpr("n_base", "n_cur",
+          "ROUND(mb, 6) AS mean_base", "ROUND(mc, 6) AS mean_cur",
+          "ROUND(vb, 6) AS var_base", "ROUND(vc, 6) AS var_cur",
+          s"ROUND($ttestT, 6) AS t_stat", s"ROUND($ttestDf, 6) AS df")
+    }),
+
     // Per-row content fingerprint for source/target reconciliation hashing.
     "dq_row_hash" -> ((s, d) =>
       Tables.nation(s, d)
@@ -438,6 +498,25 @@ object CdcQueries {
        s"mx AS (SELECT ROUND(${ksFormula("mdn")}, 6) AS ks " +
        "FROM (SELECT MAX(dnum) AS mdn FROM gp) CROSS JOIN t) " +
        "SELECT bucket, cum_base, cum_cur, gap, ks FROM gp CROSS JOIN mx ORDER BY bucket"),
+    "dq_cohort_ttest" ->
+      // same cohort CTE, HUGEINT moment sums cast once to double, the
+      // shared mean/var/t/df formula strings verbatim
+      (s"WITH $cohortCteSql, " +
+       "mo AS (SELECT CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base, " +
+       "SUM(CASE WHEN cohort = 0 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s1b, " +
+       "SUM(CASE WHEN cohort = 0 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS s2b, " +
+       "CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur, " +
+       "SUM(CASE WHEN cohort = 1 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s1c, " +
+       "SUM(CASE WHEN cohort = 1 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS s2c FROM ck), " +
+       "dd AS (SELECT n_base, n_cur, CAST(n_base AS DOUBLE) AS nb, CAST(s1b AS DOUBLE) AS m1b, " +
+       "CAST(s2b AS DOUBLE) AS m2b, CAST(n_cur AS DOUBLE) AS nc, CAST(s1c AS DOUBLE) AS m1c, " +
+       "CAST(s2c AS DOUBLE) AS m2c FROM mo), " +
+       "mv AS (SELECT n_base, n_cur, nb, nc, " +
+       s"${ttestMean("b")} AS mb, ${ttestVar("b")} AS vb, " +
+       s"${ttestMean("c")} AS mc, ${ttestVar("c")} AS vc FROM dd) " +
+       "SELECT n_base, n_cur, ROUND(mb, 6) AS mean_base, ROUND(mc, 6) AS mean_cur, " +
+       "ROUND(vb, 6) AS var_base, ROUND(vc, 6) AS var_cur, " +
+       s"ROUND($ttestT, 6) AS t_stat, ROUND($ttestDf, 6) AS df FROM mv"),
     "dq_freshness" ->
       // epoch_us floor-div mirrors Spark's unix_micros DIV exactly (both
       // nonnegative, so floor == truncation); CAST pins INT vs BIGINT

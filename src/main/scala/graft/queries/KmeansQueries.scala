@@ -288,6 +288,42 @@ object KmeansQueries {
         .orderBy("dist2", "vec_id")
     }),
 
+    // Binary (sign-bit) quantization search (r6d) — the cheapest ANN
+    // storage tier (1 bit/dim: a 64-dim float vector becomes 8 bytes —
+    // at 100 TB the signature column is a 32x-smaller scan that fits
+    // where the floats never will): signature = sign bit per dim packed
+    // into two 32-bit halves (keeps every mask ANSI-overflow-safe; the
+    // text_simhash zip_with-mask fold, no variable shifts), candidate
+    // stage ranks by EXACT integer Hamming distance bit_count(xor) —
+    // nothing FP at all — then the top-64 re-rank with the exact L2
+    // (the sim_search_mrl two-stage shape: two TakeOrderedAndProject
+    // stages, broadcast scalar query row).
+    "sim_search_hamming" -> ((s, d) => {
+      val masks32 = array((0 until 32).map(j => lit(1L << j)): _*)
+      def sigHalf(off: Int): Column =
+        aggregate(
+          zip_with(slice(col("embedding"), off + 1, 32), masks32,
+            (x, m) => when(x > lit(0.0f), m).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v)
+      val sigs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sigHalf(0).as("h1"), sigHalf(32).as("h2"))
+      val q = sigs.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("h1").as("q1"), col("h2").as("q2"))
+      sigs.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("hamming",
+          (bit_count(col("h1").bitwiseXOR(col("q1"))) +
+            bit_count(col("h2").bitwiseXOR(col("q2")))).cast(IntegerType))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(hammingCand)
+        .withColumn("d2", sqDistD(col("embedding"), col("qv")))
+        .orderBy(col("d2"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("hamming"), r6(col("d2")).as("dist2"))
+        .orderBy("dist2", "vec_id")
+    }),
+
     // IVF + PQ composition (round-7 candidate list) — the index layout
     // of every billion-scale ANN system (FAISS IVFPQ): coarse-quantize
     // the corpus into 16 cells (nearest of 16 fixed centroid vectors by
@@ -557,6 +593,7 @@ object KmeansQueries {
   private val ivfCells = 16
   private val ivfProbe = 4
   private val mrlPrefix = 16
+  private val hammingCand = 64
 
   /** CTE chain for one DuckDB Lloyd iteration: assignment `a$it` against
     * centroids `c${it-1}`, exact integer micro-sums `s$it`, and the next
@@ -744,6 +781,27 @@ object KmeansQueries {
       "SELECT vec_id, ROUND(pd2, 6) AS prefix_d2, ROUND(d2, 6) AS dist2 " +
       "FROM rr ORDER BY dist2, vec_id"
 
+  /** Hamming mirror: same sign-bit halves (1 << (i-1) keeps shifts in
+    * 0..31 — always BIGINT-safe), exact integer bit_count(xor) ranking,
+    * exact L2 re-rank — the same two ORDER BY/LIMIT stages. */
+  private def hammingSql: String = {
+    def halfSql(off: Int): String =
+      "CAST(list_sum(list_transform(generate_series(1, 32), i -> " +
+        s"CASE WHEN embedding[i + $off] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) " +
+        "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    "WITH s AS (SELECT vec_id, embedding, " +
+      s"${halfSql(0)} AS h1, ${halfSql(32)} AS h2 FROM embeddings), " +
+      "q AS (SELECT embedding AS qv, h1 AS q1, h2 AS q2 FROM s WHERE vec_id = 0), " +
+      "cand AS (SELECT vec_id, embedding, " +
+      "CAST(bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) AS INT) AS hamming " +
+      "FROM s CROSS JOIN q WHERE vec_id <> 0 " +
+      s"ORDER BY hamming, vec_id LIMIT $hammingCand), " +
+      "rr AS (SELECT vec_id, hamming, " +
+      s"${sqDistSqlN(dims, "embedding", "qv")} AS d2 " +
+      "FROM cand CROSS JOIN q ORDER BY d2, vec_id LIMIT 10) " +
+      "SELECT vec_id, hamming, ROUND(d2, 6) AS dist2 FROM rr ORDER BY dist2, vec_id"
+  }
+
   /** IVFPQ mirror: coarse cells from the 16 fixed centroid vectors
     * (first-min by d2 then cid — the assign() tie-break), the query's
     * nprobe=4 nearest cells, then the sim_search_pq ADC scoring
@@ -819,6 +877,7 @@ object KmeansQueries {
     "embed_opq" -> opqSql,
     "embed_rq" -> rqSql,
     "sim_search_ivfpq" -> ivfpqSql,
-    "sim_search_mrl" -> mrlSql
+    "sim_search_mrl" -> mrlSql,
+    "sim_search_hamming" -> hammingSql
   )
 }

@@ -96,6 +96,20 @@ object Qutil {
   def bigramsSqlOf(tk: String): String =
     s"list_transform(generate_series(1, len($tk) - 1), i -> $tk[i] || ' ' || $tk[i+1])"
 
+  /** Trigram shingles of a token array — same shared-definition rule as
+    * bigramsOf (text_repetition counts what this emits; any future
+    * trigram blocker must block on the identical shingle). */
+  def trigramsOf(tk: Column): Column =
+    zip_with(
+      bigramsOf(slice(tk, lit(1), size(tk) - 1)),
+      slice(tk, lit(3), size(tk) - 2),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** DuckDB mirror of trigramsOf. */
+  def trigramsSqlOf(tk: String): String =
+    s"list_transform(generate_series(1, len($tk) - 2), " +
+      s"i -> $tk[i] || ' ' || $tk[i+1] || ' ' || $tk[i+2])"
+
   def dotD(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),

@@ -273,6 +273,42 @@ object TemporalQueries {
         .orderBy("event_type", "h")
     }),
 
+    // CUSUM changepoint detection (r6d) — the pipeline-health gauge for
+    // "did the event volume regime shift mid-window": per-day counts on
+    // the zero-filled contiguous day grid, deviations-from-mean folded
+    // into the cumulative sum S_k = n*cum_k - k*total (the exact integer
+    // cross-multiplication form — n*c_i - total per day, summed — so no
+    // mean is ever materialized and nothing is FP until display), the
+    // changepoint is argmax |S_k| (min-struct argmax, ties to the
+    // earlier day). Cumulative counts via the bounded day-grid self-join
+    // (the dq_ks_drift shape — never a partitionless window). The scan
+    // ends at the per-day count; all downstream work is grid-bounded.
+    "ts_changepoint" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
+      val cnts = ev.groupBy("day").agg(count(lit(1)).as("cnt"))
+      val bounds = cnts.agg(min("day").as("mind"), max("day").as("maxd"))
+      val grid = bounds.select(explode(sequence(col("mind"), col("maxd"))).as("day"))
+      val filled = grid.join(cnts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val totals = filled.agg(count(lit(1)).as("n_days"), sum("cnt").as("total"))
+      val cum = filled.as("a")
+        .join(filled.as("b"), col("b.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day"), col("a.cnt").as("cnt"))
+        .agg(count(lit(1)).as("k"), sum(col("b.cnt")).as("cum"))
+      val scored = cum.crossJoin(broadcast(totals))
+        .selectExpr("day", "cnt", "k", "cum",
+          "n_days * cum - k * total AS cusum")
+      val cp = scored.agg(min(struct((-abs(col("cusum"))).as("ns"),
+          col("day").as("d"))).as("m"))
+        .crossJoin(broadcast(totals))
+        .selectExpr("m.d AS cp_day", "-m.ns AS cp_snum", "n_days", "total")
+        .selectExpr("cp_day", s"ROUND($cusumStatFormula, 6) AS cp_stat")
+      scored.select(col("day"), col("cnt"), col("k"), col("cum"), col("cusum"))
+        .crossJoin(broadcast(cp))
+        .orderBy("day")
+    }),
+
     // CDC "last write wins": latest event per (user, type) — the Salesforce
     // upsert-compaction the reference's migration performs per object.
     "ts_dedup_latest" -> ((s, d) => {
@@ -437,9 +473,35 @@ object TemporalQueries {
        "gf.cnt * n_hod > s_hod * 2 AS is_spike " +
        "FROM gf JOIN base ON gf.event_type = base.event_type AND gf.hod = base.hod " +
        "ORDER BY gf.event_type, gf.h"),
+    "ts_changepoint" ->
+      // identical integer day/grid arithmetic (epoch_us // mirrors
+      // unix_micros DIV), cumulative counts via the bounded grid
+      // self-join, the min-struct argmax tie-break, the shared
+      // cusumStatFormula division at emission
+      ("WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events), " +
+       "c AS (SELECT day, COUNT(*) AS cnt FROM ev GROUP BY 1), " +
+       "b AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM c), " +
+       "g0 AS (SELECT mind + unnest(range(0, maxd - mind + 1)) AS day FROM b), " +
+       "f AS (SELECT g0.day, CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt " +
+       "FROM g0 LEFT JOIN c ON g0.day = c.day), " +
+       "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(cnt) AS BIGINT) AS total FROM f), " +
+       "cum AS (SELECT a.day, a.cnt, CAST(COUNT(*) AS BIGINT) AS k, " +
+       "CAST(SUM(b2.cnt) AS BIGINT) AS cum FROM f a JOIN f b2 ON b2.day <= a.day GROUP BY 1, 2), " +
+       "sc AS (SELECT day, cnt, k, cum, n_days * cum - k * total AS cusum FROM cum CROSS JOIN t), " +
+       "cpm AS (SELECT MIN(struct_pack(ns := -abs(cusum), d := day)) AS m FROM sc), " +
+       "cp AS (SELECT (m).d AS cp_day, " +
+       s"ROUND(${cusumStatFormula.replace("cp_snum", "-(m).ns")}, 6) AS cp_stat " +
+       "FROM cpm CROSS JOIN t) " +
+       "SELECT day, cnt, k, cum, cusum, cp_day, cp_stat " +
+       "FROM sc CROSS JOIN cp ORDER BY day"),
     "ts_dedup_latest" ->
       ("SELECT user_id, event_type, event_id, ts, value FROM " +
        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn " +
        "FROM events) WHERE rn = 1 ORDER BY user_id, event_type")
   )
+
+  /** THE CUSUM statistic emission — exact integer |S| numerator over the
+    * exact n*total product, one division (shared-formula rule). */
+  private def cusumStatFormula: String =
+    "CAST(cp_snum AS DOUBLE) / (CAST(n_days AS DOUBLE) * CAST(total AS DOUBLE))"
 }

@@ -257,6 +257,45 @@ object Text2Queries {
         .orderBy("doc_inner", "doc_outer")
     }),
 
+    // Repetition quality rules (r6d) — the Gopher/C4-style boilerplate
+    // gate next to entropy and the LM scores: fraction of a doc's bigram
+    // stream covered by its single most frequent bigram (templated spam
+    // repeats one phrase) and fraction of trigram occurrences that are
+    // repeats of an earlier trigram (copy-paste padding). Shape: the
+    // text_entropy histogram pattern — explode the shared shingles,
+    // count per (doc, shingle), roll up per doc (both aggregates
+    // partial-aggregable, shuffling on doc-scoped keys) — NOT an in-row
+    // distinct x occurrences scan, which is O(doc_len^2) per row and
+    // dies on real web documents (measured 3.9 s vs 2.0 s even on the
+    // <=100-token fixture). The flag is an integer cross-multiply
+    // (threshold 0.18 as 18/100 — no FP in the predicate); fractions
+    // are exact integer ratios: round 6 holds bit-identical.
+    "text_repetition" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), bigramsOf(tk).as("bg"), trigramsOf(tk).as("tri"))
+      val bgc = base.select(col("doc_id"), explode(col("bg")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast(IntegerType).as("n_bigrams"),
+          max("c").cast(IntegerType).as("top_bigram_cnt"))
+      val tric = base.select(col("doc_id"), explode(col("tri")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast(IntegerType).as("n_trigrams"),
+          (sum("c") - count(lit(1))).cast(IntegerType).as("dup_tri_cnt"))
+      bgc.join(tric, "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("top_bigram_cnt"),
+          r6(col("top_bigram_cnt").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).as("top2_frac"),
+          col("n_trigrams"), col("dup_tri_cnt"),
+          r6(col("dup_tri_cnt").cast(DoubleType) /
+            col("n_trigrams").cast(DoubleType)).as("dup3_frac"),
+          (col("top_bigram_cnt") * 100 > col("n_bigrams") * 18 ||
+            col("dup_tri_cnt") * 100 > col("n_trigrams") * 18).as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
     // Zipf-slope vocabulary fit — the corpus-health curation signal (a
     // natural-language corpus follows rank-frequency ln(f) ~= a + s*ln(r)
     // with s near -1; templated/spammy corpora bend the curve). The fit
@@ -355,6 +394,22 @@ object Text2Queries {
 
     Map(
       "text_simhash" -> simhashOracleSql,
+      "text_repetition" ->
+        // same shared bigram/trigram shingles (bigramsSqlOf/trigramsSqlOf),
+        // exact integer counts and ratios, integer cross-multiplied flag
+        ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+         "g AS (SELECT doc_id, " + bigramsSqlOf("tk") + " AS bg, " +
+         trigramsSqlOf("tk") + " AS tri FROM b), " +
+         "m AS (SELECT doc_id, CAST(len(bg) AS INT) AS n_bigrams, " +
+         "CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS INT) AS top_bigram_cnt, " +
+         "CAST(len(tri) AS INT) AS n_trigrams, " +
+         "CAST(len(tri) - len(list_distinct(tri)) AS INT) AS dup_tri_cnt FROM g) " +
+         "SELECT doc_id, n_bigrams, top_bigram_cnt, " +
+         "ROUND(CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS top2_frac, " +
+         "n_trigrams, dup_tri_cnt, " +
+         "ROUND(CAST(dup_tri_cnt AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6) AS dup3_frac, " +
+         "(top_bigram_cnt * 100 > n_bigrams * 18 OR dup_tri_cnt * 100 > n_trigrams * 18) AS repetitive " +
+         "FROM m ORDER BY doc_id"),
       "text_zipf_slope" ->
         // same deterministic rank (cf DESC, tok ASC), same fixed 1..K
         // domain, same shared formula strings; ln sums -> ROUND 3

@@ -245,7 +245,35 @@ object Plans {
       ("the event scan ends at the hourly count aggregate (ts_gap_fill's inherited floor); the " +
        "24 x |types| baseline is a second bounded aggregate broadcast back over the grid, and the " +
        "spike test is integer cross-multiplication in the projection — no division, no FP " +
-       "comparison, no window."))
+       "comparison, no window."),
+    "dq_ks_drift" ->
+      ("the event scan ends at the per-bucket cohort counts (one partial+final aggregate); the " +
+       "CDF accumulation is a self-join over the BOUNDED 20-row bucket grid — never a " +
+       "partitionless window — and the statistic is an integer max over 20 rows; everything " +
+       "after the first aggregate is grid-cardinality."),
+    "sim_search_mrl" ->
+      ("two TakeOrderedAndProject stages: the corpus scan computes only the 16-dim prefix " +
+       "distance (at deployment the prefix lives in its own 4x-smaller column/file), stage 2 " +
+       "touches 50 rows at full width — the full-width read never scans the corpus."),
+    "text_repetition" ->
+      ("the text_entropy histogram shape twice: in-row shingle generation in the scan " +
+       "projection, then per-(doc, shingle) counts rolled up per doc — every aggregate " +
+       "partial-aggregable on doc-scoped keys, never an O(doc_len^2) in-row distinct scan " +
+       "(which dies on real web documents); the two shingle streams join back on doc_id."),
+    "ts_changepoint" ->
+      ("the event scan ends at the per-day count aggregate; the CUSUM prefix accumulates over " +
+       "the bounded day-grid self-join (dq_ks_drift's shape on days), the argmax is a 1-row " +
+       "min-struct scalar aggregate, and the statistic is one division at emission — all " +
+       "post-scan work is span-bounded."),
+    "sim_search_hamming" ->
+      ("signature packing is one in-row zip_with fold in the scan projection (at deployment the " +
+       "two BIGINT halves are a separate 32x-smaller column); candidate ranking is exact integer " +
+       "bit_count(xor) into TakeOrderedAndProject — the re-rank touches 64 rows; no joins, no " +
+       "shuffle beyond the two top-k merges."),
+    "dq_cohort_ttest" ->
+      ("one conditional partial+final scalar aggregate over the cohort frame (six exact " +
+       "DECIMAL(38,0) moment sums with map-side combine); the Welch formulas run on the single " +
+       "result row — the agg_skew_kurt single-scan shape with a broadcast bounds row ahead of it."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -339,6 +339,40 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("sim_search_hamming: signatures, candidate cut, and re-rank match a reference") {
+    val vecs = loadVecs()
+    val byId = vecs.toMap
+    val q = byId(0L)
+    def sig(v: Array[Float]): (Long, Long) = {
+      var h1 = 0L; var h2 = 0L
+      (0 until 32).foreach { j => if (v(j) > 0f) h1 |= 1L << j }
+      (0 until 32).foreach { j => if (v(j + 32) > 0f) h2 |= 1L << j }
+      (h1, h2)
+    }
+    val (q1, q2) = sig(q)
+    def sq(v: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < 64) { val t = v(i).toDouble - q(i).toDouble; acc += t * t; i += 1 }
+      acc
+    }
+    val cand = vecs.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val (h1, h2) = sig(v)
+        (id, java.lang.Long.bitCount(h1 ^ q1) + java.lang.Long.bitCount(h2 ^ q2))
+      }
+      .sortBy { case (id, h) => (h, id) }.take(64)
+    val expect = cand.map { case (id, h) => (id, h, sq(byId(id))) }
+      .sortBy { case (id, _, d) => (d, id) }.take(10)
+    val got = SparkEntry.queries("sim_search_hamming")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length === 10)
+    got.zip(expect).foreach { case ((id, h, d2), (rid, rh, rd2)) =>
+      assert(id === rid, s"rank order diverges: $id vs $rid")
+      assert(h === rh, s"hamming for $id")
+      assert(math.abs(d2 - math.rint(rd2 * 1e6) / 1e6) < 1.1e-6)
+    }
+  }
+
   test("embed_outlier_dist: 5 per label, rank-ordered, true top by distance") {
     val rows = SparkEntry.queries("embed_outlier_dist")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

@@ -243,6 +243,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text_repetition: independent recompute of both signals and the flag") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = SparkEntry.queries("text_repetition")(spark, sf).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1)
+      val bg = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toArray
+      val tri = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray
+      val topCnt = bg.groupBy(identity).values.map(_.length).max
+      val dupTri = tri.length - tri.distinct.length
+      assert(r.getInt(1) === bg.length, s"doc ${r.getLong(0)} n_bigrams")
+      assert(r.getInt(2) === topCnt, s"doc ${r.getLong(0)} top_bigram_cnt")
+      assert(r.getInt(4) === tri.length && r.getInt(5) === dupTri)
+      assert(math.abs(r.getDouble(3) - math.rint(topCnt.toDouble / bg.length * 1e6) / 1e6) < 1.1e-6)
+      assert(math.abs(r.getDouble(6) - math.rint(dupTri.toDouble / tri.length * 1e6) / 1e6) < 1.1e-6)
+      assert(r.getBoolean(7) ===
+        (topCnt * 100 > bg.length * 18 || dupTri * 100 > tri.length * 18))
+    }
+  }
+
+  test("ts_changepoint: independent CUSUM recompute; argmax and stat agree") {
+    val days = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) DIV 86400000000 AS day").collect()
+      .map(_.getLong(0))
+    val (minD, maxD) = (days.min, days.max)
+    val cnts = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val grid = (minD to maxD).map(d => (d, cnts.getOrElse(d, 0L)))
+    val n = grid.length.toLong
+    val total = grid.map(_._2).sum
+    var cum = 0L
+    val scored = grid.zipWithIndex.map { case ((d, c), i) =>
+      cum += c
+      (d, c, i + 1L, cum, n * cum - (i + 1L) * total)
+    }
+    val (cpDay, cpSnum) = scored.map { case (d, _, _, _, s) => (d, math.abs(s)) }
+      .minBy { case (d, s) => (-s, d) }
+    val stat = cpSnum.toDouble / (n.toDouble * total.toDouble)
+    val rows = SparkEntry.queries("ts_changepoint")(spark, sf).collect()
+    assert(rows.length === n)
+    rows.zip(scored).foreach { case (r, (d, c, k, cm, s)) =>
+      assert(r.getLong(0) === d && r.getLong(1) === c)
+      assert(r.getLong(2) === k && r.getLong(3) === cm)
+      assert(r.getLong(4) === s, s"day $d cusum")
+      assert(r.getLong(5) === cpDay, "changepoint day")
+      assert(math.abs(r.getDouble(6) - math.rint(stat * 1e6) / 1e6) < 1.1e-6)
+    }
+    // the final cumulative deviation closes to zero by construction
+    assert(scored.last._5 === 0L)
+  }
+
   test("dq_ks_drift: independent recompute; CDF gaps and max agree exactly") {
     val raw = Tables.events(spark, sf)
       .selectExpr("unix_micros(ts) AS us", "value").collect()
@@ -277,6 +329,35 @@ class PropertySpec extends SparkSpec {
     // the last bucket closes both CDFs
     val last = rows.maxBy(_.getInt(0))
     assert(last.getLong(1) === nb && last.getLong(2) === nc)
+  }
+
+  test("dq_cohort_ttest: independent Welch recompute from exact moments") {
+    val raw = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) DIV 86400000000 AS day",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (minD, maxD) = (raw.map(_._1).min, raw.map(_._1).max)
+    val mid = minD + (maxD - minD) / 2
+    def moments(coh: Array[Long]): (Double, Double, Double) = {
+      val n = coh.length.toDouble
+      val s1 = coh.map(BigInt(_)).sum.toDouble
+      val s2 = coh.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+      (n, s1 / n, (n * s2 - s1 * s1) / (n * (n - 1.0)))
+    }
+    val (nb, mb, vb) = moments(raw.filter(_._1 <= mid).map(_._2))
+    val (nc, mc, vc) = moments(raw.filter(_._1 > mid).map(_._2))
+    val t = (mb - mc) / math.sqrt(vb / nb + vc / nc)
+    val se = vb / nb + vc / nc
+    val df = (se * se) /
+      ((vb / nb) * (vb / nb) / (nb - 1.0) + (vc / nc) * (vc / nc) / (nc - 1.0))
+    val r = SparkEntry.queries("dq_cohort_ttest")(spark, sf).head()
+    assert(r.getLong(0) === nb.toLong && r.getLong(1) === nc.toLong)
+    assert(math.abs(r.getDouble(2) - mb) < 1e-4 && math.abs(r.getDouble(3) - mc) < 1e-4)
+    assert(math.abs(r.getDouble(6) - t) < 1e-4, s"t: ${r.getDouble(6)} vs $t")
+    assert(math.abs(r.getDouble(7) - df) < 1e-2, s"df: ${r.getDouble(7)} vs $df")
+    // a sane Welch df lies between min(n)-1 and n_base+n_cur-2
+    assert(r.getDouble(7) >= math.min(nb, nc) - 1.0 - 1e-6 &&
+      r.getDouble(7) <= nb + nc - 2.0 + 1e-6)
   }
 
   test("embed_quantize_int8: codes in int8 range, mse under the half-step bound") {
