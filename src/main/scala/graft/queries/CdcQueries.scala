@@ -45,6 +45,15 @@ object CdcQueries {
     "((vb / nb + vc / nc) * (vb / nb + vc / nc)) / " +
       "(((vb / nb) * (vb / nb)) / (nb - 1.0) + ((vc / nc) * (vc / nc)) / (nc - 1.0))"
 
+  /** Chi-squared shared formula strings over the exact-derived columns
+    * (d2 = double-cast exact dnum^2; rt/ct/nn exact BIGINT counts) —
+    * fixed-order doubles on both engines (defs, not vals: the oracle
+    * Map init-order rule). */
+  private def chi2ExpectedF: String =
+    "CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)"
+  private def chi2TermF: String =
+    "d2 / (CAST(nn AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"
+
   /** THE day-split cohort frame (dq_drift_psi, dq_ks_drift,
     * dq_cohort_ttest): first half of days = cohort 0 (baseline), second
     * half = cohort 1 (current), off ONE broadcast bounds row; carries
@@ -52,14 +61,14 @@ object CdcQueries {
     * Mirrored verbatim by cohortCteSql. */
   private def cohortSplit(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val ev = Tables.events(s, d).selectExpr(
+    val ev = Tables.events(s, d).selectExpr("event_type",
       "unix_micros(ts) DIV 86400000000 AS day",
       "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents")
     val bounds = ev.agg(min("day").as("min_day"), max("day").as("max_day"),
       min("cents").as("minc"), max("cents").as("maxc"))
     ev.crossJoin(broadcast(bounds)).selectExpr(
       "CASE WHEN day <= min_day + (max_day - min_day) DIV 2 THEN 0 ELSE 1 END AS cohort",
-      "cents", "minc", "maxc")
+      "event_type", "cents", "minc", "maxc")
   }
 
   /** Shared drift machinery (dq_drift_psi, dq_ks_drift): integer
@@ -81,12 +90,12 @@ object CdcQueries {
 
   /** DuckDB mirror of cohortSplit: CTEs ev/b/ck. */
   private def cohortCteSql: String =
-    "ev AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+    "ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
       "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events), " +
       "b AS (SELECT MIN(day) AS min_day, MAX(day) AS max_day, " +
       "MIN(cents) AS minc, MAX(cents) AS maxc FROM ev), " +
       "ck AS (SELECT CASE WHEN day <= min_day + (max_day - min_day) // 2 THEN 0 ELSE 1 END AS cohort, " +
-      "cents, minc, maxc FROM ev CROSS JOIN b)"
+      "event_type, cents, minc, maxc FROM ev CROSS JOIN b)"
 
   /** DuckDB mirror of driftBuckets: CTEs ev/b/ck/bk/c/g/f/t. */
   private def driftCteSql(b: Int): String =
@@ -442,6 +451,56 @@ object CdcQueries {
           s"ROUND($ttestT, 6) AS t_stat", s"ROUND($ttestDf, 6) AS df")
     }),
 
+    // Chi-squared independence drift (r6d) — the CATEGORICAL member of
+    // the drift family (psi/ks/t cover the numeric column; this one
+    // asks "did the event-type MIX shift between the cohorts"): the
+    // |types| x 2 contingency table (zero-filled grid), expected counts
+    // from row/column marginals, and per-cell terms via the exact
+    // integer cross-multiplication dnum = obs*N - rt*ct so (obs-exp)^2
+    // /exp becomes dnum^2/(N*rt*ct) — the square runs in DECIMAL(38,0)
+    // (dnum^2 passes BIGINT at ~30x today's scale; HUGEINT in the
+    // oracle), cast once to double, then the shared term formula. The
+    // total folds the bounded cells in (type, cohort) order (the psi
+    // collect_list shape); df = (|types|-1)*(2-1) comes from the same
+    // bounded aggregate.
+    "dq_chi2_drift" -> ((s, d) => {
+      val obs0 = cohortSplit(s, d).groupBy("event_type", "cohort")
+        .agg(count(lit(1)).as("obs"))
+      val grid = obs0.select("event_type").distinct()
+        .crossJoin(s.range(0, 2).select(col("id").cast(IntegerType).as("cohort")))
+      // checkpoint the BOUNDED (|types| x 2) table once: four consumers
+      // (rt/ct/n/cells) would otherwise each re-run the event scan +
+      // cohort chain (the r6c multi-consumer recompute rule; the frame
+      // is 10 rows — driver-cheap, graph_pagerank precedent)
+      val filled = grid.join(obs0, Seq("event_type", "cohort"), "left")
+        .na.fill(0L, Seq("obs"))
+        .localCheckpoint(true)
+      val rt = filled.groupBy("event_type").agg(sum("obs").as("rt"))
+      val ctt = filled.groupBy("cohort").agg(sum("obs").as("ct"))
+      val n = filled.agg(sum("obs").as("nn"))
+      val cells = filled.join(broadcast(rt), "event_type")
+        .join(broadcast(ctt), "cohort")
+        .crossJoin(broadcast(n))
+        .selectExpr("event_type", "cohort", "obs", "rt", "ct", "nn",
+          "obs * nn - rt * ct AS dnum")
+        .selectExpr("event_type", "cohort", "obs", "rt", "ct", "nn",
+          "CAST(CAST(dnum AS DECIMAL(38,0)) * dnum AS DOUBLE) AS d2")
+        .selectExpr("event_type", "cohort", "obs",
+          s"ROUND($chi2ExpectedF, 6) AS expected",
+          s"$chi2TermF AS term_raw")
+      // df from a PLAIN count (cells = |types| x 2): a count_distinct
+      // here would force a non-partial two-phase aggregate and a
+      // SinglePartition exchange that PlanGuardSpec rightly rejects
+      val tot = cells.agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(event_type, cohort, term_raw))), " +
+          "x -> x.term_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("chi2_raw"),
+        expr("CAST(count(1) DIV 2 - 1 AS INT)").as("df"))
+      cells.crossJoin(broadcast(tot))
+        .selectExpr("event_type", "cohort", "obs", "expected",
+          "ROUND(term_raw, 6) AS term", "ROUND(chi2_raw, 6) AS chi2", "df")
+        .orderBy("event_type", "cohort")
+    }),
+
     // Per-row content fingerprint for source/target reconciliation hashing.
     "dq_row_hash" -> ((s, d) =>
       Tables.nation(s, d)
@@ -498,6 +557,30 @@ object CdcQueries {
        s"mx AS (SELECT ROUND(${ksFormula("mdn")}, 6) AS ks " +
        "FROM (SELECT MAX(dnum) AS mdn FROM gp) CROSS JOIN t) " +
        "SELECT bucket, cum_base, cum_cur, gap, ks FROM gp CROSS JOIN mx ORDER BY bucket"),
+    "dq_chi2_drift" ->
+      // same cohort CTE, zero-filled contingency grid, HUGEINT square
+      // cast once to double, shared expected/term formulas, (type,
+      // cohort)-ordered list fold for the total
+      (s"WITH $cohortCteSql, " +
+       "o AS (SELECT event_type, cohort, CAST(COUNT(*) AS BIGINT) AS obs FROM ck GROUP BY 1, 2), " +
+       "ty AS (SELECT DISTINCT event_type FROM o), " +
+       "g AS (SELECT event_type, CAST(unnest([0, 1]) AS INT) AS cohort FROM ty), " +
+       "f AS (SELECT g.event_type, g.cohort, COALESCE(obs, 0) AS obs FROM g " +
+       "LEFT JOIN o ON g.event_type = o.event_type AND g.cohort = o.cohort), " +
+       "rt0 AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM f GROUP BY 1), " +
+       "ct0 AS (SELECT cohort, CAST(SUM(obs) AS BIGINT) AS ct FROM f GROUP BY 1), " +
+       "n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM f), " +
+       "cl AS (SELECT f.event_type, f.cohort, obs, rt, ct, nn, " +
+       "obs * nn - rt * ct AS dnum FROM f JOIN rt0 ON f.event_type = rt0.event_type " +
+       "JOIN ct0 ON f.cohort = ct0.cohort CROSS JOIN n), " +
+       "cd AS (SELECT event_type, cohort, obs, rt, ct, nn, " +
+       "CAST(CAST(dnum AS HUGEINT) * dnum AS DOUBLE) AS d2 FROM cl), " +
+       s"tr AS (SELECT event_type, cohort, obs, ROUND($chi2ExpectedF, 6) AS expected, " +
+       s"$chi2TermF AS term_raw FROM cd), " +
+       "tot AS (SELECT list_sum(list(term_raw ORDER BY event_type, cohort)) AS chi2_raw, " +
+       "CAST(COUNT(*) // 2 - 1 AS INT) AS df FROM tr) " +
+       "SELECT event_type, cohort, obs, expected, ROUND(term_raw, 6) AS term, " +
+       "ROUND(chi2_raw, 6) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
     "dq_cohort_ttest" ->
       // same cohort CTE, HUGEINT moment sums cast once to double, the
       // shared mean/var/t/df formula strings verbatim

@@ -139,6 +139,38 @@ object GraphQueries {
         .orderBy("a", "b", "c")
     }),
 
+    // Label-propagation communities (r6d) — the OTHER graph-clustering
+    // family next to connected components (CC merges anything touching;
+    // LPA follows neighborhood MAJORITY, so dense cores separate from
+    // bridges). Fully deterministic where textbook LPA is not: seeds are
+    // node ids, rounds are SYNCHRONOUS (every round reads only the
+    // previous round's labels — no update-order dependence), and the
+    // majority vote breaks ties by SMALLER label via one min-struct
+    // argmax aggregate ((-cnt, lbl) — the agg_mode shape). Integer-only
+    // state, so both engines replay bit-identically. Each of the 3 fixed
+    // rounds is ONE shuffle join (labels into the checkpointed edge set)
+    // + TWO partial-aggregable groupBys; rounds chain lazily into one
+    // job like graph_pagerank. Output is the bounded community summary.
+    "graph_label_prop" -> ((s, d) => {
+      val e = edges(s, d)
+      var lab = e.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      for (_ <- 1 to iters) {
+        val cnts = e.join(lab, e("src") === lab("id"))
+          .select(col("dst"), col("lbl"))
+          .groupBy("dst", "lbl").agg(count(lit(1)).as("cnt"))
+        lab = cnts.groupBy(col("dst"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("lb"))).as("m"))
+          .select(col("dst").as("id"), col("m.lb").as("lbl"))
+      }
+      lab.groupBy("lbl")
+        .agg(count(lit(1)).as("comm_size"),
+          sum(when(col("id") % 2 === 0, 1L).otherwise(0L)).as("n_suppliers"),
+          sum(when(col("id") % 2 === 1, 1L).otherwise(0L)).as("n_customers"),
+          min("id").as("min_node"))
+        .orderBy("lbl")
+    }),
+
     // Adamic-Adar link scoring (r6c) over the co-purchase bipartite
     // graph: AA(p1, p2) = sum over shared baskets o of 1/ln(|o|) — the
     // classic link-prediction weight (rare, small baskets say more than
@@ -207,6 +239,14 @@ object GraphQueries {
       s"150000 + (17 * CAST(SUM(r // dg) AS BIGINT)) // 20 AS r " +
       s"FROM ed JOIN r${it - 1} ON ed.src = r${it - 1}.id GROUP BY dst)"
 
+  /** One DuckDB label-propagation round: per-(node, label) neighbor
+    * counts, then the identical (-cnt, lbl) min-struct argmax. */
+  private def lpRoundSql(it: Int): String =
+    s"c$it AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS cnt " +
+      s"FROM e JOIN lp${it - 1} l ON e.src = l.id GROUP BY 1, 2), " +
+      s"lp$it AS (SELECT id, (MIN(struct_pack(nc := -cnt, lb := lbl))).lb AS lbl " +
+      s"FROM c$it GROUP BY id)"
+
   /** The shared edge-set CTE fragment (e0 -> symmetric e) of the graph
     * mirror — one definition for both graph oracles. */
   private def edgesCteSql: String =
@@ -249,6 +289,18 @@ object GraphQueries {
        "FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 " +
        "JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2 " +
        "ORDER BY a, b, c"),
+    "graph_label_prop" ->
+      // same symmetric edge CTE, synchronous rounds unrolled, the same
+      // integer min-struct majority argmax; SUM/COUNT cast back from
+      // HUGEINT in the summary
+      (s"WITH $edgesCteSql, " +
+       "n0 AS (SELECT DISTINCT src AS id FROM e), " +
+       "lp0 AS (SELECT id, id AS lbl FROM n0), " +
+       (1 to iters).map(lpRoundSql).mkString(", ") + " " +
+       s"SELECT lbl, CAST(COUNT(*) AS BIGINT) AS comm_size, " +
+       "CAST(SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers, " +
+       "CAST(SUM(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers, " +
+       s"MIN(id) AS min_node FROM lp$iters GROUP BY 1 ORDER BY 1"),
     "graph_adamic_adar" ->
       // the SAME Scala-derived nano-unit weight literals as the query
       // (no DuckDB ln anywhere); integer sum, one final fixed division

@@ -140,6 +140,35 @@ object ScanQueries {
     // broadcast the small side and never exercise the bucket path. At
     // 100 TB this is the difference between re-shuffling 100 TB per
     // join and reading co-located buckets.
+    // Schema-evolution read (r6d) — the landing-zone reality every
+    // long-running migration meets: an early generation landed WITHOUT a
+    // column a later generation carries (here: even keys land 2 columns,
+    // odd keys 3). mergeSchema unifies the footers at read time and the
+    // missing column comes back NULL for old files — the COALESCE
+    // 'LEGACY' bucket makes that visible and auditable. The oracle
+    // aggregates the source parquet with the same CASE split: hash
+    // equality proves merged-read semantics (old rows null, new rows
+    // preserved) end to end. At 100 TB, mergeSchema's footer scan is the
+    // cost to watch — a production landing would pin the unified schema
+    // in a catalog instead; the READ semantics demonstrated here are
+    // identical either way.
+    "source_schema_merge" -> ((s, d) => {
+      val out = scratch("schema_merge", d)
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/gen1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumDec2(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+        .orderBy("priority")
+    }),
+
     "source_bucketed_join" -> ((s, d) => {
       val suffix = s"${java.lang.Integer.toHexString(d.hashCode)}_" +
         s"${ProcessHandle.current().pid()}"
@@ -190,6 +219,15 @@ object ScanQueries {
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
        "COUNT(DISTINCT o_custkey) AS n_customers " +
        "FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1, 2 ORDER BY 1, 2"),
+    "source_schema_merge" ->
+      // the same even/odd generation split straight off the source
+      // parquet: equality proves the merged read nulls exactly the old
+      // generation's missing column and preserves the new one
+      ("SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY' ELSE o_orderpriority END AS priority, " +
+       "COUNT(*) AS n_orders, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+       "COUNT(DISTINCT o_orderkey) AS n_keys " +
+       "FROM orders GROUP BY 1 ORDER BY 1"),
     "source_bucketed_join" ->
       // joins the ORIGINAL parquet directly: hash equality proves the
       // bucketed landing + catalog read-back + bucket-wise join change

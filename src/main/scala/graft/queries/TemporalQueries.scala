@@ -273,6 +273,37 @@ object TemporalQueries {
         .orderBy("event_type", "h")
     }),
 
+    // Classical seasonal decomposition (r6d) — STL-lite over the gap-
+    // filled hourly grid: trend = 24-hour centered moving average (ROWS
+    // 12 PRECEDING..11 FOLLOWING, partitioned by event_type — a window
+    // over the BOUNDED grid, never the event stream), seasonal = hour-
+    // of-day mean of the detrended series, residual = the rest. Cross-
+    // engine exactness by common denominator: only COMPLETE windows
+    // survive (w_n = 24), so the detrended value scales to the exact
+    // integer det24 = 24*cnt - w_sum, the seasonal sum s24 is an
+    // order-free integer sum, and every emitted double is exact-ints ->
+    // ONE fixed-order formula (trend/seasonal/resid share the formula
+    // strings with the oracle). The event scan still ends at the hourly
+    // count aggregate — all window/seasonal work is grid-cardinality.
+    "ts_decompose" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-12, 11)
+      val win = hourlyGrid(s, d)
+        .withColumn("w_sum", sum("cnt").over(w))
+        .withColumn("w_n", count(lit(1)).over(w))
+      val interior = win.where(col("w_n") === 24)
+        .withColumn("hod", hour(col("h")))
+        .withColumn("det24", lit(24) * col("cnt") - col("w_sum"))
+      val seas = interior.groupBy("event_type", "hod")
+        .agg(sum("det24").as("s24"), count(lit(1)).as("n_hod"))
+      interior.join(broadcast(seas), Seq("event_type", "hod"))
+        .selectExpr("event_type", "h", "hod", "cnt",
+          s"ROUND($decTrendF, 6) AS trend",
+          s"ROUND($decSeasF, 6) AS seasonal",
+          s"ROUND($decResidF, 6) AS resid")
+        .orderBy("event_type", "h")
+    }),
+
     // CUSUM changepoint detection (r6d) — the pipeline-health gauge for
     // "did the event volume regime shift mid-window": per-day counts on
     // the zero-filled contiguous day grid, deviations-from-mean folded
@@ -473,6 +504,32 @@ object TemporalQueries {
        "gf.cnt * n_hod > s_hod * 2 AS is_spike " +
        "FROM gf JOIN base ON gf.event_type = base.event_type AND gf.hod = base.hod " +
        "ORDER BY gf.event_type, gf.h"),
+    "ts_decompose" ->
+      // same gap-fill CTE chain as ts_gap_fill/ts_seasonal_baseline, the
+      // identical 24-row centered frame, complete-window filter, and the
+      // shared trend/seasonal/resid formula strings; window SUM comes
+      // back HUGEINT — cast before det24 so the integers stay BIGINT
+      ("WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events), " +
+       "c AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1,2), " +
+       "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM c), " +
+       "t AS (SELECT DISTINCT event_type FROM c), " +
+       "g0 AS (SELECT event_type, mn, unnest(range(0, date_diff('hour', mn, mx) + 1)) AS i " +
+       "FROM t CROSS JOIN b), " +
+       "g AS (SELECT event_type, mn + to_hours(i) AS h FROM g0), " +
+       "gf AS (SELECT g.event_type, g.h, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt FROM g " +
+       "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h), " +
+       "win AS (SELECT event_type, h, cnt, CAST(SUM(cnt) OVER w AS BIGINT) AS w_sum, " +
+       "CAST(COUNT(*) OVER w AS BIGINT) AS w_n FROM gf " +
+       "WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)), " +
+       "i AS (SELECT event_type, h, CAST(hour(h) AS INT) AS hod, cnt, w_sum, " +
+       "24 * cnt - w_sum AS det24 FROM win WHERE w_n = 24), " +
+       "se AS (SELECT event_type, hod, CAST(SUM(det24) AS BIGINT) AS s24, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_hod FROM i GROUP BY 1, 2) " +
+       "SELECT i.event_type, i.h, i.hod, i.cnt, " +
+       s"ROUND($decTrendF, 6) AS trend, ROUND($decSeasF, 6) AS seasonal, " +
+       s"ROUND($decResidF, 6) AS resid " +
+       "FROM i JOIN se ON i.event_type = se.event_type AND i.hod = se.hod " +
+       "ORDER BY i.event_type, i.h"),
     "ts_changepoint" ->
       // identical integer day/grid arithmetic (epoch_us // mirrors
       // unix_micros DIV), cumulative counts via the bounded grid
@@ -504,4 +561,14 @@ object TemporalQueries {
     * exact n*total product, one division (shared-formula rule). */
   private def cusumStatFormula: String =
     "CAST(cp_snum AS DOUBLE) / (CAST(n_days AS DOUBLE) * CAST(total AS DOUBLE))"
+
+  /** ts_decompose emission formulas over the exact integer columns
+    * w_sum / det24 / s24 / n_hod — each term is exact-int -> one fixed
+    * division, shared verbatim with the oracle. MUST be defs: the
+    * oracle Map is an eagerly-initialized val textually above — a val
+    * here interpolates as null into the SQL (object init order). */
+  private def decTrendF = "CAST(w_sum AS DOUBLE) / 24.0"
+  private def decSeasF = "CAST(s24 AS DOUBLE) / (24.0 * CAST(n_hod AS DOUBLE))"
+  private def decResidF =
+    "(CAST(det24 AS DOUBLE) / 24.0) - (CAST(s24 AS DOUBLE) / (24.0 * CAST(n_hod AS DOUBLE)))"
 }

@@ -273,7 +273,21 @@ object Plans {
     "dq_cohort_ttest" ->
       ("one conditional partial+final scalar aggregate over the cohort frame (six exact " +
        "DECIMAL(38,0) moment sums with map-side combine); the Welch formulas run on the single " +
-       "result row — the agg_skew_kurt single-scan shape with a broadcast bounds row ahead of it."))
+       "result row — the agg_skew_kurt single-scan shape with a broadcast bounds row ahead of it."),
+    "graph_label_prop" ->
+      ("the graph_pagerank Pregel loop with a two-level vote: each synchronous round is one " +
+       "shuffle join of labels into the checkpointed edge set plus two partial-aggregable " +
+       "groupBys ((node, label) counts, then the min-struct majority argmax) — no window, no " +
+       "collect; three fixed rounds chain lazily into one job."),
+    "ts_decompose" ->
+      ("the event scan ends at the hourly count aggregate (ts_gap_fill's floor); the 24-row " +
+       "centered-MA window and the hour-of-day seasonal aggregate both run over the BOUNDED " +
+       "(type x hour) grid partitioned by event_type — window width and seasonal key space are " +
+       "data-size independent, so decomposition costs one aggregation at any scale."),
+    "dq_chi2_drift" ->
+      ("the event scan ends at the (type, cohort) count aggregate; marginals, the zero-filled " +
+       "contingency grid, and the ordered term fold all operate on the bounded |types| x 2 " +
+       "cell space with the totals entering via broadcast — post-scan work is table-cardinality."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -34,6 +34,32 @@ class GraphSpec extends SparkSpec {
     assert(kinds.nonEmpty && kinds.subsetOf(Set("supplier", "customer")))
   }
 
+  test("graph_label_prop equals an in-memory synchronous LPA reference (sf0.001)") {
+    val e0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    var lbl = edges.map(_._1).distinct.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = edges.groupBy(_._2).map { case (v, es) =>
+        val votes = es.map(e => lbl(e._1)).groupBy(identity).view.mapValues(_.size)
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val expComm = lbl.groupBy(_._2).map { case (l, ms) =>
+      l -> (ms.size.toLong, ms.keys.count(_ % 2 == 0).toLong,
+        ms.keys.count(_ % 2 == 1).toLong, ms.keys.min)
+    }
+    val got = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === expComm, "community summary diverges from the reference")
+    // every node is accounted for exactly once
+    assert(got.values.map(_._1).sum === lbl.size.toLong)
+  }
+
   /** In-memory supported co-purchase edges (p1 < p2, support >= 2) —
     * independent reference for the two market-basket queries. */
   private def refEdges: Map[(Long, Long), Long] = {

@@ -331,6 +331,57 @@ class PropertySpec extends SparkSpec {
     assert(last.getLong(1) === nb && last.getLong(2) === nc)
   }
 
+  test("ts_decompose: additive identity holds and per-slot residual means vanish") {
+    val rows = SparkEntry.queries("ts_decompose")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, hod, cnt, trend, seasonal, resid) =>
+      // cnt = trend + seasonal + resid exactly pre-rounding; three r6
+      // emissions allow 1.5e-6 of slack
+      assert(math.abs(cnt.toDouble - (trend + seasonal + resid)) < 2e-6,
+        s"identity broken at ($et, $hod)")
+    }
+    // seasonal absorbs the hour-of-day mean: residuals average to zero
+    // per (event_type, hod) by construction
+    rows.groupBy { case (et, hod, _, _, _, _) => (et, hod) }.foreach {
+      case (slot, rs) =>
+        val mean = rs.map(_._6).sum / rs.length
+        assert(math.abs(mean) < 1e-4, s"resid mean nonzero at $slot: $mean")
+    }
+  }
+
+  test("dq_chi2_drift: independent contingency recompute; terms and total agree") {
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val (minD, maxD) = (raw.map(_._2).min, raw.map(_._2).max)
+    val mid = minD + (maxD - minD) / 2
+    val obs = raw.groupBy { case (et, day) => (et, if (day <= mid) 0 else 1) }
+      .view.mapValues(_.length.toLong).toMap
+    val types = raw.map(_._1).distinct.sorted
+    val cells = for (et <- types; c <- 0 to 1) yield ((et, c), obs.getOrElse((et, c), 0L))
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val nn = cells.map(_._2).sum
+    def term(et: String, c: Int): Double = {
+      val dnum = BigInt(obs.getOrElse((et, c), 0L)) * nn - BigInt(rt(et)) * ct(c)
+      (dnum * dnum).toDouble / (nn.toDouble * rt(et).toDouble * ct(c).toDouble)
+    }
+    val chi2 = cells.map { case ((et, c), _) => term(et, c) }.sum
+    val rows = SparkEntry.queries("dq_chi2_drift")(spark, sf).collect()
+    assert(rows.length === types.length * 2)
+    rows.foreach { r =>
+      val (et, c, o) = (r.getString(0), r.getInt(1), r.getLong(2))
+      assert(o === obs.getOrElse((et, c), 0L), s"obs at ($et, $c)")
+      val exp = rt(et).toDouble * ct(c).toDouble / nn.toDouble
+      assert(math.abs(r.getDouble(3) - exp) < 1e-4, s"expected at ($et, $c)")
+      assert(math.abs(r.getDouble(4) - term(et, c)) < 1e-4, s"term at ($et, $c)")
+      assert(math.abs(r.getDouble(5) - chi2) < 1e-3, s"chi2 total")
+      assert(r.getInt(6) === types.length - 1, "df")
+    }
+  }
+
   test("dq_cohort_ttest: independent Welch recompute from exact moments") {
     val raw = Tables.events(spark, sf)
       .selectExpr("unix_micros(ts) DIV 86400000000 AS day",

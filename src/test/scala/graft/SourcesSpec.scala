@@ -89,6 +89,26 @@ class SourcesSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) > 0L))
   }
 
+  test("source_schema_merge: legacy bucket covers exactly the old generation") {
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val evenN = src.count(_._1 % 2 == 0).toLong
+    val oddByPrio = src.filter(_._1 % 2 == 1)
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val rows = SparkEntry.queries("source_schema_merge")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    // the merged read nulls the missing column for the whole old
+    // generation — nothing leaks into a real priority bucket
+    assert(rows("LEGACY")._1 === evenN)
+    assert(rows("LEGACY")._2 === evenN, "even keys are distinct by construction")
+    oddByPrio.foreach { case (p, n) =>
+      assert(rows(p)._1 === n, s"priority $p count")
+    }
+    assert(rows.keySet === oddByPrio.keySet + "LEGACY")
+  }
+
   test("schema inference itself works for stringly CSV (tested capability)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_inf").toString
     java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.csv"),

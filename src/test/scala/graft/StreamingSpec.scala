@@ -512,6 +512,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState heavy hitters: exact batch parity below capacity, REVERSED batches") {
+    // with distinct tokens per source <= k the Misra-Gries sketch never
+    // evicts, the fold is pure increments (commutative) — any batching
+    // must reproduce the exact per-source token counts
+    withRocksDB {
+      val docs = Tables.documents(spark, sf).select("source", "text").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      val batches = docs.grouped((docs.length + 2) / 3).toSeq.reverse
+      val input = MemoryStream[(String, String)](spark)
+      val stream = graft.streaming.HeavyHitterProcessor.hitterStream(
+        input.toDF().toDF("source", "text"), 64)
+      val q = stream.writeStream.format("memory").queryName("hh_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // max-n rows per source are the final sketch
+      val all = spark.table("hh_incr").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val got = all.groupBy(_._1).values.flatMap { rs =>
+        val nMax = rs.map(_._4).max
+        rs.filter(_._4 == nMax).map(r => (r._1, r._2) -> r._3)
+      }.toMap
+      val expected = docs.flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val capacityOk = expected.keys.groupBy(_._1).forall(_._2.size <= 64)
+      assert(capacityOk, "fixture vocabulary must fit the sketch for exact parity")
+      assert(got === expected, "sub-capacity sketch must equal exact counts")
+    }
+  }
+
+  test("heavy-hitter sketch under forced eviction keeps the Misra-Gries guarantees") {
+    // k = 2, a true heavy hitter ('a' x 12) against 8 distinct fillers:
+    // est >= true - floor(n/k) and the majority item must survive. Fed
+    // one token per batch so the eviction sequence is deterministic.
+    withRocksDB {
+      val stream0 = Seq("a", "b", "a", "c", "a", "d", "a", "e", "a", "f",
+        "a", "g", "a", "h", "a", "i", "a", "a", "a", "a")
+      val input = MemoryStream[(String, String)](spark)
+      val stream = graft.streaming.HeavyHitterProcessor.hitterStream(
+        input.toDF().toDF("source", "text"), 2)
+      val q = stream.writeStream.format("memory").queryName("hh_evict")
+        .outputMode("append").start()
+      stream0.foreach { t => input.addData(("s", t)); q.processAllAvailable() }
+      q.stop()
+      val all = spark.table("hh_evict").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      val nMax = all.map(_._3).max
+      assert(nMax === stream0.length.toLong)
+      val fin = all.filter(_._3 == nMax).map(r => r._1 -> r._2).toMap
+      assert(fin.size <= 2, "sketch must never exceed capacity")
+      val trueA = stream0.count(_ == "a").toLong
+      assert(fin.contains("a"), "majority item must survive eviction")
+      assert(fin("a") <= trueA, "estimate is a lower bound")
+      assert(fin("a") >= trueA - stream0.length / 2, "Misra-Gries error bound")
+    }
+  }
+
   test("transformWithState incremental freshness equals batch dq_freshness under REVERSED batching") {
     // the streaming face of dq_freshness (round-6 candidate list). The
     // per-source fold is commutative (max/count only), so arrival order
