@@ -107,6 +107,45 @@ object Text2Queries {
         .orderBy("doc_id")
     }),
 
+    // Winnowing fingerprint dup detection (r6e) — the LOCAL-substring
+    // member of the dedup family (exact/minhash/simhash compare whole
+    // docs; winnowing finds docs sharing a copied PASSAGE): trigram
+    // shingle hashes, the min hash of each sliding window of winnowW
+    // shingles selected as the doc's fingerprints (the MOSS selection —
+    // any shared token run of >= winnowW + 2 tokens is GUARANTEED to
+    // yield a shared fingerprint; PropertySpec pins the guarantee on a
+    // planted run). Pairs come from the inverted-index equality join on
+    // (source, fingerprint) — never all-pairs, the text_near_dup_ngram
+    // posture; at 100 TB the one extra guard is dropping stop-
+    // fingerprints (corpus-hot buckets) before the self-join, exactly
+    // the dictionary prefilter the ngram query already demonstrates.
+    // All-integer counts; the only FP is the final fixed division.
+    "text_winnow_dup" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      // materialize the sha256 shingle hashes ONCE before the windowed
+      // min references them per-window (see winnowHs scaladoc; at
+      // cluster scale this checkpoint is the landed fingerprint table)
+      val base = Tables.documents(s, d)
+        .where(size(tk) >= 3)
+        .select(col("doc_id"), col("source"), winnowHs(tk).as("hs"))
+        .localCheckpoint(true)
+      val docs = base
+        .select(col("doc_id"), col("source"), winnowSelect(col("hs")).as("fps"))
+      val e = docs.select(col("doc_id"), col("source"),
+        size(col("fps")).as("nfp"), explode(col("fps")).as("fp"))
+      e.as("a").join(e.as("b"),
+          col("a.source") === col("b.source") && col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"),
+          max(col("a.nfp")).as("n_a"), max(col("b.nfp")).as("n_b"))
+        .where(col("shared") >= 2)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+          r6(col("shared").cast(DoubleType) /
+            least(col("n_a"), col("n_b")).cast(DoubleType)).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Keep-BEST dedup: per normalized-content hash keep the highest
     // quality-score duplicate (ties to the smaller doc_id) — the form a
     // training-data pipeline actually wants, vs keep-min-id. The score is
@@ -352,6 +391,34 @@ object Text2Queries {
     * oracle, and PropertySpec. */
   private[graft] val zipfK = 100
 
+  /** Winnowing window width (Schleimer/Wilkerson/Aiken §2): with trigram
+    * shingles, any shared token run of length >= winnowW + 2 yields a
+    * shared fingerprint. ONE constant for query, oracle, and
+    * PropertySpec's guarantee test. */
+  private[graft] val winnowW = 4
+
+  /** Trigram shingle hashes (Qutil.trigramsOf — the one shared shingle
+    * definition — then hash60 per shingle). MUST be materialized as a
+    * real column (localCheckpoint) before winnowSelect runs over it: the
+    * sliding-window slice references the array once PER WINDOW, and
+    * CollapseProject would inline the sha256-per-shingle computation
+    * into every reference — O(shingles^2) sha256 per doc (measured 156 s
+    * at sf0.1 vs 4 s materialized; the embed_opq rotation trap). */
+  private[graft] def winnowHs(tk: org.apache.spark.sql.Column) =
+    transform(trigramsOf(tk), x => hash60(x))
+
+  /** Winnowing fingerprint selection over an ALREADY-MATERIALIZED
+    * shingle-hash array column: min hash per sliding window of winnowW
+    * shingles, distinct. Docs with fewer than winnowW shingles
+    * contribute their single global-min fingerprint. Row-local HOFs only
+    * — embarrassingly parallel at any corpus size. Mirrored verbatim by
+    * the oracle CTEs. */
+  private[graft] def winnowSelect(hs: org.apache.spark.sql.Column) =
+    when(size(hs) >= winnowW,
+      array_distinct(transform(sequence(lit(1), size(hs) - (winnowW - 1)),
+        i => array_min(slice(hs, i, lit(winnowW))))))
+      .otherwise(array(array_min(hs)))
+
   /** The ln-ln least-squares emission formulas, shared verbatim between
     * the Spark selectExpr and the DuckDB oracle so the final IEEE op
     * order is identical by construction (never regr_* built-ins — their
@@ -489,7 +556,27 @@ object Text2Queries {
         ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
          "list_transform(string_split(text, ' '), t -> CAST(length(t)*31 + ascii(t) AS BIGINT))), " +
          "(acc, x) -> (acc*131 + x) % 9007199254740881) AS fingerprint " +
-         "FROM documents ORDER BY doc_id")
+         "FROM documents ORDER BY doc_id"),
+      "text_winnow_dup" ->
+        // same trigram shingles (trigramsSqlOf), same hash60, same
+        // windowed-min selection (DuckDB list slicing is 1-based
+        // inclusive like Spark's slice(start, length) here), same
+        // (source, fp) inverted-index join and integer counts
+        ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk " +
+         "FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+         s"hsc AS (SELECT doc_id, source, list_transform(${trigramsSqlOf("tk")}, " +
+         s"x -> ${hash60Sql("x")}) AS hs FROM t), " +
+         s"fp0 AS (SELECT doc_id, source, CASE WHEN len(hs) >= $winnowW THEN " +
+         s"list_distinct(list_transform(generate_series(1, len(hs) - ${winnowW - 1}), " +
+         s"i -> list_min(hs[i:i+${winnowW - 1}]))) ELSE [list_min(hs)] END AS fps FROM hsc), " +
+         "e AS (SELECT doc_id, source, CAST(len(fps) AS INT) AS nfp, unnest(fps) AS fp FROM fp0), " +
+         "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared, " +
+         "MAX(a.nfp) AS n_a, MAX(b.nfp) AS n_b FROM e a " +
+         "JOIN e b ON a.source = b.source AND a.fp = b.fp AND a.doc_id < b.doc_id " +
+         "GROUP BY 1, 2) " +
+         "SELECT doc_a, doc_b, shared, n_a, n_b, " +
+         "ROUND(CAST(shared AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE), 6) AS containment " +
+         "FROM p WHERE shared >= 2 ORDER BY doc_a, doc_b")
     )
   }
 }

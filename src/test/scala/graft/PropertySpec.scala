@@ -411,6 +411,39 @@ class PropertySpec extends SparkSpec {
       r.getDouble(7) <= nb + nc - 2.0 + 1e-6)
   }
 
+  test("winnowing guarantee: shared run >= w+2 tokens yields a shared fingerprint") {
+    import spark.implicits._
+    import graft.queries.Text2Queries
+    // Schleimer et al. §2: with trigram shingles and window w, any shared
+    // token run of length >= w + 2 contains a full shingle window in both
+    // docs, whose min hash both docs must select. Plant a 10-token run
+    // inside two otherwise vocabulary-disjoint docs; a third doc shares
+    // nothing and must intersect nothing.
+    val run = (0 until 10).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa0 aa1 aa2 aa3 $run aa4 aa5 aa6"),
+      (2L, s"bb0 bb1 $run bb2 bb3 bb4 bb5 bb6 bb7"),
+      (3L, "cc0 cc1 cc2 cc3 cc4 cc5 cc6 cc7 cc8 cc9 cc10 cc11"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"),
+        Text2Queries.winnowHs(split(col("text"), " ")).as("hs"))
+      .select(col("doc_id"), Text2Queries.winnowSelect(col("hs")).as("fps"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "planted 10-token run must yield a shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "vocabulary-disjoint docs must share no fingerprint")
+    // every selected fingerprint is one of the doc's own shingle hashes
+    val hsets = docs
+      .select(col("doc_id"),
+        Text2Queries.winnowHs(split(col("text"), " ")).as("hs"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    fps.foreach { case (id, f) => assert(f.subsetOf(hsets(id))) }
+  }
+
   test("embed_quantize_int8: codes in int8 range, mse under the half-step bound") {
     // half-up quantization guarantees |v - c*s| <= s/2 per dim, so
     // mse <= s^2/4; both sides here are round-6 emissions, so allow one
