@@ -171,6 +171,31 @@ object GraphQueries {
         .orderBy("lbl")
     }),
 
+    // Neighborhood-Jaccard link scoring (r6e) — the set-overlap member
+    // of the link-prediction family next to Adamic-Adar (AA weights
+    // shared baskets by rarity; Jaccard normalizes by the UNION of the
+    // two parts' basket sets, so promiscuous parts score low even with
+    // many shared baskets). Pure integer arithmetic end to end —
+    // |∩| from the shared supportedPairs generator, degrees from one
+    // partial-aggregable groupBy, |∪| = deg_a + deg_b − |∩| by
+    // inclusion-exclusion — and ONE fixed final division, so no
+    // transcendental ever runs (stronger than AA's precomputed-ln
+    // table: here there is nothing to precompute).
+    "graph_jaccard_nbr" -> ((s, d) => {
+      val p = basketItems(s, d)
+      val deg = p.groupBy("pk").agg(count(lit(1)).as("deg"))
+      supportedPairs(p)
+        .join(deg.as("da"), col("p1") === col("da.pk"))
+        .join(deg.as("db"), col("p2") === col("db.pk"))
+        .select(col("p1"), col("p2"), col("sup").as("common"),
+          col("da.deg").as("deg_a"), col("db.deg").as("deg_b"))
+        .select(col("p1"), col("p2"), col("common"), col("deg_a"), col("deg_b"),
+          r6(col("common").cast("double") /
+            (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+            .as("jaccard"))
+        .orderBy("p1", "p2")
+    }),
+
     // Adamic-Adar link scoring (r6c) over the co-purchase bipartite
     // graph: AA(p1, p2) = sum over shared baskets o of 1/ln(|o|) — the
     // classic link-prediction weight (rare, small baskets say more than
@@ -313,6 +338,14 @@ object GraphQueries {
        "COUNT(*) AS common FROM w a JOIN w b ON a.ok = b.ok AND a.pk < b.pk " +
        "GROUP BY 1, 2 HAVING COUNT(*) >= 2) " +
        "SELECT p1, p2, common, ROUND(CAST(sw AS DOUBLE) / 1000000000.0, 6) AS aa_score " +
-       "FROM pr2 ORDER BY p1, p2")
+       "FROM pr2 ORDER BY p1, p2"),
+    "graph_jaccard_nbr" ->
+      // shared basket/pair CTEs (basketCteSql), one degree aggregate,
+      // the identical inclusion-exclusion denominator and fixed division
+      (s"WITH $basketCteSql, " +
+       "dg AS (SELECT pk, COUNT(*) AS deg FROM p GROUP BY 1) " +
+       "SELECT p1, p2, sup AS common, a.deg AS deg_a, b.deg AS deg_b, " +
+       "ROUND(CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE), 6) AS jaccard " +
+       "FROM pr JOIN dg a ON p1 = a.pk JOIN dg b ON p2 = b.pk ORDER BY p1, p2")
   )
 }

@@ -94,6 +94,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("graph_jaccard_nbr equals an in-memory set-overlap reference") {
+    val edges = refEdges
+    val itemSup = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("graph_jaccard_nbr")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === edges.keySet, "scored pair set diverges")
+    got.foreach { case ((p1, p2), (common, da, db, j)) =>
+      assert(common === edges((p1, p2)), s"common of ($p1,$p2)")
+      assert(da === itemSup(p1) && db === itemSup(p2), s"degrees of ($p1,$p2)")
+      val refJ = math.rint(common.toDouble / (da + db - common).toDouble * 1e6) / 1e6
+      assert(math.abs(j - refJ) < 1.1e-6, s"jaccard of ($p1,$p2): $j vs $refJ")
+      // Jaccard is a similarity in (0,1]; 1 iff identical basket sets
+      assert(j > 0.0 && j <= 1.0)
+      assert((j == 1.0) === (common == da && common == db))
+    }
+  }
+
   test("graph_adamic_adar equals an in-memory exact-integer-weight reference") {
     // re-derive the nano-unit weights independently (same formula the
     // engine's aaWeights literal bakes in) and fold pairs basket-by-
