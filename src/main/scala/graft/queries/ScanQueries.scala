@@ -140,6 +140,38 @@ object ScanQueries {
     // broadcast the small side and never exercise the bucket path. At
     // 100 TB this is the difference between re-shuffling 100 TB per
     // join and reading co-located buckets.
+    // Dynamic partition overwrite (r6e) — THE scheduled-migration write
+    // semantics (a re-run re-lands only the partitions present in its
+    // batch; static overwrite would TRUNCATE the table): land the full
+    // partitioned history, then re-land ONE year with revised prices
+    // under partitionOverwriteMode=dynamic, read back, aggregate per
+    // year. The oracle computes the expected final state straight from
+    // the source (1997 revised, every other year untouched) — hash
+    // equality proves the re-land replaced exactly its own partition
+    // and a failed/naive overwrite could not have passed (other years
+    // would be missing, or 1997 would be stale). Revised prices go
+    // through moneyD then ONE double emission so the re-landed file
+    // keeps the original schema and the cents survive the round-trip
+    // exactly (the csv_roundtrip losslessness argument).
+    "sink_dynamic_overwrite" -> ((s, d) => {
+      val out = scratch("dyn_overwrite", d)
+      landPartitionedOrders(s, d, out)
+      Tables.orders(s, d)
+        .where(year(col("o_orderdate")) === 1997)
+        .withColumn("o_totalprice",
+          emitD(moneyD(when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.03)
+            .otherwise(col("o_totalprice")))))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(col("o_year"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"), sumDec2(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_year")
+    }),
+
     // Schema-evolution read (r6d) — the landing-zone reality every
     // long-running migration meets: an early generation landed WITHOUT a
     // column a later generation carries (here: even keys land 2 columns,
@@ -219,6 +251,17 @@ object ScanQueries {
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
        "COUNT(DISTINCT o_custkey) AS n_customers " +
        "FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1, 2 ORDER BY 1, 2"),
+    "sink_dynamic_overwrite" ->
+      // expected FINAL table state straight from the source: 1997 rows
+      // carry the moneyD-revised price, all other years the original;
+      // year() returns BIGINT in DuckDB (cast to INT — Spark's
+      // partition-discovered o_year is INT)
+      ("SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders, " +
+       "CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN " +
+       "CAST(CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice*1.03 " +
+       "ELSE o_totalprice END)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) " +
+       "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price " +
+       "FROM orders GROUP BY 1 ORDER BY 1"),
     "source_schema_merge" ->
       // the same even/odd generation split straight off the source
       // parquet: equality proves the merged read nulls exactly the old

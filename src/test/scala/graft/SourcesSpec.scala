@@ -109,6 +109,28 @@ class SourcesSpec extends SparkSpec {
     assert(rows.keySet === oddByPrio.keySet + "LEGACY")
   }
 
+  test("sink_dynamic_overwrite: other partitions survive, 1997 is revised in place") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("sink_dynamic_overwrite")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val src = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Qutil.sumDec2(col("o_totalprice")).as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === src.keySet, "a partition was dropped by the overwrite")
+    assert(got.size >= 2, "fixture must span multiple years")
+    src.foreach { case (y, (n, s)) =>
+      assert(got(y)._1 === n, s"row count of year $y")
+      if (y == 1997)
+        // ~1/7 of keys got a +3% bump: the re-landed partition must be
+        // strictly revised, not the stale original
+        assert(got(y)._2 > s, "1997 must carry the revised prices")
+      else
+        assert(math.abs(got(y)._2 - s) < 1e-6, s"year $y was touched by the re-land")
+    }
+  }
+
   test("schema inference itself works for stringly CSV (tested capability)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_inf").toString
     java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.csv"),
