@@ -329,6 +329,56 @@ object SimQueries {
         .orderBy("qid", "rank")
     }),
 
+    // ANN recall evaluation (r6e) — the meta-operator every ANN
+    // deployment runs before trusting an index: for 8 probe queries
+    // (vec_id 16-23), compute BOTH the IVF answer (the sim_search_ivf
+    // recipe: 16 coarse cells, nprobe=4, exact re-rank of cell members)
+    // and the exact brute-force top-10, then recall@10 = |ANN ∩ exact|
+    // / 10 per probe. Fully oracled: every cosine is the shared
+    // ascending-fold dot product, every ranking tie-breaks by vec_id,
+    // so the intersection COUNT is deterministic cross-engine. Scale
+    // posture: the exact side is probes × corpus (8 rows broadcast —
+    // linear, the eval-set shape), the ANN side touches nprobe cells;
+    // both rank under a per-probe window, never a global one.
+    "sim_recall_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .where(!isnan(col("ccos")))
+        .withColumn("crn", row_number().over(wAssign))
+      val cells = assign.where(col("crn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val qcells = assign.where(col("vec_id") >= 16 && col("vec_id") < 24 && col("crn") <= 4)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val probes = e.where(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val wQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      def top10(cand: org.apache.spark.sql.DataFrame) = cand
+        .join(broadcast(probes), "qid")
+        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .where(!isnan(col("cos")))
+        .withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val annTop = top10(cells.join(qcells, "cell")
+        .where(col("vec_id") =!= col("qid"))
+        .join(e, "vec_id"))
+      val exactTop = top10(e.crossJoin(broadcast(probes.select("qid")))
+        .where(col("vec_id") =!= col("qid")))
+      val hits = annTop.join(exactTop, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      probes.select("qid")
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_hit"))
+        .select(col("qid").as("vec_id"), col("n_hit"),
+          r6(col("n_hit").cast("double") / 10.0).as("recall"))
+        .orderBy("vec_id")
+    }),
+
     // IVF-style ANN: coarse quantization against 16 fixed centroid
     // vectors (vec_id < 16 — deterministic stand-ins for trained k-means
     // centroids), nprobe=4 cells probed for the query, exact re-rank of
@@ -659,6 +709,34 @@ object SimQueries {
        "s AS (SELECT cluster_id, COUNT(*) AS csize FROM c GROUP BY 1) " +
        "SELECT c.doc AS vec_id, c.cluster_id, s.csize FROM c " +
        "JOIN s USING (cluster_id) ORDER BY vec_id"),
+    "sim_recall_eval" ->
+      // the sim_search_ivf assignment CTEs generalized to 8 probes, the
+      // exact brute-force side, and the per-probe intersection count;
+      // identical NaN guards and (cos DESC, vec_id) tie-breaks
+      (s"WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+       "c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16), " +
+       s"a0 AS (SELECT e.vec_id, cid, ${dotSql("embedding", "cemb")}/(nrm*cnrm) AS ccos FROM e CROSS JOIN c), " +
+       "a1 AS (SELECT * FROM a0 WHERE NOT isnan(ccos)), " +
+       "a AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM a1), " +
+       "cells AS (SELECT vec_id, cid AS cell FROM a WHERE crn = 1), " +
+       "qc AS (SELECT vec_id AS qid, cid AS cell FROM a WHERE vec_id BETWEEN 16 AND 23 AND crn <= 4), " +
+       "q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm FROM e WHERE vec_id BETWEEN 16 AND 23), " +
+       "cand AS (SELECT qc.qid, cells.vec_id FROM cells JOIN qc USING (cell) WHERE cells.vec_id <> qc.qid), " +
+       s"ac AS (SELECT cand.qid, cand.vec_id, ${dotSql("e.embedding", "qv")}/(e.nrm*qnrm) AS cos " +
+       "FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid), " +
+       "ar AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn " +
+       "FROM ac WHERE NOT isnan(cos)), " +
+       "ann AS (SELECT qid, vec_id FROM ar WHERE rn <= 10), " +
+       s"ec AS (SELECT q.qid, e.vec_id, ${dotSql("e.embedding", "qv")}/(e.nrm*qnrm) AS cos " +
+       "FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+       "er AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn " +
+       "FROM ec WHERE NOT isnan(cos)), " +
+       "ext AS (SELECT qid, vec_id FROM er WHERE rn <= 10), " +
+       "h AS (SELECT ann.qid, COUNT(*) AS n_hit FROM ann " +
+       "JOIN ext ON ann.qid = ext.qid AND ann.vec_id = ext.vec_id GROUP BY 1) " +
+       "SELECT q.qid AS vec_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, " +
+       "ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE)/10.0, 6) AS recall " +
+       "FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY vec_id"),
     "sim_search_ivf" ->
       (s"WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
        "c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16), " +

@@ -21,6 +21,22 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@10 = $recall")
   }
 
+  test("sim_recall_eval: recall well-formed, above the nprobe/cells chance floor") {
+    val rows = SparkEntry.queries("sim_recall_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 8, "one row per probe")
+    rows.foreach { case (qid, nHit, rec) =>
+      assert(qid >= 16L && qid <= 23L)
+      assert(nHit >= 0L && nHit <= 10L)
+      assert(math.abs(rec - nHit / 10.0) < 1e-9, "recall must equal n_hit/10")
+    }
+    // probing 4 of 16 cells blindly would land ~0.25; the coarse
+    // quantizer must do meaningfully better (0.56/0.43/0.51 measured at
+    // the three SFs — floor at 0.3)
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean >= 0.3, s"mean recall@10 = $mean")
+  }
+
   test("sim_search_lsh_batch: exact cosines on candidates, bounded recall vs brute force") {
     import graft.queries.Qutil
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
