@@ -54,6 +54,33 @@ object CdcQueries {
   private def chi2TermF: String =
     "d2 / (CAST(nn AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"
 
+  /** The upsert fixture frames — base snapshot (key, price) and the CDC
+    * change feed (key, op, c_price) derived against it — ONE definition
+    * shared by the batch cdc_merge_upsert query and the streaming
+    * UpsertProcessor parity test (StreamingSpec), so batch and
+    * streaming can never disagree on what the change stream contains. */
+  private[graft] def upsertBase(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, d).where(col("o_orderdate") < lit("2000-01-01"))
+      .select(col("o_orderkey").as("key"), dec2(col("o_totalprice")).as("price"))
+
+  private[graft] def upsertChanges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val curr = Tables.orders(s, d)
+      .where(col("o_orderdate") < lit("2000-07-01") &&
+        !(col("o_orderkey") % 97 === 0))
+      .select(col("o_orderkey").as("key"),
+        moneyD(when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.05)
+          .otherwise(col("o_totalprice"))).as("c_price"))
+    upsertBase(s, d).join(curr, Seq("key"), "full_outer")
+      .withColumn("op",
+        when(col("price").isNull, "I")
+          .when(col("c_price").isNull, "D")
+          .when(col("price") =!= col("c_price"), "U"))
+      .where(col("op").isNotNull)
+      .select(col("key"), col("op"), col("c_price"))
+  }
+
   /** THE day-split cohort frame (dq_drift_psi, dq_ks_drift,
     * dq_cohort_ttest): first half of days = cohort 0 (baseline), second
     * half = cohort 1 (current), off ONE broadcast bounds row; carries
@@ -253,21 +280,8 @@ object CdcQueries {
     // relationally. Applying diff(prev,curr) back onto prev must
     // reconstruct curr exactly; the oracle checks precisely that merge.
     "cdc_merge_upsert" -> ((s, d) => {
-      val ord = Tables.orders(s, d)
-      val base = ord.where(col("o_orderdate") < lit("2000-01-01"))
-        .select(col("o_orderkey").as("key"), dec2(col("o_totalprice")).as("price"))
-      val curr = ord.where(col("o_orderdate") < lit("2000-07-01") &&
-          !(col("o_orderkey") % 97 === 0))
-        .select(col("o_orderkey").as("key"),
-          moneyD(when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.05)
-            .otherwise(col("o_totalprice"))).as("c_price"))
-      val changes = base.join(curr, Seq("key"), "full_outer")
-        .withColumn("op",
-          when(col("price").isNull, "I")
-            .when(col("c_price").isNull, "D")
-            .when(col("price") =!= col("c_price"), "U"))
-        .where(col("op").isNotNull)
-        .select(col("key"), col("op"), col("c_price"))
+      val base = upsertBase(s, d)
+      val changes = upsertChanges(s, d)
       base.join(changes, Seq("key"), "full_outer")
         .where(col("op").isNull || col("op") =!= "D")
         // comparisons/selection on exact decimals; only the EMISSION is double

@@ -569,6 +569,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState incremental upsert equals batch cdc_merge_upsert; replay is a no-op") {
+    // the streaming face of cdc_merge_upsert: the base snapshot arrives
+    // as batch 1 (op I, seq 0), the CDC feed as batch 2 (seq 1) — both
+    // frames come from the SAME CdcQueries definitions the batch query
+    // uses. The latest alive fact per key must equal the batch-merged
+    // table in exact cents; replaying batch 1 afterwards (stale seqs)
+    // must change nothing.
+    withRocksDB {
+      def cents(p: java.math.BigDecimal): Long = p.movePointRight(2).longValueExact()
+      val base = graft.queries.CdcQueries.upsertBase(spark, sf).collect()
+        .map(r => (r.getLong(0), 0L, "I", cents(r.getDecimal(1))))
+      val changes = graft.queries.CdcQueries.upsertChanges(spark, sf).collect()
+        .map(r => (r.getLong(0), 1L, r.getString(1),
+          Option(r.getDecimal(2)).map(cents).getOrElse(0L)))
+      assert(changes.exists(_._3 == "D") && changes.exists(_._3 == "U") &&
+        changes.exists(_._3 == "I"), "fixture feed must contain all three ops")
+      val input = MemoryStream[(Long, Long, String, Long)](spark)
+      val stream = graft.streaming.UpsertProcessor.upsertStream(
+        input.toDF().toDF("key", "seq", "op", "cents"))
+      val q = stream.writeStream.format("memory").queryName("upsert_incr")
+        .outputMode("append").start()
+      def state(): Map[Long, (Long, Boolean)] = spark.table("upsert_incr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .groupBy(_._1).map { case (k, es) =>
+          val last = es.maxBy(_._2); k -> (last._3, last._4) }
+      input.addData(base: _*); q.processAllAvailable()
+      input.addData(changes: _*); q.processAllAvailable()
+      val merged = state()
+      // REPLAY the full base batch: every seq is stale -> state unchanged
+      input.addData(base: _*); q.processAllAvailable()
+      q.stop()
+      assert(state() === merged, "replaying stale changes must be a no-op")
+      val alive = merged.collect { case (k, (c, true)) => k -> c }
+      val expected = SparkEntry.queries("cdc_merge_upsert")(spark, sf).collect()
+        .map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 100.0).toLong).toMap
+      assert(alive === expected,
+        "streamed latest-alive state must equal the batch-merged table")
+    }
+  }
+
   test("transformWithState incremental freshness equals batch dq_freshness under REVERSED batching") {
     // the streaming face of dq_freshness (round-6 candidate list). The
     // per-source fold is commutative (max/count only), so arrival order
