@@ -18,7 +18,7 @@ object ScanQueries {
     * e.g. Bench at sf0.1 while sbt test runs sf0.001, a pattern
     * BASELINE.md records — can never overwrite each other's landing
     * between write and read-back (r5 ADVICE). */
-  private def scratch(name: String, d: String): String =
+  private[graft] def scratch(name: String, d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +
       s"${java.lang.Integer.toHexString(d.hashCode)}_${ProcessHandle.current().pid()}"
 
@@ -140,6 +140,38 @@ object ScanQueries {
     // broadcast the small side and never exercise the bucket path. At
     // 100 TB this is the difference between re-shuffling 100 TB per
     // join and reading co-located buckets.
+    // Small-file compaction (r6e) — the OTHER landing-zone operational
+    // reality (every micro-batched/scheduled landing accretes small
+    // files until scans drown in open() overhead; at 100 TB the
+    // NameNode/listing cost alone forces periodic compaction): land
+    // events deliberately fragmented (64-way round-robin), then compact
+    // with a SIZE-AWARE target — one bounded driver-side FS listing
+    // sizes the input and picks ceil(bytes / 8 MiB) output files, the
+    // planning step every real compactor (Delta OPTIMIZE, Iceberg
+    // rewrite_data_files) runs. The oracle aggregates the SOURCE
+    // parquet: hash equality proves compaction is content-preserving
+    // end to end; SourcesSpec additionally pins the file counts
+    // (fragmented >> compacted). Money-grade value sums ride as exact
+    // cents (the floor(x*100+0.5) pattern — a decimal cast of a raw
+    // double diverges at the half-cent boundary between engines).
+    "sink_compaction" -> ((s, d) => {
+      val out = scratch("compaction", d)
+      Tables.events(s, d).select("event_id", "event_type", "ts", "value")
+        .repartition(64).write.mode("overwrite").parquet(s"$out/landed")
+      val landed = s.read.parquet(s"$out/landed")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$out/landed")).getLength
+      val target = math.max(1, math.ceil(bytes / (8.0 * 1024 * 1024)).toInt)
+      landed.repartition(target).write.mode("overwrite").parquet(s"$out/compacted")
+      s.read.parquet(s"$out/compacted")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          sum(expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")).as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
     // Dynamic partition overwrite (r6e) — THE scheduled-migration write
     // semantics (a re-run re-lands only the partitions present in its
     // batch; static overwrite would TRUNCATE the table): land the full
@@ -251,6 +283,13 @@ object ScanQueries {
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
        "COUNT(DISTINCT o_custkey) AS n_customers " +
        "FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1, 2 ORDER BY 1, 2"),
+    "sink_compaction" ->
+      // straight off the source events table: compaction must be
+      // content-preserving (SUM(BIGINT) comes back HUGEINT — cast)
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+       "COUNT(DISTINCT event_id) AS n_ids, " +
+       "CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents " +
+       "FROM events GROUP BY 1 ORDER BY 1"),
     "sink_dynamic_overwrite" ->
       // expected FINAL table state straight from the source: 1997 rows
       // carry the moneyD-revised price, all other years the original;

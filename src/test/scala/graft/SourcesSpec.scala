@@ -131,6 +131,22 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("sink_compaction: fragmented landing collapses to few files, rows preserved") {
+    val got = SparkEntry.queries("sink_compaction")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val out = graft.queries.ScanQueries.scratch("compaction", sf)
+    def parquetFiles(sub: String): Int =
+      new java.io.File(s"$out/$sub").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    val (landed, compacted) = (parquetFiles("landed"), parquetFiles("compacted"))
+    assert(landed >= 32, s"fragmented landing must be many files, got $landed")
+    assert(compacted <= 8 && compacted < landed,
+      s"compaction must collapse the file count: $landed -> $compacted")
+    val src = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === src, "compaction must preserve every row")
+  }
+
   test("schema inference itself works for stringly CSV (tested capability)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_inf").toString
     java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.csv"),
