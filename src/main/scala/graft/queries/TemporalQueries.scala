@@ -304,6 +304,26 @@ object TemporalQueries {
         .orderBy("event_type", "h")
     }),
 
+    // Rolling discrete median (r6e) — the robust twin of ts_ema_smooth
+    // (a mean-based smoother chases spikes; the trailing-24h median
+    // ignores them): per type over the gap-filled hourly grid, the
+    // window's sorted counts picked at the agg_percentile_disc integer
+    // position ((n-1)*1 DIV 2 + 1). EXACT end to end — the median of
+    // integer counts is an integer, no FP anywhere, nothing to round.
+    // The window is over the BOUNDED grid (ts_decompose's argument):
+    // width 24 and the (type x hour) key space are data-size
+    // independent, so the sort-per-window cost is grid-cardinality,
+    // never event-cardinality.
+    "ts_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-23, 0)
+      hourlyGrid(s, d)
+        .withColumn("win", collect_list("cnt").over(w))
+        .selectExpr("event_type", "h", "cnt",
+          "CAST(size(win) AS INT) AS w_n",
+          "element_at(array_sort(win), CAST(((size(win) - 1) DIV 2) + 1 AS INT)) AS med")
+        .orderBy("event_type", "h")
+    }),
+
     // CUSUM changepoint detection (r6d) — the pipeline-health gauge for
     // "did the event volume regime shift mid-window": per-day counts on
     // the zero-filled contiguous day grid, deviations-from-mean folded
@@ -385,6 +405,26 @@ object TemporalQueries {
        "SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt FROM g " +
        "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h " +
        "ORDER BY g.event_type, g.h"),
+    "ts_rolling_median" ->
+      // same gap-fill CTE chain, DuckDB list() as the window aggregate,
+      // the identical 1-based integer rank selection (list indexing is
+      // 1-based like element_at; COALESCE cnt to BIGINT 0 keeps the
+      // median BIGINT on both engines)
+      ("WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events), " +
+       "c AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1,2), " +
+       "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM c), " +
+       "t AS (SELECT DISTINCT event_type FROM c), " +
+       "g0 AS (SELECT event_type, mn, unnest(range(0, date_diff('hour', mn, mx) + 1)) AS i " +
+       "FROM t CROSS JOIN b), " +
+       "g AS (SELECT event_type, mn + to_hours(i) AS h FROM g0), " +
+       "gf AS (SELECT g.event_type, g.h, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt FROM g " +
+       "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h), " +
+       "win AS (SELECT event_type, h, cnt, list(cnt) OVER " +
+       "(PARTITION BY event_type ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS wl " +
+       "FROM gf) " +
+       "SELECT event_type, h, cnt, CAST(len(wl) AS INT) AS w_n, " +
+       "list_sort(wl)[((len(wl) - 1) // 2) + 1] AS med " +
+       "FROM win ORDER BY event_type, h"),
     "ts_ema_smooth" ->
       // weight 1.0/(1<<k): integer shift then one division — the same
       // exact power-of-two reciprocals as the Spark literal table

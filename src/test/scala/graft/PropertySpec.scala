@@ -411,6 +411,23 @@ class PropertySpec extends SparkSpec {
       r.getDouble(7) <= nb + nc - 2.0 + 1e-6)
   }
 
+  test("ts_rolling_median: exact scala recompute; median is a window member") {
+    val rows = SparkEntry.queries("ts_rolling_median")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val ordered = g.sortBy(_._2.getTime)
+      val cnts = ordered.map(_._3)
+      ordered.zipWithIndex.foreach { case ((et, h, _, wn, med), i) =>
+        val win = cnts.slice(math.max(0, i - 23), i + 1)
+        assert(wn === win.length, s"window size at ($et, $h)")
+        val ref = win.sorted.apply((win.length - 1) / 2)
+        assert(med === ref, s"median at ($et, $h): $med vs $ref")
+        assert(win.contains(med), "discrete median must be a window member")
+      }
+    }
+  }
+
   test("winnowing guarantee: shared run >= w+2 tokens yields a shared fingerprint") {
     import spark.implicits._
     import graft.queries.Text2Queries
