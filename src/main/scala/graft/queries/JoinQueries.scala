@@ -74,6 +74,41 @@ object JoinQueries {
     // As-of: for each event, the user's most recent strictly-prior signup
     // time. One shuffle on user_id; the window scan is linear per user —
     // the standard distributed ASOF shape (no per-row probe joins).
+    // Union-merge as-of join with tolerance (r6e) — the SCALABLE
+    // two-stream as-of shape (pandas merge_asof semantics): purchases
+    // pick up the most recent view by the same user within 30 minutes.
+    // Instead of a band join (join_range's shape — candidate pairs
+    // explode with bucket width) the two sides UNION with a side tag
+    // and ONE sort per user key resolves every match: last tag-0 row
+    // before each tag-1 row under (ts, tag, id) ordering — views at the
+    // exact purchase timestamp count (tag orders them first). One
+    // shuffle + one sort, zero intermediate pairs — the asof plan that
+    // survives 100 TB on both sides. The tolerance check is epoch-µs
+    // integer arithmetic (the dq_freshness rule: never pair
+    // timestampdiff with date_diff cross-engine), and matched (id, ts)
+    // ride ONE struct so they can never come from different views.
+    "join_asof_union" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val u = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+        .union(ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      u.withColumn("lastv",
+          last(when(col("tag") === 0,
+            struct(col("ts").as("vts"), col("event_id").as("vid"))),
+            ignoreNulls = true).over(w))
+        .where(col("tag") === 1)
+        .selectExpr("event_id", "user_id", "ts",
+          "CASE WHEN lastv IS NOT NULL AND unix_micros(ts) - unix_micros(lastv.vts) <= 1800000000 " +
+            "THEN lastv.vid END AS view_id",
+          "CASE WHEN lastv IS NOT NULL AND unix_micros(ts) - unix_micros(lastv.vts) <= 1800000000 " +
+            "THEN lastv.vts END AS view_ts")
+        .orderBy("event_id")
+    }),
+
     "join_asof" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
@@ -152,6 +187,20 @@ object JoinQueries {
        "JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate " +
        "AND l_shipdate <= o_orderdate + INTERVAL 30 DAY " +
        "ORDER BY l_orderkey, l_linenumber, l_shipdate"),
+    "join_asof_union" ->
+      // same union + tag ordering + one struct-valued last_value window;
+      // identical epoch-µs integer tolerance on both projected fields
+      ("WITH u AS (SELECT user_id, ts, event_id, 0 AS tag FROM events WHERE event_type = 'view' " +
+       "UNION ALL SELECT user_id, ts, event_id, 1 AS tag FROM events WHERE event_type = 'purchase'), " +
+       "w AS (SELECT *, last_value(CASE WHEN tag = 0 THEN struct_pack(vts := ts, vid := event_id) END " +
+       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastv FROM u) " +
+       "SELECT event_id, user_id, ts, " +
+       "CASE WHEN lastv IS NOT NULL AND epoch_us(ts) - epoch_us((lastv).vts) <= 1800000000 " +
+       "THEN (lastv).vid END AS view_id, " +
+       "CASE WHEN lastv IS NOT NULL AND epoch_us(ts) - epoch_us((lastv).vts) <= 1800000000 " +
+       "THEN (lastv).vts END AS view_ts " +
+       "FROM w WHERE tag = 1 ORDER BY event_id"),
     "join_asof" ->
       ("SELECT event_id, user_id, last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS) " +
        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +

@@ -411,6 +411,32 @@ class PropertySpec extends SparkSpec {
       r.getDouble(7) <= nb + nc - 2.0 + 1e-6)
   }
 
+  test("join_asof_union agrees with a band-join recompute (the other asof algorithm)") {
+    // the union-merge asof (one sort per key) must produce exactly what
+    // the join_range-style band join produces: per purchase, the latest
+    // view by the same user in [pts - 30 min, pts], ties to max event_id
+    val ev = Tables.events(spark, sf).select("user_id", "event_type", "ts", "event_id")
+    val views = ev.where(col("event_type") === "view").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3)))
+    val got = SparkEntry.queries("join_asof_union")(spark, sf).collect()
+      .map { r =>
+        val vid = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2), vid)
+      }
+    assert(got.nonEmpty && got.exists(_._4.isDefined) && got.exists(_._4.isEmpty),
+      "fixture must exercise both matched and unmatched purchases")
+    // µs-grain comparisons (getTime is millis-only — Streams.toUs rule)
+    val us = (t: java.sql.Timestamp) => graft.streaming.Streams.toUs(t)
+    val byUser = views.groupBy(_._1)
+    got.foreach { case (pid, uid, pts, vid) =>
+      val cands = byUser.getOrElse(uid, Array.empty)
+        .filter(v => us(v._2) <= us(pts) && us(pts) - us(v._2) <= 1800000000L)
+      val ref = if (cands.isEmpty) None
+        else Some(cands.maxBy(v => (us(v._2), v._3))._3)
+      assert(vid === ref, s"purchase $pid (user $uid): $vid vs $ref")
+    }
+  }
+
   test("ts_rolling_median: exact scala recompute; median is a window member") {
     val rows = SparkEntry.queries("ts_rolling_median")(spark, sf).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getInt(3), r.getLong(4)))
