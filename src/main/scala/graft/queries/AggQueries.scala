@@ -56,6 +56,31 @@ object AggQueries {
           countDistinct(col("l_suppkey")).as("nd_supp"))
         .orderBy("l_returnflag")),
 
+    // Bitmap-rollup EXACT distinct (r6e) — the THIRD distinct strategy
+    // next to countDistinct (exact, expand-cost) and HLL (approximate):
+    // pack ids into per-bucket 64-bit bitmaps (bucket = id DIV 64, one
+    // bit per id), bit_or them per (group, bucket), then sum popcounts.
+    // Both aggregates are partial-aggregable integer folds (bit_or is
+    // commutative/associative — map-side combine collapses each bucket
+    // to ONE long before the shuffle), which is exactly the
+    // Roaring-bitmap rollup pattern OLAP stores use: landed bitmap
+    // segments merge with OR at ANY grain, so exact distincts roll up
+    // without ever re-touching raw ids. PropertySpec pins equality
+    // with countDistinct; the oracle replays the identical bit math.
+    "agg_bitmap_distinct" -> ((s, d) =>
+      // 63 bits per bucket, not 64: DuckDB rejects 1 << 63 as a signed
+      // overflow (Spark would wrap to the sign bit) — keeping the mask
+      // positive makes the bit math portable with no CASE for bit 63
+      Tables.orders(s, d)
+        .selectExpr("o_orderpriority", "o_custkey DIV 63 AS bucket",
+          "shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 63 AS INT)) AS m1")
+        .groupBy("o_orderpriority", "bucket")
+        .agg(expr("bit_or(m1)").as("m"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("bit_count(m)")).as("n_distinct"))
+        .orderBy("o_orderpriority")),
+
     // HLL sketch distinct — the 100 TB answer to countDistinct's expand cost.
     // No oracle (approximate); unit test asserts ±2% of exact.
     "agg_distinct_approx" -> ((s, d) =>
@@ -420,6 +445,14 @@ object AggQueries {
     "agg_distinct_exact" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part, " +
        "COUNT(DISTINCT l_suppkey) AS nd_supp FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "agg_bitmap_distinct" ->
+      // the identical 63-bit math; SUM comes back HUGEINT — cast
+      ("WITH bm AS (SELECT o_orderpriority, o_custkey // 63 AS bucket, " +
+       "bit_or(1::BIGINT << CAST(o_custkey % 63 AS INT)) AS m " +
+       "FROM orders GROUP BY 1, 2) " +
+       "SELECT o_orderpriority, COUNT(*) AS n_buckets, " +
+       "CAST(SUM(bit_count(m)) AS BIGINT) AS n_distinct " +
+       "FROM bm GROUP BY 1 ORDER BY 1"),
     "agg_rollup" ->
       ("SELECT r_name, n_name, CAST(GROUPING(r_name)*2 + GROUPING(n_name) AS INT) AS gid, " +
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n_orders " +

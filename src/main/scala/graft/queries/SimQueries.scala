@@ -385,6 +385,39 @@ object SimQueries {
     // the cell members. At 100 TB the assignment table is the partition
     // key: each cell is a co-located shard and a query touches nprobe
     // shards instead of the corpus.
+    // IVF index-health stats (r6e) — the companion gauge to
+    // sim_recall_eval (recall says whether the index FINDS things;
+    // this says whether it will SCALE): per-cell population of the
+    // same 16-cell assignment, each cell's share, and a hot-cell flag
+    // by integer cross-multiplication (n*cells > 2*total — no FP in
+    // the predicate). At 100 TB each cell is a physical shard: a hot
+    // cell is a hot shard, and this table is what triggers re-training
+    // or cell splitting. Totals enter via one broadcast scalar row.
+    "embed_ivf_stats" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val cellsN = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .where(!isnan(col("ccos")))
+        .withColumn("crn", row_number().over(wAssign))
+        .where(col("crn") === 1)
+        .groupBy(col("cid").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+        // two consumers (totals + emission) would re-run the full
+        // assignment crossJoin — checkpoint the bounded 16-row frame
+        // (the dq_chi2_drift precedent)
+        .localCheckpoint(true)
+      val tot = cellsN.agg(sum("n_vecs").as("total"), count(lit(1)).as("n_cells"))
+      cellsN.crossJoin(broadcast(tot))
+        .selectExpr("cell", "n_vecs",
+          "ROUND(CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share",
+          "n_vecs * n_cells > 2 * total AS hot")
+        .orderBy("cell")
+    }),
+
     "sim_search_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
@@ -709,6 +742,19 @@ object SimQueries {
        "s AS (SELECT cluster_id, COUNT(*) AS csize FROM c GROUP BY 1) " +
        "SELECT c.doc AS vec_id, c.cluster_id, s.csize FROM c " +
        "JOIN s USING (cluster_id) ORDER BY vec_id"),
+    "embed_ivf_stats" ->
+      // same assignment CTEs, per-cell counts, broadcast totals, the
+      // identical integer cross-multiplied hot flag
+      (s"WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+       "c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16), " +
+       s"a0 AS (SELECT e.vec_id, cid, ${dotSql("embedding", "cemb")}/(nrm*cnrm) AS ccos FROM e CROSS JOIN c), " +
+       "a1 AS (SELECT * FROM a0 WHERE NOT isnan(ccos)), " +
+       "a AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM a1), " +
+       "cn AS (SELECT cid AS cell, COUNT(*) AS n_vecs FROM a WHERE crn = 1 GROUP BY 1), " +
+       "t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total, COUNT(*) AS n_cells FROM cn) " +
+       "SELECT cell, n_vecs, ROUND(CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share, " +
+       "n_vecs * n_cells > 2 * total AS hot " +
+       "FROM cn CROSS JOIN t ORDER BY cell"),
     "sim_recall_eval" ->
       // the sim_search_ivf assignment CTEs generalized to 8 probes, the
       // exact brute-force side, and the per-probe intersection count;

@@ -411,6 +411,16 @@ class PropertySpec extends SparkSpec {
       r.getDouble(7) <= nb + nc - 2.0 + 1e-6)
   }
 
+  test("agg_bitmap_distinct equals countDistinct exactly (bitmap rollup is lossless)") {
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact, "bitmap popcount sum must equal exact distinct")
+  }
+
   test("join_asof_union agrees with a band-join recompute (the other asof algorithm)") {
     // the union-merge asof (one sort per key) must produce exactly what
     // the join_range-style band join produces: per purchase, the latest
