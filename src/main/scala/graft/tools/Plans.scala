@@ -292,7 +292,21 @@ object Plans {
       ("row-local winnowing (trigram hashes materialized ONCE by checkpoint before the " +
        "windowed min references them per-window — the embed_opq CollapseProject rule, " +
        "156 s -> 2 s at sf0.1), then an inverted-index equality join on (source, fingerprint) " +
-       "— candidate pairs come from bucket equality, never an all-pairs comparison."))
+       "— candidate pairs come from bucket equality, never an all-pairs comparison."),
+    "join_asof_union" ->
+      ("the scalable two-stream asof: both sides UNION with a side tag and ONE " +
+       "hash-partitioned sort per user key resolves every match via a keyed window — no " +
+       "band-join candidate pairs ever materialize, so cost is sort-of-inputs at any scale " +
+       "(join_range's shape would explode with bucket width)."),
+    "agg_bitmap_distinct" ->
+      ("two partial-aggregable integer folds: bit_or collapses each (group, bucket) to one " +
+       "long BEFORE the shuffle (map-side combine), popcount-sum rolls buckets up — exact " +
+       "distinct with no expand and no raw-id re-shuffle, mergeable at any grain like " +
+       "landed Roaring segments."),
+    "sink_compaction" ->
+      ("the landing re-read ends at a round-robin exchange sized by ONE driver-side FS " +
+       "listing (bounded planning, not data motion); writes are the only cost — the " +
+       "small-file fix that keeps 100 TB scans from drowning in open() overhead."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
