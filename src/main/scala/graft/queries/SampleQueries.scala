@@ -177,6 +177,33 @@ object SampleQueries {
     // window partitions by `source` (distributes) and row_number <= K
     // triggers WindowGroupLimit: each partition prunes to K rows before
     // the full sort — the same plan shape proven for win_topk_per_group.
+    // Source-interleaved serving order (r6e) — the mixture SCHEDULER
+    // next to the mixture QUOTAS (sample_target_mix says how much of
+    // each source; this says in what ORDER it streams to training so no
+    // source clumps): per source, docs rank by the salted hash
+    // (rebuild-stable like every sampling op), and the serve order is
+    // (rank, source) — round-robin across sources by construction. The
+    // first 64 positions emit via orderBy+limit (TakeOrderedAndProject)
+    // and the bounded 64-row frame gets positions from ONE
+    // collect_list+sort_array+posexplode aggregate (the zipf shape —
+    // keys=[] + partial_, PlanGuard-safe; never a partitionless
+    // row_number window).
+    "sample_interleave" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      val top = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          phash(col("doc_id"), "interleave:").as("h"))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .orderBy(col("rk"), col("source")).limit(64)
+      top
+        .agg(sort_array(collect_list(struct(col("rk"), col("source"),
+          col("doc_id")))).as("a"))
+        .select(posexplode(col("a")).as(Seq("p", "r")))
+        .selectExpr("CAST(p + 1 AS INT) AS pos", "r.rk AS rk",
+          "r.source AS source", "r.doc_id AS doc_id")
+        .orderBy("pos")
+    }),
+
     "sample_cap_per_source" -> ((s, d) => {
       val (_, _, _, _, _, score) = Text2Queries.qualityCols(col("text"))
       val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
@@ -278,6 +305,17 @@ object SampleQueries {
        "CAST(FLOOR((" + Text2Queries.qualityScoreSql + ") * 10000.0 + 0.5) AS INT) AS rate_bp, " +
        phashSql("doc_id", "qmix:") + " % 10000 AS h FROM b) " +
        "SELECT doc_id, source, rate_bp FROM m WHERE h < rate_bp ORDER BY doc_id"),
+    "sample_interleave" ->
+      // same salted rank per source; the LIMITed frame is tiny, so the
+      // oracle's global row_number is over 64 rows — (rk, source) is a
+      // unique key (one row per pair), so the order is total
+      (s"WITH r AS (SELECT source, doc_id, ${phashSql("doc_id", "interleave:")} AS h " +
+       "FROM documents), " +
+       "rk AS (SELECT source, doc_id, " +
+       "CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS INT) AS rk FROM r), " +
+       "top AS (SELECT * FROM rk ORDER BY rk, source LIMIT 64) " +
+       "SELECT CAST(row_number() OVER (ORDER BY rk, source) AS INT) AS pos, " +
+       "rk, source, doc_id FROM top ORDER BY pos"),
     "sample_cap_per_source" ->
       ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
        "m AS (SELECT doc_id, source, " + Text2Queries.qualityScoreSql + " AS q FROM b), " +

@@ -204,6 +204,29 @@ object SimQueries {
           col("b_id").as("vec_b"), r6(col("cos")).as("cosine"))
         .orderBy("label", "vec_a", "vec_b")),
 
+    // Dedup threshold sweep (r6e) — the tuning table every dedup
+    // deployment builds BEFORE picking its cosine cutoff: from ONE pass
+    // over the exact within-label pair frame, pair counts per 0.05-wide
+    // cosine bucket and the cumulative "pairs you would merge at
+    // threshold >= b/20" column. floor(cos*20) buckets are portable
+    // because the cosines themselves are bit-identical cross-engine
+    // (the shared ascending fold); cumulation runs on the BOUNDED
+    // bucket grid via self-join (the dq_ks_drift shape — never a
+    // partitionless window), checkpointed once (two consumers).
+    "dedup_threshold_sweep" -> ((s, d) => {
+      val b = cosinePairs(s, d)
+        .selectExpr("CAST(floor(cos * 20.0) AS INT) AS bucket")
+        .groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
+        .localCheckpoint(true)
+      b.as("a").join(b.as("g"), col("g.bucket") >= col("a.bucket"))
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(max(col("a.n_bucket")).as("n_bucket"),
+          sum(col("g.n_bucket")).as("n_pairs_ge"))
+        .selectExpr("bucket", "ROUND(CAST(bucket AS DOUBLE) / 20.0, 6) AS threshold",
+          "n_bucket", "n_pairs_ge")
+        .orderBy("bucket")
+    }),
+
     // Semantic dedup CLUSTERS: connected components over the
     // embedding-cosine pair graph — the SAME clustering operator that
     // powers dedup_cluster_cc, composed with a second (vector) pair
@@ -742,6 +765,15 @@ object SimQueries {
        "s AS (SELECT cluster_id, COUNT(*) AS csize FROM c GROUP BY 1) " +
        "SELECT c.doc AS vec_id, c.cluster_id, s.csize FROM c " +
        "JOIN s USING (cluster_id) ORDER BY vec_id"),
+    "dedup_threshold_sweep" ->
+      // same exact-pair CTEs, identical floor buckets, grid self-join
+      // cumulation; SUM comes back HUGEINT — cast
+      (s"WITH $cosinePairsCteSql, " +
+       "bk AS (SELECT CAST(floor(cos * 20.0) AS INT) AS bucket FROM f), " +
+       "bc AS (SELECT bucket, COUNT(*) AS n_bucket FROM bk GROUP BY 1) " +
+       "SELECT a.bucket, ROUND(CAST(a.bucket AS DOUBLE) / 20.0, 6) AS threshold, " +
+       "MAX(a.n_bucket) AS n_bucket, CAST(SUM(g.n_bucket) AS BIGINT) AS n_pairs_ge " +
+       "FROM bc a JOIN bc g ON g.bucket >= a.bucket GROUP BY 1 ORDER BY 1"),
     "embed_ivf_stats" ->
       // same assignment CTEs, per-cell counts, broadcast totals, the
       // identical integer cross-multiplied hot flag

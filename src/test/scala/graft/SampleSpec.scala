@@ -113,6 +113,27 @@ class SampleSpec extends SparkSpec {
     assert(bad.count() === 0, "a dropped doc outscored a kept doc in its source")
   }
 
+  test("sample_interleave round-robins all sources before repeating any") {
+    val rows = SparkEntry.queries("sample_interleave")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.length === 64)
+    assert(rows.map(_._1).toSeq === (1 to 64), "positions are dense and total")
+    val nSources = Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    // the (rank, source) order exhausts every source at rank k before
+    // any source reaches rank k+1 — the first |sources| positions are
+    // one doc from EACH source, and rank blocks never interleave
+    val firstBlock = rows.take(nSources).map(_._3)
+    assert(firstBlock.distinct.length === nSources,
+      "first block must visit every source exactly once")
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq,
+      "serve order never returns to a lower rank")
+    // rebuild-stable: a second evaluation yields the identical order
+    val again = SparkEntry.queries("sample_interleave")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq, "serving order must be deterministic")
+  }
+
   test("sample_target_mix hits every per-source quota and the declared mix") {
     // quotas are derived integers: k_s = floor(num_s * M / 50) with
     // M = min_s floor(n_s * 50 / num_s) — recompute both independently
