@@ -104,10 +104,45 @@ object WindowQueries {
           r6(col("rank").cast(DoubleType) / col("n").cast(DoubleType)))
         .select("c_custkey", "c_acctbal", "quartile", "pct_rank", "cume")
         .orderBy("c_custkey")
+    }),
+
+    // Gaps-and-islands (r6e) — the classic streak technique the window
+    // battery was missing: per user, distinct active days minus their
+    // per-user row_number collapse each CONSECUTIVE run to one constant
+    // group key (day - rn is invariant within a run, distinct across
+    // runs), so streaks fall out of a plain keyed aggregate. Longest
+    // streak per user by min-struct argmax ((len, -start) — earliest
+    // start breaks ties), all-integer day arithmetic (epoch-µs DIV —
+    // the dq_freshness rule). Both windows and both aggregates key on
+    // user_id: one shuffle, any scale.
+    "win_streaks" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day")
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val streaks = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      streaks.groupBy("user_id")
+        .agg(max(struct(col("len"), (-col("start_day")).as("ns"))).as("m"),
+          count(lit(1)).as("n_streaks"))
+        .selectExpr("user_id", "m.len AS max_streak",
+          "-m.ns AS streak_start_day", "n_streaks")
+        .orderBy("user_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "win_streaks" ->
+      // identical island key (day - row_number), identical (len, -start)
+      // struct argmax; COUNT comes back BIGINT on both engines
+      ("WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
+       "i AS (SELECT user_id, day, day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d), " +
+       "s AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len, MIN(day) AS start_day FROM i GROUP BY 1, 2) " +
+       "SELECT user_id, (MAX(struct_pack(len := len, ns := -start_day))).len AS max_streak, " +
+       "-(MAX(struct_pack(len := len, ns := -start_day))).ns AS streak_start_day, " +
+       "COUNT(*) AS n_streaks FROM s GROUP BY 1 ORDER BY 1"),
     "win_topk_per_group" ->
       ("SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, c_name, c_acctbal FROM " +
        "(SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk " +

@@ -411,6 +411,25 @@ class PropertySpec extends SparkSpec {
       r.getDouble(7) <= nb + nc - 2.0 + 1e-6)
   }
 
+  test("win_streaks: exact scala recompute of runs, argmax, and counts") {
+    val days = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = SparkEntry.queries("win_streaks")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ref = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).distinct.sorted
+      val runs = sorted.foldLeft(List.empty[(Long, Long)]) { // (start, len)
+        case ((s0, l) :: t, d) if d == s0 + l => (s0, l + 1) :: t
+        case (acc, d) => (d, 1L) :: acc
+      }
+      val best = runs.maxBy { case (s0, l) => (l, -s0) }
+      u -> (best._2, best._1, runs.length.toLong)
+    }
+    assert(got === ref, "streak structure diverges from the reference fold")
+    assert(got.values.exists(_._1 > 1L), "fixture must contain a multi-day streak")
+  }
+
   test("agg_bitmap_distinct equals countDistinct exactly (bitmap rollup is lossless)") {
     val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
