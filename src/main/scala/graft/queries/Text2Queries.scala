@@ -107,6 +107,49 @@ object Text2Queries {
         .orderBy("doc_id")
     }),
 
+    // Composed quality GATE (r6e) — the keep/drop decision a curation
+    // pipeline actually materializes (the C4/Gopher-rule shape): five
+    // rules over the shared signal definitions — length floor, unique-
+    // token ratio, stopword ceiling, trigram repetition, language
+    // known — every comparison integer-cross-multiplied (no FP in any
+    // predicate), reason = FIRST failing rule in a fixed order. The
+    // whole gate is ONE row-local projection: a single map pass over
+    // the corpus, no shuffle except the final ordering — the shape
+    // that runs at any scale as a streaming or batch filter.
+    "text_quality_gate" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val dt = array_distinct(tk)
+      val stopArr = array(stopwords.map(lit): _*)
+      val scores = markers.map { case (l, ws) =>
+        (l, size(array_intersect(dt, array(ws.map(lit): _*)))) }
+      val mx = greatest(scores.map(_._2): _*)
+      val pred = scores.foldLeft(when(mx === 0, "und")) {
+        case (acc, (l, sc)) => acc.when(sc === mx, l) }
+      val tri = trigramsOf(tk)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tk).as("n_tok"), size(dt).as("n_uniq"),
+          size(filter(tk, t => array_contains(stopArr, t))).as("n_stop"),
+          size(tri).as("n_tri"),
+          (size(tri) - size(array_distinct(tri))).as("dup_tri"),
+          pred.as("pred_lang"))
+        .select(col("doc_id"), col("n_tok"), col("pred_lang"),
+          (col("n_tok") >= 5).as("r_len"),
+          (col("pred_lang") =!= "und").as("r_lang"),
+          (col("n_uniq") * 10 >= col("n_tok") * 3).as("r_uniq"),
+          (col("n_stop") * 10 <= col("n_tok") * 6).as("r_stop"),
+          (col("n_tri") === 0 || col("dup_tri") * 100 <= col("n_tri") * 18).as("r_rep"))
+        .withColumn("reason",
+          when(!col("r_len"), "too_short")
+            .when(!col("r_lang"), "lang_unknown")
+            .when(!col("r_uniq"), "low_uniq")
+            .when(!col("r_stop"), "stop_heavy")
+            .when(!col("r_rep"), "repetitive")
+            .otherwise("pass"))
+        .withColumn("keep", col("reason") === "pass")
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprint dup detection (r6e) — the LOCAL-substring
     // member of the dedup family (exact/minhash/simhash compare whole
     // docs; winnowing finds docs sharing a copied PASSAGE): trigram
@@ -460,6 +503,29 @@ object Text2Queries {
     val stopArr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
     Map(
+      "text_quality_gate" ->
+        // the same marker/pred machinery as the text_langid oracle, the
+        // shared trigram shingles, integer-cross-multiplied rules, and
+        // the identical fixed-order reason CASE
+        (s"WITH m AS (SELECT doc_id, string_split(text, ' ') AS tk, $markerSql FROM documents), " +
+         "g AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tok, " +
+         "CAST(len(list_distinct(tk)) AS INT) AS n_uniq, " +
+         s"CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS INT) AS n_stop, " +
+         s"CAST(len(${trigramsSqlOf("tk")}) AS INT) AS n_tri, " +
+         s"CAST(len(${trigramsSqlOf("tk")}) - len(list_distinct(${trigramsSqlOf("tk")})) AS INT) AS dup_tri, " +
+         s"$predSql AS pred_lang FROM m), " +
+         "r AS (SELECT doc_id, n_tok, pred_lang, n_tok >= 5 AS r_len, " +
+         "pred_lang <> 'und' AS r_lang, n_uniq * 10 >= n_tok * 3 AS r_uniq, " +
+         "n_stop * 10 <= n_tok * 6 AS r_stop, " +
+         "(n_tri = 0 OR dup_tri * 100 <= n_tri * 18) AS r_rep FROM g) " +
+         "SELECT doc_id, n_tok, pred_lang, r_len, r_lang, r_uniq, r_stop, r_rep, " +
+         "CASE WHEN NOT r_len THEN 'too_short' WHEN NOT r_lang THEN 'lang_unknown' " +
+         "WHEN NOT r_uniq THEN 'low_uniq' WHEN NOT r_stop THEN 'stop_heavy' " +
+         "WHEN NOT r_rep THEN 'repetitive' ELSE 'pass' END AS reason, " +
+         "(CASE WHEN NOT r_len THEN 'too_short' WHEN NOT r_lang THEN 'lang_unknown' " +
+         "WHEN NOT r_uniq THEN 'low_uniq' WHEN NOT r_stop THEN 'stop_heavy' " +
+         "WHEN NOT r_rep THEN 'repetitive' ELSE 'pass' END) = 'pass' AS keep " +
+         "FROM r ORDER BY doc_id"),
       "text_simhash" -> simhashOracleSql,
       "text_repetition" ->
         // same shared bigram/trigram shingles (bigramsSqlOf/trigramsSqlOf),

@@ -306,7 +306,16 @@ object Plans {
     "sink_compaction" ->
       ("the landing re-read ends at a round-robin exchange sized by ONE driver-side FS " +
        "listing (bounded planning, not data motion); writes are the only cost — the " +
-       "small-file fix that keeps 100 TB scans from drowning in open() overhead."))
+       "small-file fix that keeps 100 TB scans from drowning in open() overhead."),
+    "sample_interleave" ->
+      ("per-source rank is a keyed window; the global serve order materializes as " +
+       "TakeOrderedAndProject (streaming top-64, no global sort) and positions come from " +
+       "the keys=[]+partial_ collect_list aggregate over the bounded 64-row frame — no " +
+       "partitionless row_number window anywhere."),
+    "win_streaks" ->
+      ("distinct + island-key window + both aggregates all key on user_id — one shuffle " +
+       "feeds the whole streak computation, and the argmax is an aggregate, not a second " +
+       "window pass."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
