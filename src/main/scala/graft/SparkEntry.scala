@@ -16,14 +16,16 @@ object SparkEntry {
     AggQueries.queries, WindowQueries.queries, SortSetQueries.queries,
     FnQueries.queries, TemporalQueries.queries, CdcQueries.queries,
     TextQueries.queries, Text2Queries.queries, SimQueries.queries,
-    SampleQueries.queries, KmeansQueries.queries, GraphQueries.queries)
+    SampleQueries.queries, KmeansQueries.queries, GraphQueries.queries,
+    RankQueries.queries)
 
   private val oracles = Seq(
     ScanQueries.oracle, FilterQueries.oracle, JoinQueries.oracle,
     AggQueries.oracle, WindowQueries.oracle, SortSetQueries.oracle,
     FnQueries.oracle, TemporalQueries.oracle, CdcQueries.oracle,
     TextQueries.oracle, Text2Queries.oracle, SimQueries.oracle,
-    SampleQueries.oracle, KmeansQueries.oracle, GraphQueries.oracle)
+    SampleQueries.oracle, KmeansQueries.oracle, GraphQueries.oracle,
+    RankQueries.oracle)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -20,16 +20,27 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame   = t(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "lineitem")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
-    * nanosAsLong conf and truncate to a µs TimestampType with integer
-    * arithmetic (DIV — double math would lose precision at 1.7e18 ns).
-    * DuckDB's ns→µs cast truncates identically, so both engines see the
-    * same µs instants. */
+  /** `events.ts` has shipped as parquet timestamp[ns] (rounds 1-6e) and as
+    * timestamp[us] (the round-6f fixture regeneration) — handle BOTH by
+    * inspecting the read schema:
+    *  - ns: Spark's vectorized reader rejects it ([PARQUET_TYPE_ILLEGAL]);
+    *    read raw nanos via the nanosAsLong conf and truncate to µs with
+    *    integer arithmetic (DIV — double math would lose precision at
+    *    1.7e18 ns). DuckDB's ns→µs cast truncates identically.
+    *  - µs (isAdjustedToUTC=false): Spark 4 infers TIMESTAMP_NTZ; cast to
+    *    the session TimestampType (UTC session ⇒ the same instants, and
+    *    unix_micros()/date_trunc() keep working unchanged).
+    * Both paths land the identical µs instants the oracles see. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = t(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")

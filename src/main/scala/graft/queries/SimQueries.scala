@@ -218,7 +218,12 @@ object SimQueries {
         .selectExpr("CAST(floor(cos * 20.0) AS INT) AS bucket")
         .groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
         .localCheckpoint(true)
-      b.as("a").join(b.as("g"), col("g.bucket") >= col("a.bucket"))
+      // the non-equi grid join MUST carry an explicit broadcast hint: the
+      // checkpointed LogicalRDD has no size stats, and without the hint
+      // the planner degrades >= joins to CartesianProduct (it did when
+      // the round-6f fixture regen changed file sizes — PlanGuardSpec
+      // caught it). The grid is <= 40 rows; broadcast is right at any SF.
+      b.as("a").join(broadcast(b.as("g")), col("g.bucket") >= col("a.bucket"))
         .groupBy(col("a.bucket").as("bucket"))
         .agg(max(col("a.n_bucket")).as("n_bucket"),
           sum(col("g.n_bucket")).as("n_pairs_ge"))
