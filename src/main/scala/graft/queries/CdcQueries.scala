@@ -81,6 +81,23 @@ object CdcQueries {
       .select(col("key"), col("op"), col("c_price"))
   }
 
+  /** DuckDB mirror of upsertBase + upsertChanges (base -> curr ->
+    * changes) — ONE CTE prefix shared by the cdc_merge_upsert and
+    * cdc_incremental_agg oracles (the pqChainSql rule: extend, never
+    * fork). */
+  private def upsertCtesSql: String =
+    "base AS (SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS price " +
+      "FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'), " +
+      "curr AS (SELECT o_orderkey AS key, CAST(CAST(FLOOR((CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice*1.05 " +
+      "ELSE o_totalprice END)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS c_price FROM orders " +
+      "WHERE o_orderdate < TIMESTAMP '2000-07-01' AND NOT (o_orderkey % 97 = 0)), " +
+      "changes AS (SELECT COALESCE(b.key, c.key) AS key, c_price, " +
+      "CASE WHEN b.key IS NULL THEN 'I' WHEN c.key IS NULL THEN 'D' " +
+      "WHEN price <> c_price THEN 'U' END AS op " +
+      "FROM base b FULL OUTER JOIN curr c ON b.key = c.key WHERE " +
+      "(CASE WHEN b.key IS NULL THEN 'I' WHEN c.key IS NULL THEN 'D' " +
+      "WHEN price <> c_price THEN 'U' END) IS NOT NULL)"
+
   /** THE day-split cohort frame (dq_drift_psi, dq_ks_drift,
     * dq_cohort_ttest): first half of days = cohort 0 (baseline), second
     * half = cohort 1 (current), off ONE broadcast bounds row; carries
@@ -289,6 +306,38 @@ object CdcQueries {
           emitD(when(col("op").isin("I", "U"), col("c_price"))
             .otherwise(col("price"))).as("price"))
         .orderBy("key")
+    }),
+
+    // Incremental view maintenance (r6f): refresh a per-group aggregate
+    // from the CHANGE STREAM alone — never rescan the merged state. The
+    // old aggregate comes from the base snapshot (in production: the
+    // stored materialized aggregate); the delta per group is derived
+    // from changes joined back to base BY KEY (I: +1/+price, D: -1/-old,
+    // U: +new-old), then old + delta = new. At 100 TB this is the whole
+    // point of CDC: the delta path touches |changes| rows plus a keyed
+    // lookup into base (bucketed or point-indexed on a real deployment),
+    // while the oracle's recompute-from-merged-state proves the
+    // incremental arithmetic EQUALS the full rescan. All sums are exact
+    // decimals (order-free); only the emission casts to double.
+    "cdc_incremental_agg" -> ((s, d) => {
+      val base = upsertBase(s, d)
+      val changes = upsertChanges(s, d)
+      val oldAgg = base.groupBy((col("key") % 32).as("g"))
+        .agg(count(lit(1)).as("cnt0"), sum(col("price")).as("sum0"))
+      val delta = changes
+        .join(base.select(col("key"), col("price").as("old_price")), Seq("key"), "left")
+        .groupBy((col("key") % 32).as("g"))
+        .agg(sum(when(col("op") === "I", 1L).when(col("op") === "D", -1L)
+            .otherwise(0L)).as("dcnt"),
+          sum(when(col("op") === "I", col("c_price"))
+            .when(col("op") === "D", -col("old_price"))
+            .otherwise(col("c_price") - col("old_price"))).as("dsum"))
+      oldAgg.join(delta, Seq("g"), "full_outer")
+        .select(col("g"),
+          (coalesce(col("cnt0"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("n_rows"),
+          emitD(coalesce(col("sum0"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("dsum"), lit(0).cast("decimal(18,2)"))).as("total"))
+        .orderBy("g")
     }),
 
     // Per-hour event-count anomalies per type: two-pass z-score with
@@ -679,21 +728,23 @@ object CdcQueries {
        "UNION ALL SELECT 'null_key', COUNT(*) FROM lineitem WHERE l_orderkey IS NULL " +
        "ORDER BY rule"),
     "cdc_merge_upsert" ->
-      ("WITH base AS (SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS price " +
-       "FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'), " +
-       "curr AS (SELECT o_orderkey AS key, CAST(CAST(FLOOR((CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice*1.05 " +
-       "ELSE o_totalprice END)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS c_price FROM orders " +
-       "WHERE o_orderdate < TIMESTAMP '2000-07-01' AND NOT (o_orderkey % 97 = 0)), " +
-       "changes AS (SELECT COALESCE(b.key, c.key) AS key, c_price, " +
-       "CASE WHEN b.key IS NULL THEN 'I' WHEN c.key IS NULL THEN 'D' " +
-       "WHEN price <> c_price THEN 'U' END AS op " +
-       "FROM base b FULL OUTER JOIN curr c ON b.key = c.key WHERE " +
-       "(CASE WHEN b.key IS NULL THEN 'I' WHEN c.key IS NULL THEN 'D' " +
-       "WHEN price <> c_price THEN 'U' END) IS NOT NULL) " +
+      (s"WITH $upsertCtesSql " +
        "SELECT COALESCE(b.key, g.key) AS key, " +
        "CAST(CASE WHEN g.op IN ('I','U') THEN g.c_price ELSE b.price END AS DOUBLE) AS price " +
        "FROM base b FULL OUTER JOIN changes g ON b.key = g.key " +
        "WHERE g.op IS NULL OR g.op <> 'D' ORDER BY key"),
+    "cdc_incremental_agg" ->
+      // the STRONG form of the IVM check: the oracle RECOMPUTES the
+      // aggregate from the fully-merged state, the query derives it
+      // incrementally from old agg + change deltas — equality proves the
+      // incremental arithmetic against the full rescan
+      (s"WITH $upsertCtesSql, " +
+       "merged AS (SELECT COALESCE(b.key, g.key) AS key, " +
+       "CASE WHEN g.op IN ('I','U') THEN g.c_price ELSE b.price END AS price " +
+       "FROM base b FULL OUTER JOIN changes g ON b.key = g.key " +
+       "WHERE g.op IS NULL OR g.op <> 'D') " +
+       "SELECT key % 32 AS g, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(price) AS DOUBLE) AS total FROM merged GROUP BY 1 ORDER BY 1"),
     "dq_anomaly_zscore" ->
       ("WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt " +
        "FROM events GROUP BY 1,2), " +

@@ -44,6 +44,31 @@ object JoinQueries {
         .agg(count(col("o_orderkey")).as("n_orders"))
         .orderBy("c_custkey")),
 
+    // Full outer: two-sided reconciliation in one pass — kept customers
+    // (left-orphans when orderless) against per-customer order rollups
+    // (right-orphans where the customer fell out of the kept set). The
+    // classic migration cross-check: "who is only in the CRM, who is only
+    // in the order system, who is in both". Full outer can never
+    // broadcast (both sides must surface unmatched rows), so the plan is
+    // the shuffle-on-key SMJ — exactly the shape that scales: one
+    // exchange per side, no driver involvement. Sums are exact decimals;
+    // only the emission casts to double.
+    "join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("key"), col("c_name"))
+      val o = Tables.orders(s, d).groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).as("spend"))
+      c.join(o, Seq("key"), "full_outer")
+        .select(col("key"),
+          when(col("c_name").isNotNull && col("n_orders").isNotNull, "both")
+            .when(col("c_name").isNotNull, "customer_only")
+            .otherwise("orders_only").as("side"),
+          col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          emitD(coalesce(col("spend"), lit(0).cast("decimal(18,2)"))).as("spend"))
+        .orderBy("key")
+    }),
+
     // Semi: customers having at least one open ('O') order; no right columns.
     "join_semi" -> ((s, d) =>
       Tables.customer(s, d)
@@ -175,6 +200,16 @@ object JoinQueries {
     "join_left_outer" ->
       ("SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders FROM customer " +
        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1,2 ORDER BY 1"),
+    "join_full_outer" ->
+      ("WITH c AS (SELECT c_custkey AS key, c_name FROM customer WHERE c_custkey % 3 <> 0), " +
+       "o AS (SELECT o_custkey AS key, COUNT(*) AS n_orders, " +
+       "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend FROM orders GROUP BY 1) " +
+       "SELECT COALESCE(c.key, o.key) AS key, " +
+       "CASE WHEN c_name IS NOT NULL AND n_orders IS NOT NULL THEN 'both' " +
+       "WHEN c_name IS NOT NULL THEN 'customer_only' ELSE 'orders_only' END AS side, " +
+       "c_name, COALESCE(n_orders, 0) AS n_orders, " +
+       "CAST(COALESCE(spend, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS spend " +
+       "FROM c FULL OUTER JOIN o ON c.key = o.key ORDER BY key"),
     "join_semi" ->
       ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O') " +

@@ -261,4 +261,33 @@ class CatalogSpec extends SparkSpec {
     assert(range.getInt(0) >= 0 && range.getInt(1) <= 20,
       s"bucket range ${range.getInt(0)}..${range.getInt(1)} outside the offset domain")
   }
+
+  test("join_full_outer reconciles: sides partition, totals match source") {
+    val out = SparkEntry.queries("join_full_outer")(spark, sf)
+    val kept = Tables.customer(spark, sf).where(col("c_custkey") % 3 =!= 0).count()
+    val droppedWithOrders = Tables.orders(spark, sf)
+      .where(col("o_custkey") % 3 === 0).select("o_custkey").distinct().count()
+    assert(out.count() === kept + droppedWithOrders)
+    val bySide = out.groupBy("side").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide("orders_only") === droppedWithOrders)
+    assert(bySide.getOrElse("both", 0L) + bySide.getOrElse("customer_only", 0L) === kept)
+    // every key appears exactly once (full outer on a grouped right side)
+    assert(out.select("key").distinct().count() === out.count())
+  }
+
+  test("cdc_incremental_agg equals a direct aggregate of the merged state") {
+    val incremental = SparkEntry.queries("cdc_incremental_agg")(spark, sf)
+    val merged = SparkEntry.queries("cdc_merge_upsert")(spark, sf)
+    // recompute from the merged state with the OTHER plan shape: the
+    // emitted double prices are exact cents, so the decimal re-cast
+    // aggregates exactly
+    val direct = merged
+      .groupBy((col("key") % 32).as("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        queries.Qutil.emitD(sum(queries.Qutil.dec2(col("price")))).as("total"))
+    assert(incremental.except(direct).count() === 0)
+    assert(direct.except(incremental).count() === 0)
+    assert(incremental.count() === 32)
+  }
 }
