@@ -86,6 +86,36 @@ object GraphQueries {
         .orderBy(col("pr").desc, col("node"))
     }),
 
+    // Multi-source BFS (r6f) — min-hop distance from a seed set (every
+    // 7th supplier — scale-proportional and non-empty at all SFs) over the co-transaction graph, the shortest-path member
+    // of the graph family (pagerank ranks, LPA clusters, CC merges; BFS
+    // answers "how far is everything from these records"). Pure integer
+    // state: dist starts 0 at seeds and relaxes min(d_u + 1) per round;
+    // after k synchronous rounds every node within k hops carries its
+    // EXACT min distance (BFS layer induction), so a fixed 3-round loop
+    // is a complete <= 3-hop profile — deterministic on both engines, no
+    // FP anywhere. Each round is ONE shuffle join (dist into the
+    // checkpointed edge set) + one partial-aggregable min groupBy; rounds
+    // chain lazily into a single job (the graph_pagerank shape). The
+    // emission is the bounded per-distance census, not the node list.
+    "graph_bfs_dist" -> ((s, d) => {
+      val e = edges(s, d)
+      val seeds = Tables.supplier(s, d).where(col("s_suppkey") % 7 === 0)
+        .select((col("s_suppkey") * 2).as("id"))
+      var dist = seeds.select(col("id"), lit(0L).as("dst_d"))
+      for (_ <- 1 to iters) {
+        val nxt = e.join(dist, e("src") === dist("id"))
+          .select(col("dst").as("id"), (col("dst_d") + 1).as("dst_d"))
+        dist = dist.union(nxt).groupBy("id").agg(min("dst_d").as("dst_d"))
+      }
+      dist.groupBy(col("dst_d").as("d"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("id") % 2 === 0, 1L).otherwise(0L)).as("n_suppliers"),
+          sum(when(col("id") % 2 === 1, 1L).otherwise(0L)).as("n_customers"),
+          min("id").as("min_node"), max("id").as("max_node"))
+        .orderBy("d")
+    }),
+
     // Degree distribution of the same graph, split by entity kind — the
     // skew diagnostic you run BEFORE choosing a join/partition strategy
     // (a heavy-tailed histogram is the signal to salt or bucket). Two
@@ -280,6 +310,19 @@ object GraphQueries {
       "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"
 
   val oracle: Map[String, String] = Map(
+    "graph_bfs_dist" ->
+      // recursive-CTE BFS: enumerate (node, depth) pairs to the hop bound
+      // (set-semantics UNION bounds the recursion), then MIN(d) per node
+      // — the relational mirror of synchronous min-relaxation
+      (s"WITH RECURSIVE $edgesCteSql, " +
+       "seeds AS (SELECT s_suppkey * 2 AS id FROM supplier WHERE s_suppkey % 7 = 0), " +
+       "reach AS (SELECT id, CAST(0 AS BIGINT) AS d FROM seeds " +
+       s"UNION SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.d < $iters), " +
+       "md AS (SELECT id, MIN(d) AS d FROM reach GROUP BY 1) " +
+       "SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes, " +
+       "CAST(SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers, " +
+       "CAST(SUM(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers, " +
+       "MIN(id) AS min_node, MAX(id) AS max_node FROM md GROUP BY 1 ORDER BY 1"),
     "graph_degree_hist" ->
       (s"WITH $edgesCteSql, " +
        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1) " +

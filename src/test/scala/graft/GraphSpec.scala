@@ -163,4 +163,34 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (a, b, c) =>
       assert(a < b && b < c, s"ordering invariant broken: ($a,$b,$c)") }
   }
+
+  test("graph_bfs_dist equals an in-memory BFS census (sf0.001)") {
+    val e0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e0 ++ e0.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = Tables.supplier(spark, sf).where(col("s_suppkey") % 7 === 0)
+      .select((col("s_suppkey") * 2).as("id")).collect().map(_.getLong(0)).toSet
+    assert(seeds.nonEmpty, "seed set must be non-empty at sf0.001")
+    // textbook frontier BFS to depth 3
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (dd <- 1L to 3L) {
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Array.empty[Long]))
+        .filterNot(dist.contains(_))
+      dist = dist ++ frontier.map(_ -> dd)
+    }
+    val refCensus = dist.groupBy(_._2).map { case (dd, m) =>
+      val ids = m.keys.toSeq
+      dd -> (ids.size.toLong, ids.count(_ % 2 == 0).toLong,
+        ids.count(_ % 2 == 1).toLong, ids.min, ids.max)
+    }
+    val got = SparkEntry.queries("graph_bfs_dist")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got === refCensus, "BFS census diverges from the frontier reference")
+  }
 }
