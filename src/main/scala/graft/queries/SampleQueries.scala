@@ -50,7 +50,59 @@ object SampleQueries {
     when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
   }
 
+  /** Poisson(1) inverse-CDF thresholds on the 60-bit hash range —
+    * floor(CDF(k) * 2^60) for k = 0..5 (multiplicity caps at 6; the
+    * tail past the cap is P ≈ 8e-5, identically truncated on both
+    * engines). Derived ONCE in Scala and interpolated into query AND
+    * oracle (the aaWeights pattern), so the double precision of the
+    * derivation is irrelevant to parity. */
+  private[graft] val poissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    def fact(k: Int): Double = (1 to k).product.toDouble
+    val cdf = (0 to 5).map(k => (0 to k).map(i => e1 / fact(i)).sum)
+    cdf.map(c => math.floor(c * math.pow(2.0, 60)).toLong)
+  }
+
+  /** The multiplicity CASE over a 60-bit hash column — shared formula
+    * string (same literals, same comparison order, both dialects). */
+  private[graft] def poissonKSql(h: String): String =
+    poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+
+  private val nBoot = 8
+
   val queries: Map[String, Q] = Map(
+    // Poisson bootstrap CI (r6f) — the SCALABLE bootstrap: instead of
+    // materializing B resamples, each row draws a Poisson(1)
+    // multiplicity per replicate from the salted hash of (replicate,
+    // key), so ALL B weighted partial aggregates compute in ONE pass,
+    // map-side combined (the Chamandy/Google "Poisson bootstrap"
+    // estimator — at 100 TB a multinomial resample would need the row
+    // count up front and a global shuffle per replicate; this needs
+    // neither). Determinism: multiplicity is inverse-CDF over the
+    // portable 60-bit hash against Scala-derived integer thresholds —
+    // zero engine randomness, identical resamples on any engine, any
+    // partitioning, any rebuild. The weighted sums are exact integer
+    // cents; one fixed division lands the replicate mean, and the CI is
+    // the min/max envelope over the bounded 8-row replicate frame.
+    "sample_bootstrap_ci" -> ((s, d) => {
+      val rows = Tables.orders(s, d)
+        .select(col("o_orderkey").as("key"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+        .select(col("key"), col("cents"),
+          explode(typedlit((0L until nBoot.toLong))).as("b"))
+        .withColumn("h", phash(concat(col("b").cast(StringType), lit("|"),
+          col("key").cast(StringType)), "boot:"))
+        .selectExpr("b", "cents", s"${poissonKSql("h")} AS k")
+      val means = rows.groupBy("b")
+        .agg(sum(col("k")).as("n_eff"), sum(col("k") * col("cents")).as("wsum"))
+        .selectExpr("b", "n_eff", s"$bootMeanSql AS mean_price")
+      val bounds = means.agg(min("mean_price").as("ci_lo"), max("mean_price").as("ci_hi"))
+      means.crossJoin(broadcast(bounds))
+        .select(col("b"), col("n_eff"), col("mean_price"), col("ci_lo"), col("ci_hi"))
+        .orderBy("b")
+    }),
     // Stratified data mixing: per-source keep-rates in basis points
     // (curated src0-4 kept whole, mid-tier half, tail 10%). The rate table
     // is a policy CASE here; in production it would broadcast-join a tiny
@@ -255,7 +307,26 @@ object SampleQueries {
     })
   )
 
+  /** Replicate-mean formula (cents → price) — shared string so the
+    * division order cannot drift. A def: vals below the oracle Map are
+    * null at Map-init (the ts_decompose lesson). */
+  private def bootMeanSql: String =
+    "ROUND(CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0, 6)"
+
   val oracle: Map[String, String] = Map(
+    "sample_bootstrap_ci" ->
+      ("WITH r AS (SELECT o_orderkey AS key, " +
+       "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders), " +
+       "e AS (SELECT key, cents, b FROM r CROSS JOIN (SELECT unnest(range(0, " + nBoot + ")) AS b)), " +
+       "hh AS (SELECT b, cents, " +
+       hash60Sql("'boot:' || CAST(b AS VARCHAR) || '|' || CAST(key AS VARCHAR)") +
+       " AS h FROM e), " +
+       s"k AS (SELECT b, cents, ${poissonKSql("h")} AS k FROM hh), " +
+       "m AS (SELECT b, CAST(SUM(k) AS BIGINT) AS n_eff, " +
+       "CAST(SUM(k * cents) AS BIGINT) AS wsum FROM k GROUP BY 1), " +
+       s"mm AS (SELECT b, n_eff, $bootMeanSql AS mean_price FROM m), " +
+       "bounds AS (SELECT MIN(mean_price) AS ci_lo, MAX(mean_price) AS ci_hi FROM mm) " +
+       "SELECT b, n_eff, mean_price, ci_lo, ci_hi FROM mm CROSS JOIN bounds ORDER BY b"),
     "sample_stratified" ->
       ("WITH b AS (SELECT doc_id, source, lang, " +
        "CASE WHEN CAST(substring(source, 4) AS INTEGER) < 5 THEN 10000 " +

@@ -158,4 +158,31 @@ class SampleSpec extends SparkSpec {
     // feasibility: no quota exceeds its source's population
     quota.foreach { case (s, q) => assert(q <= counts(s)) }
   }
+
+  test("sample_bootstrap_ci: Poisson thresholds, envelope, and unbiasedness") {
+    // the threshold table IS the Poisson(1) CDF scaled to 2^60
+    val e1 = math.exp(-1.0)
+    def fact(k: Int) = (1 to k).product.toDouble
+    queries.SampleQueries.poissonThresholds.zipWithIndex.foreach { case (t, k) =>
+      val cdf = (0 to k).map(i => e1 / fact(i)).sum
+      assert(t == math.floor(cdf * math.pow(2.0, 60)).toLong)
+    }
+    val out = SparkEntry.queries("sample_bootstrap_ci")(spark, sf).collect()
+    assert(out.length == 8)
+    val n = Tables.orders(spark, sf).count()
+    val trueMean = Tables.orders(spark, sf)
+      .agg(avg(org.apache.spark.sql.functions.col("o_totalprice"))).head.getDouble(0)
+    val (lo, hi) = (out.head.getDouble(3), out.head.getDouble(4))
+    out.foreach { r =>
+      // E[n_eff] = n with sd ~ sqrt(n): allow 5 sigma
+      assert(math.abs(r.getLong(1) - n) < 5 * math.sqrt(n.toDouble) + 5,
+        s"replicate ${r.getLong(0)} effective size ${r.getLong(1)} vs $n")
+      val m = r.getDouble(2)
+      assert(m >= lo && m <= hi, "mean outside the emitted envelope")
+      assert(r.getDouble(3) == lo && r.getDouble(4) == hi, "envelope not constant")
+      // each replicate mean is a consistent estimator of the true mean
+      assert(math.abs(m - trueMean) / trueMean < 0.2, s"replicate mean $m vs $trueMean")
+    }
+    assert(lo < hi, "replicates must differ (nondegenerate resampling)")
+  }
 }
