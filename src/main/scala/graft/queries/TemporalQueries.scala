@@ -34,6 +34,52 @@ object TemporalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Holt linear-trend smoothing + 3-step forecast (r6f) — the
+    // FORECASTING member of the ts family (ema smooths, decompose
+    // explains, seasonal_baseline flags; this extrapolates). The daily
+    // total series is a BOUNDED grid (one row per day — 30 on the
+    // fixtures, still tiny at 100 TB: the scan aggregates map-side and
+    // only the grid crosses to the driver, the kmeans/pca collect
+    // class). State is EXACT INTEGER micro-units with power-of-two
+    // smoothing rationals (alpha = 1/2, beta = 1/4):
+    //   l_t = (y_t*1e6 + l + b) idiv 2
+    //   b_t = (l_t - l) idiv 4 + (3*b) idiv 4
+    // where idiv TRUNCATES TOWARD ZERO on both engines (measured r6f:
+    // DuckDB integer // truncates like Scala Long / and Spark DIV —
+    // it is NOT floor division on negatives; trend terms go negative,
+    // so this distinction is live). The fold runs driver-side in
+    // Scala over the bounded grid, mirrored by the oracle's recursive
+    // CTE replaying the identical recurrence.
+    // One-step-ahead fit ŷ_t = l_{t-1} + b_{t-1}; h-step forecast
+    // l_T + h*b_T. Output is integer-only — NO floating point exists
+    // anywhere in this query.
+    "ts_holt_forecast" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+        .orderBy("day").collect()                 // bounded: one row per day
+      val days = grid.map(_.getLong(0)).toSeq
+      val ys = grid.map(_.getLong(1)).toSeq
+      val states = ys.tail.scanLeft((ys.head * 1000000L, 0L)) {
+        case ((l, b), y) =>
+          val lN = (y * 1000000L + l + b) / 2L
+          val bN = (lN - l) / 4L + (3L * b) / 4L
+          (lN, bN)
+      }
+      val fit = days.indices.map { t =>
+        val (l, b) = states(t)
+        val f = if (t == 0) ys.head * 1000000L
+                else states(t - 1)._1 + states(t - 1)._2
+        (days(t), "fit", Option(ys(t)), l, b, f)
+      }
+      val (lT, bT) = states.last
+      val fc = (1L to 3L).map(h =>
+        (days.last + h, "forecast", None: Option[Long], lT, bT, lT + h * bT))
+      import s.implicits._
+      (fit ++ fc).toDF("day", "row_type", "cnt", "level_u", "trend_u", "fitted_u")
+        .orderBy("day")
+    }),
+
     // 1-hour tumbling windows per event type.
     "ts_tumbling" -> ((s, d) =>
       Tables.events(s, d)
@@ -374,6 +420,23 @@ object TemporalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_holt_forecast" ->
+      // recursive CTE replaying the IDENTICAL integer recurrence over the
+      // row-numbered day grid; integer // truncates toward zero (== Scala /)
+      ("WITH RECURSIVE g AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+       "COUNT(*) AS cnt FROM events GROUP BY 1), " +
+       "gr AS (SELECT day, cnt, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn FROM g), " +
+       "st AS (SELECT rn, day, cnt, cnt * 1000000 AS l, CAST(0 AS BIGINT) AS b, " +
+       "cnt * 1000000 AS fitted FROM gr WHERE rn = 1 " +
+       "UNION ALL SELECT g2.rn, g2.day, g2.cnt, " +
+       "(g2.cnt * 1000000 + st.l + st.b) // 2, " +
+       "((g2.cnt * 1000000 + st.l + st.b) // 2 - st.l) // 4 + (3 * st.b) // 4, " +
+       "st.l + st.b FROM st JOIN gr g2 ON g2.rn = st.rn + 1), " +
+       "lastst AS (SELECT * FROM st ORDER BY rn DESC LIMIT 1) " +
+       "SELECT day, 'fit' AS row_type, cnt, l AS level_u, b AS trend_u, fitted AS fitted_u FROM st " +
+       "UNION ALL SELECT lastst.day + h.h, 'forecast', NULL, lastst.l, lastst.b, " +
+       "lastst.l + h.h * lastst.b FROM lastst CROSS JOIN " +
+       "(SELECT unnest(range(1, 4)) AS h) h ORDER BY day"),
     "ts_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +

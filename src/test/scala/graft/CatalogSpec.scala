@@ -290,4 +290,37 @@ class CatalogSpec extends SparkSpec {
     assert(direct.except(incremental).count() === 0)
     assert(incremental.count() === 32)
   }
+
+  test("ts_holt_forecast equals an independent integer recurrence; forecast is linear") {
+    val daily = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
+      .groupBy("day").count().orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var (l, b) = (daily.head._2 * 1000000L, 0L)
+    val exp = scala.collection.mutable.Map[Long, (Long, Long, Long)](
+      daily.head._1 -> ((l, b, l)))
+    daily.tail.foreach { case (day, y) =>
+      val f = l + b
+      val lN = (y * 1000000L + l + b) / 2L
+      b = (lN - l) / 4L + (3L * b) / 4L
+      l = lN
+      exp(day) = (l, b, f)
+    }
+    val out = SparkEntry.queries("ts_holt_forecast")(spark, sf).collect()
+    val fit = out.filter(_.getString(1) == "fit")
+    assert(fit.length === daily.length)
+    fit.foreach { r =>
+      val (el, eb, ef) = exp(r.getLong(0))
+      assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((el, eb, ef)),
+        s"state diverges at day ${r.getLong(0)}")
+    }
+    // forecasts continue the last level/trend linearly with h
+    val fc = out.filter(_.getString(1) == "forecast").sortBy(_.getLong(0))
+    assert(fc.length === 3)
+    fc.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(3) === l && r.getLong(4) === b)
+      assert(r.getLong(5) === l + (i + 1) * b)
+      assert(r.isNullAt(2), "forecast rows carry no observation")
+    }
+  }
 }
