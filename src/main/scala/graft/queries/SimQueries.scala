@@ -170,6 +170,30 @@ object SimQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // Filtered vector search (r6f) — ANN with a metadata predicate, the
+    // operation every RAG store actually serves ("nearest neighbors
+    // WHERE tenant/label/date ..."). This is the PRE-FILTER shape: the
+    // label predicate applies AT THE SCAN (visible as PushedFilters in
+    // the parquet source), so distance work runs only on qualifying
+    // rows — at 100 TB the filter's selectivity, not the corpus size,
+    // bounds the FLOPs. (Post-filtering a top-k instead can starve the
+    // result set below k; pre-filter + exact rescore never does.)
+    // Same native-CosineSim scan + TakeOrderedAndProject as
+    // sim_search_topk; selection on the raw cosine, display r6.
+    "sim_search_filtered" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      Tables.embeddings(s, d)
+        .where(col("vec_id") =!= 0 && col("label").isin(1, 2, 3))
+        .crossJoin(broadcast(q))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), r6(col("cos")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // Per label: the max-cosine pair (salted self-join within label groups).
     // The per-label argmax is a min(struct) AGGREGATE, not a window: partial
     // aggregation runs map-side over the pair stream, so the 10-value label
@@ -729,6 +753,14 @@ object SimQueries {
        // when two cosines differ only past 6 dp); LIMIT still selects by
        // the raw value inside s via the same deterministic computation.
        "SELECT vec_id, cosine FROM (SELECT vec_id, ROUND(dp/(ne*nq), 6) AS cosine, dp/(ne*nq) AS rawc " +
+       "FROM s ORDER BY rawc DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"),
+    "sim_search_filtered" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+       s"s AS (SELECT vec_id, label, ${dotSql("embedding", "qv")} AS dp, " +
+       s"sqrt(${dotSql("embedding", "embedding")}) AS ne, sqrt(${dotSql("qv", "qv")}) AS nq " +
+       "FROM embeddings CROSS JOIN q WHERE vec_id <> 0 AND label IN (1, 2, 3)) " +
+       "SELECT vec_id, label, cosine FROM (SELECT vec_id, label, " +
+       "ROUND(dp/(ne*nq), 6) AS cosine, dp/(ne*nq) AS rawc " +
        "FROM s ORDER BY rawc DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"),
     "dedup_embed_cosine" ->
       (s"WITH $cosinePairsCteSql " +

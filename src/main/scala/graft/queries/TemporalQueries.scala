@@ -80,6 +80,38 @@ object TemporalQueries {
         .orderBy("day")
     }),
 
+    // Cumulative-unique growth curve (r6f): per day, event volume, NEW
+    // users (first ever appearance), and the running count of distinct
+    // users to date — the growth metric every usage dashboard leads
+    // with. Exact cumulative distinct WITHOUT a distinct-over-window:
+    // first-seen day per user is ONE groupBy(user) min (distributes;
+    // map-side partial), new-user counts land on the bounded day grid,
+    // and cumulation is the bounded-grid broadcast self-join (the
+    // dq_ks_drift / CUSUM shape — never a partitionless window). The
+    // grid is driven from ALL observed days (left join + zero-fill), so
+    // days where nobody new arrived still emit their running total (the
+    // ts_active_users lesson). Closure: the last cum_users equals the
+    // corpus-wide distinct user count (pinned in CatalogSpec).
+    "ts_unique_cumulative" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day")
+      val days = ev.groupBy("day").agg(count(lit(1)).as("n_events"))
+      val nu = ev.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      // bounded multi-consumer frame (probe + broadcast build): checkpoint
+      // once or the event scan runs twice (the chi2-grid rule)
+      val nd = days.join(nu, Seq("day"), "left")
+        .select(col("day"), col("n_events"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .localCheckpoint(true)
+      nd.as("a").join(broadcast(nd.as("g")), col("g.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(max(col("a.n_events")).as("n_events"),
+          max(col("a.new_users")).as("new_users"),
+          sum(col("g.new_users")).as("cum_users"))
+        .orderBy("day")
+    }),
+
     // 1-hour tumbling windows per event type.
     "ts_tumbling" -> ((s, d) =>
       Tables.events(s, d)
@@ -437,6 +469,16 @@ object TemporalQueries {
        "UNION ALL SELECT lastst.day + h.h, 'forecast', NULL, lastst.l, lastst.b, " +
        "lastst.l + h.h * lastst.b FROM lastst CROSS JOIN " +
        "(SELECT unnest(range(1, 4)) AS h) h ORDER BY day"),
+    "ts_unique_cumulative" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
+       "days AS (SELECT day, COUNT(*) AS n_events FROM ev GROUP BY 1), " +
+       "f AS (SELECT user_id, MIN(day) AS fday FROM ev GROUP BY 1), " +
+       "nu AS (SELECT fday AS day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1), " +
+       "nd AS (SELECT d.day, d.n_events, COALESCE(nu.new_users, 0) AS new_users " +
+       "FROM days d LEFT JOIN nu USING (day)) " +
+       "SELECT a.day AS day, MAX(a.n_events) AS n_events, MAX(a.new_users) AS new_users, " +
+       "CAST(SUM(g.new_users) AS BIGINT) AS cum_users " +
+       "FROM nd a JOIN nd g ON g.day <= a.day GROUP BY 1 ORDER BY 1"),
     "ts_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +

@@ -323,4 +323,40 @@ class CatalogSpec extends SparkSpec {
       assert(r.isNullAt(2), "forecast rows carry no observation")
     }
   }
+
+  test("ts_unique_cumulative: closure, monotonicity, full day coverage") {
+    val out = SparkEntry.queries("ts_unique_cumulative")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day")
+    assert(out.length.toLong === ev.select("day").distinct().count(),
+      "every observed day must emit a row")
+    val totalUsers = ev.select("user_id").distinct().count()
+    assert(out.last._4 === totalUsers, "final running total must close on |users|")
+    assert(out.map(_._3).sum === totalUsers, "new_users must partition the user set")
+    out.sliding(2).foreach { case Array((_, _, nu2, c1), (_, _, _, c2)) =>
+      assert(c2 >= c1, "running total must be nondecreasing"); val _ = nu2
+    case _ => }
+    out.foreach { case (_, nEv, nu, _) => assert(nu <= nEv,
+      "new users cannot exceed the day's events") }
+  }
+
+  test("sim_search_filtered is the exact top-10 of the label-restricted scan") {
+    val out = SparkEntry.queries("sim_search_filtered")(spark, sf).collect()
+    assert(out.length === 10)
+    assert(out.forall(r => Set(1, 2, 3)(r.getInt(1))), "predicate must hold")
+    // independent recompute: exact cosine over the filtered candidates
+    val rows = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray))
+    val qv = rows.find(_._1 == 0L).get._3.map(_.toDouble)
+    def cos(v: Array[Float]): Double = {
+      val vd = v.map(_.toDouble)
+      val dp = vd.zip(qv).map { case (a, b) => a * b }.sum
+      dp / (math.sqrt(vd.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum))
+    }
+    val expect = rows.filter(r => r._1 != 0L && Set(1, 2, 3)(r._2))
+      .map(r => (r._1, cos(r._3)))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    assert(out.map(_.getLong(0)).toSet === expect, "top-10 set diverges")
+  }
 }
