@@ -315,7 +315,50 @@ object Plans {
     "win_streaks" ->
       ("distinct + island-key window + both aggregates all key on user_id — one shuffle " +
        "feeds the whole streak computation, and the argmax is an aggregate, not a second " +
-       "window pass."))
+       "window pass."),
+    "text_bm25" ->
+      ("the query-term filter collapses the exploded token stream AT THE SCAN STAGE (4 terms " +
+       "survive of the whole vocabulary); tf is one doc-keyed aggregate, df and corpus totals " +
+       "are keys=[] partial aggregates re-entering as broadcast bounds rows, and the score is a " +
+       "row-local integer-rational expression — the only shuffle is the doc-keyed tf groupBy."),
+    "sim_hybrid_rrf" ->
+      ("both rankers tail in TakeOrderedAndProject; ranks over the bounded top-20 frames come " +
+       "from one collect_list aggregate each (keys=[] + partial_ — PlanGuard-safe), and the " +
+       "fusion is a 20x20-row full-outer SMJ with BIGINT weight arithmetic. Nothing downstream " +
+       "of the two top-k selections scales with the corpus."),
+    "join_full_outer" ->
+      ("full outer cannot broadcast (both sides surface unmatched rows): the plan is the " +
+       "shuffle-on-key SortMergeJoin on both sides — one exchange each, the shape that holds at " +
+       "any scale; the right side pre-aggregates to one row per customer before the join."),
+    "cdc_incremental_agg" ->
+      ("the IVM plan: old aggregate = one pass over base; delta path = changes JOINED TO BASE BY " +
+       "KEY then one group-keyed aggregate — at production scale the delta side touches " +
+       "|changes| rows plus a keyed lookup (bucketed/point-indexed), never a base rescan; the " +
+       "final merge is a bounded full-outer on the group key."),
+    "graph_bfs_dist" ->
+      ("3 min-relaxation rounds against the once-checkpointed edge set, each ONE shuffle join + " +
+       "one map-side-combined min groupBy, chained lazily into a single job (the graph_pagerank " +
+       "shape); the emission aggregates to the bounded distance census, so nothing node-scale " +
+       "leaves the cluster."),
+    "sample_bootstrap_ci" ->
+      ("all 8 Poisson replicates in ONE scan: the replicate dimension is an 8x literal explode, " +
+       "multiplicity is a row-local hash-threshold CASE, and the weighted sums partial-aggregate " +
+       "map-side on the replicate key — no resample materialization, no shuffle wider than 8 " +
+       "groups, the bootstrap that works on an unknown-size 100 TB input."),
+    "ts_holt_forecast" ->
+      ("the scan ends at a map-side-combined day aggregate; only the 30-row grid crosses to the " +
+       "driver (the kmeans/pca bounded-collect class) where the integer recurrence folds; the " +
+       "emitted frame is a LocalRelation whose only exchange is the presentation sort of " +
+       "its 33 rows — no table-scale data ever moves."),
+    "ts_unique_cumulative" ->
+      ("exact cumulative distinct with no distinct-over-window: first-seen is a user-keyed min " +
+       "(map-side partials), and cumulation is the bounded-grid broadcast self-join — the event " +
+       "scan runs ONCE (the multi-consumer grid is checkpointed, the chi2 rule)."),
+    "sim_search_filtered" ->
+      ("the pre-filter ANN shape: the label predicate shows in PushedFilters on the parquet " +
+       "scan, so the CosineSim codegen loop runs only on qualifying rows and " +
+       "TakeOrderedAndProject keeps selection global-sort-free; filter selectivity, not corpus " +
+       "size, bounds the FLOPs."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
