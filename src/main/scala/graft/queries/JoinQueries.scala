@@ -145,6 +145,49 @@ object JoinQueries {
         .orderBy("event_id")
     }),
 
+    // Two-sided interval OVERLAP join (r6f) — view-sessions × purchase-
+    // sessions of the same user that overlap in time. Spark has no
+    // native interval join; the naive plan is a per-user range
+    // nested-loop. The SCALABLE shape used here is the standard
+    // bucket-join decomposition: each interval explodes into its hour
+    // buckets (bounded: sessions are gap-bounded), candidates come from
+    // an EQUALITY join on (user, hour) — shuffle-on-key, never
+    // nested-loop — and the exact half-open overlap predicate
+    // (a.start < b.end AND b.start < a.end) re-checks candidates;
+    // DISTINCT collapses multi-bucket duplicates. Sessions are
+    // gaps-and-islands (per-user window, 30-min gap — the ts_session
+    // semantics); all times are epoch-µs integers (the dq_freshness
+    // rule), so the overlap duration is exact integer arithmetic.
+    "join_interval_overlap" -> ((s, d) => {
+      def sessions(tp: String) = {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d).where(col("event_type") === tp)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("ns", when(col("prev").isNull ||
+            expr("unix_micros(ts) - unix_micros(prev)") >= 1800000000L, 1L)
+            .otherwise(0L))
+          .withColumn("sid", sum("ns").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(expr("unix_micros(min(ts))").as("st"),
+            expr("unix_micros(max(ts)) + 1800000000").as("en"))
+      }
+      val v = sessions("view")
+        .select(col("user_id"), col("st").as("v_st"), col("en").as("v_en"))
+      val p = sessions("purchase")
+        .select(col("user_id"), col("st").as("p_st"), col("en").as("p_en"))
+      val vb = v.withColumn("hb", explode(expr("sequence(v_st DIV 3600000000, v_en DIV 3600000000)")))
+      val pb = p.withColumn("hb", explode(expr("sequence(p_st DIV 3600000000, p_en DIV 3600000000)")))
+      vb.join(pb, Seq("user_id", "hb"))
+        .where(col("v_st") < col("p_en") && col("p_st") < col("v_en"))
+        .select(col("user_id"), col("v_st"), col("v_en"), col("p_st"), col("p_en"))
+        .distinct()
+        .withColumn("overlap_us",
+          least(col("v_en"), col("p_en")) - greatest(col("v_st"), col("p_st")))
+        .orderBy("user_id", "v_st", "p_st")
+    }),
+
     // Skew-salted equi-join, declared and oracled: Scale.saltedJoin
     // spreads each join key over 8 sub-keys (salt on the large side,
     // 8-way explode on the small side) so ONE hot key occupies 8 reducers
@@ -187,7 +230,32 @@ object JoinQueries {
     })
   )
 
+  /** Gaps-and-islands session CTEs for one event type (prefix `x`) —
+    * epoch-µs integer arithmetic, (ts, event_id) ordering, the exact
+    * mirror of the Spark sessions() window in join_interval_overlap. */
+  private def sessionCtes(x: String, tp: String): String =
+    s"m$x AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN lag(ts) OVER w IS NULL OR " +
+      "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS ns " +
+      s"FROM events WHERE event_type = '$tp' " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      s"s$x AS (SELECT user_id, ts, SUM(ns) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid " +
+      s"FROM m$x), " +
+      s"g$x AS (SELECT user_id, sid, epoch_us(MIN(ts)) AS st, " +
+      s"epoch_us(MAX(ts)) + 1800000000 AS en FROM s$x GROUP BY 1, 2)"
+
   val oracle: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      // the oracle side joins intervals DIRECTLY on the half-open overlap
+      // predicate (no bucketing needed off-engine) — proving the bucketed
+      // equality-join decomposition emits exactly the overlap pairs
+      (s"WITH ${sessionCtes("v", "view")}, ${sessionCtes("p", "purchase")} " +
+       "SELECT v.user_id, v.st AS v_st, v.en AS v_en, p.st AS p_st, p.en AS p_en, " +
+       "LEAST(v.en, p.en) - GREATEST(v.st, p.st) AS overlap_us " +
+       "FROM gv v JOIN gp p ON v.user_id = p.user_id " +
+       "AND v.st < p.en AND p.st < v.en " +
+       "ORDER BY v.user_id, v_st, p_st"),
     "join_inner_hash" ->
       ("SELECT c_custkey, c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
        "COUNT(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey " +

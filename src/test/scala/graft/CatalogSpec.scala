@@ -359,4 +359,42 @@ class CatalogSpec extends SparkSpec {
       .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
     assert(out.map(_.getLong(0)).toSet === expect, "top-10 set diverges")
   }
+
+  test("join_interval_overlap: bucketed join equals a direct interval scan") {
+    val out = SparkEntry.queries("join_interval_overlap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, vs, ve, ps, pe, ov) =>
+      assert(vs < ve && ps < pe, "degenerate interval")
+      assert(ov === math.min(ve, pe) - math.max(vs, ps), "overlap arithmetic")
+      assert(ov > 0, "half-open overlap must be strictly positive")
+    }
+    // independent recompute: collect sessions per type, nested-loop in memory
+    def sess(tp: String): Seq[(Long, Long, Long)] = {
+      val evs = Tables.events(spark, sf).where(col("event_type") === tp)
+        .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(e => (e._1, e._2, e._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var cur: Option[(Long, Long, Long)] = None  // user, start, last
+      evs.foreach { case (u, us, _) =>
+        cur match {
+          case Some((cu, st, lastUs)) if cu == u && us - lastUs < 1800000000L =>
+            cur = Some((cu, st, us))
+          case _ =>
+            cur.foreach { case (cu, st, l) => out += ((cu, st, l + 1800000000L)) }
+            cur = Some((u, us, us))
+        }
+      }
+      cur.foreach { case (cu, st, l) => out += ((cu, st, l + 1800000000L)) }
+      out.toSeq
+    }
+    val vRef = sess("view"); val pRef = sess("purchase")
+    val ref = for {
+      (vu, vs, ve) <- vRef; (pu, ps, pe) <- pRef
+      if vu == pu && vs < pe && ps < ve
+    } yield (vu, vs, ve, ps, pe, math.min(ve, pe) - math.max(vs, ps))
+    assert(out.toSet === ref.toSet, "overlap pair set diverges from nested-loop reference")
+  }
 }
