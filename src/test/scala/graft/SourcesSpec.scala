@@ -147,6 +147,39 @@ class SourcesSpec extends SparkSpec {
     assert(got === src, "compaction must preserve every row")
   }
 
+  test("sink_merge_upsert: unaffected partition files survive byte-identical") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_spec").toString
+    val base = graft.queries.CdcQueries.upsertBase(spark, sf)
+      .withColumn("g", col("key") % 16)
+    base.write.mode("overwrite").partitionBy("g").parquet(dir)
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("g=")).map { p =>
+        p.getName -> p.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).sorted.toSeq
+      }.toMap
+    val before = snapshot()
+    assert(before.keySet.size === 16, "base must land all 16 partitions")
+    val ch = graft.queries.CdcQueries.upsertChanges(spark, sf)
+      .withColumn("g", col("key") % 16).where(col("g").isin(2L, 5L))
+    graft.queries.CdcQueries.mergeInto(spark, dir, ch)
+    val after = snapshot()
+    before.keySet.foreach { p =>
+      if (p == "g=2" || p == "g=5")
+        assert(before(p) !== after(p), s"$p must be rewritten by the merge")
+      else
+        assert(before(p) === after(p), s"$p must survive the merge untouched")
+    }
+    // final state: base with the restricted changes applied (DataFrame recompute)
+    val expect = base.join(ch, Seq("key", "g"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        when(col("op").isin("I", "U"), col("c_price")).otherwise(col("price")).as("price"))
+    val got = spark.read.parquet(dir).select("key", "price")
+    assert(got.except(expect).count() === 0 && expect.except(got).count() === 0,
+      "merged table state diverges from the recompute")
+  }
+
   test("schema inference itself works for stringly CSV (tested capability)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_inf").toString
     java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.csv"),
