@@ -163,6 +163,27 @@ object Text2Queries {
     // fingerprints (corpus-hot buckets) before the self-join, exactly
     // the dictionary prefilter the ngram query already demonstrates.
     // All-integer counts; the only FP is the final fixed division.
+    // Content-defined chunking (r6f) — the STORAGE-dedup primitive
+    // (rsync/LBFS/backup-dedup lineage): chunk boundaries fall where the
+    // rolling content hash hits a pattern (trigram hash ≡ 0 mod 16,
+    // expected chunk ~16 tokens), so an insertion early in a document
+    // shifts no boundary after the next cut point — unlike fixed-width
+    // text_chunk, where one added token reflows every downstream chunk.
+    // Reuses the SAME winnowHs trigram-hash frame as text_winnow_dup
+    // (one shingle-hash definition corpus-wide). Both hs and the cut
+    // array are CHECKPOINTED before the span transform references them
+    // repeatedly (the r6e windowed-HOF corollary: an inlined expensive
+    // array column re-evaluates per reference). Emission: chunk hashes
+    // shared by >= 2 docs with occurrence/doc counts — the dedup-able
+    // bytes census, all integer.
+    "text_cdc_chunks" -> ((s, d) =>
+      cdcChunks(Tables.documents(s, d))
+        .select(col("doc_id"), hash60(col("chunk")).as("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .orderBy("chunk_hash")),
+
     "text_winnow_dup" -> ((s, d) => {
       val tk = split(col("text"), " ")
       // materialize the sha256 shingle hashes ONCE before the windowed
@@ -450,6 +471,31 @@ object Text2Queries {
   private[graft] def winnowHs(tk: org.apache.spark.sql.Column) =
     transform(trigramsOf(tk), x => hash60(x))
 
+  /** Content-defined chunk stream (doc_id, chunk) over ANY corpus frame
+    * with (doc_id, text) — ONE chunk-boundary definition shared by the
+    * declared text_cdc_chunks query and PropertySpec's insertion-
+    * locality test. Cuts fall before token i where trigram-hash(i) ≡ 0
+    * mod 16; docs under 3 tokens have no trigram and are excluded. */
+  private[graft] def cdcChunks(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tk0 = split(col("text"), " ")
+    val hsF = corpus
+      .where(size(tk0) >= 3)
+      .select(col("doc_id"), tk0.as("tk"), winnowHs(tk0).as("hs"))
+      .localCheckpoint(true)
+    val cutsF = hsF.select(col("doc_id"), col("tk"),
+      concat(array(lit(1)),
+        filter(sequence(lit(1), size(col("hs"))),
+          i => element_at(col("hs"), i) % 16 === 0),
+        array(size(col("tk")) + 1)).as("cuts"))
+      .localCheckpoint(true)
+    cutsF.select(col("doc_id"),
+      explode(filter(transform(sequence(lit(1), size(col("cuts")) - 1),
+        j => concat_ws(" ", slice(col("tk"), element_at(col("cuts"), j),
+          element_at(col("cuts"), j + 1) - element_at(col("cuts"), j)))),
+        c => c =!= "")).as("chunk"))
+  }
+
   /** Winnowing fingerprint selection over an ALREADY-MATERIALIZED
     * shingle-hash array column: min hash per sliding window of winnowW
     * shingles, distinct. Docs with fewer than winnowW shingles
@@ -623,6 +669,23 @@ object Text2Queries {
          "list_transform(string_split(text, ' '), t -> CAST(length(t)*31 + ascii(t) AS BIGINT))), " +
          "(acc, x) -> (acc*131 + x) % 9007199254740881) AS fingerprint " +
          "FROM documents ORDER BY doc_id"),
+      "text_cdc_chunks" ->
+        // same trigram hash60 stream, same mod-16 cut rule, 1-based
+        // inclusive list slicing tk[a:b] == slice(tk, a, b-a+1)
+        ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk " +
+         "FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+         s"hsc AS (SELECT doc_id, tk, list_transform(${trigramsSqlOf("tk")}, " +
+         s"x -> ${hash60Sql("x")}) AS hs FROM t), " +
+         "cu AS (SELECT doc_id, tk, list_concat(list_concat([1], " +
+         "list_filter(generate_series(1, len(hs)), i -> hs[i] % 16 = 0)), " +
+         "[len(tk) + 1]) AS cuts FROM hsc), " +
+         "ch0 AS (SELECT doc_id, list_transform(generate_series(1, len(cuts) - 1), " +
+         "j -> array_to_string(tk[cuts[j]:cuts[j+1]-1], ' ')) AS chunks FROM cu), " +
+         "ch AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch0), " +
+         s"h AS (SELECT doc_id, ${hash60Sql("chunk")} AS chunk_hash FROM ch WHERE chunk <> '') " +
+         "SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_occ, " +
+         "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM h GROUP BY 1 " +
+         "HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY 1"),
       "text_winnow_dup" ->
         // same trigram shingles (trigramsSqlOf), same hash60, same
         // windowed-min selection (DuckDB list slicing is 1-based

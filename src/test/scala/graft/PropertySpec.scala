@@ -531,4 +531,30 @@ class PropertySpec extends SparkSpec {
         s"mse $mse exceeds the half-step bound ${scale * scale / 4.0}")
     }
   }
+
+  test("cdc chunking: an insertion only perturbs chunks before the next cut") {
+    import spark.implicits._
+    // a long pseudo-random token stream through the ENGINE's chunker
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val baseToks = Vector.fill(400)(vocab(rnd.nextInt(vocab.size)))
+    val edited = (baseToks.take(5) :+ "INSERTED") ++ baseToks.drop(5)
+    def chunksOf(id: Long, toks: Vector[String]) =
+      queries.Text2Queries.cdcChunks(
+        Seq((id, toks.mkString(" "))).toDF("doc_id", "text"))
+        .select("chunk").as[String].collect().toVector
+    val c1 = chunksOf(1L, baseToks)
+    val c2 = chunksOf(2L, edited)
+    // reassembly invariant: chunks partition the token stream
+    assert(c1.flatMap(_.split(" ")) === baseToks, "chunks must reassemble the doc")
+    assert(c2.flatMap(_.split(" ")) === edited)
+    // locality: the suffix chunk sequences coincide after the edit region
+    // (boundaries resynchronize at the next content-defined cut)
+    val common = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(common >= c1.length - 3,
+      s"insertion must not reflow downstream chunks: only $common of ${c1.length} " +
+        "suffix chunks survived")
+    assert(c1.length >= 10, "the stream must actually chunk (expected ~16-token cuts)")
+  }
 }
