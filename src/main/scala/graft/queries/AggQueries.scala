@@ -31,7 +31,38 @@ object GeoMeanAgg extends Aggregator[Double, GeoBuf, Double] {
   * (/root/reference/README.md:3,9). */
 object AggQueries {
 
+  /** Gini emission formulas off the exact moment sums (n, sx, sxr) —
+    * shared verbatim by query and oracle; each DECIMAL(38,0)/HUGEINT sum
+    * casts to DOUBLE exactly once (the agg_skew_kurt rule: the cast is
+    * correctly rounded on both engines even past 2^53). */
+  private def giniSql: String =
+    "ROUND((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+
   val queries: Map[String, Q] = Map(
+    // Gini concentration of order value (r6f) — the inequality gauge a
+    // migration/curation pipeline runs to answer "is the value massed in
+    // a few records?" (0 = uniform, ->1 = one record is everything).
+    // Exact rank formulation: gini = (2*Σ rank*x - (n+1)*Σx) / (n*Σx)
+    // over ascending values — ranks come from Scale.globalRank's
+    // distributed two-pass form (range repartition + local ranks +
+    // driver prefix-sum of the bounded per-partition counts; NO
+    // single-partition window over the table), values are exact integer
+    // cents, and both moment sums are DECIMAL(38,0) (order-free). The
+    // only FP is the shared-formula emission. Rank ties cannot occur:
+    // the order key (cents, orderkey) is unique.
+    "agg_gini" -> ((s, d) => {
+      val v = Tables.orders(s, d).selectExpr(
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents",
+        "o_orderkey AS k")
+      graft.operators.Scale.globalRank(v, 8, "rnk", "nn", col("cents"), col("k"))
+        .agg(max(col("nn")).as("n"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("sx"),
+          sum((col("rnk") * col("cents")).cast(DecimalType(38, 0))).as("sxr"))
+        .selectExpr("n", "CAST(sx AS DOUBLE) / 100.0 AS total_price",
+          s"$giniSql AS gini")
+    }),
+
     // Flagship (SparkEntry.entry): TPC-H-Q1-style pricing summary.
     "agg_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -431,6 +462,15 @@ object AggQueries {
        "SELECT bucket, CAST(bucket AS BIGINT) * 50000 AS lo_dollars, n, " +
        "ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS frac " +
        "FROM c CROSS JOIN t ORDER BY bucket"),
+    "agg_gini" ->
+      // row_number over the identical unique (cents, key) order stands in
+      // for globalRank; HUGEINT moment sums mirror the DECIMAL(38,0)s
+      ("WITH v AS (SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents, " +
+       "o_orderkey AS k FROM orders), " +
+       "r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, k) AS BIGINT) AS rnk FROM v), " +
+       "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(cents AS HUGEINT)) AS sx, " +
+       "SUM(CAST(rnk AS HUGEINT) * cents) AS sxr FROM r) " +
+       s"SELECT n, CAST(sx AS DOUBLE) / 100.0 AS total_price, $giniSql AS gini FROM m"),
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

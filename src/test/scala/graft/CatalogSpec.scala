@@ -397,4 +397,21 @@ class CatalogSpec extends SparkSpec {
     } yield (vu, vs, ve, ps, pe, math.min(ve, pe) - math.max(vs, ps))
     assert(out.toSet === ref.toSet, "overlap pair set diverges from nested-loop reference")
   }
+
+  test("agg_gini matches an in-memory exact rank computation") {
+    val cents = Tables.orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c", "o_orderkey AS k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).map(_._1)
+    val n = cents.length.toLong
+    val sx = cents.map(BigInt(_)).sum
+    val sxr = cents.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expGini = (2.0 * sxr.toDouble - (n.toDouble + 1.0) * sx.toDouble) /
+      (n.toDouble * sx.toDouble)
+    val row = SparkEntry.queries("agg_gini")(spark, sf).head()
+    assert(row.getLong(0) === n)
+    assert(math.abs(row.getDouble(1) - sx.toDouble / 100.0) < 1e-6)
+    assert(math.abs(row.getDouble(2) - expGini) < 1.1e-6, s"gini ${row.getDouble(2)} vs $expGini")
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) < 1.0)
+  }
 }
