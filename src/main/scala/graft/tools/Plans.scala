@@ -358,7 +358,28 @@ object Plans {
       ("the pre-filter ANN shape: the label predicate shows in PushedFilters on the parquet " +
        "scan, so the CosineSim codegen loop runs only on qualifying rows and " +
        "TakeOrderedAndProject keeps selection global-sort-free; filter selectivity, not corpus " +
-       "size, bounds the FLOPs."))
+       "size, bounds the FLOPs."),
+    "join_interval_overlap" ->
+      ("interval overlap WITHOUT a range nested-loop: both session sets explode into hour " +
+       "buckets and candidates come from an EQUALITY join on (user, hour) — shuffle-on-key, " +
+       "AQE-managed — with the exact overlap predicate as a post-join filter and a distinct to " +
+       "collapse multi-bucket candidates; bucket width bounds the per-candidate fan-out."),
+    "sink_merge_upsert" ->
+      ("the partition-selective MERGE: the second write's plan contains ONLY the affected " +
+       "partitions (filter + full-outer on the changes), the merged frame is a checkpointed " +
+       "LogicalRDD (the overwritten path has left the plan), and dynamic overwrite scopes the " +
+       "commit to the rewritten directories — IO proportional to changed partitions, not table " +
+       "size; SourcesSpec proves untouched files survive byte-identical."),
+    "text_cdc_chunks" ->
+      ("row-local chunking end to end: trigram hashes, cut detection, and span assembly are " +
+       "HOFs in the scan stage (hs and cuts checkpointed so repeated references do not " +
+       "re-evaluate the sha per token); the only shuffle is the final chunk-hash groupBy — " +
+       "embarrassingly parallel at corpus scale."),
+    "agg_gini" ->
+      ("exact global ranks WITHOUT a single-partition window: Scale.globalRank's " +
+       "range-repartition + local ranks + driver prefix-sum (bounded one-row-per-partition " +
+       "collect), then one keys=[] aggregate of DECIMAL(38,0) moments — the whole table is " +
+       "touched exactly twice (range sample + ranked pass), never sorted to one node."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
