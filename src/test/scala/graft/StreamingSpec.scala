@@ -647,4 +647,40 @@ class StreamingSpec extends SparkSpec {
         "streamed freshness facts must reproduce the batch dq_freshness rows")
     }
   }
+
+  test("transformWithState Holt: exact batch-query parity on uneven ascending batches") {
+    // the processor advances the IDENTICAL integer recurrence the batch
+    // ts_holt_forecast folds driver-side — every (day, level, trend,
+    // fitted) emission must match the batch fit rows EXACTLY (integer
+    // arithmetic leaves no tolerance). Arrival contract: day-ascending
+    // across batches (land-time incremental); uneven slices exercise
+    // cross-batch state chaining.
+    withRocksDB {
+      val daily = Tables.events(spark, sf)
+        .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
+        .groupBy("day").count().orderBy("day").collect()
+        .map(r => (0L, r.getLong(0), r.getLong(1)))
+      val batches = Seq(daily.take(1), daily.slice(1, 12), daily.slice(12, 13),
+        daily.drop(13)).filter(_.nonEmpty)
+      val input = MemoryStream[(Long, Long, Long)](spark)
+      val stream = graft.streaming.HoltProcessor.holtStream(
+        input.toDF().toDF("series", "day", "cnt"))
+      val q = stream.writeStream.format("memory").queryName("holt_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("holt_incr")
+        .select("day", "cnt", "level_u", "trend_u", "fitted_u").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      val expected = SparkEntry.queries("ts_holt_forecast")(spark, sf)
+        .where(col("row_type") === "fit")
+        .select("day", "cnt", "level_u", "trend_u", "fitted_u").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      assert(expected.nonEmpty)
+      assert(got.toSeq === expected.toSeq,
+        "streamed Holt fits must equal the batch recurrence exactly")
+    }
+  }
 }
