@@ -76,6 +76,46 @@ object ScanQueries {
         .orderBy("o_year")
     }),
 
+    // Z-ORDER clustered landing (r6f) — the Delta/Iceberg OPTIMIZE
+    // ZORDER technique on plain parquet: interleave the bits of two
+    // order-preserving bucket coordinates (customer, order-day) into a
+    // Morton code, range-partition + sort the landing on it, and every
+    // file's (cust, day) min/max footprint becomes a tight RECTANGLE —
+    // so selective predicates on EITHER dimension skip most files via
+    // ordinary parquet column stats (a single-column sort gives tight
+    // ranges on one dim and full-width on the other; SourcesSpec
+    // measures exactly that contrast on the landed footprints). The
+    // declared emission reads the landing back through a first-octile
+    // customer predicate — hash equality against the source-side filter
+    // proves the clustered round-trip lossless; the bucket arithmetic is
+    // all integer off one broadcast bounds row.
+    "sink_zorder" -> ((s, d) => {
+      val out = scratch("zorder", d)
+      val o = Tables.orders(s, d).selectExpr("o_orderkey AS key",
+        "o_custkey AS cust",
+        // o_orderdate lands as TIMESTAMP_NTZ (r6f fixtures); unix_micros
+        // needs TIMESTAMP — the UTC-session cast keeps the same instants
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS day")
+      val b = o.agg(min("cust").as("minc"), max("cust").as("maxc"),
+        min("day").as("mind"), max("day").as("maxd"))
+      val coords = o.crossJoin(broadcast(b)).selectExpr("key", "cust", "day",
+        "((cust - minc) * 256) DIV (maxc - minc + 1) AS bc",
+        "((day - mind) * 256) DIV (maxd - mind + 1) AS bd")
+      val zExpr = (0 until 8).map(k =>
+        s"shiftleft(shiftright(bc, $k) & 1, ${2 * k + 1}) | " +
+          s"shiftleft(shiftright(bd, $k) & 1, ${2 * k})").mkString(" | ")
+      coords.selectExpr("key", "cust", "day", s"($zExpr) AS z")
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(out)
+      val back = s.read.parquet(out)
+      val thr = back.agg(expr("min(cust) + (max(cust) - min(cust)) DIV 8").as("thr"))
+      back.crossJoin(broadcast(thr))
+        .where(col("cust") <= col("thr"))
+        .select("key", "cust", "day")
+        .orderBy("key")
+    }),
+
     // CSV round-trip — the Salesforce-EXPORT landing format
     // (README.md:3: API/report extracts arrive as CSV before parquet
     // conversion): write orders as headered CSV, read back with an
@@ -268,6 +308,13 @@ object ScanQueries {
       ("SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders, " +
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
        "FROM orders GROUP BY 1 ORDER BY 1"),
+    "sink_zorder" ->
+      // filters the SOURCE directly with the same integer octile bound:
+      // equality proves the z-clustered landing round-trips losslessly
+      ("WITH o AS (SELECT o_orderkey AS key, o_custkey AS cust, " +
+       "epoch_us(o_orderdate) // 86400000000 AS day FROM orders), " +
+       "b AS (SELECT MIN(cust) + (MAX(cust) - MIN(cust)) // 8 AS thr FROM o) " +
+       "SELECT key, cust, day FROM o CROSS JOIN b WHERE cust <= thr ORDER BY key"),
     "source_csv_roundtrip" ->
       // aggregates the PARQUET directly: equality proves the CSV text
       // round-trip lost nothing

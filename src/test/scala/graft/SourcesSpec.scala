@@ -180,6 +180,44 @@ class SourcesSpec extends SparkSpec {
       "merged table state diverges from the recompute")
   }
 
+  test("sink_zorder: file footprints are tight on BOTH dims; a 1-D sort is not") {
+    import org.apache.spark.sql.functions._
+    // run the declared query once: it lands the z-clustered files
+    assert(SparkEntry.queries("sink_zorder")(spark, sf).count() > 0)
+    val dir = graft.queries.ScanQueries.scratch("zorder", sf)
+    def footprints(path: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("cust"), max("cust"), min("day"), max("day")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }.toSeq
+    val zf = footprints(dir)
+    assert(zf.size >= 4, s"z landing should produce multiple files, got ${zf.size}")
+    val (minc, maxc) = (zf.map(_._1).min, zf.map(_._2).max)
+    val (mind, maxd) = (zf.map(_._3).min, zf.map(_._4).max)
+    val custHi = minc + (maxc - minc) / 8
+    val dayHi = mind + (maxd - mind) / 8
+    // z-clustering: a first-octile predicate on EITHER dim overlaps at
+    // most half the files (file rectangles tile the 2-D space)
+    val zCust = zf.count(_._1 <= custHi)
+    val zDay = zf.count(_._3 <= dayHi)
+    assert(zCust <= zf.size / 2, s"cust-octile overlaps $zCust of ${zf.size} z files")
+    assert(zDay <= zf.size / 2, s"day-octile overlaps $zDay of ${zf.size} z files")
+    // contrast: a day-only sort gives full-width cust ranges per file —
+    // the cust predicate can skip (almost) nothing
+    val dayDir = java.nio.file.Files.createTempDirectory("graft_daysort").toString
+    Tables.orders(spark, sf).selectExpr("o_orderkey AS key", "o_custkey AS cust",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS day")
+      .repartitionByRange(8, col("day")).sortWithinPartitions("day")
+      .write.mode("overwrite").parquet(dayDir)
+    val df = footprints(dayDir)
+    val dayCust = df.count(_._1 <= custHi)
+    assert(dayCust >= df.size - 1,
+      s"day-sorted landing should NOT prune on cust ($dayCust of ${df.size} overlap)")
+    assert(zCust < dayCust, "z-ordering must beat the 1-D sort on the off-dim")
+  }
+
   test("schema inference itself works for stringly CSV (tested capability)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_inf").toString
     java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.csv"),
