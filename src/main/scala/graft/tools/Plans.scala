@@ -379,7 +379,13 @@ object Plans {
       ("exact global ranks WITHOUT a single-partition window: Scale.globalRank's " +
        "range-repartition + local ranks + driver prefix-sum (bounded one-row-per-partition " +
        "collect), then one keys=[] aggregate of DECIMAL(38,0) moments — the whole table is " +
-       "touched exactly twice (range sample + ranked pass), never sorted to one node."))
+       "touched exactly twice (range sample + ranked pass), never sorted to one node."),
+    "sink_zorder" ->
+      ("the space-filling-curve landing: the z value is row-local integer bit arithmetic off " +
+       "one broadcast bounds row, the write is range-partition + in-partition sort on z (8 " +
+       "files, each a tight 2-D rectangle), and the read-back predicate prunes through plain " +
+       "parquet column stats — no table format, no index, IO bounded by predicate selectivity " +
+       "on EITHER clustered dimension."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
