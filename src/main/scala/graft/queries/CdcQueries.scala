@@ -250,6 +250,30 @@ object CdcQueries {
     // approx_count_distinct and the same single-scan shape loses the
     // expand), then a stack() unpivot of the 1-row result — driver-safe,
     // output bounded by column count.
+    // k-anonymity audit (r6f) — the governance gauge next to
+    // fn_pii_mask's transformation: after masking direct identifiers,
+    // can a row still be singled out by its QUASI-identifiers? Group by
+    // the quasi-identifier tuple (nation, coarse balance bucket, market
+    // segment), count group sizes, and report per k-threshold how many
+    // groups and rows fall below k — the table a privacy review reads
+    // before any release. Bucketing is exact integer cents (the
+    // histogram rule); two key-grouped aggregates plus a bounded
+    // threshold explode — everything partial-aggregable, output bounded
+    // by the threshold list.
+    "dq_k_anonymity" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .selectExpr("c_nationkey AS nat",
+          "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) DIV 100000 AS bal_bucket",
+          "c_mktsegment AS seg")
+        .groupBy("nat", "bal_bucket", "seg").agg(count(lit(1)).as("sz"))
+      g.select(col("sz"), explode(typedlit(Seq(2, 5, 10))).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("sz") < col("k"), 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("sz") < col("k"), col("sz")).otherwise(0L)).as("n_rows_at_risk"))
+        .orderBy("k")
+    }),
+
     "dq_profile" -> ((s, d) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -752,6 +776,15 @@ object CdcQueries {
         "benford, ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford, 6) AS deviation " +
         "FROM c CROSS JOIN t JOIN e ON e.digit = c.digit ORDER BY c.digit"
     },
+    "dq_k_anonymity" ->
+      ("WITH g AS (SELECT c_nationkey AS nat, " +
+       "CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) // 100000 AS bal_bucket, " +
+       "c_mktsegment AS seg, COUNT(*) AS sz FROM customer GROUP BY 1, 2, 3) " +
+       "SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups, " +
+       "CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups, " +
+       "CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk " +
+       "FROM g CROSS JOIN (SELECT unnest([2, 5, 10]) AS k) " +
+       "GROUP BY 1 ORDER BY 1"),
     "dq_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")

@@ -112,6 +112,38 @@ object TemporalQueries {
         .orderBy("day")
     }),
 
+    // Rolling 24-hour Pearson correlation (r6f) between the view and
+    // purchase hourly series — the cross-series gauge next to
+    // agg_corr's global one ("are these signals coupled, and when did
+    // the coupling break?"). Built entirely on the BOUNDED zero-filled
+    // grid: hourlyGrid (shared with ts_gap_fill/ema — one grid
+    // definition), two conditional sums pivot the pair per hour, and
+    // the trailing window is the bounded-grid broadcast self-join (the
+    // CUSUM/ks shape, WITH the explicit broadcast hint — non-equi joins
+    // of checkpointed frames degrade to CartesianProduct without it,
+    // the r6f lesson). Window moments are exact integer sums; the only
+    // FP is the shared sqrt-based formula (round 6 — sqrt is exempt
+    // from the geomean rule). Complete windows only (n = 24).
+    "ts_rolling_corr" -> ((s, d) => {
+      val g = hourlyGrid(s, d).selectExpr("event_type",
+        "unix_micros(h) DIV 3600000000 AS hi", "cnt")
+      val xy = g.where(col("event_type").isin("view", "purchase"))
+        .groupBy("hi")
+        .agg(sum(when(col("event_type") === "view", col("cnt")).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", col("cnt")).otherwise(0L)).as("y"))
+        .localCheckpoint(true)
+      xy.as("a").join(broadcast(xy.as("b")),
+          col("b.hi") >= col("a.hi") - 23 && col("b.hi") <= col("a.hi"))
+        .groupBy(col("a.hi").as("hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("b.x")).as("sx"), sum(col("b.y")).as("sy"),
+          sum(expr("b.x * b.x")).as("sxx"), sum(expr("b.y * b.y")).as("syy"),
+          sum(expr("b.x * b.y")).as("sxy"))
+        .where(col("n") === 24)
+        .selectExpr("hi", s"$rollCorrSql AS corr24")
+        .orderBy("hi")
+    }),
+
     // 1-hour tumbling windows per event type.
     "ts_tumbling" -> ((s, d) =>
       Tables.events(s, d)
@@ -451,6 +483,32 @@ object TemporalQueries {
     })
   )
 
+  /** DuckDB mirror of hourlyGrid (shared by the ts_gap_fill and
+    * ts_rolling_corr oracles — one grid definition, the pqChainSql
+    * rule). range stop is exclusive (Spark sequence inclusive): +1.
+    * Lateral column args work for unnest(range(...)) in a subquery
+    * (generate_series rejects them — text_chunk precedent). */
+  private def gridCtesSql: String =
+    "ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events), " +
+      "c AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1,2), " +
+      "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM c), " +
+      "t AS (SELECT DISTINCT event_type FROM c), " +
+      "g0 AS (SELECT event_type, mn, unnest(range(0, date_diff('hour', mn, mx) + 1)) AS i " +
+      "FROM t CROSS JOIN b), " +
+      "g AS (SELECT event_type, mn + to_hours(i) AS h FROM g0), " +
+      "gf AS (SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt FROM g " +
+      "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h)"
+
+  /** Rolling Pearson correlation off the exact integer window moments —
+    * shared formula string (sqrt-based, so round 6 holds: the geomean
+    * rule exempts sqrt); zero-variance windows emit NULL via an
+    * all-integer predicate. */
+  private def rollCorrSql: String =
+    "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN " +
+      "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+      "sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END"
+
   val oracle: Map[String, String] = Map(
     "ts_holt_forecast" ->
       // recursive CTE replaying the IDENTICAL integer recurrence over the
@@ -497,19 +555,20 @@ object TemporalQueries {
        "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start"),
     "ts_gap_fill" ->
-      // range stop is exclusive (Spark sequence inclusive): bound+1.
-      // Lateral column args work for unnest(range(...)) in a subquery
-      // (generate_series rejects them — text_chunk precedent).
-      ("WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events), " +
-       "c AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1,2), " +
-       "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM c), " +
-       "t AS (SELECT DISTINCT event_type FROM c), " +
-       "g0 AS (SELECT event_type, mn, unnest(range(0, date_diff('hour', mn, mx) + 1)) AS i " +
-       "FROM t CROSS JOIN b), " +
-       "g AS (SELECT event_type, mn + to_hours(i) AS h FROM g0) " +
-       "SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt FROM g " +
-       "LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h " +
-       "ORDER BY g.event_type, g.h"),
+      (s"WITH $gridCtesSql " +
+       "SELECT event_type, h, cnt FROM gf ORDER BY event_type, h"),
+    "ts_rolling_corr" ->
+      (s"WITH $gridCtesSql, " +
+       "xy AS (SELECT epoch_us(h) // 3600000000 AS hi, " +
+       "CAST(SUM(CASE WHEN event_type = 'view' THEN cnt ELSE 0 END) AS BIGINT) AS x, " +
+       "CAST(SUM(CASE WHEN event_type = 'purchase' THEN cnt ELSE 0 END) AS BIGINT) AS y " +
+       "FROM gf WHERE event_type IN ('view', 'purchase') GROUP BY 1), " +
+       "w AS (SELECT a.hi AS hi, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(b.x) AS BIGINT) AS sx, CAST(SUM(b.y) AS BIGINT) AS sy, " +
+       "CAST(SUM(b.x * b.x) AS BIGINT) AS sxx, CAST(SUM(b.y * b.y) AS BIGINT) AS syy, " +
+       "CAST(SUM(b.x * b.y) AS BIGINT) AS sxy " +
+       "FROM xy a JOIN xy b ON b.hi >= a.hi - 23 AND b.hi <= a.hi GROUP BY 1) " +
+       s"SELECT hi, $rollCorrSql AS corr24 FROM w WHERE n = 24 ORDER BY hi"),
     "ts_rolling_median" ->
       // same gap-fill CTE chain, DuckDB list() as the window aggregate,
       // the identical 1-based integer rank selection (list indexing is

@@ -414,4 +414,56 @@ class CatalogSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - expGini) < 1.1e-6, s"gini ${row.getDouble(2)} vs $expGini")
     assert(row.getDouble(2) > 0.0 && row.getDouble(2) < 1.0)
   }
+
+  test("dq_k_anonymity reconciles with direct group counts; monotone in k") {
+    val out = SparkEntry.queries("dq_k_anonymity")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(2, 5, 10))
+    val sizes = Tables.customer(spark, sf)
+      .selectExpr("c_nationkey",
+        "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) DIV 100000 AS bb", "c_mktsegment")
+      .groupBy("c_nationkey", "bb", "c_mktsegment").count()
+      .collect().map(_.getLong(3))
+    out.foreach { case (k, ng, nsg, nrar) =>
+      assert(ng === sizes.length.toLong)
+      assert(nsg === sizes.count(_ < k).toLong)
+      assert(nrar === sizes.filter(_ < k).sum)
+    }
+    // larger k can only flag more groups/rows
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted)
+    assert(out.map(_._4).toSeq === out.map(_._4).sorted)
+  }
+
+  test("ts_rolling_corr equals an in-memory windowed Pearson; values in [-1,1]") {
+    val grid = Tables.events(spark, sf)
+      .where(col("event_type").isin("view", "purchase"))
+      .selectExpr("event_type", "unix_micros(date_trunc('hour', ts)) DIV 3600000000 AS hi")
+      .groupBy("event_type", "hi").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // zero-filled span over ALL types' observed hours (hourlyGrid semantics)
+    val allHours = Tables.events(spark, sf)
+      .selectExpr("unix_micros(date_trunc('hour', ts)) DIV 3600000000 AS hi")
+      .agg(min("hi"), max("hi")).head()
+    val hours = (allHours.getLong(0) to allHours.getLong(1))
+    def series(t: String) = hours.map(h => grid.getOrElse((t, h), 0L))
+    val (xs, ys) = (series("view"), series("purchase"))
+    val out = SparkEntry.queries("ts_rolling_corr")(spark, sf).collect()
+    assert(out.length === hours.length - 23)
+    out.foreach { r =>
+      val idx = (r.getLong(0) - hours.head).toInt
+      val (wx, wy) = (xs.slice(idx - 23, idx + 1), ys.slice(idx - 23, idx + 1))
+      val n = 24L
+      val (sx, sy) = (wx.sum, wy.sum)
+      val (sxx, syy, sxy) = (wx.map(v => v * v).sum, wy.map(v => v * v).sum,
+        wx.zip(wy).map { case (a, b) => a * b }.sum)
+      val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      if (vx > 0 && vy > 0) {
+        val exp = (n * sxy - sx * sy).toDouble /
+          (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))
+        assert(!r.isNullAt(1) && math.abs(r.getDouble(1) - exp) < 1.1e-6,
+          s"corr at hour ${r.getLong(0)}")
+        assert(r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0)
+      } else assert(r.isNullAt(1), "zero-variance window must emit NULL")
+    }
+  }
 }
