@@ -385,7 +385,13 @@ object Plans {
        "one broadcast bounds row, the write is range-partition + in-partition sort on z (8 " +
        "files, each a tight 2-D rectangle), and the read-back predicate prunes through plain " +
        "parquet column stats — no table format, no index, IO bounded by predicate selectivity " +
-       "on EITHER clustered dimension."))
+       "on EITHER clustered dimension."),
+    "ts_rolling_corr" ->
+      ("the event scan ends at the grid count aggregate (hourlyGrid, shared with ts_gap_fill); " +
+       "the pivot and the trailing-window moments operate on the bounded checkpointed hour " +
+       "grid via a broadcast non-equi self-join — window width times grid cardinality, " +
+       "data-size independent, with the broadcast hint that keeps the planner off " +
+       "CartesianProduct."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
