@@ -183,22 +183,41 @@ object GraphQueries {
     // job like graph_pagerank. Output is the bounded community summary.
     "graph_label_prop" -> ((s, d) => {
       val e = edges(s, d)
-      var lab = e.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-      for (_ <- 1 to iters) {
-        val cnts = e.join(lab, e("src") === lab("id"))
-          .select(col("dst"), col("lbl"))
-          .groupBy("dst", "lbl").agg(count(lit(1)).as("cnt"))
-        lab = cnts.groupBy(col("dst"))
-          .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("lb"))).as("m"))
-          .select(col("dst").as("id"), col("m.lb").as("lbl"))
-      }
-      lab.groupBy("lbl")
+      lpaLabels(e).groupBy("lbl")
         .agg(count(lit(1)).as("comm_size"),
           sum(when(col("id") % 2 === 0, 1L).otherwise(0L)).as("n_suppliers"),
           sum(when(col("id") % 2 === 1, 1L).otherwise(0L)).as("n_customers"),
           min("id").as("min_node"))
         .orderBy("lbl")
+    }),
+
+    // Community-quality score (r6f) — Newman modularity of the SAME LPA
+    // communities graph_label_prop emits (one shared lpaLabels loop, so
+    // census and score can never disagree on the assignment). With M
+    // directed edges (each undirected edge counted both ways), ee_c
+    // intra-community directed edges and d_c the community's directed
+    // degree sum: Q = (M·Σee_c − Σd_c²) / M² — ALL integer moments
+    // (two keyed aggregates over the label-joined edge list), one
+    // fixed-order double emission. The label frame is checkpointed once
+    // (two join consumers — the multi-consumer rule); the moment frame
+    // feeds one keys=[] partial aggregate. Q > 0 means the partition
+    // beats random wiring; the gauge every community detection needs
+    // before anyone trusts its clusters.
+    "graph_modularity" -> ((s, d) => {
+      val e = edges(s, d)
+      val lab = lpaLabels(e).localCheckpoint(true)
+      val el = e
+        .join(lab.select(col("id"), col("lbl").as("slbl")), e("src") === col("id"))
+        .drop("id")
+        .join(lab.select(col("id").as("id2"), col("lbl").as("dlbl")),
+          col("dst") === col("id2"))
+      val per = el.groupBy(col("slbl").as("lbl"))
+        .agg(count(lit(1)).as("d_c"),
+          sum(when(col("slbl") === col("dlbl"), 1L).otherwise(0L)).as("ee_c"))
+      per.agg(count(lit(1)).as("nc"), sum("d_c").as("m2"),
+          sum("ee_c").as("see"), sum(expr("d_c * d_c")).as("sdd"))
+        .selectExpr("nc AS n_communities", "m2 AS m_directed",
+          "see AS intra_directed", s"$modularitySql AS modularity")
     }),
 
     // Neighborhood-Jaccard link scoring (r6e) — the set-overlap member
@@ -264,6 +283,25 @@ object GraphQueries {
   private[queries] val aaWeights: Seq[Long] =
     (2 to 65).map(k => math.floor(1.0e9 / math.log(k.toDouble) + 0.5).toLong)
 
+  /** The 3-round synchronous LPA label frame (id, lbl) over a symmetric
+    * edge set — ONE loop definition shared by graph_label_prop and
+    * graph_modularity (and their oracles via lpRoundSql), so the
+    * community assignment can never drift between the census and its
+    * quality score. */
+  private def lpaLabels(e: DataFrame): DataFrame = {
+    var lab = e.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to iters) {
+      val cnts = e.join(lab, e("src") === lab("id"))
+        .select(col("dst"), col("lbl"))
+        .groupBy("dst", "lbl").agg(count(lit(1)).as("cnt"))
+      lab = cnts.groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("lb"))).as("m"))
+        .select(col("dst").as("id"), col("m.lb").as("lbl"))
+    }
+    lab
+  }
+
   /** Distinct (order, part) basket membership — the shared base of the
     * two market-basket queries (mirrored in basketCteSql). */
   private def basketItems(s: SparkSession, d: String): DataFrame =
@@ -293,6 +331,14 @@ object GraphQueries {
     s"r$it AS (SELECT dst AS id, " +
       s"150000 + (17 * CAST(SUM(r // dg) AS BIGINT)) // 20 AS r " +
       s"FROM ed JOIN r${it - 1} ON ed.src = r${it - 1}.id GROUP BY dst)"
+
+  /** Modularity emission formula off the exact integer moments (m2 = M
+    * directed edges, see = Σ intra, sdd = Σ d_c²) — shared verbatim by
+    * query and oracle; every product stays under 2^53 so the doubles
+    * are exact before the one division. */
+  private def modularitySql: String =
+    "ROUND((CAST(m2 AS DOUBLE) * CAST(see AS DOUBLE) - CAST(sdd AS DOUBLE)) / " +
+      "(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6)"
 
   /** One DuckDB label-propagation round: per-(node, label) neighbor
     * counts, then the identical (-cnt, lbl) min-struct argmax. */
@@ -369,6 +415,23 @@ object GraphQueries {
        "CAST(SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers, " +
        "CAST(SUM(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers, " +
        s"MIN(id) AS min_node FROM lp$iters GROUP BY 1 ORDER BY 1"),
+    "graph_modularity" ->
+      // the SAME lp-round CTEs as the label_prop oracle, then the edge
+      // list label-joined on both endpoints and the identical integer
+      // moments + shared emission formula
+      (s"WITH $edgesCteSql, " +
+       "n0 AS (SELECT DISTINCT src AS id FROM e), " +
+       "lp0 AS (SELECT id, id AS lbl FROM n0), " +
+       (1 to iters).map(lpRoundSql).mkString(", ") + ", " +
+       s"el AS (SELECT a.lbl AS slbl, b.lbl AS dlbl FROM e " +
+       s"JOIN lp$iters a ON e.src = a.id JOIN lp$iters b ON e.dst = b.id), " +
+       "per AS (SELECT slbl AS lbl, CAST(COUNT(*) AS BIGINT) AS d_c, " +
+       "CAST(SUM(CASE WHEN slbl = dlbl THEN 1 ELSE 0 END) AS BIGINT) AS ee_c " +
+       "FROM el GROUP BY 1), " +
+       "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(d_c) AS BIGINT) AS m2, " +
+       "CAST(SUM(ee_c) AS BIGINT) AS see, CAST(SUM(d_c * d_c) AS BIGINT) AS sdd FROM per) " +
+       "SELECT nc AS n_communities, m2 AS m_directed, see AS intra_directed, " +
+       s"$modularitySql AS modularity FROM tot"),
     "graph_adamic_adar" ->
       // the SAME Scala-derived nano-unit weight literals as the query
       // (no DuckDB ln anywhere); integer sum, one final fixed division

@@ -164,6 +164,35 @@ class GraphSpec extends SparkSpec {
       assert(a < b && b < c, s"ordering invariant broken: ($a,$b,$c)") }
   }
 
+  test("graph_modularity equals an in-memory computation on the LPA reference labels") {
+    val e0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    var lbl = edges.map(_._1).distinct.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = edges.groupBy(_._2).map { case (v, es) =>
+        val votes = es.map(e => lbl(e._1)).groupBy(identity).view.mapValues(_.size)
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val m2 = edges.length.toLong
+    val perD = edges.groupBy(e => lbl(e._1)).view.mapValues(_.size.toLong).toMap
+    val perI = edges.filter(e => lbl(e._1) == lbl(e._2))
+      .groupBy(e => lbl(e._1)).view.mapValues(_.size.toLong).toMap
+    val see = perI.values.sum
+    val sdd = perD.values.map(d => d * d).sum
+    val expQ = (m2.toDouble * see.toDouble - sdd.toDouble) / (m2.toDouble * m2.toDouble)
+    val r = SparkEntry.queries("graph_modularity")(spark, sf).head()
+    assert(r.getLong(0) === perD.size.toLong)
+    assert(r.getLong(1) === m2 && r.getLong(2) === see)
+    assert(math.abs(r.getDouble(3) - expQ) < 1.1e-6, s"Q ${r.getDouble(3)} vs $expQ")
+    // intra edges can never exceed the total; Q is bounded above by 1
+    assert(see <= m2 && r.getDouble(3) <= 1.0)
+  }
+
   test("graph_bfs_dist equals an in-memory BFS census (sf0.001)") {
     val e0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
