@@ -391,7 +391,12 @@ object Plans {
        "the pivot and the trailing-window moments operate on the bounded checkpointed hour " +
        "grid via a broadcast non-equi self-join — window width times grid cardinality, " +
        "data-size independent, with the broadcast hint that keeps the planner off " +
-       "CartesianProduct."))
+       "CartesianProduct."),
+    "graph_modularity" ->
+      ("the community score rides the SAME checkpointed LPA label frame its census uses (two " +
+       "label joins + two keyed aggregates, all partial-aggregable); the emission is one " +
+       "keys=[] integer-moment aggregate — nothing beyond the label join scales with the " +
+       "graph, and no window or collect touches node-scale data."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
