@@ -144,6 +144,30 @@ object TemporalQueries {
         .orderBy("hi")
     }),
 
+    // Inter-arrival latency histogram (r6f) — the distribution of gaps
+    // between a user's consecutive events on log2 buckets, the
+    // heavy-tail diagnostic behind every session-gap / timeout-tuning
+    // decision (ts_session's 30-minute gap parameter comes FROM a chart
+    // like this). Exact integer bucketing with no log(): the bucket is
+    // the BINARY STRING LENGTH of the µs gap (floor(log2)+1) — Spark
+    // bin() and DuckDB bin() both render unpadded binary, so the bucket
+    // function is identical by construction (verified r6f; gap 0 lands
+    // in bucket 1 on both). One user-partitioned lag window (the
+    // join_asof shuffle shape) + one bounded-key aggregate.
+    "ts_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+        .where(col("prev_us").isNotNull)
+        .selectExpr("unix_micros(ts) - prev_us AS gap_us")
+        .selectExpr("CAST(length(bin(gap_us)) AS INT) AS bucket", "gap_us")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("gap_us").as("min_gap_us"),
+          max("gap_us").as("max_gap_us"))
+        .orderBy("bucket")
+    }),
+
     // 1-hour tumbling windows per event type.
     "ts_tumbling" -> ((s, d) =>
       Tables.events(s, d)
@@ -537,6 +561,14 @@ object TemporalQueries {
        "SELECT a.day AS day, MAX(a.n_events) AS n_events, MAX(a.new_users) AS new_users, " +
        "CAST(SUM(g.new_users) AS BIGINT) AS cum_users " +
        "FROM nd a JOIN nd g ON g.day <= a.day GROUP BY 1 ORDER BY 1"),
+    "ts_interarrival" ->
+      ("WITH g AS (SELECT user_id, epoch_us(ts) AS us, " +
+       "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us " +
+       "FROM events), " +
+       "h AS (SELECT us - prev_us AS gap_us FROM g WHERE prev_us IS NOT NULL) " +
+       "SELECT CAST(length(bin(gap_us)) AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us " +
+       "FROM h GROUP BY 1 ORDER BY 1"),
     "ts_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +

@@ -466,4 +466,22 @@ class CatalogSpec extends SparkSpec {
       } else assert(r.isNullAt(1), "zero-variance window must emit NULL")
     }
   }
+
+  test("ts_interarrival: totals reconcile and bucket bounds hold") {
+    val out = SparkEntry.queries("ts_interarrival")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // one gap per event beyond each user's first
+    assert(out.map(_._2).sum === nEvents - nUsers)
+    out.foreach { case (b, _, lo, hi) =>
+      assert(lo <= hi)
+      // bucket = binary length: values in [2^(b-1), 2^b) — except bucket 1,
+      // which also holds gap 0 (bin(0) = "0", length 1)
+      val floor = if (b == 1) 0L else 1L << (b - 1)
+      assert(lo >= floor && hi < (1L << b), s"bucket $b bounds [$lo, $hi]")
+    }
+    assert(out.map(_._1).distinct.length === out.length)
+  }
 }
