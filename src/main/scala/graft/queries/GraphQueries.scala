@@ -169,6 +169,39 @@ object GraphQueries {
         .orderBy("a", "b", "c")
     }),
 
+    // Local clustering coefficient (r6g) — per-node 2·tri/(deg·(deg−1))
+    // over the SAME supported co-purchase graph graph_triangles
+    // enumerates (one shared pair/threshold definition, so census and
+    // coefficient can never disagree on the edge set). The transitivity
+    // gauge next to graph_modularity's partition score: high coefficient
+    // = neighborhoods close into cliques (dense affinity cores), low =
+    // star/bridge structure. All-integer until the ONE shared-formula
+    // division: degrees from the symmetrized pair list (opposite-parity
+    // union — no re-distinct needed since p1 < p2), per-node triangle
+    // counts from the ordered a<b<c enumeration EXPLODED into its three
+    // corners in one pass (one consumer of the triangle join, not
+    // three). The pair frame is checkpointed once (degree + three join
+    // consumers — the multi-consumer rule).
+    "graph_clustering_coeff" -> ((s, d) => {
+      val e = supportedPairs(basketItems(s, d)).select("p1", "p2")
+        .localCheckpoint(true)
+      val deg = e.select(col("p1").as("node"))
+        .union(e.select(col("p2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tri = e.select(col("p1").as("a"), col("p2").as("b"))
+        .join(e.select(col("p1").as("b2"), col("p2").as("c")),
+          col("b") === col("b2"))
+        .join(e.select(col("p1").as("a3"), col("p2").as("c3")),
+          col("a3") === col("a") && col("c3") === col("c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      deg.join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .selectExpr("node", "deg", "tri", s"$ccF AS coeff")
+        .orderBy("node")
+    }),
+
     // Label-propagation communities (r6d) — the OTHER graph-clustering
     // family next to connected components (CC merges anything touching;
     // LPA follows neighborhood MAJORITY, so dense cores separate from
@@ -325,6 +358,14 @@ object GraphQueries {
       "JOIN p b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 " +
       "HAVING COUNT(*) >= 2)"
 
+  /** Local clustering coefficient emission — integer numerator/denominator
+    * (2·tri, deg·(deg−1)), one correctly-rounded cast each, one division,
+    * round 6 (shared formula string; degree-1 nodes emit 0.0). */
+  private def ccF: String =
+    "CASE WHEN deg >= 2 THEN ROUND(CAST(2 * tri AS DOUBLE) / " +
+      "(CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)), 6) " +
+      "ELSE CAST(0.0 AS DOUBLE) END"
+
   /** One DuckDB rank round: the identical integer ops (// is DuckDB's
     * integer division; SUM(BIGINT) widens to HUGEINT — cast back). */
   private def roundSql(it: Int): String =
@@ -403,6 +444,21 @@ object GraphQueries {
        "FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 " +
        "JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2 " +
        "ORDER BY a, b, c"),
+    "graph_clustering_coeff" ->
+      // same basket CTEs, same ordered triangle enumeration; unnest([a,b,c])
+      // mirrors the three-corner explode; shared emission formula
+      (s"WITH $basketCteSql, " +
+       "e AS (SELECT p1, p2 FROM pr), " +
+       "dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM " +
+       "(SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1), " +
+       "t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c " +
+       "FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 " +
+       "JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2), " +
+       "tn AS (SELECT unnest([a, b, c]) AS node FROM t), " +
+       "tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM tn GROUP BY 1), " +
+       "j AS (SELECT dg.node AS node, deg, COALESCE(tri, CAST(0 AS BIGINT)) AS tri " +
+       "FROM dg LEFT JOIN tc ON dg.node = tc.node) " +
+       s"SELECT node, deg, tri, $ccF AS coeff FROM j ORDER BY node"),
     "graph_label_prop" ->
       // same symmetric edge CTE, synchronous rounds unrolled, the same
       // integer min-struct majority argmax; SUM/COUNT cast back from

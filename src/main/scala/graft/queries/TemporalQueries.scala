@@ -144,6 +144,41 @@ object TemporalQueries {
         .orderBy("hi")
     }),
 
+    // Autocorrelation function (r6g) — ACF at lags 1..12 hours of each
+    // event type's hourly series, the periodicity detector that tells a
+    // pipeline WHICH seasonal window to use (ts_decompose assumes 24h;
+    // this measures it). Exact-integer formulation: multiply the
+    // mean-centered deviation through by n, so dev_t = n*y_t - S is an
+    // exact BIGINT, num_l = sum(dev_t * dev_{t+l}) and
+    // den = sum(dev_t^2) are order-free DECIMAL(38,0) sums (the
+    // skew_kurt rule), and the ONLY FP is one shared-formula division
+    // (round 6; decimal->double is correctly rounded on both engines).
+    // The lag pairing is the bounded-grid broadcast self-join (the
+    // rolling_corr shape, WITH the explicit broadcast hint — the r6f
+    // CartesianProduct lesson); the event scan ends at the hourly count
+    // aggregate, so everything past it is grid-cardinality.
+    "ts_autocorr" -> ((s, d) => {
+      val g = hourlyGrid(s, d).selectExpr("event_type",
+        "unix_micros(h) DIV 3600000000 AS hi", "cnt")
+        .localCheckpoint(true)
+      val st = g.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+      val gd = g.join(broadcast(st), Seq("event_type"))
+        .selectExpr("event_type", "hi", "n", "n * cnt - s AS dev")
+      val den = gd.groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("den"))
+      gd.as("a").join(broadcast(gd.as("b")),
+          col("b.event_type") === col("a.event_type") &&
+            col("b.hi") >= col("a.hi") + 1 && col("b.hi") <= col("a.hi") + 12)
+        .groupBy(col("a.event_type").as("event_type"),
+          (col("b.hi") - col("a.hi")).as("lag"))
+        .agg(sum(expr("CAST(a.dev AS DECIMAL(38,0)) * b.dev")).as("num"))
+        .join(broadcast(den), Seq("event_type"))
+        .selectExpr("event_type", "lag", "n", s"$acfF AS acf")
+        .orderBy("event_type", "lag")
+    }),
+
     // Inter-arrival latency histogram (r6f) — the distribution of gaps
     // between a user's consecutive events on log2 buckets, the
     // heavy-tail diagnostic behind every session-gap / timeout-tuning
@@ -527,6 +562,13 @@ object TemporalQueries {
     * shared formula string (sqrt-based, so round 6 holds: the geomean
     * rule exempts sqrt); zero-variance windows emit NULL via an
     * all-integer predicate. */
+  /** ACF emission off the exact DECIMAL(38,0)/HUGEINT moment sums — one
+    * correctly-rounded cast per operand, one division, round 6 (shared
+    * formula string; constant series emit NULL via an integer predicate). */
+  private def acfF: String =
+    "CASE WHEN den > 0 THEN " +
+      "ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END"
+
   private def rollCorrSql: String =
     "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN " +
       "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / " +
@@ -601,6 +643,24 @@ object TemporalQueries {
        "CAST(SUM(b.x * b.y) AS BIGINT) AS sxy " +
        "FROM xy a JOIN xy b ON b.hi >= a.hi - 23 AND b.hi <= a.hi GROUP BY 1) " +
        s"SELECT hi, $rollCorrSql AS corr24 FROM w WHERE n = 24 ORDER BY hi"),
+    "ts_autocorr" ->
+      // identical grid + the identical n-scaled deviation algebra; HUGEINT
+      // sums mirror the DECIMAL(38,0) sums, formula string shared
+      (s"WITH $gridCtesSql, " +
+       "gh AS (SELECT event_type, epoch_us(h) // 3600000000 AS hi, " +
+       "CAST(cnt AS BIGINT) AS cnt FROM gf), " +
+       "st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(cnt) AS BIGINT) AS s FROM gh GROUP BY 1), " +
+       "gd AS (SELECT gh.event_type, hi, n, n * cnt - s AS dev " +
+       "FROM gh JOIN st USING (event_type)), " +
+       "den AS (SELECT event_type, MAX(n) AS n, " +
+       "SUM(CAST(dev AS HUGEINT) * dev) AS den FROM gd GROUP BY 1), " +
+       "num AS (SELECT a.event_type AS event_type, b.hi - a.hi AS lag, " +
+       "SUM(CAST(a.dev AS HUGEINT) * b.dev) AS num FROM gd a JOIN gd b " +
+       "ON b.event_type = a.event_type AND b.hi BETWEEN a.hi + 1 AND a.hi + 12 " +
+       "GROUP BY 1,2) " +
+       s"SELECT num.event_type AS event_type, lag, n, $acfF AS acf " +
+       "FROM num JOIN den USING (event_type) ORDER BY event_type, lag"),
     "ts_rolling_median" ->
       // same gap-fill CTE chain, DuckDB list() as the window aggregate,
       // the identical 1-based integer rank selection (list indexing is
