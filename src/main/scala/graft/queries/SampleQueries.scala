@@ -304,6 +304,40 @@ object SampleQueries {
           col("num").cast(IntegerType).as("target_w"),
           col("quota").cast(IntegerType).as("quota"))
         .orderBy("doc_id")
+    }),
+
+    // Temperature-scaled source mixing (r6g) — resample so source s
+    // contributes ∝ n_s^α with α = 1/2 (the UnifiedQA/mT5 "temperature"
+    // recipe: big domains down-weighted, small domains up-weighted,
+    // exponent between 0 = uniform and 1 = natural). Where target_mix
+    // takes DECLARED weights, this derives them FROM the counts. Exact
+    // cross-engine arithmetic: w_s = floor(sqrt(n_s)·1000 + 0.5) —
+    // sqrt is correctly rounded on both engines (the r5b rule) and the
+    // scale/floor steps are identical IEEE ops, so the milli-unit
+    // weight is the same BIGINT everywhere; budget = total DIV 2;
+    // quota k_s = LEAST(budget·w_s DIV Σw, n_s) — all integer from
+    // there. Selection by the shared salted hash (rebuild-stable).
+    // Shape: one bounded per-source count frame -> one broadcast
+    // scalar -> quota join -> one per-source window.
+    "sample_temperature_mix" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          phash(col("doc_id"), "temp:").as("hk"))
+      val counts = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w",
+          expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)"))
+      val tot = counts.agg(sum("n").as("tot_n"), sum("w").as("tot_w"))
+      val quotas = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("w"),
+          expr("LEAST((tot_n DIV 2) * w DIV tot_w, n)").as("quota"))
+      val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      base.join(quotas, "source")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("w").as("temp_w"),
+          col("quota"))
+        .orderBy("doc_id")
     })
   )
 
@@ -405,6 +439,22 @@ object SampleQueries {
        "row_number() OVER (PARTITION BY b.source ORDER BY hk, doc_id) AS rn " +
        "FROM b JOIN q ON b.source = q.source) " +
        "SELECT doc_id, source, CAST(num AS INT) AS target_w, CAST(quota AS INT) AS quota " +
+       "FROM r WHERE rn <= quota ORDER BY doc_id"),
+    "sample_temperature_mix" ->
+      // identical sqrt->milli-unit weight derivation (sqrt correctly
+      // rounded on both engines), identical integer quota arithmetic
+      // (// == DIV on nonnegative), the shared salted hash selector
+      ("WITH c AS (SELECT source, COUNT(*) AS n, " +
+       "CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS w " +
+       "FROM documents GROUP BY 1), " +
+       "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n, CAST(SUM(w) AS BIGINT) AS tot_w FROM c), " +
+       "q AS (SELECT source, n, w, LEAST((tot_n // 2) * w // tot_w, n) AS quota " +
+       "FROM c CROSS JOIN t), " +
+       "b AS (SELECT doc_id, source, " + phashSql("doc_id", "temp:") + " AS hk FROM documents), " +
+       "r AS (SELECT b.doc_id, b.source, q.w, q.quota, " +
+       "row_number() OVER (PARTITION BY b.source ORDER BY hk, doc_id) AS rn " +
+       "FROM b JOIN q ON b.source = q.source) " +
+       "SELECT doc_id, source, w AS temp_w, quota " +
        "FROM r WHERE rn <= quota ORDER BY doc_id")
   )
 }

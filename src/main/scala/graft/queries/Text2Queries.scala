@@ -415,8 +415,56 @@ object Text2Queries {
     // ulps). Slope/intercept/r2 come from ONE shared formula string each
     // (zipfSlope/zipfIntercept/zipfR2) used verbatim in both dialects, so
     // the final op order cannot drift (the r5b agg_regression rule).
-    "text_zipf_slope" -> ((s, d) => zipfFit(Tables.documents(s, d)))
+    "text_zipf_slope" -> ((s, d) => zipfFit(Tables.documents(s, d))),
+
+    // PMI collocations (r6g) — the top-collK bigrams by frequency with
+    // pointwise mutual information ln(N·c_xy / (c_x·c_y)), the classic
+    // "is this pair a phrase or chance?" signal (Church & Hanks) that
+    // feeds tokenizer merge rules and boilerplate detection. Shingles
+    // come from the SHARED bigramsOf (the one-bigram-definition rule);
+    // marginals c_x (first slot) and c_y (second slot) and the total N
+    // all derive from the ONE bigram count frame, so the probability
+    // model is self-consistent by construction. Counts are exact
+    // integers; each emitted PMI is one correctly-rounded division +
+    // ONE ln over a bounded term (the dq_drift_psi rule: round 6 holds
+    // — the geomean round-3 rule is about corpus-sized ln SUMS). Top-K
+    // via orderBy+limit (TakeOrderedAndProject, never a global window);
+    // the count frame is checkpointed once (four consumers — top-K,
+    // both marginals, the total; the chi2-grid rule).
+    "text_collocations" -> ((s, d) => collocations(Tables.documents(s, d)))
   )
+
+  /** The PMI collocation ranking over ANY corpus frame with a `text`
+    * column — shared by the declared query and PropertySpec's
+    * planted-phrase harness (the zipfFit pattern: the fixture's
+    * near-uniform vocabulary makes all PMIs small, so the spec plants a
+    * true phrase and a never-adjacent control through this same path). */
+  private[graft] def collocations(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val bc = docs
+        .select(explode(bigramsOf(split(col("text"), " "))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .withColumn("x", element_at(split(col("bg"), " "), 1))
+        .withColumn("y", element_at(split(col("bg"), " "), 2))
+        .localCheckpoint(true)
+      val xc = bc.groupBy("x").agg(sum("cnt").as("cx"))
+      val yc = bc.groupBy("y").agg(sum("cnt").as("cy"))
+      val tot = bc.agg(sum("cnt").as("n_tot"))
+      bc.orderBy(col("cnt").desc, col("bg")).limit(collK)
+        .join(broadcast(xc), Seq("x")).join(broadcast(yc), Seq("y"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("bg", "x", "y", "cnt", "cx", "cy", s"$pmiF AS pmi")
+        .orderBy(col("cnt").desc, col("bg"))
+  }
+
+  /** Collocation list size — ONE constant for query and oracle. */
+  private[graft] val collK = 50
+
+  /** PMI emission — exact integer products (magnitudes far below 2^53),
+    * one correctly-rounded division, one ln over a bounded term: round 6
+    * holds (the dq_drift_psi precedent). Shared formula string. */
+  private def pmiF: String =
+    "ROUND(ln(CAST(n_tot * cnt AS DOUBLE) / CAST(cx * cy AS DOUBLE)), 6)"
 
   /** The Zipf ln-ln fit over ANY corpus frame with a `text` column — ONE
     * definition shared by the declared query (documents table) and the
@@ -600,6 +648,21 @@ object Text2Queries {
          "SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy FROM kk) " +
          s"SELECT CAST(n AS BIGINT) AS k, ROUND($zipfSlope, 3) AS slope, " +
          s"ROUND($zipfIntercept, 3) AS intercept, ROUND($zipfR2, 3) AS r2 FROM m"),
+      "text_collocations" ->
+        // the shared bigram shingle, the same one-frame marginals, the
+        // same deterministic top-K cut, the shared PMI formula string
+        (s"WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents), " +
+         s"b AS (SELECT unnest(${bigramsSqlOf("tk")}) AS bg FROM tk), " +
+         "bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+         "string_split(bg, ' ')[1] AS x, string_split(bg, ' ')[2] AS y " +
+         "FROM b GROUP BY 1), " +
+         "xc AS (SELECT x, CAST(SUM(cnt) AS BIGINT) AS cx FROM bc GROUP BY 1), " +
+         "yc AS (SELECT y, CAST(SUM(cnt) AS BIGINT) AS cy FROM bc GROUP BY 1), " +
+         "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot FROM bc), " +
+         s"tk$collK AS (SELECT bg, x, y, cnt FROM bc ORDER BY cnt DESC, bg LIMIT $collK), " +
+         s"j AS (SELECT bg, t.x AS x, t.y AS y, cnt, cx, cy, n_tot FROM tk$collK t " +
+         "JOIN xc ON t.x = xc.x JOIN yc ON t.y = yc.y CROSS JOIN tot) " +
+         s"SELECT bg, x, y, cnt, cx, cy, $pmiF AS pmi FROM j ORDER BY cnt DESC, bg"),
       "text_entropy" ->
         // SUM(BIGINT) -> HUGEINT: cast n back so divisions match Spark
         ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -205,6 +205,43 @@ class PropertySpec extends SparkSpec {
     assert(r2 > 0.995 && math.abs(r2 - rr2) <= zipfTol, s"fit must be tight: $r2")
   }
 
+  test("text_collocations: a planted phrase tops PMI; all rows match a reference") {
+    // the fixture's near-uniform vocabulary keeps every PMI near zero, so
+    // the discriminating test plants a TRUE phrase ("hong kong": the
+    // tokens only ever appear adjacent) against a high-frequency
+    // independent pair ("the f*": "the" pairs with everything), fed
+    // through the SAME collocations code path.
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      s"hong kong f${i % 10} the f${(i + 3) % 10} the f${(i + 7) % 10}"
+    }.toDF("text")
+    val out = graft.queries.Text2Queries.collocations(docs).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6)))
+    // independent reference over the identical adjacency definition
+    val bgs = (0 until 60).flatMap { i =>
+      val tk = s"hong kong f${i % 10} the f${(i + 3) % 10} the f${(i + 7) % 10}".split(" ")
+      tk.init.zip(tk.tail).map { case (a, b) => s"$a $b" }
+    }
+    val cnt = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cx = bgs.map(_.split(" ")(0)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cy = bgs.map(_.split(" ")(1)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = bgs.size.toLong
+    out.foreach { case (bg, c, cxv, cyv, pmi) =>
+      val Array(x, y) = bg.split(" ")
+      assert(c === cnt(bg) && cxv === cx(x) && cyv === cy(y), s"counts for $bg")
+      val ref = math.log((n * c).toDouble / (cxv * cyv).toDouble)
+      assert(math.abs(pmi - ref) < 1e-6, s"pmi for $bg: $pmi vs $ref")
+    }
+    val byBg = out.map(t => t._1 -> t._5).toMap
+    assert(byBg.contains("hong kong"), "planted phrase must rank in the top-K")
+    val hk = byBg("hong kong")
+    // the phrase's PMI is the maximum, positive, and beats every "the *"
+    assert(hk > 0.0 && hk === out.map(_._5).max, s"phrase PMI must top the list: $hk")
+    byBg.filter(_._1.startsWith("the ")).values.foreach(p =>
+      assert(p < hk, "independent high-frequency pairs must score below the phrase"))
+  }
+
   test("dq_drift_psi: independent recompute; Gibbs nonnegativity holds") {
     // recompute PSI from raw events in plain Scala (sharing only the
     // unix_micros extraction with the engine): integer day split,

@@ -159,6 +159,38 @@ class SampleSpec extends SparkSpec {
     quota.foreach { case (s, q) => assert(q <= counts(s)) }
   }
 
+  test("sample_temperature_mix quotas follow n^alpha with alpha = 1/2") {
+    // recompute weights/quotas independently: w_s = floor(sqrt(n_s)*1000
+    // + 0.5), budget = total/2, k_s = min(budget*w_s/W, n_s) — kept
+    // counts must equal them EXACTLY; and the temperature property must
+    // hold: a source 4x the size of another gets at most ~2x the quota
+    // (sub-linear growth), never 4x.
+    val counts = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val w = counts.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1000.0 + 0.5).toLong).toMap
+    val totN = counts.values.sum
+    val totW = w.values.sum
+    val quota = counts.keys.map(s =>
+      s -> math.min((totN / 2) * w(s) / totW, counts(s))).toMap
+    val kept = SparkEntry.queries("sample_temperature_mix")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(keptBySource === quota.filter(_._2 > 0),
+      "kept counts must equal the integer quotas exactly")
+    kept.foreach { case (_, s, tw, q) =>
+      assert(tw === w(s) && q === quota(s), s"emitted weight/quota mismatch for $s")
+    }
+    // sub-linearity: for any two sources, quota ratio <= sqrt(count
+    // ratio) + a floor step
+    for (a <- counts.keys; b <- counts.keys
+         if counts(a) >= 4 * counts(b) && quota(b) > 0 && quota(b) < counts(b)) {
+      assert(quota(a).toDouble / quota(b) <=
+        math.sqrt(counts(a).toDouble / counts(b)) * 1.05 + 1.0,
+        s"quota growth must be sub-linear: $a vs $b")
+    }
+  }
+
   test("sample_bootstrap_ci: Poisson thresholds, envelope, and unbiasedness") {
     // the threshold table IS the Poisson(1) CDF scaled to 2^60
     val e1 = math.exp(-1.0)
