@@ -32,6 +32,22 @@ object CdcQueries {
   private def ksFormula(num: String): String =
     s"CAST($num AS DOUBLE) / (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE))"
 
+  /** Jensen–Shannon shared formula strings (dq_js_drift): the same
+    * +1/+10 Laplace-smoothed exact-integer-derived p/q the psi uses,
+    * the midpoint m = 0.5·(p + q), and the per-bucket term
+    * 0.5·(p·ln(p/m) + q·ln(q/m)) — every IEEE op in ONE fixed order on
+    * both engines, two lns per bounded term (the psi round-6 argument:
+    * 1-ulp libm drift on 10 terms cannot reach the 6th decimal; this is
+    * not a corpus-sized ln-sum). Defs, not vals (oracle Map init-order
+    * rule). */
+  private def jsP: String =
+    "(CAST(base_cnt + 1 AS DOUBLE) / CAST(n_base + 10 AS DOUBLE))"
+  private def jsQ: String =
+    "(CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE))"
+  private def jsTermFormula: String =
+    s"0.5 * ($jsP * ln($jsP / (0.5 * ($jsP + $jsQ))) + " +
+      s"$jsQ * ln($jsQ / (0.5 * ($jsP + $jsQ))))"
+
   /** Welch-t shared formula strings over the double-cast moment columns
     * n$x/m1$x/m2$x (x = b|c): mean, unbiased variance via the exact-
     * numerator form (n*s2 - s1^2)/(n*(n-1)), the t statistic, and the
@@ -530,6 +546,29 @@ object CdcQueries {
         .orderBy("bucket")
     }),
 
+    // Jensen–Shannon drift (r6g) — the SYMMETRIC, bounded member of the
+    // divergence family (psi is asymmetric-ish and unbounded; JSD lives
+    // in [0, ln 2], so thresholds transfer across datasets — the gauge
+    // monitoring stacks actually alert on). Same day-split cohorts, same
+    // 10-bucket exact-integer grid, same Laplace smoothing as the psi;
+    // per-bucket term 0.5·(p·ln(p/m) + q·ln(q/m)) with m the midpoint,
+    // total via the bucket-ordered collect_list fold (PlanGuard-safe, no
+    // window). Determinism: p/q/m are exact-integer-derived doubles in
+    // one fixed op order, two lns per bounded term — round 6 holds (the
+    // psi argument; not a corpus-sized ln-sum).
+    "dq_js_drift" -> ((s, d) => {
+      val (filled, totals) = driftBuckets(s, d, 10)
+      val terms = filled.crossJoin(broadcast(totals))
+        .selectExpr("bucket", "base_cnt", "cur_cnt", s"$jsTermFormula AS term_raw")
+      val tot = terms.agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(bucket, term_raw))), " +
+          "x -> x.term_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("jsd_raw"))
+      terms.crossJoin(broadcast(tot))
+        .selectExpr("bucket", "base_cnt", "cur_cnt",
+          "ROUND(term_raw, 6) AS term", "ROUND(jsd_raw, 6) AS jsd")
+        .orderBy("bucket")
+    }),
+
     // Kolmogorov-Smirnov drift (r6c) — the psi's nonparametric sibling:
     // max CDF gap between the same two day-split cohorts, on a finer
     // 20-bucket grid. ENTIRELY integer until the last step: cumulative
@@ -680,6 +719,14 @@ object CdcQueries {
        "pp AS (SELECT list_sum(list(term_raw ORDER BY bucket)) AS psi_raw FROM tr) " +
        "SELECT bucket, base_cnt, cur_cnt, ROUND(term_raw, 6) AS term, " +
        "ROUND(psi_raw, 6) AS psi FROM tr CROSS JOIN pp ORDER BY bucket"),
+    "dq_js_drift" ->
+      // identical grid/smoothing to the psi oracle, the shared
+      // jsTermFormula verbatim, bucket-ordered list_sum fold
+      (s"WITH ${driftCteSql(10)}, " +
+       s"tr AS (SELECT bucket, base_cnt, cur_cnt, $jsTermFormula AS term_raw FROM f CROSS JOIN t), " +
+       "pp AS (SELECT list_sum(list(term_raw ORDER BY bucket)) AS jsd_raw FROM tr) " +
+       "SELECT bucket, base_cnt, cur_cnt, ROUND(term_raw, 6) AS term, " +
+       "ROUND(jsd_raw, 6) AS jsd FROM tr CROSS JOIN pp ORDER BY bucket"),
     "dq_ks_drift" ->
       // cumulative counts via the bounded grid self-join, exact integer
       // cross-multiplied CDF gaps, integer max, the shared ksFormula

@@ -253,6 +253,35 @@ object GraphQueries {
           "see AS intra_directed", s"$modularitySql AS modularity")
     }),
 
+    // Degree assortativity (r6g) — Newman's r: does the graph wire
+    // high-degree nodes to high-degree nodes (r > 0) or hubs to leaves
+    // (r < 0)? THE one-number topology gauge you read before choosing a
+    // partition strategy (disassortative hub-leaf graphs are the ones
+    // that need salting). Pearson correlation of (deg(src), deg(dst))
+    // over the DIRECTED edge list (each undirected edge both ways), so
+    // by symmetry Σx = Σy and Σx² = Σy² and
+    // r = (M·Sxy − Sx²) / (M·Sxx − Sx²). ALL moments are exact integer
+    // sums (DECIMAL(38,0) — deg·deg products escape BIGINT headroom at
+    // ~1000×; HUGEINT in the oracle), each cast ONCE to double, then one
+    // shared fixed-order formula (the modularity emission rule). Shape:
+    // one degree groupBy + two shuffle joins of degrees into edges + one
+    // keys=[] partial-aggregable scalar aggregate.
+    "graph_assortativity" -> ((s, d) => {
+      val e = edges(s, d)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val el = e
+        .join(deg.select(col("src").as("id"), col("deg").as("dx")), e("src") === col("id"))
+        .join(deg.select(col("src").as("id2"), col("deg").as("dy")), col("dst") === col("id2"))
+      el.agg(count(lit(1)).as("m"),
+          sum(expr("CAST(dx AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("sxx"),
+          sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"))
+        .selectExpr("m", "CAST(m AS DOUBLE) AS md", "CAST(sx AS DOUBLE) AS sxd",
+          "CAST(sxx AS DOUBLE) AS sxxd", "CAST(sxy AS DOUBLE) AS sxyd")
+        .selectExpr("m AS m_directed", "ROUND(sxd / md, 6) AS mean_edge_deg",
+          s"$assortF AS assortativity")
+    }),
+
     // Neighborhood-Jaccard link scoring (r6e) — the set-overlap member
     // of the link-prediction family next to Adamic-Adar (AA weights
     // shared baskets by rarity; Jaccard normalizes by the UNION of the
@@ -381,6 +410,15 @@ object GraphQueries {
     "ROUND((CAST(m2 AS DOUBLE) * CAST(see AS DOUBLE) - CAST(sdd AS DOUBLE)) / " +
       "(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6)"
 
+  /** Assortativity emission off the double-cast exact moments (md =
+    * directed edge count, sxd = Σdeg(src), sxxd = Σdeg(src)², sxyd =
+    * Σdeg(src)·deg(dst)) — shared verbatim by query and oracle; NULL on
+    * a degree-regular graph (zero denominator), fixed op order so both
+    * engines run identical IEEE arithmetic even past 2^53. */
+  private def assortF: String =
+    "CASE WHEN md * sxxd - sxd * sxd = 0.0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE ROUND((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd), 6) END"
+
   /** One DuckDB label-propagation round: per-(node, label) neighbor
     * counts, then the identical (-cnt, lbl) min-struct argmax. */
   private def lpRoundSql(it: Int): String =
@@ -417,6 +455,21 @@ object GraphQueries {
        "CAST(SUM(CASE WHEN src % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers, " +
        "CAST(SUM(CASE WHEN src % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers " +
        "FROM deg GROUP BY 1 ORDER BY 1"),
+    "graph_assortativity" ->
+      // same symmetric edge CTE, degrees joined into both endpoints,
+      // HUGEINT moment sums cast once to double, the shared assortF
+      // emission verbatim
+      (s"WITH $edgesCteSql, " +
+       "dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1), " +
+       "el AS (SELECT a.deg AS dx, b.deg AS dy FROM e " +
+       "JOIN dg a ON e.src = a.src JOIN dg b ON e.dst = b.src), " +
+       "mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, " +
+       "SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dx AS HUGEINT) * dx) AS sxx, " +
+       "SUM(CAST(dx AS HUGEINT) * dy) AS sxy FROM el), " +
+       "dd AS (SELECT m, CAST(m AS DOUBLE) AS md, CAST(sx AS DOUBLE) AS sxd, " +
+       "CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd FROM mo) " +
+       "SELECT m AS m_directed, ROUND(sxd / md, 6) AS mean_edge_deg, " +
+       s"$assortF AS assortativity FROM dd"),
     "graph_pagerank" ->
       (s"WITH $edgesCteSql, " +
        "deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1), " +

@@ -306,6 +306,33 @@ object Text2Queries {
         .orderBy("doc_id")
     }),
 
+    // Lexical richness per source (r6g) — the vocabulary-growth curation
+    // gauge next to the Zipf fit (Zipf asks "is the frequency band
+    // natural", this asks "how diverse is each source's vocabulary"):
+    // pooled type-token ratio vocab/N (ratio of exact corpus sums — a
+    // mean of per-doc ratios would be an order-dependent double sum),
+    // hapax count (cf = 1 — zero on the near-uniform fixture, by
+    // design), and Herdan's C = ln V / ln N (the size-robust variant:
+    // two lns on exact-integer-derived doubles per bounded source row,
+    // one division — round 6 per the psi argument, not a corpus ln-sum).
+    // Shape: one exploded (source, tok) histogram + two keyed partial-
+    // aggregable rollups; output bounded by the source count.
+    "text_lexical_richness" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val cf = t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val per = cf.groupBy("source").agg(
+        count(lit(1)).as("vocab"),
+        sum("c").as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      val docs = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      per.join(docs, "source")
+        .selectExpr("source", "n_docs", "n_tokens", "vocab", "n_hapax",
+          s"$ttrF AS ttr", s"$herdanF AS herdan_c")
+        .orderBy("source")
+    }),
+
     // Bigram-LM quality scoring: per-doc mean ln P(w2 | w1) over bigram
     // occurrences, with corpus-MLE conditionals c(w1 w2)/c(w1 ·) — one
     // step up the LM-filter ladder from text_unigram_logprob (fluency:
@@ -463,6 +490,14 @@ object Text2Queries {
   /** PMI emission — exact integer products (magnitudes far below 2^53),
     * one correctly-rounded division, one ln over a bounded term: round 6
     * holds (the dq_drift_psi precedent). Shared formula string. */
+  /** Lexical-richness emissions (text_lexical_richness) — shared
+    * verbatim by query and oracle (defs: the oracle Map init-order
+    * rule). One division each over exact-integer-derived doubles. */
+  private def ttrF: String =
+    "ROUND(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"
+  private def herdanF: String =
+    "ROUND(ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 6)"
+
   private def pmiF: String =
     "ROUND(ln(CAST(n_tot * cnt AS DOUBLE) / CAST(cx * cy AS DOUBLE)), 6)"
 
@@ -663,6 +698,18 @@ object Text2Queries {
          s"j AS (SELECT bg, t.x AS x, t.y AS y, cnt, cx, cy, n_tot FROM tk$collK t " +
          "JOIN xc ON t.x = xc.x JOIN yc ON t.y = yc.y CROSS JOIN tot) " +
          s"SELECT bg, x, y, cnt, cx, cy, $pmiF AS pmi FROM j ORDER BY cnt DESC, bg"),
+      "text_lexical_richness" ->
+        // identical (source, tok) histogram + rollups; SUM(BIGINT) cast
+        // back from HUGEINT; the shared ttr/herdan formula strings
+        ("WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+         "cf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2), " +
+         "per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab, " +
+         "CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+         "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax FROM cf GROUP BY 1), " +
+         "dc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1) " +
+         "SELECT per.source, n_docs, n_tokens, vocab, n_hapax, " +
+         s"$ttrF AS ttr, $herdanF AS herdan_c " +
+         "FROM per JOIN dc ON per.source = dc.source ORDER BY per.source"),
       "text_entropy" ->
         // SUM(BIGINT) -> HUGEINT: cast n back so divisions match Spark
         ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -396,7 +396,12 @@ object Plans {
       ("the community score rides the SAME checkpointed LPA label frame its census uses (two " +
        "label joins + two keyed aggregates, all partial-aggregable); the emission is one " +
        "keys=[] integer-moment aggregate — nothing beyond the label join scales with the " +
-       "graph, and no window or collect touches node-scale data."))
+       "graph, and no window or collect touches node-scale data."),
+    "graph_assortativity" ->
+      ("one degree groupBy + two shuffle joins of the bounded degree frame into the edge " +
+       "list, then a single keys=[] partial-aggregable DECIMAL(38,0) moment aggregate — " +
+       "the whole statistic reduces map-side; no window, no collect, no per-node state " +
+       "beyond the degree join."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -60,6 +60,33 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === lbl.size.toLong)
   }
 
+  test("graph_assortativity equals an in-memory moment recompute (sf0.001)") {
+    val e0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = edges.size.toLong
+    // exact integer moments (BigInt mirrors the DECIMAL(38,0) sums),
+    // one correctly-rounded toDouble each, then the shared formula order
+    val sx = edges.map(e => BigInt(deg(e._1))).sum
+    val sxx = edges.map(e => BigInt(deg(e._1)) * deg(e._1)).sum
+    val sxy = edges.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+    val (md, sxd, sxxd, sxyd) = (m.toDouble, sx.toDouble, sxx.toDouble, sxy.toDouble)
+    val den = md * sxxd - sxd * sxd
+    assert(den != 0.0, "fixture graph is degree-regular — test fixture broke")
+    val expR = math.rint((md * sxyd - sxd * sxd) / den * 1e6) / 1e6
+    val r = SparkEntry.queries("graph_assortativity")(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === m, "directed edge count")
+    assert(math.abs(r(0).getDouble(1) - math.rint(sxd / md * 1e6) / 1e6) < 1.1e-6)
+    val got = r(0).getDouble(2)
+    assert(math.abs(got - expR) < 1.1e-6, s"assortativity: $got vs $expR")
+    assert(got >= -1.0 && got <= 1.0, "Pearson r out of range")
+  }
+
   /** In-memory supported co-purchase edges (p1 < p2, support >= 2) —
     * independent reference for the two market-basket queries. */
   private def refEdges: Map[(Long, Long), Long] = {

@@ -280,6 +280,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dq_js_drift: independent recompute; symmetry and [0, ln 2] bounds hold") {
+    // same raw extraction + integer split/bucket arithmetic as the psi
+    // recompute, then the JS term 0.5·(p·ln(p/m) + q·ln(q/m))
+    val raw = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) AS us", "value").collect()
+      .map(r => (r.getLong(0) / 86400000000L,
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    val (minD, maxD) = (raw.map(_._1).min, raw.map(_._1).max)
+    val (minC, maxC) = (raw.map(_._2).min, raw.map(_._2).max)
+    val mid = minD + (maxD - minD) / 2
+    val base = Array.fill(10)(0L)
+    val cur = Array.fill(10)(0L)
+    raw.foreach { case (day, cents) =>
+      val b = (((cents - minC) * 10) / (maxC - minC + 1)).toInt
+      if (day <= mid) base(b) += 1 else cur(b) += 1
+    }
+    val (nb, nc) = (base.sum, cur.sum)
+    def jsTerms(a: Array[Long], na: Long, b: Array[Long], nbb: Long): Seq[Double] =
+      (0 until 10).map { k =>
+        val p = (a(k) + 1).toDouble / (na + 10).toDouble
+        val q = (b(k) + 1).toDouble / (nbb + 10).toDouble
+        val m = 0.5 * (p + q)
+        0.5 * (p * math.log(p / m) + q * math.log(q / m))
+      }
+    val terms = jsTerms(base, nb, cur, nc)
+    val jsd = terms.foldLeft(0.0)(_ + _)
+    // the defining JSD property psi lacks: swapping the cohorts is a no-op
+    val swapped = jsTerms(cur, nc, base, nb).foldLeft(0.0)(_ + _)
+    assert(math.abs(jsd - swapped) < 1e-12, "JS divergence must be symmetric")
+    assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-12, "JSD must live in [0, ln 2]")
+    val rows = SparkEntry.queries("dq_js_drift")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (b, bc, cc, term, jsdGot) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(bc === base(b), s"bucket $b baseline count")
+      assert(cc === cur(b), s"bucket $b current count")
+      assert(math.abs(term - terms(b)) < 1.1e-6, s"bucket $b term: $term vs ${terms(b)}")
+      assert(term >= 0.0, s"per-bucket JS term negative at bucket $b")
+      assert(math.abs(jsdGot - jsd) < 1.1e-6, s"jsd: $jsdGot vs $jsd")
+    }
+  }
+
+  test("text_lexical_richness: independent per-source recompute") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1)
+    val rows = SparkEntry.queries("text_lexical_richness")(spark, sf).collect()
+    assert(rows.length === bySrc.size)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val toks = bySrc(src).flatMap(_._2.split(" ", -1))
+      val cf = toks.groupBy(identity).view.mapValues(_.length).toMap
+      assert(r.getLong(1) === bySrc(src).size.toLong, s"$src n_docs")
+      assert(r.getLong(2) === toks.length.toLong, s"$src n_tokens")
+      assert(r.getLong(3) === cf.size.toLong, s"$src vocab")
+      assert(r.getLong(4) === cf.values.count(_ == 1).toLong, s"$src n_hapax")
+      val ttr = math.rint(cf.size.toDouble / toks.length.toDouble * 1e6) / 1e6
+      assert(math.abs(r.getDouble(5) - ttr) < 1.1e-6, s"$src ttr")
+      val hc = math.rint(
+        math.log(cf.size.toDouble) / math.log(toks.length.toDouble) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(6) - hc) < 1.1e-6, s"$src herdan_c")
+    }
+  }
+
   test("text_repetition: independent recompute of both signals and the flag") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
