@@ -31,6 +31,16 @@ object GeoMeanAgg extends Aggregator[Double, GeoBuf, Double] {
   * (/root/reference/README.md:3,9). */
 object AggQueries {
 
+  /** Winsorized-mean emissions (agg_winsorized_mean) — shared verbatim
+    * by query and oracle (defs: oracle Map init-order rule). Money
+    * display via the DERIVED-money cents×DECIMAL'0.01' rule; means via
+    * the averages rule (exact decimal sum → one double cast → one fixed
+    * division chain → ROUND 6). */
+  private def centsMoneyF(c: String): String =
+    s"CAST(CAST($c AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE)"
+  private def wmeanF(sc: String): String =
+    s"ROUND(CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0, 6)"
+
   /** Gini emission formulas off the exact moment sums (n, sx, sxr) —
     * shared verbatim by query and oracle; each DECIMAL(38,0)/HUGEINT sum
     * casts to DOUBLE exactly once (the agg_skew_kurt rule: the cast is
@@ -298,6 +308,43 @@ object AggQueries {
         .orderBy("grp")
     }),
 
+    // Winsorized mean (r6g) — the robust-mean companion to
+    // agg_percentile_disc: clamp each order's cents to the group's exact
+    // discrete [p05, p95] (the SAME integer rank-selection rule — both
+    // engines pick position ((n-1)*p) DIV 20 + 1 of the (cents, key)
+    // order, no interpolation convention to drift), then average the
+    // clamped exact cents. Outlier-robust aggregation is what you
+    // publish when a feed's tails are dirty (dq_anomaly_* finds the bad
+    // rows; this reports a mean that survives them). Means follow the
+    // averages rule: DECIMAL(38,0) cent sums, CAST DOUBLE, one fixed
+    // division chain, ROUND 6. One keyed window + one broadcast join of
+    // the bounded percentile frame + one partial-aggregable groupBy.
+    "agg_winsorized_mean" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("grp").orderBy(col("cents"), col("o_orderkey"))
+      val b = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"),
+          col("o_orderkey"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      val pct = b.groupBy("grp").agg(
+        max(when(col("rn") === expr("((n - 1) * 1) DIV 20 + 1"), col("cents"))).as("p05c"),
+        max(when(col("rn") === expr("((n - 1) * 19) DIV 20 + 1"), col("cents"))).as("p95c"))
+      b.join(broadcast(pct), "grp")
+        .selectExpr("grp", "cents", "p05c", "p95c",
+          "CASE WHEN cents < p05c THEN p05c WHEN cents > p95c THEN p95c ELSE cents END AS wc")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sr"),
+          sum(expr("CAST(wc AS DECIMAL(38,0))")).as("sw"),
+          max("p05c").as("p05c"), max("p95c").as("p95c"))
+        .selectExpr("grp", "n_orders", s"${centsMoneyF("p05c")} AS p05",
+          s"${centsMoneyF("p95c")} AS p95",
+          s"${wmeanF("sr")} AS mean_raw", s"${wmeanF("sw")} AS mean_winsorized")
+        .orderBy("grp")
+    }),
+
     // Ordered LISTAGG per group — the reconciliation-report surface
     // (one line per region listing its members). collect_list is
     // order-nondeterministic under parallel merge, so the sort happens
@@ -541,6 +588,26 @@ object AggQueries {
        "CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_orders FROM c) " +
        "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt, n_orders " +
        "FROM r WHERE rn = 1 ORDER BY o_orderstatus"),
+    "agg_winsorized_mean" ->
+      // identical rank selection (// == DIV), identical clamp, HUGEINT
+      // cent sums cast once, the shared money/mean formula strings
+      ("WITH b AS (SELECT o_orderpriority AS grp, " +
+       "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents, o_orderkey FROM orders), " +
+       "w AS (SELECT grp, cents, " +
+       "ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, o_orderkey) AS rn, " +
+       "COUNT(*) OVER (PARTITION BY grp) AS n FROM b), " +
+       "p AS (SELECT grp, " +
+       "MAX(CASE WHEN rn = ((n - 1) * 1) // 20 + 1 THEN cents END) AS p05c, " +
+       "MAX(CASE WHEN rn = ((n - 1) * 19) // 20 + 1 THEN cents END) AS p95c FROM w GROUP BY 1), " +
+       "c AS (SELECT b.grp AS grp, cents, p05c, p95c, " +
+       "CASE WHEN cents < p05c THEN p05c WHEN cents > p95c THEN p95c ELSE cents END AS wc " +
+       "FROM b JOIN p ON b.grp = p.grp), " +
+       "m AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "SUM(CAST(cents AS HUGEINT)) AS sr, SUM(CAST(wc AS HUGEINT)) AS sw, " +
+       "MAX(p05c) AS p05c, MAX(p95c) AS p95c FROM c GROUP BY 1) " +
+       s"SELECT grp, n_orders, ${centsMoneyF("p05c")} AS p05, " +
+       s"${centsMoneyF("p95c")} AS p95, ${wmeanF("sr")} AS mean_raw, " +
+       s"${wmeanF("sw")} AS mean_winsorized FROM m ORDER BY grp"),
     "agg_percentile_disc" ->
       // the shared selection rule: 1-based position ((n-1)*p_num) // p_den
       // + 1 of the (cents, o_orderkey)-sorted group; // is DuckDB integer

@@ -48,6 +48,19 @@ object CdcQueries {
     s"0.5 * ($jsP * ln($jsP / (0.5 * ($jsP + $jsQ))) + " +
       s"$jsQ * ln($jsQ / (0.5 * ($jsP + $jsQ))))"
 
+  /** Mann–Whitney z emission (dq_mannwhitney) off the double-cast exact
+    * quantities (u_x2 = 2·U exact integer, std = Σ(t³−t), n1d/n2d cohort
+    * sizes): z = (2U − n1·n2) / (2·√varU) with the tie-corrected
+    * varU = n1·n2·((N+1)·N·(N−1) − ΣT) / (12·N·(N−1)) — one shared
+    * fixed-order formula (sqrt is correctly rounded: round 6), NULL when
+    * every observation is tied (zero variance, integer-exact predicate). */
+  private def mwZF: String =
+    "CASE WHEN (n1d + n2d + 1.0) * (n1d + n2d) * (n1d + n2d - 1.0) - std = 0.0 " +
+      "THEN CAST(NULL AS DOUBLE) " +
+      "ELSE ROUND((CAST(u_x2 AS DOUBLE) - n1d * n2d) / " +
+      "(2.0 * sqrt((n1d * n2d * ((n1d + n2d + 1.0) * (n1d + n2d) * (n1d + n2d - 1.0) - std)) / " +
+      "(12.0 * (n1d + n2d) * (n1d + n2d - 1.0)))), 6) END"
+
   /** Welch-t shared formula strings over the double-cast moment columns
     * n$x/m1$x/m2$x (x = b|c): mean, unbiased variance via the exact-
     * numerator form (n*s2 - s1^2)/(n*(n-1)), the t statistic, and the
@@ -595,6 +608,38 @@ object CdcQueries {
         .orderBy("bucket")
     }),
 
+    // Mann–Whitney rank-sum drift (r6g) — the RANK member of the drift
+    // family (means shift ⇒ t; distributions shift anywhere ⇒ this):
+    // Wilcoxon/Mann–Whitney U of the two day-split cohorts computed on
+    // the SAME 20-bucket exact-integer grid as the KS (the statistic is
+    // defined on the discretized values; with midranks over tie groups
+    // it is exact there, and the tie-corrected variance accounts for the
+    // binning). ENTIRELY integer until the z: bucket tie-groups occupy
+    // rank runs [cstart+1, cstart+t] (cstart from the bounded-grid
+    // inclusive self-join, the KS shape), doubled midranks 2·cstart+t+1
+    // kill the half-integer, so 2·R₁ and 2·U are exact DECIMAL(38,0)
+    // sums (HUGEINT in the oracle; Σ(t³−t) escapes BIGINT at ~1000×);
+    // then ONE shared sqrt-based formula emits z (round 6).
+    "dq_mannwhitney" -> ((s, d) => {
+      val (filled, totals) = driftBuckets(s, d, 20)
+      val cum = filled.as("a")
+        .join(filled.as("b"), col("b.bucket") <= col("a.bucket"))
+        .groupBy(col("a.bucket").as("bucket"),
+          col("a.base_cnt").as("bc"), col("a.cur_cnt").as("cc"))
+        .agg(sum(col("b.base_cnt")).as("cum_b"), sum(col("b.cur_cnt")).as("cum_c"))
+      val per = cum.selectExpr("bucket", "bc", "cc",
+        "(cum_b + cum_c) - (bc + cc) AS cstart")
+      val mo = per.agg(
+        sum(expr("CAST(bc AS DECIMAL(38,0)) * (2 * cstart + (bc + cc) + 1)")).as("r2"),
+        sum(expr("CAST(bc + cc AS DECIMAL(38,0)) * (bc + cc) * (bc + cc) - (bc + cc)")).as("st"))
+      mo.crossJoin(broadcast(totals))
+        .selectExpr("n_base", "n_cur",
+          "CAST(r2 - CAST(n_base AS DECIMAL(38,0)) * (n_base + 1) AS BIGINT) AS u_x2",
+          "CAST(st AS DOUBLE) AS std",
+          "CAST(n_base AS DOUBLE) AS n1d", "CAST(n_cur AS DOUBLE) AS n2d")
+        .selectExpr("n_base", "n_cur", "u_x2", s"$mwZF AS z")
+    }),
+
     // Welch's two-sample t (r6d) — the parametric member of the drift
     // family (psi = binned divergence, ks = CDF gap, t = mean shift):
     // did the value's MEAN move between the same day-split cohorts,
@@ -765,6 +810,21 @@ object CdcQueries {
        "CAST(COUNT(*) // 2 - 1 AS INT) AS df FROM tr) " +
        "SELECT event_type, cohort, obs, expected, ROUND(term_raw, 6) AS term, " +
        "ROUND(chi2_raw, 6) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
+    "dq_mannwhitney" ->
+      // same 20-bucket grid, the KS-shaped inclusive cumulative
+      // self-join, HUGEINT midrank/tie sums, the shared mwZF verbatim
+      (s"WITH ${driftCteSql(20)}, " +
+       "cum AS (SELECT a.bucket, a.base_cnt AS bc, a.cur_cnt AS cc, " +
+       "CAST(SUM(b2.base_cnt) AS BIGINT) AS cum_b, CAST(SUM(b2.cur_cnt) AS BIGINT) AS cum_c " +
+       "FROM f a JOIN f b2 ON b2.bucket <= a.bucket GROUP BY 1, 2, 3), " +
+       "pr AS (SELECT bucket, bc, cc, (cum_b + cum_c) - (bc + cc) AS cstart FROM cum), " +
+       "mo AS (SELECT SUM(CAST(bc AS HUGEINT) * (2 * cstart + (bc + cc) + 1)) AS r2, " +
+       "SUM(CAST(bc + cc AS HUGEINT) * (bc + cc) * (bc + cc) - (bc + cc)) AS st FROM pr), " +
+       "dd AS (SELECT n_base, n_cur, " +
+       "CAST(r2 - CAST(n_base AS HUGEINT) * (n_base + 1) AS BIGINT) AS u_x2, " +
+       "CAST(st AS DOUBLE) AS std, CAST(n_base AS DOUBLE) AS n1d, " +
+       "CAST(n_cur AS DOUBLE) AS n2d FROM mo CROSS JOIN t) " +
+       s"SELECT n_base, n_cur, u_x2, $mwZF AS z FROM dd"),
     "dq_cohort_ttest" ->
       // same cohort CTE, HUGEINT moment sums cast once to double, the
       // shared mean/var/t/df formula strings verbatim

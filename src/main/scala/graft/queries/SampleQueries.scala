@@ -204,6 +204,24 @@ object SampleQueries {
         .orderBy("doc_id")
     }),
 
+    // K-fold cross-validation assignment (r6g) — the evaluation-side
+    // sibling of split_train_test: fold = salted_hash(doc) mod 5, a pure
+    // row-local function of doc_id (map-side, no reservoir state, stable
+    // under rebuilds and incremental backfills — every fold can be
+    // reconstructed from the id alone on any engine). The emission is
+    // the (fold, source) census with doc and token mass, the table you
+    // read before trusting a CV estimate (folds must partition the
+    // corpus and balance within hash noise — SampleSpec pins both).
+    "sample_kfold" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+        .select(col("source"),
+          pmod(phash(col("doc_id"), "fold:"), lit(5)).cast(IntegerType).as("fold"),
+          tokenCount(col("text")).as("tk"))
+      doc.groupBy("fold", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk").cast(LongType)).as("n_tokens"))
+        .orderBy("fold", "source")
+    }),
+
     // Quality-WEIGHTED sampling: each doc keeps with probability equal to
     // its own quality score (CCNet-style quality-proportional curation —
     // stratified rates are per-SOURCE policy; this is per-DOC signal).
@@ -404,6 +422,14 @@ object SampleQueries {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM b) " +
        "SELECT doc_id, source, n_tok, cum_before FROM c " +
        s"WHERE cum_before < $tokenBudget ORDER BY doc_id"),
+    "sample_kfold" ->
+      // same salted hash, same mod-5 fold; len() cast to INT, SUM cast
+      // back from HUGEINT
+      ("WITH a AS (SELECT source, " +
+       "CAST(" + phashSql("doc_id", "fold:") + " % 5 AS INT) AS fold, " +
+       "CAST(len(string_split(text, ' ')) AS INT) AS tk FROM documents) " +
+       "SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(tk) AS BIGINT) AS n_tokens FROM a GROUP BY 1, 2 ORDER BY 1, 2"),
     "sample_quality_weighted" ->
       ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
        "m AS (SELECT doc_id, source, " +

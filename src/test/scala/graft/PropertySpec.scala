@@ -323,6 +323,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dq_mannwhitney: exact 2U recompute; complement identity holds") {
+    // same raw extraction + 20-bucket integer grid as the KS recompute
+    val raw = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) AS us", "value").collect()
+      .map(r => (r.getLong(0) / 86400000000L,
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    val (minD, maxD) = (raw.map(_._1).min, raw.map(_._1).max)
+    val (minC, maxC) = (raw.map(_._2).min, raw.map(_._2).max)
+    val mid = minD + (maxD - minD) / 2
+    val base = Array.fill(20)(0L)
+    val cur = Array.fill(20)(0L)
+    raw.foreach { case (day, cents) =>
+      val b = (((cents - minC) * 20) / (maxC - minC + 1)).toInt
+      if (day <= mid) base(b) += 1 else cur(b) += 1
+    }
+    val (n1, n2) = (base.sum, cur.sum)
+    // doubled midranks over the bucket tie-runs: 2·mr = 2·cstart + t + 1
+    def u2Of(a: Array[Long], na: Long): BigInt = {
+      var cstart = 0L
+      var r2 = BigInt(0)
+      (0 until 20).foreach { b =>
+        val t = base(b) + cur(b)
+        r2 += BigInt(a(b)) * (2 * cstart + t + 1)
+        cstart += t
+      }
+      r2 - BigInt(na) * (na + 1)
+    }
+    val u2base = u2Of(base, n1)
+    val u2cur = u2Of(cur, n2)
+    // U1 + U2 = n1·n2 — the Mann–Whitney complement identity
+    assert(u2base + u2cur === BigInt(2) * BigInt(n1) * n2, "complement identity")
+    val st = (0 until 20).map { b =>
+      val t = BigInt(base(b) + cur(b)); t * t * t - t
+    }.sum
+    val n = n1 + n2
+    val varU = (n1.toDouble * n2.toDouble *
+      ((n + 1.0) * n * (n - 1.0) - st.toDouble)) / (12.0 * n * (n - 1.0))
+    val expZ = math.rint((u2base.toDouble - n1.toDouble * n2.toDouble) /
+      (2.0 * math.sqrt(varU)) * 1e6) / 1e6
+    val r = SparkEntry.queries("dq_mannwhitney")(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === n1 && r(0).getLong(1) === n2)
+    assert(BigInt(r(0).getLong(2)) === u2base, "2U must be exact")
+    assert(math.abs(r(0).getDouble(3) - expZ) < 1.1e-6, s"z: ${r(0).getDouble(3)} vs $expZ")
+  }
+
+  test("agg_winsorized_mean: independent per-group clamp-and-mean recompute") {
+    val raw = Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
+        "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = SparkEntry.queries("agg_winsorized_mean")(spark, sf).collect()
+    val byGrp = raw.groupBy(_._1)
+    assert(rows.length === byGrp.size)
+    rows.foreach { r =>
+      val grp = r.getString(0)
+      val sorted = byGrp(grp).sortBy(t => (t._2, t._3)).map(_._2)
+      val n = sorted.length.toLong
+      val p05 = sorted((((n - 1) * 1) / 20).toInt)
+      val p95 = sorted((((n - 1) * 19) / 20).toInt)
+      val clamped = sorted.map(c => math.max(p05, math.min(p95, c)))
+      assert(r.getLong(1) === n, s"$grp n_orders")
+      assert(math.abs(r.getDouble(2) - p05 * 0.01) < 1e-9, s"$grp p05")
+      assert(math.abs(r.getDouble(3) - p95 * 0.01) < 1e-9, s"$grp p95")
+      val meanRaw = math.rint(sorted.map(BigInt(_)).sum.toDouble / n / 100.0 * 1e6) / 1e6
+      val meanW = math.rint(clamped.map(BigInt(_)).sum.toDouble / n / 100.0 * 1e6) / 1e6
+      assert(math.abs(r.getDouble(4) - meanRaw) < 1.1e-6, s"$grp mean_raw")
+      assert(math.abs(r.getDouble(5) - meanW) < 1.1e-6, s"$grp mean_winsorized")
+      // winsorization can only pull the mean toward the [p05, p95] band
+      assert(r.getDouble(5) >= p05 * 0.01 - 1e-9 && r.getDouble(5) <= p95 * 0.01 + 1e-9)
+    }
+  }
+
   test("text_lexical_richness: independent per-source recompute") {
     val docs = Tables.documents(spark, sf).select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

@@ -28,6 +28,28 @@ class SampleSpec extends SparkSpec {
     assert(counts("train") > counts("valid") && counts("train") > counts("test"))
   }
 
+  test("sample_kfold partitions the corpus, covers all folds, and balances") {
+    val rows = SparkEntry.queries("sample_kfold")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // folds partition the corpus exactly
+    assert(rows.map(_.getLong(2)).sum === nDocs, "fold census must cover every doc once")
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 5))
+    val perFold = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(perFold.keySet === (0 until 5).toSet, "every fold must be populated")
+    // hash balance: no fold strays past 2x the uniform share (hash noise
+    // at sf0.001 is a few percent; 2x is a broken-hash detector, not a
+    // statistical bound)
+    val uniform = nDocs.toDouble / 5.0
+    perFold.values.foreach(n =>
+      assert(n.toDouble > 0.5 * uniform && n.toDouble < 2.0 * uniform,
+        s"fold imbalance: $perFold"))
+    // token mass is consistent with the corpus total
+    val totTok = Tables.documents(spark, sf)
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS t")
+      .agg(sum("t")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(3)).sum === totTok, "token mass must partition too")
+  }
+
   test("sample_stratified keeps full-rate sources whole and respects rates") {
     val sampled = SparkEntry.queries("sample_stratified")(spark, sf)
     val perSource = Tables.documents(spark, sf).groupBy("source")
