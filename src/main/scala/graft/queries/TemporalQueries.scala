@@ -33,6 +33,15 @@ object TemporalQueries {
       .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Shared emission formulas (defs: oracle Map init-order rule).
+    * wapeF: one division of two exact integer sums (ts_forecast_eval);
+    * popPctF: relative change (a−b)/b over exact-decimal-derived doubles
+    * in one fixed op order (ts_period_over_period). */
+  private def wapeF: String =
+    "ROUND(CAST(sum_abs AS DOUBLE) / CAST(sum_act AS DOUBLE), 6)"
+  private def popPctF(a: String, b: String): String =
+    s"ROUND((CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) / CAST($b AS DOUBLE), 6)"
+
   val queries: Map[String, Q] = Map(
     // Holt linear-trend smoothing + 3-step forecast (r6f) — the
     // FORECASTING member of the ts family (ema smooths, decompose
@@ -78,6 +87,78 @@ object TemporalQueries {
       import s.implicits._
       (fit ++ fc).toDF("day", "row_type", "cnt", "level_u", "trend_u", "fitted_u")
         .orderBy("day")
+    }),
+
+    // Rolling-origin forecast backtest (r6g) — the eval the Holt fit
+    // needs before anyone trusts it: hold out the LAST 3 days, run the
+    // IDENTICAL integer micro-unit recurrence on the prefix (the
+    // ts_holt_forecast / HoltProcessor recurrence — change all three
+    // together), forecast h = 1..3, and score against the held-out
+    // actuals. Errors are EXACT integers (micro-unit subtraction); the
+    // only FP is the one shared WAPE division (round 6). Same bounded
+    // day-grid collect class as the fit query; the oracle replays the
+    // train-prefix recurrence as a recursive CTE and re-derives the
+    // same errors.
+    "ts_forecast_eval" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+        .orderBy("day").collect()                 // bounded: one row per day
+      val days = grid.map(_.getLong(0)).toSeq
+      val ys = grid.map(_.getLong(1)).toSeq
+      val ntrain = ys.length - 3
+      val trainY = ys.take(ntrain)
+      val states = trainY.tail.scanLeft((trainY.head * 1000000L, 0L)) {
+        case ((l, b), y) =>
+          val lN = (y * 1000000L + l + b) / 2L
+          val bN = (lN - l) / 4L + (3L * b) / 4L
+          (lN, bN)
+      }
+      val (lT, bT) = states.last
+      val rows = (1L to 3L).map { h =>
+        val actual = ys(ntrain - 1 + h.toInt)
+        val f = lT + h * bT
+        (h, days(ntrain - 1 + h.toInt), actual, f, math.abs(f - actual * 1000000L))
+      }
+      val sumAbs = rows.map(_._5).sum
+      val sumAct = rows.map(_._3).sum * 1000000L
+      import s.implicits._
+      rows.toDF("h", "day", "actual", "forecast_u", "abs_err_u")
+        .withColumn("sum_abs", lit(sumAbs)).withColumn("sum_act", lit(sumAct))
+        .selectExpr("h", "day", "actual", "forecast_u", "abs_err_u",
+          s"$wapeF AS wape")
+        .orderBy("h")
+    }),
+
+    // Period-over-period revenue report (r6g) — the MoM/YoY deltas every
+    // finance dashboard opens with: monthly exact-cents revenue off the
+    // integer month index year*12+month-1, prior periods via TWO
+    // broadcast equality self-joins of the bounded checkpointed month
+    // frame (midx = midx+1 / midx+12 — never a partitionless lag
+    // window; the frame is ~tens of rows, checkpointed once for its
+    // three consumers per the bounded multi-consumer rule). Deltas stay
+    // exact BIGINT cents; the two pct emissions are one shared-formula
+    // division each (round 6), NULL where no prior period exists (left
+    // join null propagates identically on both engines).
+    "ts_period_over_period" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .selectExpr(
+          "CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) - 1 AS midx",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+        .groupBy("midx")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sc"))
+        .localCheckpoint(true)
+      m.join(broadcast(m.selectExpr("midx + 1 AS midx", "sc AS prev_sc")),
+          Seq("midx"), "left")
+        .join(broadcast(m.selectExpr("midx + 12 AS midx", "sc AS yoy_sc")),
+          Seq("midx"), "left")
+        .selectExpr("midx", "midx DIV 12 AS yr", "midx % 12 + 1 AS mo", "n_orders",
+          "CAST(sc AS BIGINT) AS cents",
+          "CAST(sc - prev_sc AS BIGINT) AS mom_delta_cents",
+          s"${popPctF("sc", "prev_sc")} AS mom_pct",
+          s"${popPctF("sc", "yoy_sc")} AS yoy_pct")
+        .orderBy("midx")
     }),
 
     // Cumulative-unique growth curve (r6f): per day, event volume, NEW
@@ -576,6 +657,38 @@ object TemporalQueries {
       "sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END"
 
   val oracle: Map[String, String] = Map(
+    "ts_forecast_eval" ->
+      // the identical recurrence on the train prefix (last 3 days held
+      // out), exact integer errors, the shared wapeF division
+      ("WITH RECURSIVE g AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+       "COUNT(*) AS cnt FROM events GROUP BY 1), " +
+       "gr AS (SELECT day, cnt, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn FROM g), " +
+       "nn AS (SELECT MAX(rn) AS n FROM gr), " +
+       "tr AS (SELECT gr.rn, gr.cnt FROM gr CROSS JOIN nn WHERE rn <= n - 3), " +
+       "st AS (SELECT rn, cnt * 1000000 AS l, CAST(0 AS BIGINT) AS b FROM tr WHERE rn = 1 " +
+       "UNION ALL SELECT g2.rn, (g2.cnt * 1000000 + st.l + st.b) // 2, " +
+       "((g2.cnt * 1000000 + st.l + st.b) // 2 - st.l) // 4 + (3 * st.b) // 4 " +
+       "FROM st JOIN tr g2 ON g2.rn = st.rn + 1), " +
+       "fin AS (SELECT l, b FROM st ORDER BY rn DESC LIMIT 1), " +
+       "te AS (SELECT CAST(rn - (n - 3) AS BIGINT) AS h, day, cnt FROM gr " +
+       "CROSS JOIN nn WHERE rn > n - 3), " +
+       "fc AS (SELECT h, day, cnt AS actual, l + h * b AS forecast_u, " +
+       "abs(l + h * b - cnt * 1000000) AS abs_err_u FROM te CROSS JOIN fin), " +
+       "agg AS (SELECT CAST(SUM(abs_err_u) AS BIGINT) AS sum_abs, " +
+       "CAST(SUM(actual) * 1000000 AS BIGINT) AS sum_act FROM fc) " +
+       s"SELECT h, day, actual, forecast_u, abs_err_u, $wapeF AS wape " +
+       "FROM fc CROSS JOIN agg ORDER BY h"),
+    "ts_period_over_period" ->
+      // identical month index, HUGEINT cent sums, two left self-joins,
+      // the shared popPctF strings; // == DIV on the nonnegative midx
+      ("WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) - 1 AS midx, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS sc FROM orders GROUP BY 1) " +
+       "SELECT a.midx, a.midx // 12 AS yr, a.midx % 12 + 1 AS mo, a.n_orders, " +
+       "CAST(a.sc AS BIGINT) AS cents, CAST(a.sc - p.sc AS BIGINT) AS mom_delta_cents, " +
+       s"${popPctF("a.sc", "p.sc")} AS mom_pct, ${popPctF("a.sc", "y.sc")} AS yoy_pct " +
+       "FROM m a LEFT JOIN m p ON a.midx = p.midx + 1 " +
+       "LEFT JOIN m y ON a.midx = y.midx + 12 ORDER BY a.midx"),
     "ts_holt_forecast" ->
       // recursive CTE replaying the IDENTICAL integer recurrence over the
       // row-numbered day grid; integer // truncates toward zero (== Scala /)

@@ -323,6 +323,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ts_forecast_eval: holdout alignment, exact errors, WAPE closure") {
+    val grid = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = SparkEntry.queries("ts_forecast_eval")(spark, sf).collect()
+    assert(rows.length === 3)
+    // the three scored days are exactly the last three observed days
+    val holdout = grid.takeRight(3)
+    rows.zip(holdout).foreach { case (r, (day, cnt)) =>
+      assert(r.getLong(1) === day && r.getLong(2) === cnt, "holdout misaligned")
+      // error column is consistent with its own forecast/actual pair
+      assert(r.getLong(4) === math.abs(r.getLong(3) - cnt * 1000000L))
+    }
+    // forecasts extrapolate linearly: second differences of forecast_u = 0
+    val f = rows.map(_.getLong(3))
+    assert(f(2) - f(1) === f(1) - f(0), "h-step forecasts must be linear in h")
+    // WAPE closes over the emitted rows
+    val wape = math.rint(rows.map(_.getLong(4)).sum.toDouble /
+      (rows.map(_.getLong(2)).sum * 1000000L).toDouble * 1e6) / 1e6
+    rows.foreach(r => assert(math.abs(r.getDouble(5) - wape) < 1.1e-6))
+  }
+
+  test("ts_period_over_period: independent monthly recompute with deltas") {
+    val raw = Tables.orders(spark, sf)
+      .selectExpr("CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) - 1 AS midx",
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byM = raw.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(c => BigInt(c._2)).sum)).toMap
+    val rows = SparkEntry.queries("ts_period_over_period")(spark, sf).collect()
+    assert(rows.length === byM.size)
+    rows.foreach { r =>
+      val m = r.getLong(0)
+      val (n, sc) = byM(m)
+      assert(r.getLong(1) === m / 12 && r.getLong(2) === m % 12 + 1)
+      assert(r.getLong(3) === n && BigInt(r.getLong(4)) === sc, s"month $m mass")
+      byM.get(m - 1) match {
+        case Some((_, prev)) =>
+          assert(BigInt(r.getLong(5)) === sc - prev, s"month $m MoM delta")
+          val pct = math.rint((sc.toDouble - prev.toDouble) / prev.toDouble * 1e6) / 1e6
+          assert(math.abs(r.getDouble(6) - pct) < 1.1e-6, s"month $m MoM pct")
+        case None => assert(r.isNullAt(5) && r.isNullAt(6), s"month $m must have null MoM")
+      }
+      byM.get(m - 12) match {
+        case Some((_, yprev)) =>
+          val pct = math.rint((sc.toDouble - yprev.toDouble) / yprev.toDouble * 1e6) / 1e6
+          assert(math.abs(r.getDouble(7) - pct) < 1.1e-6, s"month $m YoY pct")
+        case None => assert(r.isNullAt(7), s"month $m must have null YoY")
+      }
+    }
+  }
+
   test("dq_mannwhitney: exact 2U recompute; complement identity holds") {
     // same raw extraction + 20-bucket integer grid as the KS recompute
     val raw = Tables.events(spark, sf)

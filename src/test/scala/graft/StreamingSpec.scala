@@ -512,6 +512,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState incremental gaps equal batch ts_interarrival under uneven slices") {
+    // the streaming face of ts_interarrival: per-user lag chained
+    // through ValueState; the log2 bucket histogram is consumer-side.
+    // Same arrival contract as transitions: global (ts, event_id)
+    // ascending, sliced unevenly so gaps must chain across batches.
+    withRocksDB {
+      val rows = Tables.events(spark, sf)
+        .select("user_id", "ts", "event_id").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        .sortBy(t => (Streams.toUs(t._2), t._3))
+      val batches = Seq(rows.slice(0, rows.length / 6),
+        rows.slice(rows.length / 6, rows.length / 2),
+        rows.slice(rows.length / 2, rows.length))
+      val input = MemoryStream[(Long, Timestamp, Long)](spark)
+      val stream = graft.streaming.InterarrivalProcessor.gapStream(
+        input.toDF().toDF("user_id", "ts", "event_id"))
+      val q = stream.writeStream.format("memory").queryName("gap_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // consumer-side histogram: bucket = binary string length of the gap
+      val got = spark.table("gap_incr").collect().map(_.getLong(1))
+        .groupBy(g => math.max(64 - java.lang.Long.numberOfLeadingZeros(g), 1))
+        .map { case (b, gs) => (b, gs.size.toLong, gs.min, gs.max) }.toSet
+      val expected = SparkEntry.queries("ts_interarrival")(spark, sf).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(expected.nonEmpty, "fixture must contain gaps")
+      assert(got === expected,
+        "streamed gap histogram must equal the batch ts_interarrival")
+    }
+  }
+
   test("transformWithState heavy hitters: exact batch parity below capacity, REVERSED batches") {
     // with distinct tokens per source <= k the Misra-Gries sketch never
     // evicts, the fold is pure increments (commutative) — any batching
