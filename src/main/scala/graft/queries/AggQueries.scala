@@ -41,6 +41,12 @@ object AggQueries {
   private def wmeanF(sc: String): String =
     s"ROUND(CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0, 6)"
 
+  /** Revenue-share emission (agg_pareto, agg_topk_other) over the exact
+    * integer mass column and the exact total `tc` — one division,
+    * shared verbatim (def: oracle Map init-order rule). */
+  private def shareF(c: String): String =
+    s"ROUND(CAST($c AS DOUBLE) / CAST(tc AS DOUBLE), 6)"
+
   /** Gini emission formulas off the exact moment sums (n, sx, sxr) —
     * shared verbatim by query and oracle; each DECIMAL(38,0)/HUGEINT sum
     * casts to DOUBLE exactly once (the agg_skew_kurt rule: the cast is
@@ -71,6 +77,64 @@ object AggQueries {
           sum((col("rnk") * col("cents")).cast(DecimalType(38, 0))).as("sxr"))
         .selectExpr("n", "CAST(sx AS DOUBLE) / 100.0 AS total_price",
           s"$giniSql AS gini")
+    }),
+
+    // Pareto concentration curve (r6g) — "what share of revenue do the
+    // top X% of customers carry": per-customer exact-cents revenue,
+    // global DESCENDING rank via Scale.globalRank on the unique
+    // (-cents, cust) order (distributed two-pass, no single-partition
+    // window), decile = ((rnk−1)·10) DIV n, then per-decile mass and
+    // cumulative share via the bounded 10-row grid self-join (the
+    // dq_ks_drift CDF shape — the grid descends from a checkpointed
+    // LogicalRDD, so the non-equi join carries the explicit broadcast
+    // hint per the r6f rule). The decile-grain sibling of agg_gini
+    // (gini compresses concentration to one number; this shows the
+    // curve a pricing/abuse review actually reads).
+    "agg_pareto" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(sum(expr("CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))")).as("sc"))
+        .selectExpr("cust", "CAST(sc AS BIGINT) AS cents", "-CAST(sc AS BIGINT) AS negc")
+      val ranked = graft.operators.Scale.globalRank(rev, 8, "rnk", "nn",
+        col("negc"), col("cust"))
+      val per = ranked
+        .selectExpr("CAST(((rnk - 1) * 10) DIV nn AS INT) AS decile", "cents")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
+      val tot = per.agg(sum("cents").as("tc"))
+      per.as("a").join(broadcast(per.as("b")), col("b.decile") <= col("a.decile"))
+        .groupBy(col("a.decile").as("decile"), col("a.n_customers").as("n_customers"),
+          col("a.cents").as("cents"))
+        .agg(sum(col("b.cents")).as("cum_cents"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("decile", "n_customers", "cents", "cum_cents",
+          s"${shareF("cum_cents")} AS cum_share")
+        .orderBy("decile")
+    }),
+
+    // Top-N + OTHER rollup (r6g) — the report emission every revenue
+    // dashboard renders: the 10 largest customers by exact-cents
+    // revenue, each with its share, plus ONE aggregated OTHER row so
+    // the rows always total 100%. Customer revenue is one keyed
+    // aggregate (checkpointed once for its three consumers); top-10 is
+    // a TakeOrderedAndProject (never a global window); the remainder is
+    // a broadcast anti-join + one scalar aggregate.
+    "agg_topk_other" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(sum(expr("CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))")).as("sc"))
+        .selectExpr("cust", "CAST(sc AS BIGINT) AS cents")
+        .localCheckpoint(true)
+      val top = rev.orderBy(col("cents").desc, col("cust")).limit(10)
+      val oth = rev.join(broadcast(top.select("cust")), Seq("cust"), "left_anti")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
+        .selectExpr("'OTHER' AS label", "n_customers", "cents")
+      val tot = rev.agg(sum("cents").as("tc"))
+      top.selectExpr("CAST(cust AS STRING) AS label", "CAST(1 AS BIGINT) AS n_customers", "cents")
+        .union(oth)
+        .crossJoin(broadcast(tot))
+        .selectExpr("label", "n_customers", "cents", s"${shareF("cents")} AS share")
+        .orderBy("label")
     }),
 
     // Flagship (SparkEntry.entry): TPC-H-Q1-style pricing summary.
@@ -509,6 +573,40 @@ object AggQueries {
        "SELECT bucket, CAST(bucket AS BIGINT) * 50000 AS lo_dollars, n, " +
        "ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS frac " +
        "FROM c CROSS JOIN t ORDER BY bucket"),
+    "agg_pareto" ->
+      // row_number over the identical DESC order stands in for
+      // globalRank; same decile DIV, same bounded cum self-join, the
+      // shared shareF emission
+      ("WITH rev AS (SELECT o_custkey AS cust, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS BIGINT) AS cents " +
+       "FROM orders GROUP BY 1), " +
+       "r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, cust) AS BIGINT) AS rnk, " +
+       "CAST(COUNT(*) OVER () AS BIGINT) AS nn FROM rev), " +
+       "dc AS (SELECT CAST(((rnk - 1) * 10) // nn AS INT) AS decile, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+       "CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS cents FROM r GROUP BY 1), " +
+       "cm AS (SELECT a.decile, a.n_customers, a.cents, " +
+       "CAST(SUM(b.cents) AS BIGINT) AS cum_cents FROM dc a JOIN dc b " +
+       "ON b.decile <= a.decile GROUP BY 1, 2, 3), " +
+       "t AS (SELECT CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS tc FROM dc) " +
+       s"SELECT decile, n_customers, cents, cum_cents, ${shareF("cum_cents")} AS cum_share " +
+       "FROM cm CROSS JOIN t ORDER BY decile"),
+    "agg_topk_other" ->
+      // same revenue frame, LIMITed top-10, NOT IN remainder, the
+      // shared shareF emission; label ORDER is plain binary string
+      // comparison on both engines
+      ("WITH rev AS (SELECT o_custkey AS cust, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS BIGINT) AS cents " +
+       "FROM orders GROUP BY 1), " +
+       "tp AS (SELECT cust, cents FROM rev ORDER BY cents DESC, cust LIMIT 10), " +
+       "oth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+       "CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS cents FROM rev " +
+       "WHERE cust NOT IN (SELECT cust FROM tp)), " +
+       "t AS (SELECT CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS tc FROM rev), " +
+       "u AS (SELECT CAST(cust AS VARCHAR) AS label, CAST(1 AS BIGINT) AS n_customers, cents FROM tp " +
+       "UNION ALL SELECT 'OTHER', n_customers, cents FROM oth) " +
+       s"SELECT label, n_customers, cents, ${shareF("cents")} AS share " +
+       "FROM u CROSS JOIN t ORDER BY label"),
     "agg_gini" ->
       // row_number over the identical unique (cents, key) order stands in
       // for globalRank; HUGEINT moment sums mirror the DECIMAL(38,0)s

@@ -333,6 +333,42 @@ object Text2Queries {
         .orderBy("source")
     }),
 
+    // Per-source distribution divergence (r6g) — "which source is
+    // off-mix": Jensen–Shannon divergence of each source's unigram
+    // distribution against the corpus-wide distribution, the gauge a
+    // mixing pipeline reads next to sample_target_mix (quotas say how
+    // MUCH each source contributes; this says how DIFFERENT what it
+    // contributes is). Support is the full (source × vocab) grid
+    // (bounded: vocab × sources rows — the driftBuckets zero-fill
+    // lifted to text), built with ONE exploded (source, tok) histogram
+    // scan: corpus counts derive from the source counts by re-
+    // aggregation, never a second documents scan. Per-source totals
+    // join back keyed; the smoothed p/q/m/term arithmetic is the shared
+    // srcJsTermF string; each source's JSD folds its bounded vocabulary
+    // in tok order (keyed collect_list — PlanGuard-safe).
+    "text_source_divergence" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val sc = t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)   // bounded (|sources| × vocab); 4 consumers
+      val cc = sc.groupBy("tok").agg(sum("c").as("cg"))
+      val stot = sc.groupBy("source").agg(sum("c").as("ns"))
+      val gv = cc.agg(sum("cg").as("ng"), count(lit(1)).as("vv"))
+      val grid = sc.select("source").distinct()
+        .crossJoin(broadcast(cc))
+      val terms = grid.join(sc, Seq("source", "tok"), "left")
+        .na.fill(0L, Seq("c"))
+        .join(broadcast(stot), "source")
+        .crossJoin(broadcast(gv))
+        .selectExpr("source", "tok", "ns", s"$srcJsTermF AS term_raw")
+      terms.groupBy("source")
+        .agg(max("ns").as("n_tokens"), expr(
+          "aggregate(transform(array_sort(collect_list(struct(tok, term_raw))), " +
+            "x -> x.term_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("jsd_raw"))
+        .selectExpr("source", "n_tokens", "ROUND(jsd_raw, 6) AS jsd")
+        .orderBy("source")
+    }),
+
     // Bigram-LM quality scoring: per-doc mean ln P(w2 | w1) over bigram
     // occurrences, with corpus-MLE conditionals c(w1 w2)/c(w1 ·) — one
     // step up the LM-filter ladder from text_unigram_logprob (fluency:
@@ -490,6 +526,19 @@ object Text2Queries {
   /** PMI emission — exact integer products (magnitudes far below 2^53),
     * one correctly-rounded division, one ln over a bounded term: round 6
     * holds (the dq_drift_psi precedent). Shared formula string. */
+  /** Per-source Jensen–Shannon term (text_source_divergence) — shared
+    * verbatim by query and oracle: Laplace-smoothed source distribution
+    * p = (c+1)/(ns+vv) vs corpus distribution q = (cg+1)/(ng+vv) over
+    * the full vocabulary grid (vv = vocab size), midpoint m, term
+    * 0.5·(p·ln(p/m) + q·ln(q/m)). All inputs exact integers, fixed op
+    * order, two lns per bounded term — the dq_js_drift round-6 argument
+    * (vocab-sized sums, not corpus-sized). */
+  private def srcP: String = "(CAST(c + 1 AS DOUBLE) / CAST(ns + vv AS DOUBLE))"
+  private def srcQ: String = "(CAST(cg + 1 AS DOUBLE) / CAST(ng + vv AS DOUBLE))"
+  private def srcJsTermF: String =
+    s"0.5 * ($srcP * ln($srcP / (0.5 * ($srcP + $srcQ))) + " +
+      s"$srcQ * ln($srcQ / (0.5 * ($srcP + $srcQ))))"
+
   /** Lexical-richness emissions (text_lexical_richness) — shared
     * verbatim by query and oracle (defs: the oracle Map init-order
     * rule). One division each over exact-integer-derived doubles. */
@@ -698,8 +747,24 @@ object Text2Queries {
          s"j AS (SELECT bg, t.x AS x, t.y AS y, cnt, cx, cy, n_tot FROM tk$collK t " +
          "JOIN xc ON t.x = xc.x JOIN yc ON t.y = yc.y CROSS JOIN tot) " +
          s"SELECT bg, x, y, cnt, cx, cy, $pmiF AS pmi FROM j ORDER BY cnt DESC, bg"),
+      "text_source_divergence" ->
+        // identical histogram / grid / totals, the shared srcJsTermF
+        // verbatim, tok-ordered list_sum fold per source
+        ("WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+         "sc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2), " +
+         "cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cg FROM sc GROUP BY 1), " +
+         "stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY 1), " +
+         "gv AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng, CAST(COUNT(*) AS BIGINT) AS vv FROM cc), " +
+         "g AS (SELECT s2.source, cc.tok, cc.cg FROM (SELECT DISTINCT source FROM sc) s2 CROSS JOIN cc), " +
+         "f AS (SELECT g.source, g.tok, g.cg, COALESCE(sc.c, 0) AS c FROM g " +
+         "LEFT JOIN sc ON g.source = sc.source AND g.tok = sc.tok), " +
+         "tr AS (SELECT f.source, f.tok, ns, " +
+         s"$srcJsTermF AS term_raw FROM f JOIN stot ON f.source = stot.source CROSS JOIN gv) " +
+         "SELECT source, MAX(ns) AS n_tokens, " +
+         "ROUND(list_sum(list(term_raw ORDER BY tok)), 6) AS jsd " +
+         "FROM tr GROUP BY source ORDER BY source"),
       "text_lexical_richness" ->
-        // identical (source, tok) histogram + rollups; SUM(BIGINT) cast
+        // identical (source, tok) histogram / rollups; SUM(BIGINT) cast
         // back from HUGEINT; the shared ttr/herdan formula strings
         ("WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
          "cf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2), " +

@@ -323,6 +323,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text_source_divergence: independent recompute; JSD bounds hold") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = docs.flatMap { case (s0, t) => t.split(" ", -1).map(s0 -> _) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val vocab = counts.keys.map(_._2).toSeq.distinct.sorted
+    val corpus = vocab.map(tok => tok -> counts.collect {
+      case ((_, t), c) if t == tok => c }.sum).toMap
+    val ng = corpus.values.sum
+    val vv = vocab.size.toLong
+    val rows = SparkEntry.queries("text_source_divergence")(spark, sf).collect()
+    val srcs = docs.map(_._1).distinct
+    assert(rows.length === srcs.length)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ns = counts.collect { case ((s0, _), c) if s0 == src => c }.sum
+      assert(r.getLong(1) === ns, s"$src token mass")
+      val jsd = vocab.map { tok =>
+        val c = counts.getOrElse((src, tok), 0L)
+        val p = (c + 1).toDouble / (ns + vv).toDouble
+        val q = (corpus(tok) + 1).toDouble / (ng + vv).toDouble
+        val m = 0.5 * (p + q)
+        0.5 * (p * math.log(p / m) + q * math.log(q / m))
+      }.foldLeft(0.0)(_ + _)
+      assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-12, s"$src JSD out of [0, ln 2]")
+      assert(math.abs(r.getDouble(2) - jsd) < 1.1e-6, s"$src jsd: ${r.getDouble(2)} vs $jsd")
+    }
+  }
+
+  test("agg_pareto: decile partition, monotone concentration, closure at 1") {
+    val rev = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val sorted = rev.sortBy { case (cust, cents) => (-cents, cust) }
+    val n = sorted.length.toLong
+    val rows = SparkEntry.queries("agg_pareto")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === n, "deciles must partition the customers")
+    // per-decile masses match an in-memory recompute on the same rank rule
+    val expected = sorted.zipWithIndex
+      .groupBy { case (_, i) => (i.toLong * 10) / n }
+      .view.mapValues(v => (v.size.toLong, v.map(t => BigInt(t._1._2)).sum)).toMap
+    rows.foreach { r =>
+      val (exN, exC) = expected(r.getInt(0).toLong)
+      assert(r.getLong(1) === exN && BigInt(r.getLong(2)) === exC, s"decile ${r.getInt(0)}")
+    }
+    // concentration: cum_share is increasing and closes at 1; the top
+    // decile's share is the largest single-decile share
+    val shares = rows.sortBy(_.getInt(0)).map(_.getDouble(4))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(shares.last - 1.0) < 1.1e-6, "cumulative share must close at 1")
+    val perShare = rows.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(perShare.head === perShare.max, "top decile must carry the largest mass")
+  }
+
+  test("agg_topk_other: true top-10, complement mass, shares total 1") {
+    val rev = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val top = rev.sortBy { case (c, v) => (-v, c) }.take(10)
+    val rows = SparkEntry.queries("agg_topk_other")(spark, sf).collect()
+    assert(rows.length === 11)
+    val gotTop = rows.filter(_.getString(0) != "OTHER")
+      .map(r => (r.getString(0).toLong, r.getLong(2))).sortBy(t => (-t._2, t._1))
+    assert(gotTop.toSeq === top.map { case (c, v) => (c, v) }, "top-10 set diverges")
+    val other = rows.find(_.getString(0) == "OTHER").get
+    assert(other.getLong(1) === rev.length.toLong - 10, "OTHER customer count")
+    assert(other.getLong(2) === rev.map(_._2).sum - top.map(_._2).sum, "OTHER mass")
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares must total ~1, got $shareSum")
+  }
+
   test("ts_forecast_eval: holdout alignment, exact errors, WAPE closure") {
     val grid = Tables.events(spark, sf)
       .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
