@@ -48,6 +48,14 @@ object CdcQueries {
     s"0.5 * ($jsP * ln($jsP / (0.5 * ($jsP + $jsQ))) + " +
       s"$jsQ * ln($jsQ / (0.5 * ($jsP + $jsQ))))"
 
+  /** IQR-fence emissions (dq_outlier_iqr) — money display via the
+    * DERIVED-money rule, rate via one division over exact counts (defs:
+    * oracle Map init-order rule). */
+  private def iqrMoneyF(c: String): String =
+    s"CAST(CAST($c AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE)"
+  private def iqrRateF: String =
+    "ROUND(CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)"
+
   /** Mann–Whitney z emission (dq_mannwhitney) off the double-cast exact
     * quantities (u_x2 = 2·U exact integer, std = Σ(t³−t), n1d/n2d cohort
     * sizes): z = (2U − n1·n2) / (2·√varU) with the tie-corrected
@@ -608,6 +616,97 @@ object CdcQueries {
         .orderBy("bucket")
     }),
 
+    // Watermark-incremental extraction ticks (r6g) — the scheduled-
+    // migration heartbeat itself (the reference's declared job is an
+    // Airflow-tick Salesforce→S3 sync): the order span splits into 3
+    // half-open (lo, hi] watermark windows on integer epoch-days (one
+    // broadcast bounds row, pure DIV arithmetic), each tick extracts
+    // its window via a broadcast range join (3-row tick frame — BNLJ
+    // on a bounded side, never row×row) and reports the census a sync
+    // run logs: rows moved, distinct days touched, and the NEW
+    // watermark (max observed day — what the next tick resumes from).
+    // All integer; o_orderdate casts through TIMESTAMP first (the
+    // sink_zorder TIMESTAMP_NTZ lesson).
+    "cdc_watermark_ticks" -> ((s, d) => {
+      val ord = Tables.orders(s, d).selectExpr("o_orderkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS day")
+      val bounds = ord.agg(min("day").as("mn"), max("day").as("mx"))
+      // initial watermark mn − 1 (a first sync starts BELOW the minimum)
+      // and span-proportional boundaries: hi(3) = mn − 1 + span = mx, so
+      // the three (lo, hi] windows partition every order exactly once
+      val ticks = bounds.selectExpr("mn", "mx", "explode(sequence(1, 3)) AS tick")
+        .selectExpr("CAST(tick AS INT) AS tick",
+          "mn - 1 + ((mx - mn + 1) * (tick - 1)) DIV 3 AS lo_day",
+          "mn - 1 + ((mx - mn + 1) * tick) DIV 3 AS hi_day")
+      ord.join(broadcast(ticks),
+          col("day") > col("lo_day") && col("day") <= col("hi_day"))
+        .groupBy("tick", "lo_day", "hi_day")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("day")).as("n_days"),
+          max("day").as("wm_day"), max("o_orderkey").as("max_key"))
+        .orderBy("tick")
+    }),
+
+    // Partition-grain reconciliation checksum (r6g) — dq_row_hash lifted
+    // to the grain source/target syncs actually compare at: per
+    // partition, the row count plus an ORDER-FREE additive checksum of
+    // the portable row hash (hash60 % p summed exactly — each term
+    // < 1e9, the DECIMAL(38,0) sum is overflow-proof at any scale —
+    // then one final % p), so two engines agree iff the partition
+    // contents agree, with no sort anywhere. One partial-aggregable
+    // groupBy; a mismatch pinpoints the partition to re-sync without
+    // shipping row hashes.
+    "dq_partition_checksum" -> ((s, d) => {
+      val p = 1000000007L
+      Tables.orders(s, d)
+        .selectExpr("o_orderpriority AS part", "o_orderkey",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+        .withColumn("h",
+          pmod(hash60(concat(col("o_orderkey").cast("string"), lit("|"),
+            col("cents").cast("string"))), lit(p)))
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(h AS DECIMAL(38,0))")).as("hs"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .selectExpr("part", "n_rows", s"CAST(hs % $p AS BIGINT) AS checksum",
+          "min_key", "max_key")
+        .orderBy("part")
+    }),
+
+    // IQR outlier fences (r6g) — the quantile member of the outlier
+    // family (zscore assumes normal tails, MAD is median-robust; Tukey
+    // fences are what BI tools actually draw): per priority group, the
+    // exact discrete q1/q3 via the agg_percentile_disc integer rank
+    // rule, fences q1 − 1.5·IQR / q3 + 1.5·IQR computed ENTIRELY in
+    // integers ((3·iqr) DIV 2 — no 1.5 double ever exists), and the
+    // census of rows outside. One keyed window + one broadcast join +
+    // one partial-aggregable groupBy; only the rate emission divides.
+    "dq_outlier_iqr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("grp").orderBy(col("cents"), col("o_orderkey"))
+      val b = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"),
+          col("o_orderkey"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      val q = b.groupBy("grp").agg(
+        max(when(col("rn") === expr("((n - 1) * 1) DIV 4 + 1"), col("cents"))).as("q1c"),
+        max(when(col("rn") === expr("((n - 1) * 3) DIV 4 + 1"), col("cents"))).as("q3c"))
+      b.join(broadcast(q), "grp")
+        .selectExpr("grp", "cents", "q1c", "q3c",
+          "q1c - (3 * (q3c - q1c)) DIV 2 AS lo", "q3c + (3 * (q3c - q1c)) DIV 2 AS hi")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+          max("q1c").as("q1c"), max("q3c").as("q3c"))
+        .selectExpr("grp", "n_orders", s"${iqrMoneyF("q1c")} AS p25",
+          s"${iqrMoneyF("q3c")} AS p75", "n_low", "n_high",
+          s"$iqrRateF AS outlier_rate")
+        .orderBy("grp")
+    }),
+
     // Mann–Whitney rank-sum drift (r6g) — the RANK member of the drift
     // family (means shift ⇒ t; distributions shift anywhere ⇒ this):
     // Wilcoxon/Mann–Whitney U of the two day-split cohorts computed on
@@ -810,6 +909,50 @@ object CdcQueries {
        "CAST(COUNT(*) // 2 - 1 AS INT) AS df FROM tr) " +
        "SELECT event_type, cohort, obs, expected, ROUND(term_raw, 6) AS term, " +
        "ROUND(chi2_raw, 6) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
+    "cdc_watermark_ticks" ->
+      // identical integer day/tick arithmetic off one bounds row; the
+      // same half-open range join against the 3-row tick frame
+      ("WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS day FROM orders), " +
+       "b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM o), " +
+       "tk AS (SELECT CAST(t AS INT) AS tick, mn - 1 + ((mx - mn + 1) * (t - 1)) // 3 AS lo_day, " +
+       "mn - 1 + ((mx - mn + 1) * t) // 3 AS hi_day " +
+       "FROM b CROSS JOIN (SELECT unnest([1, 2, 3]) AS t)) " +
+       "SELECT tick, lo_day, hi_day, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days, MAX(day) AS wm_day, " +
+       "MAX(o_orderkey) AS max_key " +
+       "FROM o JOIN tk ON o.day > lo_day AND o.day <= hi_day " +
+       "GROUP BY 1, 2, 3 ORDER BY tick"),
+    "dq_partition_checksum" ->
+      // the shared hash60, the same % p per row, HUGEINT sum, final % p
+      ("WITH b AS (SELECT o_orderpriority AS part, o_orderkey, " +
+       "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders), " +
+       "h AS (SELECT part, o_orderkey, " +
+       hash60Sql("CAST(o_orderkey AS VARCHAR) || '|' || CAST(cents AS VARCHAR)") +
+       " % 1000000007 AS h FROM b) " +
+       "SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(h AS HUGEINT)) % 1000000007 AS BIGINT) AS checksum, " +
+       "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key " +
+       "FROM h GROUP BY 1 ORDER BY part"),
+    "dq_outlier_iqr" ->
+      // identical rank selection (// == DIV), all-integer fences, the
+      // shared money/rate emissions
+      ("WITH b AS (SELECT o_orderpriority AS grp, " +
+       "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents, o_orderkey FROM orders), " +
+       "w AS (SELECT grp, cents, " +
+       "ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, o_orderkey) AS rn, " +
+       "COUNT(*) OVER (PARTITION BY grp) AS n FROM b), " +
+       "q AS (SELECT grp, " +
+       "MAX(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 THEN cents END) AS q1c, " +
+       "MAX(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN cents END) AS q3c FROM w GROUP BY 1), " +
+       "f AS (SELECT b.grp AS grp, cents, q1c, q3c, " +
+       "q1c - (3 * (q3c - q1c)) // 2 AS lo, q3c + (3 * (q3c - q1c)) // 2 AS hi " +
+       "FROM b JOIN q ON b.grp = q.grp), " +
+       "m AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
+       "CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high, " +
+       "MAX(q1c) AS q1c, MAX(q3c) AS q3c FROM f GROUP BY 1) " +
+       s"SELECT grp, n_orders, ${iqrMoneyF("q1c")} AS p25, ${iqrMoneyF("q3c")} AS p75, " +
+       s"n_low, n_high, $iqrRateF AS outlier_rate FROM m ORDER BY grp"),
     "dq_mannwhitney" ->
       // same 20-bucket grid, the KS-shaped inclusive cumulative
       // self-join, HUGEINT midrank/tie sums, the shared mwZF verbatim

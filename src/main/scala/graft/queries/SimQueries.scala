@@ -431,6 +431,65 @@ object SimQueries {
         .orderBy("vec_id")
     }),
 
+    // IVF probe-tuning curve (r6g) — recall@10 as a function of nprobe
+    // ∈ {1, 2, 4, 8}: the table you read to CHOOSE the sim_recall_eval
+    // operating point (nprobe trades cells touched against recall; the
+    // curve makes the trade explicit). One shared assignment frame
+    // feeds all four configs: query-cell ranks to depth 8 land in a
+    // bounded checkpointed frame (≤ 64 rows), the config axis is a
+    // broadcast crossJoin + crn <= np filter, candidates come from the
+    // checkpointed (vec, cell) table, and ranking windows key on
+    // (np, qid) — never global. The exact top-10 side is computed ONCE
+    // (np-independent). Recall is monotone in np by construction
+    // (probed cells are nested) — SimSpec pins it.
+    "sim_probe_sweep" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .where(!isnan(col("ccos")))
+        .withColumn("crn", row_number().over(wAssign))
+      val cells = assign.where(col("crn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+        .localCheckpoint(true)   // reused by every config; 2 narrow cols
+      val qcAll = assign.where(col("vec_id") >= 16 && col("vec_id") < 24 && col("crn") <= 8)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"), col("crn"))
+        .localCheckpoint(true)   // bounded: 8 queries × 8 ranks
+      val nps = Seq(1, 2, 4, 8).toDF("np")
+      val qcNp = qcAll.crossJoin(broadcast(nps))
+        .where(col("crn") <= col("np")).select("np", "qid", "cell")
+      val probes = e.where(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val wNp = Window.partitionBy("np", "qid").orderBy(col("cos").desc, col("vec_id"))
+      val annTop = cells.join(qcNp, "cell")
+        .where(col("vec_id") =!= col("qid"))
+        .join(e, "vec_id")
+        .join(broadcast(probes), "qid")
+        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .where(!isnan(col("cos")))
+        .withColumn("rn", row_number().over(wNp))
+        .where(col("rn") <= 10)
+        .select(col("np"), col("qid"), col("vec_id"))
+      val wQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exactTop = e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .where(!isnan(col("cos")))
+        .withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val hits = annTop.join(exactTop, Seq("qid", "vec_id"))
+        .groupBy("np").agg(count(lit(1)).as("n_hits"))
+      nps.join(hits, Seq("np"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .selectExpr("np", "n_hits", s"$sweepRecallF AS mean_recall")
+        .orderBy("np")
+    }),
+
     // IVF-style ANN: coarse quantization against 16 fixed centroid
     // vectors (vec_id < 16 — deterministic stand-ins for trained k-means
     // centroids), nprobe=4 cells probed for the query, exact re-rank of
@@ -622,6 +681,12 @@ object SimQueries {
       s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos " +
       "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id), " +
       "f AS (SELECT label, vec_a, vec_b, cos FROM p WHERE NOT isnan(cos) AND cos >= 0.35)"
+
+  /** Probe-sweep recall emission (sim_probe_sweep): exact hit count over
+    * the fixed eval mass (8 queries × top-10), one division (def:
+    * oracle Map init-order rule). */
+  private def sweepRecallF: String =
+    "ROUND(CAST(n_hits AS DOUBLE) / 80.0, 6)"
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
@@ -852,6 +917,36 @@ object SimQueries {
        "SELECT q.qid AS vec_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, " +
        "ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE)/10.0, 6) AS recall " +
        "FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY vec_id"),
+    "sim_probe_sweep" ->
+      // the sim_recall_eval CTEs with the probe depth as a config axis
+      // (unnest([1,2,4,8]) × crn <= np); exact side computed once;
+      // identical NaN guards and tie-breaks; the shared recall emission
+      (s"WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+       "c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16), " +
+       s"a0 AS (SELECT e.vec_id, cid, ${dotSql("embedding", "cemb")}/(nrm*cnrm) AS ccos FROM e CROSS JOIN c), " +
+       "a1 AS (SELECT * FROM a0 WHERE NOT isnan(ccos)), " +
+       "a AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM a1), " +
+       "cells AS (SELECT vec_id, cid AS cell FROM a WHERE crn = 1), " +
+       "qc8 AS (SELECT vec_id AS qid, cid AS cell, crn FROM a WHERE vec_id BETWEEN 16 AND 23 AND crn <= 8), " +
+       "np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS np), " +
+       "qcn AS (SELECT np, qid, cell FROM qc8 CROSS JOIN np WHERE crn <= np), " +
+       "q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm FROM e WHERE vec_id BETWEEN 16 AND 23), " +
+       "cand AS (SELECT np, qcn.qid, cells.vec_id FROM cells JOIN qcn USING (cell) WHERE cells.vec_id <> qcn.qid), " +
+       s"ac AS (SELECT np, cand.qid, cand.vec_id, ${dotSql("e.embedding", "qv")}/(e.nrm*qnrm) AS cos " +
+       "FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid), " +
+       "ar AS (SELECT np, qid, vec_id, row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, vec_id) AS rn " +
+       "FROM ac WHERE NOT isnan(cos)), " +
+       "ann AS (SELECT np, qid, vec_id FROM ar WHERE rn <= 10), " +
+       s"ec AS (SELECT q.qid, e.vec_id, ${dotSql("e.embedding", "qv")}/(e.nrm*qnrm) AS cos " +
+       "FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+       "er AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn " +
+       "FROM ec WHERE NOT isnan(cos)), " +
+       "ext AS (SELECT qid, vec_id FROM er WHERE rn <= 10), " +
+       "h AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_hits FROM ann " +
+       "JOIN ext ON ann.qid = ext.qid AND ann.vec_id = ext.vec_id GROUP BY 1), " +
+       "f AS (SELECT np.np, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits " +
+       "FROM np LEFT JOIN h ON np.np = h.np) " +
+       s"SELECT np, n_hits, $sweepRecallF AS mean_recall FROM f ORDER BY np"),
     "sim_search_ivf" ->
       (s"WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
        "c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16), " +

@@ -130,6 +130,28 @@ object TemporalQueries {
         .orderBy("h")
     }),
 
+    // Day-of-week × hour activity heatmap (r6g) — the weekly-rhythm
+    // profile next to ts_seasonal_baseline's hour-of-day baseline (a
+    // weekday-9am spike and a sunday-9am spike are different stories):
+    // ONE partial-aggregable groupBy over (dow, hour), densified onto
+    // the bounded 7×24 grid (zero cells matter in a heatmap — the
+    // ts_active_users lesson). Cross-engine day-of-week: Spark
+    // dayofweek − 1 == DuckDB dayofweek (the fn_date rule); cents are
+    // exact; no FP anywhere.
+    "ts_dow_hour_heatmap" -> ((s, d) => {
+      val ev = Tables.events(s, d).selectExpr(
+        "CAST(dayofweek(ts) - 1 AS INT) AS dow", "CAST(hour(ts) AS INT) AS hr",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents")
+      val cnts = ev.groupBy("dow", "hr").agg(count(lit(1)).as("n"),
+        sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sc"))
+      val grid = s.range(0, 7).select(col("id").cast("int").as("dow"))
+        .crossJoin(broadcast(s.range(0, 24).select(col("id").cast("int").as("hr"))))
+      grid.join(cnts, Seq("dow", "hr"), "left")
+        .selectExpr("dow", "hr", "COALESCE(n, CAST(0 AS BIGINT)) AS n",
+          "COALESCE(CAST(sc AS BIGINT), CAST(0 AS BIGINT)) AS cents")
+        .orderBy("dow", "hr")
+    }),
+
     // Period-over-period revenue report (r6g) — the MoM/YoY deltas every
     // finance dashboard opens with: monthly exact-cents revenue off the
     // integer month index year*12+month-1, prior periods via TWO
@@ -678,6 +700,18 @@ object TemporalQueries {
        "CAST(SUM(actual) * 1000000 AS BIGINT) AS sum_act FROM fc) " +
        s"SELECT h, day, actual, forecast_u, abs_err_u, $wapeF AS wape " +
        "FROM fc CROSS JOIN agg ORDER BY h"),
+    "ts_dow_hour_heatmap" ->
+      // DuckDB dayofweek == Spark dayofweek − 1; identical dense grid,
+      // HUGEINT cent sums cast back, zero-filled
+      ("WITH ev AS (SELECT CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr, " +
+       "CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events), " +
+       "c AS (SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "SUM(CAST(cents AS HUGEINT)) AS sc FROM ev GROUP BY 1, 2), " +
+       "g AS (SELECT CAST(d.d AS INT) AS dow, CAST(h.h AS INT) AS hr FROM " +
+       "(SELECT unnest(range(0, 7)) AS d) d CROSS JOIN (SELECT unnest(range(0, 24)) AS h) h) " +
+       "SELECT g.dow, g.hr, COALESCE(n, CAST(0 AS BIGINT)) AS n, " +
+       "COALESCE(CAST(sc AS BIGINT), CAST(0 AS BIGINT)) AS cents " +
+       "FROM g LEFT JOIN c ON g.dow = c.dow AND g.hr = c.hr ORDER BY g.dow, g.hr"),
     "ts_period_over_period" ->
       // identical month index, HUGEINT cent sums, two left self-joins,
       // the shared popPctF strings; // == DIV on the nonnegative midx

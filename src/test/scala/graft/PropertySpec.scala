@@ -323,6 +323,105 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cdc_watermark_ticks: windows partition the table; watermark advances") {
+    val days = Tables.orders(spark, sf)
+      .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS day")
+      .collect().map(_.getLong(0))
+    val rows = SparkEntry.queries("cdc_watermark_ticks")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length === 3)
+    // the three (lo, hi] windows extract EVERY order exactly once
+    assert(rows.map(_.getLong(3)).sum === days.length.toLong,
+      "ticks must partition the order stream")
+    // boundaries chain: each tick resumes where the previous stopped
+    assert(rows(0).getLong(1) === days.min - 1, "first sync starts below the min")
+    assert(rows.zip(rows.tail).forall(t => t._1.getLong(2) === t._2.getLong(1)),
+      "tick windows must chain half-open")
+    assert(rows.last.getLong(2) === days.max, "last tick must close at the max day")
+    rows.foreach { r =>
+      // the new watermark lives inside the tick's window
+      assert(r.getLong(5) > r.getLong(1) && r.getLong(5) <= r.getLong(2))
+      // per-tick recompute of the extracted census
+      val in = days.filter(d => d > r.getLong(1) && d <= r.getLong(2))
+      assert(r.getLong(3) === in.length.toLong && r.getLong(5) === in.max)
+      assert(r.getLong(4) === in.distinct.length.toLong)
+    }
+  }
+
+  test("dq_partition_checksum: exact additive-checksum recompute per partition") {
+    def hash60(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val p = 1000000007L
+    val raw = Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "o_orderkey",
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = SparkEntry.queries("dq_partition_checksum")(spark, sf).collect()
+    val byPart = raw.groupBy(_._1)
+    assert(rows.length === byPart.size)
+    rows.foreach { r =>
+      val part = r.getString(0)
+      val vs = byPart(part)
+      assert(r.getLong(1) === vs.length.toLong, s"$part count")
+      val ck = vs.map(v => BigInt(hash60(s"${v._2}|${v._3}") % p)).sum % p
+      assert(BigInt(r.getLong(2)) === ck, s"$part checksum")
+      assert(r.getLong(3) === vs.map(_._2).min && r.getLong(4) === vs.map(_._2).max)
+    }
+    // the checksum actually discriminates: partitions differ pairwise
+    assert(rows.map(_.getLong(2)).distinct.length === rows.length,
+      "fixture checksums should be pairwise distinct")
+  }
+
+  test("dq_outlier_iqr: independent per-group fence recompute") {
+    val raw = Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
+        "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = SparkEntry.queries("dq_outlier_iqr")(spark, sf).collect()
+    val byGrp = raw.groupBy(_._1)
+    assert(rows.length === byGrp.size)
+    rows.foreach { r =>
+      val grp = r.getString(0)
+      val sorted = byGrp(grp).sortBy(t => (t._2, t._3)).map(_._2)
+      val n = sorted.length.toLong
+      val q1 = sorted((((n - 1) * 1) / 4).toInt)
+      val q3 = sorted((((n - 1) * 3) / 4).toInt)
+      val lo = q1 - (3 * (q3 - q1)) / 2
+      val hi = q3 + (3 * (q3 - q1)) / 2
+      assert(r.getLong(1) === n, s"$grp n_orders")
+      assert(math.abs(r.getDouble(2) - q1 * 0.01) < 1e-9, s"$grp p25")
+      assert(math.abs(r.getDouble(3) - q3 * 0.01) < 1e-9, s"$grp p75")
+      assert(r.getLong(4) === sorted.count(_ < lo).toLong, s"$grp n_low")
+      assert(r.getLong(5) === sorted.count(_ > hi).toLong, s"$grp n_high")
+      val rate = math.rint((r.getLong(4) + r.getLong(5)).toDouble / n * 1e6) / 1e6
+      assert(math.abs(r.getDouble(6) - rate) < 1.1e-6, s"$grp rate")
+      // Tukey fences at 1.5×IQR must keep the bulk: outliers are a minority
+      assert(r.getLong(4) + r.getLong(5) < n / 2, s"$grp fences ate the bulk")
+    }
+  }
+
+  test("ts_dow_hour_heatmap: dense grid, mass conservation, cell recompute") {
+    val rows = SparkEntry.queries("ts_dow_hour_heatmap")(spark, sf).collect()
+    assert(rows.length === 168, "heatmap must emit the full 7x24 grid")
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ===
+      (for (d <- 0 until 7; h <- 0 until 24) yield (d, h)).toSet)
+    val raw = Tables.events(spark, sf)
+      .selectExpr("CAST(dayofweek(ts) - 1 AS INT) AS dow", "CAST(hour(ts) AS INT) AS hr",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    assert(rows.map(_.getLong(2)).sum === raw.length.toLong, "event mass must conserve")
+    val byCell = raw.groupBy(_._1)
+    rows.foreach { r =>
+      val cell = (r.getInt(0), r.getInt(1))
+      val ev = byCell.getOrElse(cell, Array.empty[((Int, Int), Long)])
+      assert(r.getLong(2) === ev.length.toLong, s"cell $cell count")
+      assert(BigInt(r.getLong(3)) === ev.map(t => BigInt(t._2)).sum, s"cell $cell cents")
+    }
+  }
+
   test("text_source_divergence: independent recompute; JSD bounds hold") {
     val docs = Tables.documents(spark, sf).select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

@@ -37,6 +37,24 @@ class SimSpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@10 = $mean")
   }
 
+  test("sim_probe_sweep: monotone in nprobe, consistent with sim_recall_eval at np=4") {
+    val rows = SparkEntry.queries("sim_probe_sweep")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    // probed cell sets are nested, so hits can only grow with nprobe
+    rows.zip(rows.tail).foreach { case ((_, a, _), (_, b, _)) =>
+      assert(a <= b, s"recall must be monotone in nprobe: $rows") }
+    rows.foreach { case (_, h, r) =>
+      assert(h >= 0L && h <= 80L)
+      assert(math.abs(r - math.rint(h.toDouble / 80.0 * 1e6) / 1e6) < 1.1e-6)
+    }
+    // np=4 is EXACTLY the sim_recall_eval configuration — totals must agree
+    val evalHits = SparkEntry.queries("sim_recall_eval")(spark, sf)
+      .collect().map(_.getLong(1)).sum
+    assert(rows.find(_._1 == 4).get._2 === evalHits,
+      "np=4 sweep row must reproduce sim_recall_eval's total hits")
+  }
+
   test("sim_search_lsh_batch: exact cosines on candidates, bounded recall vs brute force") {
     import graft.queries.Qutil
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
