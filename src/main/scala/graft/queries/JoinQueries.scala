@@ -134,6 +134,31 @@ object JoinQueries {
         .orderBy("event_id")
     }),
 
+    // Forward as-of (r6g) — the time-to-conversion mirror of join_asof:
+    // for each event, the user's NEXT purchase strictly after it,
+    // matched only within a 24 h tolerance (else null) — "how long from
+    // touch to conversion", the attribution join marketing funnels run.
+    // Same keyed-window machinery as the backward asof with the frame
+    // flipped to (1, unboundedFollowing); the matched (pts, pid) rides
+    // ONE struct (the join_asof_union tie rule) and the elapsed time is
+    // exact epoch-µs integer arithmetic (the dq_freshness rule).
+    "join_asof_forward" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("nxt",
+          first(when(col("event_type") === "purchase",
+            struct(col("ts").as("pts"), col("event_id").as("pid"))),
+            ignoreNulls = true).over(w))
+        .selectExpr("event_id", "user_id",
+          "CASE WHEN nxt IS NOT NULL AND unix_micros(nxt.pts) - unix_micros(ts) <= 86400000000 " +
+            "THEN nxt.pid END AS next_purchase_id",
+          "CASE WHEN nxt IS NOT NULL AND unix_micros(nxt.pts) - unix_micros(ts) <= 86400000000 " +
+            "THEN (unix_micros(nxt.pts) - unix_micros(ts)) DIV 60000000 END AS mins_to_purchase")
+        .orderBy("event_id")
+    }),
+
     "join_asof" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
@@ -304,6 +329,20 @@ object JoinQueries {
        "CASE WHEN lastv IS NOT NULL AND epoch_us(ts) - epoch_us((lastv).vts) <= 1800000000 " +
        "THEN (lastv).vts END AS view_ts " +
        "FROM w WHERE tag = 1 ORDER BY event_id"),
+    "join_asof_forward" ->
+      // the same flipped frame; the matched pair rides one struct; µs
+      // integer elapsed (// == DIV on the nonnegative forward gap)
+      ("WITH w AS (SELECT event_id, user_id, ts, " +
+       "first_value(CASE WHEN event_type = 'purchase' " +
+       "THEN struct_pack(pts := ts, pid := event_id) END IGNORE NULLS) " +
+       "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt FROM events) " +
+       "SELECT event_id, user_id, " +
+       "CASE WHEN nxt IS NOT NULL AND epoch_us((nxt).pts) - epoch_us(ts) <= 86400000000 " +
+       "THEN (nxt).pid END AS next_purchase_id, " +
+       "CASE WHEN nxt IS NOT NULL AND epoch_us((nxt).pts) - epoch_us(ts) <= 86400000000 " +
+       "THEN (epoch_us((nxt).pts) - epoch_us(ts)) // 60000000 END AS mins_to_purchase " +
+       "FROM w ORDER BY event_id"),
     "join_asof" ->
       ("SELECT event_id, user_id, last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS) " +
        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +

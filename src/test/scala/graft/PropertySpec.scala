@@ -323,6 +323,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("join_asof_forward: independent next-purchase recompute") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2).view.mapValues(_.sortBy(e => (e._4, e._1))).toMap
+    val rows = SparkEntry.queries("join_asof_forward")(spark, sf).collect()
+    assert(rows.length === ev.length)
+    val expect = byUser.values.flatMap { es =>
+      es.zipWithIndex.map { case (e, i) =>
+        val nxt = es.drop(i + 1).find(_._3 == "purchase")
+          .filter(p => p._4 - e._4 <= 86400000000L)
+        e._1 -> nxt.map(p => (p._1, (p._4 - e._4) / 60000000L))
+      }
+    }.toMap
+    rows.foreach { r =>
+      val exp = expect(r.getLong(0))
+      exp match {
+        case Some((pid, mins)) =>
+          assert(r.getLong(2) === pid, s"event ${r.getLong(0)} next purchase")
+          assert(r.getLong(3) === mins, s"event ${r.getLong(0)} elapsed")
+        case None =>
+          assert(r.isNullAt(2) && r.isNullAt(3), s"event ${r.getLong(0)} must be null")
+      }
+    }
+    // a purchase's own next match is strictly AFTER it (never itself)
+    val pids = ev.filter(_._3 == "purchase").map(_._1).toSet
+    rows.filter(r => pids(r.getLong(0)) && !r.isNullAt(2))
+      .foreach(r => assert(r.getLong(2) !== r.getLong(0), "self-match leaked"))
+  }
+
   test("cdc_watermark_ticks: windows partition the table; watermark advances") {
     val days = Tables.orders(spark, sf)
       .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS day")

@@ -124,6 +124,38 @@ class StreamingSpec extends SparkSpec {
       "no event may be written twice across restarts")
   }
 
+  test("stream-static dimension join + aggregation equals the batch join") {
+    // the enrichment shape every land-time pipeline runs: a streaming
+    // fact joined per micro-batch against a STATIC dimension table (the
+    // dim is re-read/broadcast each batch — no state, no watermark
+    // needed), then aggregated in complete mode. Parity: the final
+    // per-segment totals equal the batch join on the same data,
+    // regardless of how the stream is sliced.
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val evCols = Seq("user_id", "event_id")
+    val ev = Tables.events(spark, sf).select(evCols.map(col): _*)
+    val expected = ev.join(dim, "user_id")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rows = ev.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batches = Seq(rows.slice(0, rows.length / 3),
+      rows.slice(rows.length / 3, rows.length))
+    val input = MemoryStream[(Long, Long)](spark)
+    val joined = input.toDF().toDF(evCols: _*)
+      .join(dim, "user_id")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.format("memory").queryName("dim_join")
+      .outputMode("complete").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("dim_join").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture users must hit the dimension")
+    assert(got === expected,
+      "stream-static join totals must equal the batch join")
+  }
+
   test("stream-stream inner join within event-time bounds") {
     val clicks = MemoryStream[(Long, Timestamp)](spark)
     val buys = MemoryStream[(Long, Timestamp)](spark)
