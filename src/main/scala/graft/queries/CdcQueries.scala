@@ -48,6 +48,13 @@ object CdcQueries {
     s"0.5 * ($jsP * ln($jsP / (0.5 * ($jsP + $jsQ))) + " +
       s"$jsQ * ln($jsQ / (0.5 * ($jsP + $jsQ))))"
 
+  /** Per-line derived charge in exact cents (dq_header_detail) — the
+    * agg_pricing_summary product chain through the moneyD clearing, ONE
+    * string shared by query and oracle so the IEEE op order cannot
+    * drift (def: oracle Map init-order rule). */
+  private def lineCentsF: String =
+    "CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)"
+
   /** IQR-fence emissions (dq_outlier_iqr) — money display via the
     * DERIVED-money rule, rate via one division over exact counts (defs:
     * oracle Map init-order rule). */
@@ -673,6 +680,37 @@ object CdcQueries {
         .orderBy("part")
     }),
 
+    // Header-vs-detail reconciliation (r6g) — the first cross-TABLE
+    // consistency check a migration runs (dq_checks audits rows,
+    // dq_partition_checksum audits partitions; this audits the header/
+    // detail CONTRACT): each order's header total against the sum of its
+    // lines' derived charge, both in exact cents (the moneyD clearing
+    // on one shared formula string), censused into exact / within-1%
+    // (integer cross-multiply gap·100 ≤ header — no FP tolerance) /
+    // large / missing-detail. One keyed detail rollup + one key join +
+    // one scalar aggregate; the closure n_exact + n_within + n_large +
+    // n_missing = n_orders is pinned in PropertySpec.
+    "dq_header_detail" -> ((s, d) => {
+      val det = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(sum(expr(s"CAST($lineCentsF AS DECIMAL(38,0))")).as("dsum"),
+          count(lit(1)).as("n_lines"))
+      Tables.orders(s, d)
+        .selectExpr("o_orderkey AS key",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS hcents")
+        .join(det, Seq("key"), "left")
+        .selectExpr("hcents", "CAST(dsum AS BIGINT) AS dcents")
+        .selectExpr("hcents", "dcents",
+          "CASE WHEN dcents IS NULL THEN NULL ELSE abs(hcents - dcents) END AS gap")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("dcents").isNull, 1L).otherwise(0L)).as("n_missing_detail"),
+          sum(when(col("gap") === 0L, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("gap") > 0L && col("gap") * 100L <= col("hcents"), 1L)
+            .otherwise(0L)).as("n_within_1pct"),
+          sum(when(col("gap") * 100L > col("hcents"), 1L).otherwise(0L)).as("n_large"),
+          max("gap").as("max_gap_cents"))
+    }),
+
     // IQR outlier fences (r6g) — the quantile member of the outlier
     // family (zscore assumes normal tails, MAD is median-robust; Tukey
     // fences are what BI tools actually draw): per priority group, the
@@ -909,6 +947,21 @@ object CdcQueries {
        "CAST(COUNT(*) // 2 - 1 AS INT) AS df FROM tr) " +
        "SELECT event_type, cohort, obs, expected, ROUND(term_raw, 6) AS term, " +
        "ROUND(chi2_raw, 6) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
+    "dq_header_detail" ->
+      // the shared lineCentsF verbatim, HUGEINT detail sums, identical
+      // integer gap census; SUM/COUNT cast back
+      (s"WITH det AS (SELECT l_orderkey AS key, SUM(CAST($lineCentsF AS HUGEINT)) AS dsum " +
+       "FROM lineitem GROUP BY 1), " +
+       "j AS (SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS hcents, " +
+       "CAST(dsum AS BIGINT) AS dcents FROM orders LEFT JOIN det ON o_orderkey = det.key), " +
+       "g AS (SELECT hcents, dcents, " +
+       "CASE WHEN dcents IS NULL THEN NULL ELSE abs(hcents - dcents) END AS gap FROM j) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "CAST(SUM(CASE WHEN dcents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_detail, " +
+       "CAST(SUM(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact, " +
+       "CAST(SUM(CASE WHEN gap > 0 AND gap * 100 <= hcents THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct, " +
+       "CAST(SUM(CASE WHEN gap * 100 > hcents THEN 1 ELSE 0 END) AS BIGINT) AS n_large, " +
+       "MAX(gap) AS max_gap_cents FROM g"),
     "cdc_watermark_ticks" ->
       // identical integer day/tick arithmetic off one bounds row; the
       // same half-open range join against the 3-row tick frame

@@ -333,6 +333,32 @@ object Text2Queries {
         .orderBy("source")
     }),
 
+    // Quality-score distribution census (r6g) — the observability
+    // companion to text_quality_gate / sample_quality_weighted: bucket
+    // every doc's shared quality score into basis-point deciles
+    // (rate_bp = floor(score·10000 + 0.5) — the EXACT integer the
+    // weighted sampler already thresholds on, so the histogram and the
+    // sampler can never disagree about a doc's score), then the bounded
+    // 0..10 bucket census with source spread. The table you read after
+    // a new crawl lands ("did the quality mix shift") before any gate
+    // thresholds move. One map-side score pass + one bounded-key
+    // aggregate, zero-filled.
+    "text_quality_histogram" -> ((s, d) => {
+      val (_, _, _, _, _, score) = qualityCols(col("text"))
+      val b = Tables.documents(s, d)
+        .withColumn("rate_bp", floor(score * 10000.0 + 0.5).cast(IntegerType))
+        .selectExpr("source", "rate_bp", "CAST(rate_bp DIV 1000 AS INT) AS bucket")
+      val cnts = b.groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"),
+          min("rate_bp").as("min_bp"), max("rate_bp").as("max_bp"))
+      val grid = s.range(0, 11).select(col("id").cast(IntegerType).as("bucket"))
+      grid.join(cnts, Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_docs", "n_sources"))
+        .select(col("bucket"), col("n_docs"), col("n_sources"),
+          col("min_bp"), col("max_bp"))
+        .orderBy("bucket")
+    }),
+
     // Per-source distribution divergence (r6g) — "which source is
     // off-mix": Jensen–Shannon divergence of each source's unigram
     // distribution against the corpus-wide distribution, the gauge a
@@ -747,6 +773,18 @@ object Text2Queries {
          s"j AS (SELECT bg, t.x AS x, t.y AS y, cnt, cx, cy, n_tot FROM tk$collK t " +
          "JOIN xc ON t.x = xc.x JOIN yc ON t.y = yc.y CROSS JOIN tot) " +
          s"SELECT bg, x, y, cnt, cx, cy, $pmiF AS pmi FROM j ORDER BY cnt DESC, bg"),
+      "text_quality_histogram" ->
+        // the shared quality formula, identical bp/bucket integers,
+        // zero-filled 0..10 grid (NULL min/max on empty buckets)
+        ("WITH b AS (SELECT source, doc_id, string_split(text, ' ') AS tk FROM documents), " +
+         s"m AS (SELECT source, CAST(FLOOR(($qualityScoreSql) * 10000.0 + 0.5) AS INT) AS rate_bp FROM b), " +
+         "k AS (SELECT source, rate_bp, CAST(rate_bp // 1000 AS INT) AS bucket FROM m), " +
+         "c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+         "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, " +
+         "MIN(rate_bp) AS min_bp, MAX(rate_bp) AS max_bp FROM k GROUP BY 1), " +
+         "g AS (SELECT CAST(unnest(range(0, 11)) AS INT) AS bucket) " +
+         "SELECT g.bucket, COALESCE(n_docs, 0) AS n_docs, COALESCE(n_sources, 0) AS n_sources, " +
+         "min_bp, max_bp FROM g LEFT JOIN c ON g.bucket = c.bucket ORDER BY g.bucket"),
       "text_source_divergence" ->
         // identical histogram / grid / totals, the shared srcJsTermF
         // verbatim, tok-ordered list_sum fold per source

@@ -323,6 +323,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dq_header_detail: census closure and in-memory gap recompute") {
+    val lineCents = "CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)"
+    val det = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", lineCents).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(v => v.map(c => BigInt(c._2)).sum).toMap
+    val hdr = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r = SparkEntry.queries("dq_header_detail")(spark, sf).collect()(0)
+    val (n, nMiss, nExact, nWithin, nLarge) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n === hdr.length.toLong)
+    assert(nMiss + nExact + nWithin + nLarge === n, "census must close")
+    val gaps = hdr.flatMap { case (k, h) => det.get(k).map(d => (h, (BigInt(h) - d).abs)) }
+    assert(nMiss === hdr.count(h => !det.contains(h._1)).toLong)
+    assert(nExact === gaps.count(_._2 === BigInt(0)).toLong)
+    assert(nWithin === gaps.count(g => g._2 > 0 && g._2 * 100 <= g._1).toLong)
+    assert(nLarge === gaps.count(g => g._2 * 100 > g._1).toLong)
+    if (gaps.nonEmpty) assert(BigInt(r.getLong(5)) === gaps.map(_._2).max)
+  }
+
+  test("text_quality_histogram: dense grid, mass conservation, bp consistency") {
+    val rows = SparkEntry.queries("text_quality_histogram")(spark, sf).collect()
+    assert(rows.length === 11 && rows.map(_.getInt(0)).toSet === (0 to 10).toSet)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "doc mass must conserve")
+    rows.filter(_.getLong(1) > 0).foreach { r =>
+      // bucket bounds hold: every observed bp lives in [bucket*1000, ...)
+      assert(r.getInt(3) / 1000 === r.getInt(0) && r.getInt(4) / 1000 === r.getInt(0))
+      assert(r.getInt(3) <= r.getInt(4) && r.getLong(2) >= 1L)
+    }
+    rows.filter(_.getLong(1) === 0L).foreach(r => assert(r.isNullAt(3) && r.isNullAt(4)))
+    // scores are a quality signal: the mass must not all land in one cell
+    assert(rows.count(_.getLong(1) > 0) >= 2, "degenerate score distribution")
+  }
+
   test("join_asof_forward: independent next-purchase recompute") {
     val ev = Tables.events(spark, sf)
       .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us").collect()
