@@ -103,6 +103,31 @@ object KmeansQueries {
         .orderBy("vec_id")
     }),
 
+    // Cluster-vs-label purity (r6g) — the eval the k-means family was
+    // missing (KmeansSpec pins the MECHANICS; this scores the RESULT
+    // against the fixture's ground-truth labels): per cluster, the
+    // majority label's share, via the same deterministic assignment the
+    // embed_kmeans query emits (shared finalCentroids/assign — exact
+    // integer micro-unit centroids, so both engines agree on every
+    // assignment) and the (-count, label) min-struct argmax (the
+    // lpaLabels tie rule). Two keyed partial-aggregable groupBys; one
+    // division at emission.
+    "embed_cluster_purity" -> ((s, d) => {
+      val cents = finalCentroids(s, d)
+      val e = Tables.embeddings(s, d)
+      val asg = assign(e.select(col("vec_id"), col("embedding")), cents)
+        .select("vec_id", "cluster")
+      val cl = asg.join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+      cl.groupBy("cluster")
+        .agg(sum("c").as("n_vecs"),
+          min(struct((-col("c")).as("nc"), col("label").as("lb"))).as("m"))
+        .selectExpr("cluster", "n_vecs", "m.lb AS majority_label",
+          "-m.nc AS majority_cnt",
+          "ROUND(CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS purity")
+        .orderBy("cluster")
+    }),
+
     // Embedding QC: top-5 outliers per label by squared distance to the
     // label's centroid (exact integer-moment means, distributed argmax via
     // the WindowGroupLimit top-k shape — no driver work at all here; the
@@ -615,7 +640,11 @@ object KmeansQueries {
       s"FROM s$it GROUP BY 1)"
   }
 
-  private def kmeansSql: String = {
+  /** The full Lloyd-chain CTE prefix ending at the final assignment
+    * frame `af` (vec_id, cluster, d2, rn; rn = 1 is the assignment) —
+    * ONE definition shared by the embed_kmeans and embed_cluster_purity
+    * oracles (the pqChainSql rule: extend, never fork). */
+  private def kmeansAssignCtes: String = {
     val seed = s"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, " +
       s"list_transform(generate_series(1, $dims), i -> CAST(embedding[i] AS DOUBLE)) AS c " +
       s"FROM embeddings WHERE vec_id < $k)"
@@ -627,9 +656,28 @@ object KmeansQueries {
       s"FROM (SELECT e.vec_id, c${iters - 1}.cluster, " +
       s"${sqDistSql("e.embedding", s"c${iters - 1}.c")} AS d2 " +
       s"FROM embeddings e CROSS JOIN c${iters - 1}))"
-    s"WITH $seed, $updates, $fin " +
-      "SELECT vec_id, cluster, ROUND(d2, 6) AS dist2 FROM af WHERE rn = 1 ORDER BY vec_id"
+    s"$seed, $updates, $fin"
   }
+
+  private def kmeansSql: String =
+    s"WITH $kmeansAssignCtes " +
+      "SELECT vec_id, cluster, ROUND(d2, 6) AS dist2 FROM af WHERE rn = 1 ORDER BY vec_id"
+
+  /** Cluster-vs-label purity off the same assignment chain: per-cluster
+    * majority label via the (-count, label) min-struct argmax (the
+    * lpaLabels tie rule), one division for the purity emission. */
+  private def puritySql: String =
+    s"WITH $kmeansAssignCtes, " +
+      "asg AS (SELECT vec_id, cluster FROM af WHERE rn = 1), " +
+      "cl AS (SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM asg JOIN embeddings USING (vec_id) GROUP BY 1, 2), " +
+      "per AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS n_vecs, " +
+      "(MIN(struct_pack(nc := -c, lb := label))).lb AS majority_label, " +
+      "-(MIN(struct_pack(nc := -c, lb := label))).nc AS majority_cnt " +
+      "FROM cl GROUP BY 1) " +
+      "SELECT cluster, n_vecs, majority_label, majority_cnt, " +
+      "ROUND(CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS purity " +
+      "FROM per ORDER BY cluster"
 
   private def outlierSql: String =
     "WITH s AS (SELECT label, i AS pos, " +
@@ -869,6 +917,7 @@ object KmeansQueries {
 
   val oracle: Map[String, String] = Map(
     "embed_kmeans" -> kmeansSql,
+    "embed_cluster_purity" -> puritySql,
     "embed_outlier_dist" -> outlierSql,
     "embed_covariance" -> covarianceSql,
     "embed_pq" -> pqSql,

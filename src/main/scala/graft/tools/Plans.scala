@@ -401,7 +401,22 @@ object Plans {
       ("one degree groupBy + two shuffle joins of the bounded degree frame into the edge " +
        "list, then a single keys=[] partial-aggregable DECIMAL(38,0) moment aggregate — " +
        "the whole statistic reduces map-side; no window, no collect, no per-node state " +
-       "beyond the degree join."))
+       "beyond the degree join."),
+    "sim_probe_sweep" ->
+      ("one assignment pass feeds all four nprobe configs: the (vec, cell) table and the " +
+       "<= 64-row query-cell ranks are checkpointed once, the config axis is a broadcast " +
+       "crossJoin + integer filter, and every ranking window keys on (np, qid) — the " +
+       "4-config sweep costs one corpus scan more than a single recall eval, not four."),
+    "cdc_watermark_ticks" ->
+      ("the non-equi extraction join is orders x a 3-row BROADCAST tick frame " +
+       "(BroadcastNestedLoopJoin against a bounded side — the only legitimate BNLJ shape); " +
+       "boundaries come from one bounds aggregate, and the per-tick census is one " +
+       "partial-aggregable groupBy — no second scan per tick."),
+    "agg_pareto" ->
+      ("customer revenue ranks via the two-pass globalRank (range Exchange + per-partition " +
+       "ranks + literal offset map) — no single-partition window anywhere; the cumulative " +
+       "share runs on the bounded 10-row decile grid with an explicit broadcast hint " +
+       "(the frame descends from a stats-free LogicalRDD)."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

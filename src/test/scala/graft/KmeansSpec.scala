@@ -373,6 +373,29 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("embed_cluster_purity agrees with the kmeans assignment and the labels") {
+    val asg = SparkEntry.queries("embed_kmeans")(spark, sf)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val rows = SparkEntry.queries("embed_cluster_purity")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === asg.size.toLong, "clusters must partition")
+    val byCluster = asg.toSeq.groupBy(_._2)
+    assert(rows.length === byCluster.size)
+    rows.foreach { r =>
+      val members = byCluster(r.getInt(0)).map(m => labels(m._1))
+      val counts = members.groupBy(identity).view.mapValues(_.size).toSeq
+      val (majLbl, majCnt) = counts.minBy { case (l, c) => (-c, l) }
+      assert(r.getLong(1) === members.size.toLong, s"cluster ${r.getInt(0)} size")
+      assert(r.getInt(2) === majLbl && r.getLong(3) === majCnt.toLong,
+        s"cluster ${r.getInt(0)} majority")
+      val purity = math.rint(majCnt.toDouble / members.size * 1e6) / 1e6
+      assert(math.abs(r.getDouble(4) - purity) < 1.1e-6)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("embed_outlier_dist: 5 per label, rank-ordered, true top by distance") {
     val rows = SparkEntry.queries("embed_outlier_dist")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
