@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Qutil._
@@ -184,20 +185,7 @@ object JoinQueries {
     // semantics); all times are epoch-µs integers (the dq_freshness
     // rule), so the overlap duration is exact integer arithmetic.
     "join_interval_overlap" -> ((s, d) => {
-      def sessions(tp: String) = {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        Tables.events(s, d).where(col("event_type") === tp)
-          .select(col("user_id"), col("ts"), col("event_id"))
-          .withColumn("prev", lag(col("ts"), 1).over(w))
-          .withColumn("ns", when(col("prev").isNull ||
-            expr("unix_micros(ts) - unix_micros(prev)") >= 1800000000L, 1L)
-            .otherwise(0L))
-          .withColumn("sid", sum("ns").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "sid")
-          .agg(expr("unix_micros(min(ts))").as("st"),
-            expr("unix_micros(max(ts)) + 1800000000").as("en"))
-      }
+      def sessions(tp: String) = sessionsOf(s, d, tp)
       val v = sessions("view")
         .select(col("user_id"), col("st").as("v_st"), col("en").as("v_en"))
       val p = sessions("purchase")
@@ -255,10 +243,31 @@ object JoinQueries {
     })
   )
 
+  /** THE gaps-and-islands session frame (user_id, sid, st, en) for one
+    * event type — 30-min gap, epoch-µs integers, en = last_ts + gap.
+    * ONE definition shared by join_interval_overlap and ts_concurrency
+    * (mirrored by sessionCtes), so the two interval consumers can never
+    * disagree on what a session is. */
+  private[queries] def sessionsOf(s: SparkSession, d: String,
+      tp: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d).where(col("event_type") === tp)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("ns", when(col("prev").isNull ||
+        expr("unix_micros(ts) - unix_micros(prev)") >= 1800000000L, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum("ns").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(expr("unix_micros(min(ts))").as("st"),
+        expr("unix_micros(max(ts)) + 1800000000").as("en"))
+  }
+
   /** Gaps-and-islands session CTEs for one event type (prefix `x`) —
     * epoch-µs integer arithmetic, (ts, event_id) ordering, the exact
-    * mirror of the Spark sessions() window in join_interval_overlap. */
-  private def sessionCtes(x: String, tp: String): String =
+    * mirror of sessionsOf. */
+  private[queries] def sessionCtes(x: String, tp: String): String =
     s"m$x AS (SELECT user_id, ts, event_id, " +
       "CASE WHEN lag(ts) OVER w IS NULL OR " +
       "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS ns " +

@@ -204,6 +204,22 @@ object SampleQueries {
         .orderBy("doc_id")
     }),
 
+    // Content-keyed split (r6g) — the leakage guard split_train_test
+    // lacks: keying the split hash on the NORMALIZED CONTENT hash
+    // (TextQueries.contentHash — the exact-dedup definition) instead of
+    // doc_id means byte-identical duplicates can NEVER straddle
+    // train/test (with id-keyed splits, a duplicated doc lands in train
+    // AND test and the eval leaks). Same salted-hash machinery, same
+    // 80/10/10 buckets, still row-local and rebuild-stable; SampleSpec
+    // pins the co-assignment property on the fixture's actual
+    // duplicates.
+    "split_by_content" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", TextQueries.contentHash(col("text")))
+        .withColumn("split", splitCol(col("h")))
+        .select(col("doc_id"), col("h"), col("split"))
+        .orderBy("doc_id")),
+
     // K-fold cross-validation assignment (r6g) — the evaluation-side
     // sibling of split_train_test: fold = salted_hash(doc) mod 5, a pure
     // row-local function of doc_id (map-side, no reservoir state, stable
@@ -422,6 +438,14 @@ object SampleQueries {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM b) " +
        "SELECT doc_id, source, n_tok, cum_before FROM c " +
        s"WHERE cum_before < $tokenBudget ORDER BY doc_id"),
+    "split_by_content" ->
+      // the exact-dedup normalization ('g' flag), then the split-salted
+      // hash keyed on the hex digest — identical buckets
+      ("WITH b AS (SELECT doc_id, " +
+       "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents), " +
+       "m AS (SELECT doc_id, h, " + phashSql("h", "split:") + " % 100 AS bk FROM b) " +
+       "SELECT doc_id, h, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'valid' " +
+       "ELSE 'test' END AS split FROM m ORDER BY doc_id"),
     "sample_kfold" ->
       // same salted hash, same mod-5 fold; len() cast to INT, SUM cast
       // back from HUGEINT

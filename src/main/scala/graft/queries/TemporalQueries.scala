@@ -130,6 +130,25 @@ object TemporalQueries {
         .orderBy("h")
     }),
 
+    // Concurrent-session occupancy (r6g) — "how many sessions are alive
+    // each hour": the capacity-planning gauge (ts_session censuses
+    // sessions; this measures their OVERLAP, which is what sizes a
+    // serving fleet). Sessions come from THE shared gaps-and-islands
+    // frame (JoinQueries.sessionsOf — one definition with
+    // join_interval_overlap, mirrored by sessionCtes), each session
+    // explodes into its covered epoch-hours (bounded: sessions are
+    // gap-bounded), and occupancy is one partial-aggregable groupBy per
+    // hour. All epoch-µs/hour integers; Spark sequence is inclusive,
+    // DuckDB range exclusive (+1 — the r3 rule).
+    "ts_concurrency" -> ((s, d) =>
+      JoinQueries.sessionsOf(s, d, "view")
+        .selectExpr("user_id",
+          "explode(sequence(st DIV 3600000000, en DIV 3600000000)) AS hr")
+        .groupBy("hr")
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hr")),
+
     // Day-of-week × hour activity heatmap (r6g) — the weekly-rhythm
     // profile next to ts_seasonal_baseline's hour-of-day baseline (a
     // weekday-9am spike and a sunday-9am spike are different stories):
@@ -700,6 +719,14 @@ object TemporalQueries {
        "CAST(SUM(actual) * 1000000 AS BIGINT) AS sum_act FROM fc) " +
        s"SELECT h, day, actual, forecast_u, abs_err_u, $wapeF AS wape " +
        "FROM fc CROSS JOIN agg ORDER BY h"),
+    "ts_concurrency" ->
+      // the shared session CTEs verbatim; range stop +1 mirrors the
+      // inclusive Spark sequence
+      (s"WITH ${JoinQueries.sessionCtes("v", "view")}, " +
+       "hb AS (SELECT user_id, unnest(range(st // 3600000000, (en // 3600000000) + 1)) AS hr FROM gv) " +
+       "SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_sessions, " +
+       "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
+       "FROM hb GROUP BY 1 ORDER BY hr"),
     "ts_dow_hour_heatmap" ->
       // DuckDB dayofweek == Spark dayofweek − 1; identical dense grid,
       // HUGEINT cent sums cast back, zero-filled

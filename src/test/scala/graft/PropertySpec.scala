@@ -323,6 +323,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ts_concurrency: in-memory session-occupancy recompute") {
+    val ev = Tables.events(spark, sf).where(col("event_type") === "view")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the shared gaps-and-islands semantics: 30-min gap, en = last + gap
+    val sessions = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { e =>
+        spans.lastOption match {
+          case Some((st, lastTs)) if e._2 - lastTs < 1800000000L =>
+            spans(spans.length - 1) = (st, e._2)
+          case _ => spans += ((e._2, e._2))
+        }
+      }
+      spans.map { case (st, lastTs) => (g.head._1, st, lastTs + 1800000000L) }
+    }.toSeq
+    val occ = sessions.flatMap { case (u, st, en) =>
+      (st / 3600000000L to en / 3600000000L).map(hr => (hr, u))
+    }
+    val expected = occ.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).distinct.size.toLong)).toMap
+    val rows = SparkEntry.queries("ts_concurrency")(spark, sf).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (n, u) = expected(r.getLong(0))
+      assert(r.getLong(1) === n && r.getLong(2) === u, s"hour ${r.getLong(0)}")
+      assert(r.getLong(1) >= r.getLong(2), "sessions >= users every hour")
+    }
+  }
+
   test("dq_header_detail: census closure and in-memory gap recompute") {
     val lineCents = "CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)"
     val det = Tables.lineitem(spark, sf)

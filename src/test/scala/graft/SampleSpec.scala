@@ -28,6 +28,35 @@ class SampleSpec extends SparkSpec {
     assert(counts("train") > counts("valid") && counts("train") > counts("test"))
   }
 
+  test("split_by_content co-assigns exact duplicates; buckets populated") {
+    val rows = SparkEntry.queries("split_by_content")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length.toLong === Tables.documents(spark, sf).count())
+    // the leakage guard: every normalized-content group lands in ONE split
+    val byHash = rows.groupBy(_._2)
+    byHash.foreach { case (h, g) =>
+      assert(g.map(_._3).distinct.length === 1,
+        s"content $h straddles splits: ${g.map(_._3).distinct}")
+    }
+    // exercise the guard on PLANTED duplicates (sf0.001 has none): two
+    // byte-identical docs and a case/punct variant must co-assign; the
+    // id-keyed splitter is the broken control
+    val planted = Tables.documents(spark, sf).limit(1).selectExpr("text").collect()(0).getString(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_split_content").toString
+    import spark.implicits._
+    Seq((1L, "a", planted), (2L, "b", planted), (3L, "c", planted.toUpperCase + "!!"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = SparkEntry.queries("split_by_content")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(p.map(_._2).distinct.length === 1,
+      "planted exact+normalized duplicates must share one split")
+    val counts = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(counts.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(counts("train") > counts.getOrElse("valid", 0) &&
+      counts("train") > counts.getOrElse("test", 0))
+  }
+
   test("sample_kfold partitions the corpus, covers all folds, and balances") {
     val rows = SparkEntry.queries("sample_kfold")(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
