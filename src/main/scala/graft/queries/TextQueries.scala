@@ -223,6 +223,35 @@ object TextQueries {
     * Jaccard is pinned in CatalogSpec. est values are multiples of 1/32
     * (one exact IEEE division). */
   private val queries4: Map[String, Q] = Map(
+    // Dedup-pipeline funnel census (r6g) — the ONE-ROW observability
+    // report a curation run logs after every dedup pass: corpus size →
+    // exact-unique mass → candidate pairs → near-dup clusters (size
+    // ≥ 2) → docs swallowed by them → docs remaining after one-
+    // survivor-per-cluster. Every stage reads the SHARED definitions
+    // (contentHash, minhashPairs, clusterSurvivorsOver), so the funnel
+    // can never disagree with the queries it summarizes; the exact-
+    // unique count is a keyed distinct THEN a partial-aggregable count
+    // (never count_distinct in a keys=[] aggregate — the r6d
+    // PlanGuard rule). The oracle composes the same mirrored CTEs and
+    // the recursive closure.
+    "text_dedup_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val nUniq = docs.select(contentHash(col("text")).as("h")).distinct()
+        .agg(count(lit(1)).as("n_exact_unique"))
+      val pairs = minhashPairs(s, d).localCheckpoint(true)
+      val nPairs = pairs.agg(count(lit(1)).as("n_candidate_pairs"))
+      val surv = clusterSurvivorsOver(s, d, pairs)
+      val cl = surv.agg(
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_multi_clusters"),
+        sum(when(col("csize") > 1, col("csize")).otherwise(0L)).as("n_docs_in_multi"),
+        count(lit(1)).as("n_after_neardup"))
+      nDocs.crossJoin(broadcast(nUniq)).crossJoin(broadcast(nPairs))
+        .crossJoin(broadcast(cl))
+        .select(col("n_docs"), col("n_exact_unique"), col("n_candidate_pairs"),
+          col("n_multi_clusters"), col("n_docs_in_multi"), col("n_after_neardup"))
+    }),
+
     "dedup_minhash_est" -> ((s, d) => {
       val sigs = minhashSigs(Tables.documents(s, d))
       val sa = sigs.select(col("doc_id").as("doc_a") +:
@@ -460,6 +489,25 @@ object TextQueries {
       "FROM r WHERE rn = 1 ORDER BY cluster_id"
 
   val oracle: Map[String, String] = Map(
+    "text_dedup_funnel" ->
+      // the same mirrored pair CTEs + recursive closure, stage counts
+      // composed in one emission
+      (s"WITH RECURSIVE pairs AS ($minhashPairsSql), " +
+       "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+       "reach AS (SELECT doc_id AS doc, doc_id AS r FROM documents " +
+       "UNION SELECT e.v AS doc, reach.r AS r FROM reach JOIN e ON e.u = reach.doc), " +
+       "c AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc), " +
+       "cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize FROM c GROUP BY 1), " +
+       "n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), " +
+       "n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_unique FROM " +
+       "(SELECT DISTINCT sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) FROM documents)), " +
+       "n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs FROM pairs), " +
+       "n4 AS (SELECT CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_clusters, " +
+       "CAST(SUM(CASE WHEN csize > 1 THEN csize ELSE 0 END) AS BIGINT) AS n_docs_in_multi, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_after_neardup FROM cs) " +
+       "SELECT n_docs, n_exact_unique, n_candidate_pairs, n_multi_clusters, " +
+       "n_docs_in_multi, n_after_neardup FROM n1 CROSS JOIN n2 CROSS JOIN n3 CROSS JOIN n4"),
     "dedup_minhash_est" -> {
       val agreeSql = (0 until 32)
         .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")

@@ -26,6 +26,25 @@ class PipelineSpec extends SparkSpec {
     base.unionByName(dirty)
   }
 
+  test("text_dedup_funnel reconciles against the queries it summarizes") {
+    val r = SparkEntry.queries("text_dedup_funnel")(spark, sf).collect()(0)
+    val (nDocs, nUniq, nPairs, nMulti, nInMulti, nAfter) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nDocs === Tables.documents(spark, sf).count())
+    assert(nUniq ===
+      SparkEntry.queries("text_normalize_dedup_exact")(spark, sf).count(),
+      "exact-unique stage must equal the exact-dedup query's survivors")
+    assert(nPairs === SparkEntry.queries("text_minhash_lsh")(spark, sf).count(),
+      "candidate stage must equal the LSH pair query")
+    assert(nAfter ===
+      SparkEntry.queries("text_dedup_cluster_survivor")(spark, sf).count(),
+      "final stage must equal the cluster-survivor query")
+    // funnel arithmetic: clusters absorb docs; survivors release one each
+    assert(nAfter === nDocs - nInMulti + nMulti, "cluster mass balance")
+    assert(nUniq <= nDocs && nAfter <= nDocs && nMulti <= nInMulti)
+    assert(nMulti === 0L || nInMulti >= 2 * nMulti, "multi clusters have >= 2 docs")
+  }
+
   test("observe piggybacks DQ metrics on the landing pass (no second scan)") {
     // The 100 TB DQ pattern: df.observe attaches aggregate metrics to the
     // SAME physical pass that lands the data — rule counts arrive with the
