@@ -448,6 +448,30 @@ object AggQueries {
         .orderBy("grp")
     }),
 
+    // Jarque–Bera normality TEST (r6g) — agg_skew_kurt measures shape,
+    // this DECIDES: JB = n/6·(S² + K²/4) against the χ²(2) 5% critical
+    // value (5.99). Deliberately shares the exact-integer moment frame
+    // and the UNROUNDED skew/kurt strings (skewKurtRaw — squaring the
+    // rounded display values would corrupt the statistic), so the
+    // descriptive and decision queries can never disagree about the
+    // distribution. Same map-side partial moments, bounded output; the
+    // verdict is a comparison of the shared rounded statistic on both
+    // engines.
+    "agg_jarque_bera" -> ((s, d) => {
+      val cd = expr("CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cd).as("s1"), sum(cd * cd).as("s2"),
+          sum(cd * cd * cd).as("s3"), sum(cd * cd * cd * cd).as("s4"))
+        .selectExpr("grp", "n_items",
+          "CAST(n_items AS DOUBLE) AS n", "CAST(s1 AS DOUBLE) AS m1",
+          "CAST(s2 AS DOUBLE) AS m2", "CAST(s3 AS DOUBLE) AS m3",
+          "CAST(s4 AS DOUBLE) AS m4")
+        .selectExpr("grp", "n_items", s"$jbF AS jb", s"$jbFlagF AS non_normal")
+        .orderBy("grp")
+    }),
+
     // Sketch ROLLUP — the pattern that makes approximate distinct usable
     // at 100 TB: build HLL sketches at the fine grain (per nation, as a
     // landing job would persist per shard/day), then roll up by MERGING
@@ -512,12 +536,29 @@ object AggQueries {
     * verbatim by both so every intermediate IEEE op matches bit-for-bit.
     * Standardization uses v*sqrt(v) (correctly-rounded primitives), never
     * pow. Moments are in cents; skew/kurt are scale-invariant. */
-  private def skewKurtFormulas: (String, String) = {
+  /** UNROUNDED skewness / excess-kurtosis strings over the double-cast
+    * exact moments (n, m1..m4) — the shared core of agg_skew_kurt's
+    * display emissions AND agg_jarque_bera's test statistic (which must
+    * square the raw values, not the rounded ones). */
+  private def skewKurtRaw: (String, String) = {
     val mu = "(m1/n)"
     val v = s"(m2/n - $mu*$mu)"
-    (s"round((m3/n - 3*$mu*(m2/n) + 2*$mu*$mu*$mu) / ($v * sqrt($v)), 6)",
-     s"round((m4/n - 4*$mu*(m3/n) + 6*$mu*$mu*(m2/n) - 3*$mu*$mu*$mu*$mu) / ($v * $v) - 3, 6)")
+    (s"((m3/n - 3*$mu*(m2/n) + 2*$mu*$mu*$mu) / ($v * sqrt($v)))",
+     s"((m4/n - 4*$mu*(m3/n) + 6*$mu*$mu*(m2/n) - 3*$mu*$mu*$mu*$mu) / ($v * $v) - 3)")
   }
+
+  private def skewKurtFormulas: (String, String) = {
+    val (s0, k0) = skewKurtRaw
+    (s"round($s0, 6)", s"round($k0, 6)")
+  }
+
+  /** Jarque–Bera statistic + 5% verdict off the raw skew/kurt strings —
+    * one fixed-order chain, shared verbatim (defs: init-order rule). */
+  private def jbF: String = {
+    val (s0, k0) = skewKurtRaw
+    s"round((n / 6.0) * ($s0 * $s0 + ($k0 * $k0) / 4.0), 6)"
+  }
+  private def jbFlagF: String = s"$jbF > 5.99"
 
   /** Shared least-squares formula texts over the double-cast exact sums
     * (n, sx, sy, sxy, sxx, syy) — one definition for both engines, so
@@ -550,6 +591,19 @@ object AggQueries {
       ("SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, " +
        "COUNT(*) AS n_nations FROM nation JOIN region ON n_regionkey = r_regionkey " +
        "GROUP BY 1 ORDER BY 1"),
+    "agg_jarque_bera" ->
+      // same moment CTEs as the skew_kurt oracle, the shared raw-string
+      // JB chain and the same 5.99 comparison
+      ("WITH b AS (SELECT l_returnflag AS grp, " +
+       "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c FROM lineitem), " +
+       "m AS (SELECT grp, COUNT(*) AS n_items, " +
+       "CAST(COUNT(*) AS DOUBLE) AS n, " +
+       "CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS m1, " +
+       "CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS m2, " +
+       "CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS m3, " +
+       "CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS m4 FROM b GROUP BY 1) " +
+       s"SELECT grp, n_items, $jbF AS jb, $jbFlagF AS non_normal " +
+       "FROM m ORDER BY grp"),
     "agg_skew_kurt" -> {
       val (skewF, kurtF) = skewKurtFormulas
       "WITH b AS (SELECT l_returnflag AS grp, " +

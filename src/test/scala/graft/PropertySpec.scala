@@ -323,6 +323,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("agg_jarque_bera: exact-moment recompute; verdict consistent") {
+    val raw = Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+    val rows = SparkEntry.queries("agg_jarque_bera")(spark, sf).collect()
+    val byGrp = raw.groupBy(_._1)
+    assert(rows.length === byGrp.size)
+    rows.foreach { r =>
+      val cs = byGrp(r.getString(0)).map(_._2)
+      val n = cs.length.toDouble
+      val (m1, m2, m3, m4) = (cs.sum.toDouble, cs.map(c => c * c).sum.toDouble,
+        cs.map(c => c * c * c).sum.toDouble, cs.map(c => c * c * c * c).sum.toDouble)
+      val mu = m1 / n
+      val v = m2 / n - mu * mu
+      val s0 = (m3 / n - 3 * mu * (m2 / n) + 2 * mu * mu * mu) / (v * math.sqrt(v))
+      val k0 = (m4 / n - 4 * mu * (m3 / n) + 6 * mu * mu * (m2 / n) - 3 * mu * mu * mu * mu) / (v * v) - 3
+      val jb = math.rint((n / 6.0) * (s0 * s0 + (k0 * k0) / 4.0) * 1e6) / 1e6
+      assert(r.getLong(1) === cs.length.toLong)
+      assert(math.abs(r.getDouble(2) - jb) < math.max(1.1e-6, jb * 1e-9),
+        s"${r.getString(0)} jb: ${r.getDouble(2)} vs $jb")
+      assert(r.getBoolean(3) === (r.getDouble(2) > 5.99), "verdict must follow jb")
+      assert(r.getDouble(2) >= 0.0, "JB is a sum of squares")
+    }
+  }
+
   test("ts_concurrency: in-memory session-occupancy recompute") {
     val ev = Tables.events(spark, sf).where(col("event_type") === "view")
       .selectExpr("user_id", "unix_micros(ts) AS us", "event_id").collect()
