@@ -680,6 +680,53 @@ object CdcQueries {
         .orderBy("part")
     }),
 
+    // SCD Type-3 dimension (r6g) — the third member of the SCD family
+    // (type 2 = scd2_windows history rows, as-of reads = scd2_asof_
+    // lookup; type 3 keeps ONE prior-value COLUMN on the current row —
+    // the "previous price" report dimensional models actually ship when
+    // full history is overkill). Built from THE shared upsert fixture
+    // frames (upsertBase/upsertChanges — one definition with
+    // cdc_merge_upsert and the streaming UpsertProcessor): deletes
+    // drop, inserts carry a null prior, updates carry the superseded
+    // value. Exact decimal comparison picks the changed rows; only the
+    // emission casts to double.
+    "scd2_type3" -> ((s, d) =>
+      upsertBase(s, d)
+        .join(upsertChanges(s, d).select(col("key"), col("op"), col("c_price")),
+          Seq("key"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .selectExpr("key",
+          "CAST(CASE WHEN op IS NULL THEN price ELSE c_price END AS DOUBLE) AS price_current",
+          "CAST(CASE WHEN op = 'U' THEN price END AS DOUBLE) AS price_prior",
+          "COALESCE(op = 'I', false) AS is_new")
+        .orderBy("key")),
+
+    // Candidate-key uniqueness audit (r6g) — the "which column set is
+    // actually the primary key" census a migration runs before it
+    // trusts any join or MERGE: for each declared candidate key, the
+    // distinct count, duplicated-row mass, and worst multiplicity (the
+    // (l_orderkey, l_linenumber) row is the live demonstration — the
+    // fixture VIOLATES the documented compound key, the exact trap
+    // FIXTURES.md originally mis-stated). One keyed re-aggregation per
+    // candidate (two-phase counts, map-side partials), bounded union
+    // output; the verdict column is pure integer equality.
+    "dq_key_uniqueness" -> ((s, d) => {
+      def audit(name: String, df: org.apache.spark.sql.DataFrame,
+          keys: Seq[String]) =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n_rows"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_rows"),
+            max("c").as("max_mult"))
+          .selectExpr(s"'$name' AS candidate_key", "n_rows", "n_distinct",
+            "n_dup_rows", "max_mult", "n_distinct = n_rows AS is_unique")
+      audit("customer.c_custkey", Tables.customer(s, d), Seq("c_custkey"))
+        .union(audit("lineitem.l_orderkey", Tables.lineitem(s, d), Seq("l_orderkey")))
+        .union(audit("lineitem.l_orderkey+l_linenumber", Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber")))
+        .union(audit("orders.o_orderkey", Tables.orders(s, d), Seq("o_orderkey")))
+        .orderBy("candidate_key")
+    }),
+
     // Header-vs-detail reconciliation (r6g) — the first cross-TABLE
     // consistency check a migration runs (dq_checks audits rows,
     // dq_partition_checksum audits partitions; this audits the header/
@@ -947,6 +994,29 @@ object CdcQueries {
        "CAST(COUNT(*) // 2 - 1 AS INT) AS df FROM tr) " +
        "SELECT event_type, cohort, obs, expected, ROUND(term_raw, 6) AS term, " +
        "ROUND(chi2_raw, 6) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
+    "scd2_type3" ->
+      // the shared upsert CTE prefix verbatim; identical null/op logic
+      (s"WITH $upsertCtesSql " +
+       "SELECT COALESCE(b.key, g.key) AS key, " +
+       "CAST(CASE WHEN g.op IS NULL THEN b.price ELSE g.c_price END AS DOUBLE) AS price_current, " +
+       "CAST(CASE WHEN g.op = 'U' THEN b.price END AS DOUBLE) AS price_prior, " +
+       "COALESCE(g.op = 'I', false) AS is_new " +
+       "FROM base b FULL OUTER JOIN changes g ON b.key = g.key " +
+       "WHERE g.op IS NULL OR g.op <> 'D' ORDER BY key"),
+    "dq_key_uniqueness" ->
+      // one keyed re-aggregation per candidate, unioned; SUM cast back
+      // from HUGEINT; identical integer verdict
+      ((Seq(
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_orderkey+l_linenumber", "lineitem", "l_orderkey, l_linenumber"),
+        ("orders.o_orderkey", "orders", "o_orderkey")).map { case (nm, tbl, ks) =>
+          s"SELECT '$nm' AS candidate_key, CAST(SUM(c) AS BIGINT) AS n_rows, " +
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct, " +
+            "CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows, " +
+            "MAX(c) AS max_mult, COUNT(*) = CAST(SUM(c) AS BIGINT) AS is_unique " +
+            s"FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM $tbl GROUP BY $ks)"
+        }.mkString(" UNION ALL ")) + " ORDER BY candidate_key"),
     "dq_header_detail" ->
       // the shared lineCentsF verbatim, HUGEINT detail sums, identical
       // integer gap census; SUM/COUNT cast back

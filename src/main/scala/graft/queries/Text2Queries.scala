@@ -333,6 +333,29 @@ object Text2Queries {
         .orderBy("source")
     }),
 
+    // Doc-length profile per source (r6g) — the truncation/packing
+    // planner's table (context windows are sized against length
+    // percentiles, not means): exact discrete p10/p50/p90 token counts
+    // per source via the agg_percentile_disc integer rank rule ((ts,
+    // doc_id)-unique ordering, position ((n−1)·p) DIV den + 1), plus
+    // total token mass. ENTIRELY integer — nothing to round anywhere.
+    // One keyed window + one partial-aggregable groupBy per source.
+    "text_doclen_profile" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy(col("tk"), col("doc_id"))
+      val b = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("tk"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      def pick(num: Int, den: Int) =
+        max(when(col("rn") === expr(s"((n - 1) * $num) DIV $den + 1"), col("tk")))
+      b.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk").cast("long")).as("n_tokens"),
+          pick(1, 10).as("p10_tokens"), pick(1, 2).as("p50_tokens"),
+          pick(9, 10).as("p90_tokens"), max("tk").as("max_tokens"))
+        .orderBy("source")
+    }),
+
     // Quality-score distribution census (r6g) — the observability
     // companion to text_quality_gate / sample_quality_weighted: bucket
     // every doc's shared quality score into basis-point deciles
@@ -773,6 +796,20 @@ object Text2Queries {
          s"j AS (SELECT bg, t.x AS x, t.y AS y, cnt, cx, cy, n_tot FROM tk$collK t " +
          "JOIN xc ON t.x = xc.x JOIN yc ON t.y = yc.y CROSS JOIN tot) " +
          s"SELECT bg, x, y, cnt, cx, cy, $pmiF AS pmi FROM j ORDER BY cnt DESC, bg"),
+      "text_doclen_profile" ->
+        // identical rank selection (// == DIV), len cast to INT to match
+        // Spark's size(); ROW_NUMBER/COUNT windows; all-integer output
+        ("WITH b AS (SELECT source, doc_id, " +
+         "CAST(len(string_split(text, ' ')) AS INT) AS tk FROM documents), " +
+         "w AS (SELECT source, tk, " +
+         "ROW_NUMBER() OVER (PARTITION BY source ORDER BY tk, doc_id) AS rn, " +
+         "COUNT(*) OVER (PARTITION BY source) AS n FROM b) " +
+         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+         "CAST(SUM(CAST(tk AS BIGINT)) AS BIGINT) AS n_tokens, " +
+         "MAX(CASE WHEN rn = ((n - 1) * 1) // 10 + 1 THEN tk END) AS p10_tokens, " +
+         "MAX(CASE WHEN rn = ((n - 1) * 1) // 2 + 1 THEN tk END) AS p50_tokens, " +
+         "MAX(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN tk END) AS p90_tokens, " +
+         "MAX(tk) AS max_tokens FROM w GROUP BY source ORDER BY source"),
       "text_quality_histogram" ->
         // the shared quality formula, identical bp/bucket integers,
         // zero-filled 0..10 grid (NULL min/max on empty buckets)

@@ -323,6 +323,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2_type3: current equals the merged table; priors only on true updates") {
+    val merged = SparkEntry.queries("cdc_merge_upsert")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val rows = SparkEntry.queries("scd2_type3")(spark, sf).collect()
+    assert(rows.length === merged.size,
+      "type-3 dimension must carry exactly the merged key set")
+    var nPrior = 0
+    rows.foreach { r =>
+      assert(merged(r.getLong(0)) === r.getDouble(1),
+        s"key ${r.getLong(0)} current price diverges from cdc_merge_upsert")
+      if (!r.isNullAt(2)) {
+        nPrior += 1
+        assert(r.getDouble(2) !== r.getDouble(1), "a prior must differ from current")
+        assert(!r.getBoolean(3), "an insert cannot carry a prior")
+      }
+    }
+    assert(nPrior > 0, "fixture must contain updates")
+    assert(rows.exists(_.getBoolean(3)), "fixture must contain inserts")
+  }
+
+  test("dq_key_uniqueness: per-candidate recompute; the compound-key trap flags") {
+    val rows = SparkEntry.queries("dq_key_uniqueness")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(rows.size === 4)
+    // true keys audit clean
+    Seq("customer.c_custkey", "orders.o_orderkey").foreach { k =>
+      val (n, nd, dup, mx, uniq) = rows(k)
+      assert(uniq && n === nd && dup === 0L && mx === 1L, s"$k should be unique")
+    }
+    // the FIXTURES.md lesson, now a declared audit row: the documented
+    // compound key is NOT unique on these fixtures
+    val (n2, nd2, dup2, mx2, uniq2) = rows("lineitem.l_orderkey+l_linenumber")
+    assert(!uniq2 && nd2 < n2 && dup2 > 0L && mx2 > 1L,
+      "the lineitem compound key must flag as non-unique")
+    // in-memory recompute of one audit
+    val li = Tables.lineitem(spark, sf).selectExpr("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byKey = li.groupBy(identity).view.mapValues(_.length).toMap
+    assert(n2 === li.length.toLong && nd2 === byKey.size.toLong)
+    assert(dup2 === byKey.values.filter(_ > 1).sum.toLong)
+    assert(mx2 === byKey.values.max.toLong)
+  }
+
+  test("text_doclen_profile: exact per-source percentile recompute") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "doc_id", "CAST(size(split(text, ' ')) AS INT)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val rows = SparkEntry.queries("text_doclen_profile")(spark, sf).collect()
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.length === bySrc.size)
+    rows.foreach { r =>
+      val g = bySrc(r.getString(0)).sortBy(t => (t._3, t._2)).map(_._3)
+      val n = g.length.toLong
+      def pick(num: Long, den: Long) = g((((n - 1) * num) / den).toInt)
+      assert(r.getLong(1) === n && r.getLong(2) === g.map(_.toLong).sum)
+      assert(r.getInt(3) === pick(1, 10) && r.getInt(4) === pick(1, 2) &&
+        r.getInt(5) === pick(9, 10) && r.getInt(6) === g.max)
+      assert(r.getInt(3) <= r.getInt(4) && r.getInt(4) <= r.getInt(5) &&
+        r.getInt(5) <= r.getInt(6), "percentiles must be ordered")
+    }
+  }
+
   test("agg_jarque_bera: exact-moment recompute; verdict consistent") {
     val raw = Tables.lineitem(spark, sf)
       .selectExpr("l_returnflag", "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
