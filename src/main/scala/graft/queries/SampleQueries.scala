@@ -238,6 +238,30 @@ object SampleQueries {
         .orderBy("fold", "source")
     }),
 
+    // Sequence-packing plan (r6g) — THE causal-LM batching op: docs
+    // concatenate in a deterministic salted order per source and split
+    // into fixed 512-token context windows (concat-then-split — a doc
+    // straddling a boundary simply continues into the next sequence,
+    // exactly how GPT-style packing fills context). The emission records
+    // each doc's landing: sequence index and offset = pure integer
+    // functions of the exclusive token prefix-sum (the
+    // sample_token_budget window with DIV/% instead of a threshold), so
+    // the plan is rebuild-stable and engine-independent. One window per
+    // source; at extreme per-source cardinality the same prefix-sum
+    // decomposes via the two-pass globalRank shape.
+    "sample_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).as("n_tok"),
+          phash(col("doc_id"), "pack:").as("hk"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .selectExpr("doc_id", "source", "n_tok",
+          "cum_before DIV 512 AS seq_id", "cum_before % 512 AS seq_offset")
+        .orderBy("doc_id")
+    }),
+
     // Quality-WEIGHTED sampling: each doc keeps with probability equal to
     // its own quality score (CCNet-style quality-proportional curation —
     // stratified rates are per-SOURCE policy; this is per-DOC signal).
@@ -454,6 +478,17 @@ object SampleQueries {
        "CAST(len(string_split(text, ' ')) AS INT) AS tk FROM documents) " +
        "SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
        "CAST(SUM(tk) AS BIGINT) AS n_tokens FROM a GROUP BY 1, 2 ORDER BY 1, 2"),
+    "sample_pack_sequences" ->
+      // the token_budget exclusive-cumsum mirror with the 'pack:' salt;
+      // // == DIV and % match on the nonnegative prefix sums
+      ("WITH b AS (SELECT doc_id, source, " +
+       "CAST(len(string_split(text, ' ')) AS INT) AS n_tok, " +
+       phashSql("doc_id", "pack:") + " AS hk FROM documents), " +
+       "c AS (SELECT doc_id, source, n_tok, " +
+       "CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM b) " +
+       "SELECT doc_id, source, n_tok, cum_before // 512 AS seq_id, " +
+       "cum_before % 512 AS seq_offset FROM c ORDER BY doc_id"),
     "sample_quality_weighted" ->
       ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
        "m AS (SELECT doc_id, source, " +

@@ -57,6 +57,26 @@ class SampleSpec extends SparkSpec {
       counts("train") > counts.getOrElse("test", 0))
   }
 
+  test("sample_pack_sequences: per-source packing chain is gapless and exhaustive") {
+    val rows = SparkEntry.queries("sample_pack_sequences")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length.toLong === Tables.documents(spark, sf).count())
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      // reconstruct the concat stream: positions sorted ascending must
+      // chain exactly (next start = prev start + prev token count)
+      val chain = g.map(t => (t._4 * 512 + t._5, t._3)).sortBy(_._1)
+      assert(chain.head._1 === 0L, s"$src stream must start at offset 0")
+      chain.zip(chain.tail).foreach { case ((c0, n0), (c1, _)) =>
+        assert(c1 === c0 + n0, s"$src packing chain has a gap at $c0") }
+      // offsets live inside the context window
+      g.foreach(t => assert(t._5 >= 0 && t._5 < 512, s"$src offset ${t._5}"))
+      // every doc's start lands in the sequence its offset claims
+      val total = chain.last._1 + chain.last._2
+      assert(g.map(_._3.toLong).sum === total, s"$src token mass")
+      assert(g.map(_._4).max === chain.last._1 / 512, s"$src last sequence id")
+    }
+  }
+
   test("sample_kfold partitions the corpus, covers all folds, and balances") {
     val rows = SparkEntry.queries("sample_kfold")(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
