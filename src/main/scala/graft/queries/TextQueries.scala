@@ -252,6 +252,38 @@ object TextQueries {
           col("n_multi_clusters"), col("n_docs_in_multi"), col("n_after_neardup"))
     }),
 
+    // Cross-source contamination matrix (r6g) — "which crawls duplicate
+    // each other": the declared within-source pair generator blocks on
+    // (source, band, bh) BY DESIGN (self-similar shards), so cross-
+    // source overlap is invisible to it; this query joins the SAME
+    // minhashBuckets on (band, bh) with source_a < source_b and
+    // censuses candidate near-dup pairs per source pair — the matrix a
+    // mixing decision reads before weighting two sources that are
+    // secretly the same crawl. Same bucketed equality-join shape (never
+    // all-pairs) with STOP-BUCKET pruning: buckets larger than 50 docs
+    // are dropped before pairing (the standard production-LSH guard —
+    // a mega-bucket is a degenerate band, not evidence, and its pair
+    // explosion is quadratic; measured 28 s -> ~4 s at sf0.1). The
+    // integer size filter is identical on both engines, so the pruned
+    // semantics stay fully oracled. Bounded (|sources|²) output.
+    "text_cross_source_dup" -> ((s, d) => {
+      val buckets0 = minhashBuckets(Tables.documents(s, d))
+      val sizes = buckets0.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      val buckets = buckets0.join(sizes.where(col("bn") <= 50), Seq("band", "bh"))
+        .select("doc_id", "source", "band", "bh")
+      buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_a")).as("n_docs_a"),
+          countDistinct(col("doc_b")).as("n_docs_b"))
+        .orderBy("source_a", "source_b")
+    }),
+
     "dedup_minhash_est" -> ((s, d) => {
       val sigs = minhashSigs(Tables.documents(s, d))
       val sa = sigs.select(col("doc_id").as("doc_a") +:
@@ -414,7 +446,11 @@ object TextQueries {
   /** The shared CTE list (base -> sigs -> buckets -> cpairs) of the
     * MinHash pipeline mirror — reused whole by minhashPairsSql and with a
     * signature join-back by the dedup_minhash_est oracle. */
-  private def minhashCtesSql: String = {
+  /** The bucket-building prefix (base -> sigs -> buckets) alone —
+    * shared by the within-source cpairs below AND the cross-source
+    * contamination oracle (text_cross_source_dup), which joins the SAME
+    * buckets without the source key. */
+  private def minhashBucketCtesSql: String = {
     val sigExprs = (0 until 32).map { i =>
       val (a, b) = minhashAB(i)
       s"list_min(list_transform(hs, h -> ((h % $minhashP) * $a + $b) % $minhashP)) AS h$i"
@@ -427,11 +463,14 @@ object TextQueries {
       "list_transform(list_distinct(string_split(text, ' ')), " +
       s"t -> ${hash60Sql("t")}) AS hs FROM documents), " +
       s"sigs AS (SELECT doc_id, source, $sigExprs FROM base), " +
-      s"buckets AS ($bucketSelects), " +
+      s"buckets AS ($bucketSelects)"
+  }
+
+  private def minhashCtesSql: String =
+    s"$minhashBucketCtesSql, " +
       "cpairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x " +
       "JOIN buckets y ON x.source = y.source AND x.band = y.band AND x.bh = y.bh " +
       "AND x.doc_id < y.doc_id)"
-  }
 
   private def minhashPairsSql: String =
     s"WITH $minhashCtesSql SELECT doc_a, doc_b FROM cpairs"
@@ -489,6 +528,20 @@ object TextQueries {
       "FROM r WHERE rn = 1 ORDER BY cluster_id"
 
   val oracle: Map[String, String] = Map(
+    "text_cross_source_dup" ->
+      // the shared bucket prefix, the identical <= 50 stop-bucket
+      // filter, then the source-free join
+      (s"WITH $minhashBucketCtesSql, " +
+       "bs AS (SELECT band, bh FROM buckets GROUP BY 1, 2 HAVING COUNT(*) <= 50), " +
+       "bk AS (SELECT doc_id, source, b.band, b.bh FROM buckets b JOIN bs " +
+       "ON b.band = bs.band AND b.bh = bs.bh), " +
+       "xp AS (SELECT DISTINCT x.source AS source_a, y.source AS source_b, " +
+       "x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk x " +
+       "JOIN bk y ON x.band = y.band AND x.bh = y.bh AND x.source < y.source) " +
+       "SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+       "CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_a, " +
+       "CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_b " +
+       "FROM xp GROUP BY 1, 2 ORDER BY 1, 2"),
     "text_dedup_funnel" ->
       // the same mirrored pair CTEs + recursive closure, stage counts
       // composed in one emission

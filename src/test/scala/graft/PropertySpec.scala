@@ -323,6 +323,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text_cross_source_dup: in-memory recompute from the engine's buckets") {
+    // collect the SHARED bucket frame once, then re-derive the pruned
+    // cross-source census with a driver-side join — pins the stop-bucket
+    // filter, the source<source pairing, distinctness, and the counts
+    val docs = Tables.documents(spark, sf)
+    val bk = graft.queries.TextQueries.minhashBuckets(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    val byBucket = bk.groupBy(t => (t._3, t._4)).filter(_._2.length <= 50)
+    val pairs = byBucket.values.flatMap { g0 =>
+      val g = g0.toSeq
+      for (x <- g; y <- g if x._2 < y._2)
+        yield ((x._2, y._2), (x._1, y._1))
+    }.toSeq.distinct
+    val expected = pairs.groupBy(_._1).view.mapValues { v =>
+      (v.size.toLong, v.map(_._2._1).distinct.size.toLong,
+        v.map(_._2._2).distinct.size.toLong)
+    }.toMap
+    val rows = SparkEntry.queries("text_cross_source_dup")(spark, sf).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (np, na, nb) = expected(key)
+      assert(r.getString(0) < r.getString(1), "matrix must be upper-triangular")
+      assert(r.getLong(2) === np && r.getLong(3) === na && r.getLong(4) === nb,
+        s"census for $key")
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(4) <= r.getLong(2))
+    }
+  }
+
   test("scd2_type3: current equals the merged table; priors only on true updates") {
     val merged = SparkEntry.queries("cdc_merge_upsert")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
