@@ -76,6 +76,42 @@ object ScanQueries {
         .orderBy("o_year")
     }),
 
+    // Dynamic-partition-pruning join (r6g) — the runtime pruning that
+    // makes star joins survive 100 TB: the fact lands PARTITIONED BY the
+    // join key, the dim side is a selective broadcast (top-2 priorities
+    // by count), and Catalyst injects a dynamicpruning subquery into the
+    // fact SCAN so only the matching partition directories are read at
+    // all — the pruning predicate is not known until runtime, which is
+    // exactly what static PushedFilters (scan_pruned) cannot do.
+    // SourcesSpec asserts the dynamicpruning expression lands in the
+    // scan's PartitionFilters; the oracle mirrors the semantics on the
+    // raw table.
+    "source_dpp_join" -> ((s, d) => {
+      val dir = scratch("dpp", d)
+      Tables.orders(s, d)
+        .selectExpr("o_orderkey", "o_orderpriority AS prio",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+        .write.mode("overwrite").partitionBy("prio").parquet(dir)
+      val fact = s.read.parquet(dir)
+      // the dim carries a SELECTIVE comparison filter (above-average
+      // share, integer cross-multiply) — the shape Catalyst's
+      // PartitionPruning rule recognizes as worth pruning for (a bare
+      // aggregate+limit dim does NOT trigger DPP; measured r6g)
+      val tot = Tables.orders(s, d).agg(count(lit(1)).as("total"))
+      val dim = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .where(col("n") * 5 > col("total"))
+        .select("prio")
+      fact.join(broadcast(dim), "prio")
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sc"))
+        .selectExpr("prio", "n_orders", "CAST(sc AS BIGINT) AS cents")
+        .orderBy("prio")
+    }),
+
     // Z-ORDER clustered landing (r6f) — the Delta/Iceberg OPTIMIZE
     // ZORDER technique on plain parquet: interleave the bits of two
     // order-preserving bucket coordinates (customer, order-day) into a
@@ -304,6 +340,16 @@ object ScanQueries {
     "source_json_infer" ->
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k " +
        "FROM events ORDER BY event_id"),
+    "source_dpp_join" ->
+      // the same selective dim derived in SQL, joined on the raw table —
+      // pruning is a physical concern; the semantics must match exactly
+      ("WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders), " +
+       "dim AS (SELECT o_orderpriority AS prio FROM orders CROSS JOIN t " +
+       "GROUP BY 1, total HAVING CAST(COUNT(*) AS BIGINT) * 5 > total) " +
+       "SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS BIGINT) AS cents " +
+       "FROM orders JOIN dim ON o_orderpriority = dim.prio " +
+       "GROUP BY 1 ORDER BY 1"),
     "sink_partitioned" ->
       ("SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders, " +
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
