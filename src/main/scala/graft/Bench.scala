@@ -33,10 +33,25 @@ object Bench {
     // first measured query doesn't absorb startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("agg_pricing_summary").foreach(f => exec("warmup", f(spark, sfDir)))
+    // Per-query reps (r7, default 2): the FIRST evaluation of a new
+    // HOF-heavy plan shape costs ~10-15 s of Janino codegen once per JVM
+    // (r6c), so every one-shot bench round read 4-8x spikes on a handful
+    // of queries that re-timed warm at their steady medians (r6 verdict
+    // re-adjudicated six of them). Rep 1 is that warm-up; the reported
+    // value is the median of the remaining reps — the number that
+    // actually predicts steady-state cost on a long-lived cluster.
+    // SPARK_GRAFT_BENCH_REPS=1 restores the raw one-shot timing.
+    // Construction-time work (sink landings) re-runs per rep; every sink
+    // query overwrites its scratch landing, so re-runs are clean (r6c).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      exec(name, fn(spark, sfDir))
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        exec(name, fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val timed = if (reps == 1) times else times.drop(1)
+      name -> timed.sorted.apply((timed.size - 1) / 2)
     }
     // 3-dp timings keep the JSON line short enough to survive the driver's
     // tail capture (round 1's full-precision line was truncated mid-queries

@@ -52,7 +52,8 @@ object Corpus {
     survivors.join(docs, "doc_id")
       .withColumn("split", SampleQueries.splitCol(col("doc_id")))
       .select(col("doc_id"), col("source"), col("lang"), col("cluster_id"),
-        col("csize").as("cluster_size"), round(col("quality"), 6).as("quality"),
+        col("csize").as("cluster_size"),
+        graft.queries.Qutil.r6(col("quality")).as("quality"),
         col("split"))
   }
 }

@@ -39,21 +39,21 @@ object AggQueries {
   private def centsMoneyF(c: String): String =
     s"CAST(CAST($c AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE)"
   private def wmeanF(sc: String): String =
-    s"ROUND(CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0, 6)"
+    s"(CAST(floor((CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0) * 1e6 + 0.5) AS DOUBLE) / 1e6)"
 
   /** Revenue-share emission (agg_pareto, agg_topk_other) over the exact
     * integer mass column and the exact total `tc` — one division,
     * shared verbatim (def: oracle Map init-order rule). */
   private def shareF(c: String): String =
-    s"ROUND(CAST($c AS DOUBLE) / CAST(tc AS DOUBLE), 6)"
+    s"(CAST(floor((CAST($c AS DOUBLE) / CAST(tc AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6)"
 
   /** Gini emission formulas off the exact moment sums (n, sx, sxr) —
     * shared verbatim by query and oracle; each DECIMAL(38,0)/HUGEINT sum
     * casts to DOUBLE exactly once (the agg_skew_kurt rule: the cast is
     * correctly rounded on both engines even past 2^53). */
   private def giniSql: String =
-    "ROUND((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
-      "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+    "(CAST(floor(((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6)"
 
   val queries: Map[String, Q] = Map(
     // Gini concentration of order value (r6f) — the inequality gauge a
@@ -298,8 +298,8 @@ object AggQueries {
     "agg_weighted_avg" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(round(sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
-            .cast(DoubleType) / sum(dec2(col("l_quantity"))).cast(DoubleType), 6)
+        .agg(r6(sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
+            .cast(DoubleType) / sum(dec2(col("l_quantity"))).cast(DoubleType))
             .as("wavg_price"),
           sumDec2(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"))
@@ -525,7 +525,7 @@ object AggQueries {
       val geo = udaf(GeoMeanAgg)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(round(geo(col("l_extendedprice")), 3).as("geomean_price"),
+        .agg(r3(geo(col("l_extendedprice"))).as("geomean_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     })
@@ -549,14 +549,14 @@ object AggQueries {
 
   private def skewKurtFormulas: (String, String) = {
     val (s0, k0) = skewKurtRaw
-    (s"round($s0, 6)", s"round($k0, 6)")
+    (r6Sql(s0), r6Sql(k0))
   }
 
   /** Jarque–Bera statistic + 5% verdict off the raw skew/kurt strings —
     * one fixed-order chain, shared verbatim (defs: init-order rule). */
   private def jbF: String = {
     val (s0, k0) = skewKurtRaw
-    s"round((n / 6.0) * ($s0 * $s0 + ($k0 * $k0) / 4.0), 6)"
+    r6Sql(s"(n / 6.0) * ($s0 * $s0 + ($k0 * $k0) / 4.0)")
   }
   private def jbFlagF: String = s"$jbF > 5.99"
 
@@ -567,9 +567,9 @@ object AggQueries {
     val cov = "(n*sxy - sx*sy)"
     val vx = "(n*sxx - sx*sx)"
     val vy = "(n*syy - sy*sy)"
-    (s"round($cov / $vx, 6)",
-     s"round((sy - ($cov / $vx) * sx) / n, 6)",
-     s"round(($cov * $cov) / ($vx * $vy), 6)")
+    (r6Sql(s"$cov / $vx"),
+     r6Sql(s"(sy - ($cov / $vx) * sx) / n"),
+     r6Sql(s"($cov * $cov) / ($vx * $vy)"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -625,7 +625,7 @@ object AggQueries {
        "c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1), " +
        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c) " +
        "SELECT bucket, CAST(bucket AS BIGINT) * 50000 AS lo_dollars, n, " +
-       "ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS frac " +
+       "(CAST(floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS frac " +
        "FROM c CROSS JOIN t ORDER BY bucket"),
     "agg_pareto" ->
       // row_number over the identical DESC order stands in for
@@ -676,9 +676,9 @@ object AggQueries {
        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
        "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price, " +
        "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge, " +
-       "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_qty, " +
-       "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_price, " +
-       "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*), 6) AS avg_disc, " +
+       "(CAST(floor((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS avg_qty, " +
+       "(CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS avg_price, " +
+       "(CAST(floor((CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS avg_disc, " +
        "COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
        "GROUP BY 1,2 ORDER BY 1,2"),
     "agg_distinct_exact" ->
@@ -709,27 +709,27 @@ object AggQueries {
        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
        "ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     "agg_having" ->
-      ("SELECT c_mktsegment, ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_bal, " +
+      ("SELECT c_mktsegment, (CAST(floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS avg_bal, " +
        "COUNT(*) AS n_cust FROM customer GROUP BY 1 " +
-       "HAVING ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) > 4000.0 ORDER BY 1"),
+       "HAVING (CAST(floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6) > 4000.0 ORDER BY 1"),
     "agg_extrema" ->
-      ("SELECT l_returnflag, ROUND(median(l_extendedprice), 6) AS med_price, " +
+      ("SELECT l_returnflag, (CAST(floor((median(l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS med_price, " +
        "arg_min(l_orderkey, l_extendedprice) AS cheapest_order, " +
        "arg_max(l_orderkey, l_extendedprice) AS dearest_order, " +
        "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price " +
        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_stats" ->
       ("SELECT event_type, MIN(value) AS min_v, MAX(value) AS max_v, " +
-       "ROUND(STDDEV_SAMP(value), 6) AS std_v, ROUND(quantile_cont(value, 0.5), 6) AS med_v, " +
+       "(CAST(floor((STDDEV_SAMP(value)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS std_v, (CAST(floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS med_v, " +
        "COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"),
     "agg_corr" ->
-      ("SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, " +
-       "ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price, " +
+      ("SELECT l_returnflag, (CAST(floor((corr(l_quantity, l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS corr_qty_price, " +
+       "(CAST(floor((covar_samp(l_quantity, l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS covar_qty_price, " +
        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_weighted_avg" ->
       ("SELECT l_returnflag, " +
-       "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)" +
-       "/CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price, " +
+       "(CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)" +
+       "/CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS wavg_price, " +
        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_mode" ->
@@ -775,7 +775,7 @@ object AggQueries {
        "CAST(CAST(MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN cents END) AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE) AS p99, " +
        "COUNT(*) AS n_orders FROM w GROUP BY grp ORDER BY grp"),
     "agg_udaf_geomean" ->
-      ("SELECT l_returnflag, ROUND(EXP(AVG(LN(l_extendedprice))), 3) AS geomean_price, " +
+      ("SELECT l_returnflag, (CAST(floor((EXP(AVG(LN(l_extendedprice)))) * 1e3 + 0.5) AS DOUBLE) / 1e3) AS geomean_price, " +
        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")
   )
 }

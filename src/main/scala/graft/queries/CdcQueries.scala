@@ -61,7 +61,7 @@ object CdcQueries {
   private def iqrMoneyF(c: String): String =
     s"CAST(CAST($c AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE)"
   private def iqrRateF: String =
-    "ROUND(CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)"
+    "(CAST(floor((CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6)"
 
   /** Mann–Whitney z emission (dq_mannwhitney) off the double-cast exact
     * quantities (u_x2 = 2·U exact integer, std = Σ(t³−t), n1d/n2d cohort
@@ -72,9 +72,9 @@ object CdcQueries {
   private def mwZF: String =
     "CASE WHEN (n1d + n2d + 1.0) * (n1d + n2d) * (n1d + n2d - 1.0) - std = 0.0 " +
       "THEN CAST(NULL AS DOUBLE) " +
-      "ELSE ROUND((CAST(u_x2 AS DOUBLE) - n1d * n2d) / " +
+      "ELSE (CAST(floor(((CAST(u_x2 AS DOUBLE) - n1d * n2d) / " +
       "(2.0 * sqrt((n1d * n2d * ((n1d + n2d + 1.0) * (n1d + n2d) * (n1d + n2d - 1.0) - std)) / " +
-      "(12.0 * (n1d + n2d) * (n1d + n2d - 1.0)))), 6) END"
+      "(12.0 * (n1d + n2d) * (n1d + n2d - 1.0))))) * 1e6 + 0.5) AS DOUBLE) / 1e6) END"
 
   /** Welch-t shared formula strings over the double-cast moment columns
     * n$x/m1$x/m2$x (x = b|c): mean, unbiased variance via the exact-
@@ -194,8 +194,15 @@ object CdcQueries {
       sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("base_cnt"),
       sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("cur_cnt"))
     val grid = s.range(0, b).select(col("id").cast(IntegerType).as("bucket"))
+    // checkpoint the bounded b-row grid once (r6 ADVICE): every drift
+    // gauge consumes `filled` from 2+ branches (terms + total, or the
+    // cumulative self-join), and without this the full events scan +
+    // cohort bucketing re-ran per consumer (the r6d chi2 lesson). The
+    // non-equi self-joins downstream carry explicit broadcast() hints
+    // (the r6f LogicalRDD-has-no-stats rule).
     val filled = grid.join(cnts, Seq("bucket"), "left")
       .na.fill(0L, Seq("base_cnt", "cur_cnt"))
+      .localCheckpoint(true)
     val totals = filled.agg(sum("base_cnt").as("n_base"), sum("cur_cnt").as("n_cur"))
     (filled, totals)
   }
@@ -570,7 +577,7 @@ object CdcQueries {
           "x -> x.term_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("psi_raw"))
       terms.crossJoin(broadcast(tot))
         .selectExpr("bucket", "base_cnt", "cur_cnt",
-          "ROUND(term_raw, 6) AS term", "ROUND(psi_raw, 6) AS psi")
+          "(CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS term", "(CAST(floor((psi_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS psi")
         .orderBy("bucket")
     }),
 
@@ -593,7 +600,7 @@ object CdcQueries {
           "x -> x.term_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("jsd_raw"))
       terms.crossJoin(broadcast(tot))
         .selectExpr("bucket", "base_cnt", "cur_cnt",
-          "ROUND(term_raw, 6) AS term", "ROUND(jsd_raw, 6) AS jsd")
+          "(CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS term", "(CAST(floor((jsd_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS jsd")
         .orderBy("bucket")
     }),
 
@@ -609,15 +616,15 @@ object CdcQueries {
     "dq_ks_drift" -> ((s, d) => {
       val (filled, totals) = driftBuckets(s, d, 20)
       val cum = filled.as("a")
-        .join(filled.as("b"), col("b.bucket") <= col("a.bucket"))
+        .join(broadcast(filled.as("b")), col("b.bucket") <= col("a.bucket"))
         .groupBy(col("a.bucket").as("bucket"))
         .agg(sum(col("b.base_cnt")).as("cum_base"), sum(col("b.cur_cnt")).as("cum_cur"))
       val dnumExpr = "abs(cum_base * n_cur - cum_cur * n_base)"
       val gaps = cum.crossJoin(broadcast(totals))
         .selectExpr("bucket", "cum_base", "cum_cur", s"$dnumExpr AS dnum",
-          s"ROUND(${ksFormula(dnumExpr)}, 6) AS gap")
+          s"(CAST(floor((${ksFormula(dnumExpr)}) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS gap")
       val mx = gaps.agg(max(col("dnum")).as("mdn")).crossJoin(broadcast(totals))
-        .selectExpr(s"ROUND(${ksFormula("mdn")}, 6) AS ks")
+        .selectExpr(s"(CAST(floor((${ksFormula("mdn")}) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS ks")
       gaps.select(col("bucket"), col("cum_base"), col("cum_cur"), col("gap"))
         .crossJoin(broadcast(mx))
         .orderBy("bucket")
@@ -659,8 +666,11 @@ object CdcQueries {
     // partition, the row count plus an ORDER-FREE additive checksum of
     // the portable row hash (hash60 % p summed exactly — each term
     // < 1e9, the DECIMAL(38,0) sum is overflow-proof at any scale —
-    // then one final % p), so two engines agree iff the partition
-    // contents agree, with no sort anywhere. One partial-aggregable
+    // then one final % p). A PROBABILISTIC reconciliation: a checksum
+    // mismatch PROVES the partitions differ; agreement is
+    // high-confidence, not proof (an additive sum mod p is order-free
+    // but not multiset-injective — colliding diffs cancel with
+    // probability ~1/p). No sort anywhere. One partial-aggregable
     // groupBy; a mismatch pinpoints the partition to re-sync without
     // shipping row hashes.
     "dq_partition_checksum" -> ((s, d) => {
@@ -807,7 +817,7 @@ object CdcQueries {
     "dq_mannwhitney" -> ((s, d) => {
       val (filled, totals) = driftBuckets(s, d, 20)
       val cum = filled.as("a")
-        .join(filled.as("b"), col("b.bucket") <= col("a.bucket"))
+        .join(broadcast(filled.as("b")), col("b.bucket") <= col("a.bucket"))
         .groupBy(col("a.bucket").as("bucket"),
           col("a.base_cnt").as("bc"), col("a.cur_cnt").as("cc"))
         .agg(sum(col("b.base_cnt")).as("cum_b"), sum(col("b.cur_cnt")).as("cum_c"))
@@ -851,9 +861,9 @@ object CdcQueries {
           s"${ttestMean("b")} AS mb", s"${ttestVar("b")} AS vb",
           s"${ttestMean("c")} AS mc", s"${ttestVar("c")} AS vc")
         .selectExpr("n_base", "n_cur",
-          "ROUND(mb, 6) AS mean_base", "ROUND(mc, 6) AS mean_cur",
-          "ROUND(vb, 6) AS var_base", "ROUND(vc, 6) AS var_cur",
-          s"ROUND($ttestT, 6) AS t_stat", s"ROUND($ttestDf, 6) AS df")
+          "(CAST(floor((mb) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS mean_base", "(CAST(floor((mc) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS mean_cur",
+          "(CAST(floor((vb) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS var_base", "(CAST(floor((vc) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS var_cur",
+          s"(CAST(floor(($ttestT) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS t_stat", s"(CAST(floor(($ttestDf) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS df")
     }),
 
     // Chi-squared independence drift (r6d) — the CATEGORICAL member of
@@ -891,7 +901,7 @@ object CdcQueries {
         .selectExpr("event_type", "cohort", "obs", "rt", "ct", "nn",
           "CAST(CAST(dnum AS DECIMAL(38,0)) * dnum AS DOUBLE) AS d2")
         .selectExpr("event_type", "cohort", "obs",
-          s"ROUND($chi2ExpectedF, 6) AS expected",
+          s"(CAST(floor(($chi2ExpectedF) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS expected",
           s"$chi2TermF AS term_raw")
       // df from a PLAIN count (cells = |types| x 2): a count_distinct
       // here would force a non-partial two-phase aggregate and a
@@ -902,7 +912,7 @@ object CdcQueries {
         expr("CAST(count(1) DIV 2 - 1 AS INT)").as("df"))
       cells.crossJoin(broadcast(tot))
         .selectExpr("event_type", "cohort", "obs", "expected",
-          "ROUND(term_raw, 6) AS term", "ROUND(chi2_raw, 6) AS chi2", "df")
+          "(CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS term", "(CAST(floor((chi2_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS chi2", "df")
         .orderBy("event_type", "cohort")
     }),
 
@@ -946,16 +956,16 @@ object CdcQueries {
       (s"WITH ${driftCteSql(10)}, " +
        s"tr AS (SELECT bucket, base_cnt, cur_cnt, $psiTermFormula AS term_raw FROM f CROSS JOIN t), " +
        "pp AS (SELECT list_sum(list(term_raw ORDER BY bucket)) AS psi_raw FROM tr) " +
-       "SELECT bucket, base_cnt, cur_cnt, ROUND(term_raw, 6) AS term, " +
-       "ROUND(psi_raw, 6) AS psi FROM tr CROSS JOIN pp ORDER BY bucket"),
+       "SELECT bucket, base_cnt, cur_cnt, (CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS term, " +
+       "(CAST(floor((psi_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS psi FROM tr CROSS JOIN pp ORDER BY bucket"),
     "dq_js_drift" ->
       // identical grid/smoothing to the psi oracle, the shared
       // jsTermFormula verbatim, bucket-ordered list_sum fold
       (s"WITH ${driftCteSql(10)}, " +
        s"tr AS (SELECT bucket, base_cnt, cur_cnt, $jsTermFormula AS term_raw FROM f CROSS JOIN t), " +
        "pp AS (SELECT list_sum(list(term_raw ORDER BY bucket)) AS jsd_raw FROM tr) " +
-       "SELECT bucket, base_cnt, cur_cnt, ROUND(term_raw, 6) AS term, " +
-       "ROUND(jsd_raw, 6) AS jsd FROM tr CROSS JOIN pp ORDER BY bucket"),
+       "SELECT bucket, base_cnt, cur_cnt, (CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS term, " +
+       "(CAST(floor((jsd_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS jsd FROM tr CROSS JOIN pp ORDER BY bucket"),
     "dq_ks_drift" ->
       // cumulative counts via the bounded grid self-join, exact integer
       // cross-multiplied CDF gaps, integer max, the shared ksFormula
@@ -965,9 +975,9 @@ object CdcQueries {
        "FROM f a JOIN f b2 ON b2.bucket <= a.bucket GROUP BY 1), " +
        "gp AS (SELECT bucket, cum_base, cum_cur, " +
        "abs(cum_base * n_cur - cum_cur * n_base) AS dnum, " +
-       s"ROUND(${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")}, 6) AS gap " +
+       s"(CAST(floor((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")}) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS gap " +
        "FROM cum CROSS JOIN t), " +
-       s"mx AS (SELECT ROUND(${ksFormula("mdn")}, 6) AS ks " +
+       s"mx AS (SELECT (CAST(floor((${ksFormula("mdn")}) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS ks " +
        "FROM (SELECT MAX(dnum) AS mdn FROM gp) CROSS JOIN t) " +
        "SELECT bucket, cum_base, cum_cur, gap, ks FROM gp CROSS JOIN mx ORDER BY bucket"),
     "dq_chi2_drift" ->
@@ -988,12 +998,12 @@ object CdcQueries {
        "JOIN ct0 ON f.cohort = ct0.cohort CROSS JOIN n), " +
        "cd AS (SELECT event_type, cohort, obs, rt, ct, nn, " +
        "CAST(CAST(dnum AS HUGEINT) * dnum AS DOUBLE) AS d2 FROM cl), " +
-       s"tr AS (SELECT event_type, cohort, obs, ROUND($chi2ExpectedF, 6) AS expected, " +
+       s"tr AS (SELECT event_type, cohort, obs, (CAST(floor(($chi2ExpectedF) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS expected, " +
        s"$chi2TermF AS term_raw FROM cd), " +
        "tot AS (SELECT list_sum(list(term_raw ORDER BY event_type, cohort)) AS chi2_raw, " +
        "CAST(COUNT(*) // 2 - 1 AS INT) AS df FROM tr) " +
-       "SELECT event_type, cohort, obs, expected, ROUND(term_raw, 6) AS term, " +
-       "ROUND(chi2_raw, 6) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
+       "SELECT event_type, cohort, obs, expected, (CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS term, " +
+       "(CAST(floor((chi2_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
     "scd2_type3" ->
       // the shared upsert CTE prefix verbatim; identical null/op logic
       (s"WITH $upsertCtesSql " +
@@ -1107,9 +1117,9 @@ object CdcQueries {
        "mv AS (SELECT n_base, n_cur, nb, nc, " +
        s"${ttestMean("b")} AS mb, ${ttestVar("b")} AS vb, " +
        s"${ttestMean("c")} AS mc, ${ttestVar("c")} AS vc FROM dd) " +
-       "SELECT n_base, n_cur, ROUND(mb, 6) AS mean_base, ROUND(mc, 6) AS mean_cur, " +
-       "ROUND(vb, 6) AS var_base, ROUND(vc, 6) AS var_cur, " +
-       s"ROUND($ttestT, 6) AS t_stat, ROUND($ttestDf, 6) AS df FROM mv"),
+       "SELECT n_base, n_cur, (CAST(floor((mb) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS mean_base, (CAST(floor((mc) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS mean_cur, " +
+       "(CAST(floor((vb) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS var_base, (CAST(floor((vc) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS var_cur, " +
+       s"(CAST(floor(($ttestT) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS t_stat, (CAST(floor(($ttestDf) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS df FROM mv"),
     "dq_freshness" ->
       // epoch_us floor-div mirrors Spark's unix_micros DIV exactly (both
       // nonnegative, so floor == truncation); CAST pins INT vs BIGINT
@@ -1145,8 +1155,8 @@ object CdcQueries {
         "c AS (SELECT digit, COUNT(*) AS n FROM b GROUP BY 1), " +
         "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c), " +
         s"e AS (SELECT * FROM (VALUES $expList) AS v(digit, benford)) " +
-        "SELECT c.digit, c.n, ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed, " +
-        "benford, ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford, 6) AS deviation " +
+        "SELECT c.digit, c.n, (CAST(floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS observed, " +
+        "benford, (CAST(floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS deviation " +
         "FROM c CROSS JOIN t JOIN e ON e.digit = c.digit ORDER BY c.digit"
     },
     "dq_k_anonymity" ->
@@ -1223,7 +1233,7 @@ object CdcQueries {
        "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n)/(n-1) AS variance " +
        "FROM hc JOIN st USING (event_type)) " +
        "SELECT event_type, h, cnt, " +
-       "ROUND(CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END, 6) AS z, " +
+       "(CAST(floor((CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS z, " +
        "CASE WHEN n = 1 OR variance <= 0.0 THEN FALSE ELSE abs((cnt - mean)/sqrt(variance)) > 3.0 END AS is_anomaly " +
        "FROM j ORDER BY event_type, h"),
     "dq_anomaly_mad" ->
@@ -1242,7 +1252,7 @@ object CdcQueries {
        "mm AS (SELECT event_type, CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev END) AS BIGINT) AS mad " +
        "FROM r2 GROUP BY 1) " +
        "SELECT dv.event_type, h, cnt, med, mad, " +
-       "ROUND(CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END, 6) AS score, " +
+       "(CAST(floor((CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS score, " +
        "(mad > 0 AND abs(cnt - med) > mad * 3) AS is_anomaly " +
        "FROM dv JOIN mm USING (event_type) ORDER BY event_type, h"),
     "dq_row_hash" ->

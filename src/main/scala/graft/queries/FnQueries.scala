@@ -44,7 +44,8 @@ object FnQueries {
 
     "fn_math" -> ((s, d) =>
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice"), 1).as("price_r1"),
+        (floor(col("l_extendedprice") * 1e1 + 0.5).cast(DoubleType) / 1e1)
+          .as("price_r1"),
         abs(col("l_discount") - 0.05).as("abs_d"),
         ceil(col("l_extendedprice")).as("ceil_p"),
         floor(col("l_extendedprice")).as("floor_p"),
@@ -119,7 +120,7 @@ object FnQueries {
         .groupBy("event_type")
         .agg(count(col("k")).as("n_k"),
           sum(col("k")).as("sum_k"),
-          round(sum(col("k")).cast(DoubleType) / count(col("k")), 6).as("avg_k"))
+          r6(sum(col("k")).cast(DoubleType) / count(col("k"))).as("avg_k"))
         .orderBy("event_type")),
 
     // Generator surface: split -> explode -> token rows -> top-50.
@@ -221,11 +222,11 @@ object FnQueries {
        "c_custkey >> 3 AS shr_3, CAST(bit_count(c_custkey) AS INT) AS popcnt " +
        "FROM customer ORDER BY c_custkey"),
     "fn_math" ->
-      ("SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 1) AS price_r1, " +
+      ("SELECT l_orderkey, l_linenumber, (CAST(floor((l_extendedprice) * 1e1 + 0.5) AS DOUBLE) / 1e1) AS price_r1, " +
        "ABS(l_discount - 0.05) AS abs_d, CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_p, " +
-       "CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_p, ROUND(POW(l_quantity, 2), 6) AS qty_sq, " +
-       "ROUND(LN(l_extendedprice), 6) AS ln_p, ROUND(LOG10(l_extendedprice), 6) AS log10_p, " +
-       "ROUND(SQRT(l_quantity), 6) AS sqrt_q, l_orderkey % 7 AS key_mod, " +
+       "CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_p, (CAST(floor((POW(l_quantity, 2)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS qty_sq, " +
+       "(CAST(floor((LN(l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS ln_p, (CAST(floor((LOG10(l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS log10_p, " +
+       "(CAST(floor((SQRT(l_quantity)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS sqrt_q, l_orderkey % 7 AS key_mod, " +
        "CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sgn FROM lineitem " +
        "ORDER BY l_orderkey, l_linenumber, price_r1, abs_d, qty_sq, ln_p, sqrt_q"),
     "fn_array" ->
@@ -233,7 +234,7 @@ object FnQueries {
        "list_aggregate(embedding, 'max') AS emax, list_aggregate(embedding, 'min') AS emin, " +
        "list_sort(embedding[1:4])[1] AS h1, list_sort(embedding[1:4])[2] AS h2, " +
        "list_sort(embedding[1:4])[3] AS h3, list_sort(embedding[1:4])[4] AS h4, " +
-       "ROUND(sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))), 6) AS l2_norm " +
+       "(CAST(floor((sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS l2_norm " +
        "FROM embeddings ORDER BY vec_id"),
     "fn_map_json" ->
       ("SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS kmod, " +
@@ -241,7 +242,7 @@ object FnQueries {
        "FROM events GROUP BY 1,2 ORDER BY 1,2"),
     "fn_variant" ->
       ("SELECT event_type, COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k, " +
-       "ROUND(CAST(SUM(k) AS DOUBLE)/COUNT(k), 6) AS avg_k FROM " +
+       "(CAST(floor((CAST(SUM(k) AS DOUBLE)/COUNT(k)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS avg_k FROM " +
        "(SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) " +
        "GROUP BY 1 ORDER BY 1"),
     "fn_explode_tokens" ->

@@ -278,7 +278,7 @@ object GraphQueries {
           sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"))
         .selectExpr("m", "CAST(m AS DOUBLE) AS md", "CAST(sx AS DOUBLE) AS sxd",
           "CAST(sxx AS DOUBLE) AS sxxd", "CAST(sxy AS DOUBLE) AS sxyd")
-        .selectExpr("m AS m_directed", "ROUND(sxd / md, 6) AS mean_edge_deg",
+        .selectExpr("m AS m_directed", "(CAST(floor((sxd / md) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS mean_edge_deg",
           s"$assortF AS assortativity")
     }),
 
@@ -391,8 +391,8 @@ object GraphQueries {
     * (2·tri, deg·(deg−1)), one correctly-rounded cast each, one division,
     * round 6 (shared formula string; degree-1 nodes emit 0.0). */
   private def ccF: String =
-    "CASE WHEN deg >= 2 THEN ROUND(CAST(2 * tri AS DOUBLE) / " +
-      "(CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)), 6) " +
+    "CASE WHEN deg >= 2 THEN (CAST(floor((CAST(2 * tri AS DOUBLE) / " +
+      "(CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6) " +
       "ELSE CAST(0.0 AS DOUBLE) END"
 
   /** One DuckDB rank round: the identical integer ops (// is DuckDB's
@@ -407,8 +407,8 @@ object GraphQueries {
     * query and oracle; every product stays under 2^53 so the doubles
     * are exact before the one division. */
   private def modularitySql: String =
-    "ROUND((CAST(m2 AS DOUBLE) * CAST(see AS DOUBLE) - CAST(sdd AS DOUBLE)) / " +
-      "(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6)"
+    "(CAST(floor(((CAST(m2 AS DOUBLE) * CAST(see AS DOUBLE) - CAST(sdd AS DOUBLE)) / " +
+      "(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6)"
 
   /** Assortativity emission off the double-cast exact moments (md =
     * directed edge count, sxd = Σdeg(src), sxxd = Σdeg(src)², sxyd =
@@ -417,7 +417,7 @@ object GraphQueries {
     * engines run identical IEEE arithmetic even past 2^53. */
   private def assortF: String =
     "CASE WHEN md * sxxd - sxd * sxd = 0.0 THEN CAST(NULL AS DOUBLE) " +
-      "ELSE ROUND((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd), 6) END"
+      "ELSE (CAST(floor(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd)) * 1e6 + 0.5) AS DOUBLE) / 1e6) END"
 
   /** One DuckDB label-propagation round: per-(node, label) neighbor
     * counts, then the identical (-cnt, lbl) min-struct argmax. */
@@ -468,7 +468,7 @@ object GraphQueries {
        "SUM(CAST(dx AS HUGEINT) * dy) AS sxy FROM el), " +
        "dd AS (SELECT m, CAST(m AS DOUBLE) AS md, CAST(sx AS DOUBLE) AS sxd, " +
        "CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd FROM mo) " +
-       "SELECT m AS m_directed, ROUND(sxd / md, 6) AS mean_edge_deg, " +
+       "SELECT m AS m_directed, (CAST(floor((sxd / md) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS mean_edge_deg, " +
        s"$assortF AS assortativity FROM dd"),
     "graph_pagerank" ->
       (s"WITH $edgesCteSql, " +
@@ -486,8 +486,8 @@ object GraphQueries {
        "si AS (SELECT pk, COUNT(*) AS s FROM p GROUP BY 1), " +
        "n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM p) " +
        "SELECT p1, p2, sup, s1.s AS s1, s2.s AS s2, " +
-       "ROUND(CAST(sup AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
-       "(CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE)), 6) AS lift " +
+       "(CAST(floor((CAST(sup AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
+       "(CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS lift " +
        "FROM pr JOIN si s1 ON pr.p1 = s1.pk JOIN si s2 ON pr.p2 = s2.pk " +
        "CROSS JOIN n ORDER BY p1, p2"),
     "graph_triangles" ->
@@ -552,7 +552,7 @@ object GraphQueries {
        "pr2 AS (SELECT a.pk AS p1, b.pk AS p2, CAST(SUM(a.w) AS BIGINT) AS sw, " +
        "COUNT(*) AS common FROM w a JOIN w b ON a.ok = b.ok AND a.pk < b.pk " +
        "GROUP BY 1, 2 HAVING COUNT(*) >= 2) " +
-       "SELECT p1, p2, common, ROUND(CAST(sw AS DOUBLE) / 1000000000.0, 6) AS aa_score " +
+       "SELECT p1, p2, common, (CAST(floor((CAST(sw AS DOUBLE) / 1000000000.0) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS aa_score " +
        "FROM pr2 ORDER BY p1, p2"),
     "graph_jaccard_nbr" ->
       // shared basket/pair CTEs (basketCteSql), one degree aggregate,
@@ -560,7 +560,7 @@ object GraphQueries {
       (s"WITH $basketCteSql, " +
        "dg AS (SELECT pk, COUNT(*) AS deg FROM p GROUP BY 1) " +
        "SELECT p1, p2, sup AS common, a.deg AS deg_a, b.deg AS deg_b, " +
-       "ROUND(CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE), 6) AS jaccard " +
+       "(CAST(floor((CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS jaccard " +
        "FROM pr JOIN dg a ON p1 = a.pk JOIN dg b ON p2 = b.pk ORDER BY p1, p2")
   )
 }

@@ -124,7 +124,7 @@ object KmeansQueries {
           min(struct((-col("c")).as("nc"), col("label").as("lb"))).as("m"))
         .selectExpr("cluster", "n_vecs", "m.lb AS majority_label",
           "-m.nc AS majority_cnt",
-          "ROUND(CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS purity")
+          "(CAST(floor((CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS purity")
         .orderBy("cluster")
     }),
 
@@ -445,10 +445,15 @@ object KmeansQueries {
 
   /** THE covariance emission — one string evaluated verbatim by Spark's
     * selectExpr and DuckDB so the IEEE op order cannot drift (r5b rule):
-    * (Sij - Si*Sj/n) / (n-1), descaled from micro^2 units, round 6. */
+    * (Sij - Si*Sj/n) / (n-1), descaled from micro^2 units. Half-up is
+    * spelled in pure IEEE (floor(x*1e6+0.5)/1e6) — the engine ROUND
+    * built-in differs per engine at representational 5e-7 boundaries
+    * (r6 verdict: the driver's DuckDB rounded one cell differently than
+    * the local one; the quantize_int8 recipe eliminates the built-in). */
   private val covFormula: String =
-    "ROUND((CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / " +
-      "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1000000000000.0, 6)"
+    "CAST(floor(((CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1000000000000.0) " +
+      "* 1e6 + 0.5) AS DOUBLE) / 1e6"
 
   // ---- product quantization (embed_pq) ----
 
@@ -661,7 +666,7 @@ object KmeansQueries {
 
   private def kmeansSql: String =
     s"WITH $kmeansAssignCtes " +
-      "SELECT vec_id, cluster, ROUND(d2, 6) AS dist2 FROM af WHERE rn = 1 ORDER BY vec_id"
+      "SELECT vec_id, cluster, (CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS dist2 FROM af WHERE rn = 1 ORDER BY vec_id"
 
   /** Cluster-vs-label purity off the same assignment chain: per-cluster
     * majority label via the (-count, label) min-struct argmax (the
@@ -676,7 +681,7 @@ object KmeansQueries {
       "-(MIN(struct_pack(nc := -c, lb := label))).nc AS majority_cnt " +
       "FROM cl GROUP BY 1) " +
       "SELECT cluster, n_vecs, majority_label, majority_cnt, " +
-      "ROUND(CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS purity " +
+      "(CAST(floor((CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS purity " +
       "FROM per ORDER BY cluster"
 
   private def outlierSql: String =
@@ -692,7 +697,7 @@ object KmeansQueries {
       "FROM embeddings e JOIN ct ON e.label = ct.label), " +
       "r AS (SELECT label, vec_id, d2, " +
       "row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rn FROM d) " +
-      "SELECT label, vec_id, ROUND(d2, 6) AS dist2, CAST(rn AS INT) AS rank " +
+      "SELECT label, vec_id, (CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS dist2, CAST(rn AS INT) AS rank " +
       "FROM r WHERE rn <= 5 ORDER BY label, rank"
 
   private def covarianceSql: String =
@@ -752,7 +757,7 @@ object KmeansQueries {
 
   private def pqSql: String =
     s"$pqChainSql " +
-      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, ROUND(d2, 6) AS dist2 " +
+      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, (CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS dist2 " +
       "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
 
   /** Query-side ADC table CTEs (qq: the query's subvectors; dt: its
@@ -779,7 +784,7 @@ object KmeansQueries {
       "WHERE af.rn = 1 AND af.vec_id <> 0), " +
       "sc AS (SELECT vec_id, list_sum(list(d2q ORDER BY sub)) AS adc FROM t GROUP BY 1), " +
       "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
-      "SELECT vec_id, ROUND(adc, 6) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
+      "SELECT vec_id, (CAST(floor((adc) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
 
   /** OPQ mirror: micro-quantize, Walsh-Hadamard rotate in exact BIGINT
     * arithmetic (the sign computed from bit_count of the index AND —
@@ -797,7 +802,7 @@ object KmeansQueries {
 
   private def opqSql: String =
     s"WITH $opqSvCte, ${chainCtes("", "sv", 0, pqSubdim)} " +
-      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, ROUND(d2, 6) AS dist2 " +
+      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, (CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS dist2 " +
       "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
 
   /** RQ mirror: stage-1 chain (g*) over full vectors, residual CTE off
@@ -811,7 +816,7 @@ object KmeansQueries {
       s"list_transform(generate_series(1, $dims), i -> sv[i] - c[i]) AS sv " +
       "FROM gaf WHERE rn = 1), " +
       chainCtes("h", "rs", pqK, dims) + " " +
-      "SELECT h.vec_id, r.code1, h.cluster AS code2, ROUND(h.d2, 6) AS dist2 " +
+      "SELECT h.vec_id, r.code1, h.cluster AS code2, (CAST(floor((h.d2) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS dist2 " +
       "FROM haf h JOIN rs r ON h.vec_id = r.vec_id WHERE h.rn = 1 ORDER BY h.vec_id"
 
   /** MRL mirror: prefix-L2 top-50 candidates, exact full-width re-rank
@@ -826,7 +831,7 @@ object KmeansQueries {
       "rr AS (SELECT vec_id, pd2, " +
       s"${sqDistSqlN(dims, "embedding", "qv")} AS d2 " +
       "FROM cand CROSS JOIN q ORDER BY d2, vec_id LIMIT 10) " +
-      "SELECT vec_id, ROUND(pd2, 6) AS prefix_d2, ROUND(d2, 6) AS dist2 " +
+      "SELECT vec_id, (CAST(floor((pd2) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS prefix_d2, (CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS dist2 " +
       "FROM rr ORDER BY dist2, vec_id"
 
   /** Hamming mirror: same sign-bit halves (1 << (i-1) keeps shifts in
@@ -847,7 +852,7 @@ object KmeansQueries {
       "rr AS (SELECT vec_id, hamming, " +
       s"${sqDistSqlN(dims, "embedding", "qv")} AS d2 " +
       "FROM cand CROSS JOIN q ORDER BY d2, vec_id LIMIT 10) " +
-      "SELECT vec_id, hamming, ROUND(d2, 6) AS dist2 FROM rr ORDER BY dist2, vec_id"
+      "SELECT vec_id, hamming, (CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS dist2 FROM rr ORDER BY dist2, vec_id"
   }
 
   /** IVFPQ mirror: coarse cells from the 16 fixed centroid vectors
@@ -873,7 +878,7 @@ object KmeansQueries {
       "WHERE af.rn = 1 AND af.vec_id <> 0), " +
       "sc AS (SELECT vec_id, list_sum(list(d2q ORDER BY sub)) AS adc FROM t GROUP BY 1), " +
       "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
-      "SELECT vec_id, ROUND(adc, 6) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
+      "SELECT vec_id, (CAST(floor((adc) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
 
   /** DuckDB mirror of pcaTop + the projection: the same exact integer
     * moment CTEs as covarianceSql, the symmetric covariance assembled
@@ -910,8 +915,8 @@ object KmeansQueries {
       iterCtes + ", " +
       "uvec AS (SELECT list_transform(v, x -> x / nrm) AS u FROM " +
       s"(SELECT v, sqrt(list_sum(list_transform(v, y -> y*y))) AS nrm FROM v$pcaIters)) " +
-      s"SELECT vec_id, label, ROUND(list_sum(list_transform(generate_series(1, $dims), i -> " +
-      "(CAST(embedding[i] AS DOUBLE) - mus[i]) * u[i])), 6) AS pc1 " +
+      s"SELECT vec_id, label, (CAST(floor((list_sum(list_transform(generate_series(1, $dims), i -> " +
+      "(CAST(embedding[i] AS DOUBLE) - mus[i]) * u[i]))) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS pc1 " +
       "FROM embeddings CROSS JOIN uvec CROSS JOIN mu ORDER BY vec_id"
   }
 

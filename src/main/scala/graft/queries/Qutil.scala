@@ -20,7 +20,8 @@ import org.apache.spark.sql.types._
   *    (DuckDB decimal division degrades to double, so a pure-decimal avg
   *    cannot hash-match; this pattern is bit-deterministic on both engines.)
   *  - inherently-double results (stddev, cosine, tf-idf, transcendentals):
-  *    round(x, 6) on both sides; never emit a raw double aggregate.
+  *    the pure-IEEE r6/r3 spelling on both sides (never the engine ROUND
+  *    built-in — see r6 below); never emit a raw double aggregate.
   */
 object Qutil {
   type Q = (SparkSession, String) => DataFrame
@@ -40,13 +41,33 @@ object Qutil {
   /** Deterministic average at scale 2 (money/qty): exact decimal sum cast to
     * double, divided by count — identical IEEE ops on Spark and DuckDB. */
   def avgDec2(c: Column): Column =
-    round(sum(dec2(c)).cast(DoubleType) / count(lit(1)), 6)
+    r6(sum(dec2(c)).cast(DoubleType) / count(lit(1)))
 
   /** Same at scale 6 (small magnitudes like discounts). */
   def avgDec6(c: Column): Column =
-    round(sum(dec6(c)).cast(DoubleType) / count(lit(1)), 6)
+    r6(sum(dec6(c)).cast(DoubleType) / count(lit(1)))
 
-  def r6(c: Column): Column = round(c, 6)
+  /** Display rounding to 6 (r6) / 3 (r3) decimals in PURE IEEE ops —
+    * floor(x*1e6+0.5)/1e6 half-up, never the engine ROUND built-in: two
+    * engines (or two VERSIONS of one engine) can round the same double
+    * differently at a representational 5e-7 boundary (r6 verdict:
+    * embed_covariance passed four rounds locally, then one driver-side
+    * DuckDB cell landed on a boundary). Each op here (multiply, add,
+    * floor, long->double cast, divide) is correctly-rounded IEEE with
+    * identical semantics everywhere, so same input bits => same output
+    * bits, deterministically. Oracle mirrors use r6Sql/r3Sql below —
+    * the r7 sweep (tools/round_sweep.py) converted every ROUND( site. */
+  def r6(c: Column): Column = floor(c * 1e6 + 0.5).cast(DoubleType) / 1e6
+
+  def r3(c: Column): Column = floor(c * 1e3 + 0.5).cast(DoubleType) / 1e3
+
+  /** SQL-string mirrors of r6/r3, valid in BOTH dialects — use in shared
+    * formula strings and oracle SQL. */
+  def r6Sql(e: String): String =
+    s"(CAST(floor(($e) * 1e6 + 0.5) AS DOUBLE) / 1e6)"
+
+  def r3Sql(e: String): String =
+    s"(CAST(floor(($e) * 1e3 + 0.5) AS DOUBLE) / 1e3)"
 
   /** Deterministic money rounding for DERIVED doubles (products like
     * price*(1-disc)). A plain decimal cast diverges between engines at the

@@ -169,7 +169,7 @@ object WindowQueries {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY event_id"),
     "win_ntile_pctrank" ->
       ("SELECT c_custkey, c_acctbal, CAST(ntile(4) OVER w AS INT) AS quartile, " +
-       "ROUND(percent_rank() OVER w, 6) AS pct_rank, ROUND(cume_dist() OVER w, 6) AS cume " +
+       "(CAST(floor((percent_rank() OVER w) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS pct_rank, (CAST(floor((cume_dist() OVER w) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS cume " +
        "FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey")
   )
 }

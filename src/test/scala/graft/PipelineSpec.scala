@@ -119,7 +119,8 @@ class PipelineSpec extends SparkSpec {
     val (_, _, _, _, _, score) = graft.queries.Text2Queries.qualityCols(col("text"))
     val best = docs.select(col("doc_id"), score.as("q"))
       .join(clusters, "doc_id")
-      .groupBy("cluster_id").agg(round(max("q"), 6).as("maxq"))
+      .groupBy("cluster_id")
+      .agg(graft.queries.Qutil.r6(max("q")).as("maxq"))
     val mismatch = corpus.join(best, "cluster_id")
       .where(col("quality") < col("maxq")).count()
     assert(mismatch === 0, "every survivor carries its cluster's max quality")
