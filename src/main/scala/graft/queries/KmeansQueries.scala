@@ -267,6 +267,47 @@ object KmeansQueries {
         .orderBy("vec_id", "sub")
     }),
 
+    // Learned-rotation OPQ (r7 — the verdict's named breadth item): where
+    // embed_opq uses the STRUCTURED Walsh-Hadamard stand-in, this learns
+    // the rotation FROM THE DATA: the pcaTop power-iterated top principal
+    // direction u is reflected onto the balanced diagonal w = (1/8,...)
+    // by a Householder map H = I - 2vv^T/(v·v), v = u - w — so the
+    // corpus's dominant-variance direction spreads EQUALLY across all 4
+    // PQ subspaces (the OPQ objective: balance energy so no codebook
+    // carries disproportionate error). Per-row cost is O(d): one v·x
+    // fold + one mul-sub per coordinate — map-only, no shuffle, no
+    // matrix literal. Determinism: u is the bit-exact driver-side power
+    // iteration the embed_pca_top oracle already replays (r6b), v·x and
+    // the reflection are fixed-order IEEE folds (the dotD contract), and
+    // the trainer downstream micro-quantizes identically on both
+    // engines. The rotated frame is checkpointed once (CollapseProject
+    // would inline the O(d) rotation into every distance reference —
+    // the r6c embed_opq lesson).
+    "embed_opq_learned" -> ((s, d) => {
+      val (v, vv) = householderV(s, d)
+      val vl = typedlit(v)
+      val vx = aggregate(
+        zip_with(vl, col("embedding"), (a, b) => a * b.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x)
+      val rot = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("vx_raw", vx)
+        .withColumn("f_raw", lit(2.0) * col("vx_raw") / lit(vv))
+        .withColumn("rot", zip_with(col("embedding"), vl,
+          (x, vi) => x.cast(DoubleType) - col("f_raw") * vi))
+        .select(col("vec_id"), col("rot"))
+        .localCheckpoint(true)
+      val sv = rot
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(pqSubs - 1))).as("sub"), col("rot"))
+        .select(col("vec_id"), col("sub"),
+          slice(col("rot"), col("sub") * pqSubdim + 1, lit(pqSubdim)).as("sv"))
+      val cents = pqCodebooksFrom(sv)
+      pqAssign(sv, cents)
+        .select(col("vec_id"), col("sub"), col("code"), r6(col("d2")).as("dist2"))
+        .orderBy("vec_id", "sub")
+    }),
+
     // Residual quantization — the OTHER classical multi-stage codebook
     // (RQ: quantize, subtract, quantize the residual). Stage 1: one
     // full-vector codebook (k=4, seeds vec 0..3, one Lloyd update);
@@ -434,6 +475,18 @@ object KmeansQueries {
     }
     val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
     (means.toIndexedSeq, v.map(_ / nrm).toIndexedSeq)
+  }
+
+  /** Householder vector for the learned OPQ rotation: v = u − w with u
+    * the pcaTop unit eigenvector and w the balanced diagonal (all 1/8 —
+    * unit since 64·(1/8)² = 1). Returns (v, v·v); both the Spark query
+    * and the DuckDB mirror recompute v·v by the same ascending fold, so
+    * every reflected coordinate is bit-identical cross-engine. */
+  private def householderV(s: SparkSession, d: String): (Seq[Double], Double) = {
+    val (_, u) = pcaTop(s, d)
+    val v = u.map(_ - 0.125)
+    val vv = v.foldLeft(0.0)((a, x) => a + x * x)
+    (v, vv)
   }
 
   /** Exact per-dim micro-unit first moments (pos, s, n) — 64 rows. */
@@ -885,7 +938,12 @@ object KmeansQueries {
     * into ONE list-of-lists row, and the power iteration UNROLLED —
     * each wk/vk pair is the j-ascending list_sum matvec and the
     * max-abs normalize, arithmetic-identical to the Scala loop. */
-  private def pcaSql: String = {
+  /** The pcaTop replay as a reusable CTE prefix (q..uvec): exact integer
+    * moments, the covariance matrix row, the unrolled power iteration,
+    * the unit eigenvector `u` (table uvec) and per-dim means (table mu).
+    * Shared by pcaSql and opqLearnedSql — the chainCtes rule: extend,
+    * never fork. */
+  private def pcaCtes: String = {
     val iterCtes = (1 to pcaIters).map { k =>
       s"w$k AS (SELECT list_transform(generate_series(1, $dims), i -> " +
         s"list_sum(list_transform(generate_series(1, $dims), j -> C[i][j] * v[j]))) AS w " +
@@ -893,7 +951,7 @@ object KmeansQueries {
         s"v$k AS (SELECT list_transform(w, x -> x / mx) AS v FROM " +
         s"(SELECT w, list_max(list_transform(w, y -> abs(y))) AS mx FROM w$k))"
     }.mkString(", ")
-    "WITH q AS (SELECT list_transform(embedding, " +
+    "q AS (SELECT list_transform(embedding, " +
       "x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qs FROM embeddings), " +
       "p AS (SELECT i AS dim_i, j AS dim_j, " +
       "CAST(SUM(CAST(qs[i] AS HUGEINT) * qs[j]) AS HUGEINT) AS sij " +
@@ -914,11 +972,37 @@ object KmeansQueries {
       s"v0 AS (SELECT list_transform(generate_series(1, $dims), i -> 1.0) AS v), " +
       iterCtes + ", " +
       "uvec AS (SELECT list_transform(v, x -> x / nrm) AS u FROM " +
-      s"(SELECT v, sqrt(list_sum(list_transform(v, y -> y*y))) AS nrm FROM v$pcaIters)) " +
+      s"(SELECT v, sqrt(list_sum(list_transform(v, y -> y*y))) AS nrm FROM v$pcaIters))"
+  }
+
+  private def pcaSql: String =
+    s"WITH $pcaCtes " +
       s"SELECT vec_id, label, (CAST(floor((list_sum(list_transform(generate_series(1, $dims), i -> " +
       "(CAST(embedding[i] AS DOUBLE) - mus[i]) * u[i]))) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS pc1 " +
       "FROM embeddings CROSS JOIN uvec CROSS JOIN mu ORDER BY vec_id"
-  }
+
+  /** Learned-OPQ mirror: the pcaCtes eigenvector u, the Householder
+    * vector v = u − 1/8 and v·v, the reflection x − (2(v·x)/v·v)·v per
+    * row, PQ subvector slices, then the shared chainCtes Lloyd — every
+    * step the identical fixed-order IEEE arithmetic the Spark query
+    * runs (v·x ascending fold = the dotD contract; u is bit-identical
+    * by the r6b unrolled-iteration precedent). */
+  private def opqLearnedSql: String =
+    s"WITH $pcaCtes, " +
+      "hv0 AS (SELECT list_transform(u, x -> x - 0.125) AS v FROM uvec), " +
+      "hv AS (SELECT v, list_sum(list_transform(v, y -> y*y)) AS vv FROM hv0), " +
+      s"rot AS (SELECT vec_id, list_transform(generate_series(1, $dims), i -> " +
+      "CAST(embedding[i] AS DOUBLE) - f * v[i]) AS rot " +
+      s"FROM (SELECT e.vec_id, e.embedding, v, 2.0 * list_sum(list_transform(" +
+      s"generate_series(1, $dims), j -> v[j] * CAST(embedding[j] AS DOUBLE))) / vv AS f " +
+      "FROM embeddings e CROSS JOIN hv)), " +
+      s"svl AS (SELECT vec_id, sub, list_transform(generate_series(1, $pqSubdim), " +
+      s"i -> rot[sub*$pqSubdim + i]) AS sv " +
+      s"FROM rot CROSS JOIN (SELECT unnest(range(0, $pqSubs)) AS sub) ss), " +
+      chainCtes("", "svl", 0, pqSubdim) + " " +
+      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, " +
+      s"${r6Sql("d2")} AS dist2 " +
+      "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
 
   val oracle: Map[String, String] = Map(
     "embed_kmeans" -> kmeansSql,
@@ -929,6 +1013,7 @@ object KmeansQueries {
     "sim_search_pq" -> pqSearchSql,
     "embed_pca_top" -> pcaSql,
     "embed_opq" -> opqSql,
+    "embed_opq_learned" -> opqLearnedSql,
     "embed_rq" -> rqSql,
     "sim_search_ivfpq" -> ivfpqSql,
     "sim_search_mrl" -> mrlSql,

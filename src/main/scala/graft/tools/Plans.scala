@@ -403,10 +403,10 @@ object Plans {
        "the whole statistic reduces map-side; no window, no collect, no per-node state " +
        "beyond the degree join."),
     "sim_probe_sweep" ->
-      ("one assignment pass feeds all four nprobe configs: the (vec, cell) table and the " +
-       "<= 64-row query-cell ranks are checkpointed once, the config axis is a broadcast " +
-       "crossJoin + integer filter, and every ranking window keys on (np, qid) — the " +
-       "4-config sweep costs one corpus scan more than a single recall eval, not four."),
+      ("ONE materialized assignment pass feeds all four nprobe configs: the narrow " +
+       "(vec_id, cid, crn) frame is checkpointed once (r7 — the r6 shape checkpointed two " +
+       "children and ran the corpus x 16 cross join + window twice), the config axis is a " +
+       "broadcast crossJoin + integer filter, and every ranking window keys on (np, qid)."),
     "cdc_watermark_ticks" ->
       ("the non-equi extraction join is orders x a 3-row BROADCAST tick frame " +
        "(BroadcastNestedLoopJoin against a bounded side — the only legitimate BNLJ shape); " +
@@ -416,7 +416,17 @@ object Plans {
       ("customer revenue ranks via the two-pass globalRank (range Exchange + per-partition " +
        "ranks + literal offset map) — no single-partition window anywhere; the cumulative " +
        "share runs on the bounded 10-row decile grid with an explicit broadcast hint " +
-       "(the frame descends from a stats-free LogicalRDD)."))
+       "(the frame descends from a stats-free LogicalRDD)."),
+    "embed_opq_learned" ->
+      ("the learned Householder rotation is O(d) map work per row (one v·x fold + one " +
+       "mul-sub per coordinate — no 64x64 matrix multiply, no shuffle); the rotated frame " +
+       "is checkpointed ONCE before the Lloyd trainer's repeated distance references " +
+       "(the CollapseProject rule), and the codebook is a bounded driver collect entering " +
+       "as a literal — assignment stays whole-stage-codegen map-only."),
+    "mm_binary_features" ->
+      ("pure row-local byte work (octet census, sha-256, hex frame grid) — zero shuffles " +
+       "before the final presentation sort; the multimodal ingest pre-decode pass scales " +
+       "embarrassingly because nothing leaves its input partition."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

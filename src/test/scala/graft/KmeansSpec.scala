@@ -247,6 +247,69 @@ class KmeansSpec extends SparkSpec {
         s"rotated subspace $su codebook degenerate")
   }
 
+  test("embed_opq_learned matches a pure-Scala Householder-PCA reference exactly") {
+    val vecs = loadVecs()
+    // replicate pcaTop: exact micro moments -> covariance -> 8 power
+    // iterations -> unit eigenvector (the same fixed op order)
+    val qs = vecs.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong)) }
+    val n = qs.length
+    val dims = 64
+    val si = Array.tabulate(dims)(i => qs.map(_._2(i)).sum)
+    val c = Array.ofDim[Double](dims, dims)
+    for (i <- 0 until dims; j <- i until dims) {
+      val sij = qs.map(t => t._2(i) * t._2(j)).sum  // < 2^63 at spec SF
+      val cov = (sij.toDouble - si(i).toDouble * si(j).toDouble / n.toDouble) /
+        (n.toDouble - 1.0) / 1.0e12
+      c(i)(j) = cov; c(j)(i) = cov
+    }
+    var pv = Array.fill(dims)(1.0)
+    for (_ <- 0 until 8) {
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dims) { acc += c(i)(j) * pv(j); j += 1 }
+        acc
+      }
+      val mx = w.map(math.abs).max
+      pv = w.map(_ / mx)
+    }
+    val nrm = math.sqrt(pv.foldLeft(0.0)((a, x) => a + x * x))
+    val u = pv.map(_ / nrm)
+    // Householder v = u - 1/8, reflection of the RAW double coordinates
+    val hv = u.map(_ - 0.125)
+    val vv = hv.foldLeft(0.0)((a, x) => a + x * x)
+    val rot = vecs.map { case (id, v) =>
+      var vx = 0.0; var j = 0
+      while (j < dims) { vx += hv(j) * v(j).toDouble; j += 1 }
+      val f = 2.0 * vx / vv
+      (id, Array.tabulate(dims)(i => v(i).toDouble - f * hv(i)))
+    }
+    // the semantic point: the reflection maps the learned top direction
+    // onto the balanced diagonal, so w·y == u·x (Householder symmetry)
+    rot.zip(vecs).foreach { case ((_, y), (_, v)) =>
+      val wy = y.foldLeft(0.0)((a, x) => a + x / 8.0)
+      var ux = 0.0; var j = 0
+      while (j < dims) { ux += u(j) * v(j).toDouble; j += 1 }
+      assert(math.abs(wy - ux) <= 1e-9 * (math.abs(ux) + 1e-9),
+        s"reflection did not map u onto the diagonal: $wy vs $ux")
+    }
+    val subdim = 16
+    val refs = (0 until 4).map { su =>
+      lloydD(rot.map { case (id, y) => (id, y.slice(su * subdim, (su + 1) * subdim)) }, 0)._2
+    }
+    val out = SparkEntry.queries("embed_opq_learned")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getDouble(3)))).toMap
+    assert(out.size === vecs.length * 4)
+    for (su <- 0 until 4; (id, (refCode, refD2)) <- refs(su)) {
+      val (code, d2) = out((id, su))
+      assert(code === refCode, s"vec $id sub $su: code $code != reference $refCode")
+      assert(math.abs(d2 - refD2) < 1e-6, s"vec $id sub $su: d2 $d2 != $refD2")
+    }
+    for (su <- 0 until 4)
+      assert(out.collect { case ((_, s), (c2, _)) if s == su => c2 }.toSet.size > 1,
+        s"learned-rotated subspace $su codebook degenerate")
+  }
+
   test("embed_rq matches a pure-Scala two-stage residual reference exactly") {
     val vecs = loadVecs()
     val full = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }

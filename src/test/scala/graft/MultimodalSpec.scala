@@ -22,6 +22,27 @@ class MultimodalSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("mm_binary_features matches an independent JVM byte-level recompute") {
+    // the declared query's byte census / content hash / frame grid vs
+    // MessageDigest + raw UTF-8 bytes computed with no Spark at all
+    val out = SparkEntry.queries("mm_binary_features")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.length === docs.size)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    out.take(50).foreach { r =>
+      val bytes = docs(r.getLong(0)).getBytes("UTF-8")
+      assert(r.getLong(1) === bytes.length.toLong, "n_bytes")
+      assert(r.getString(2) === md.digest(bytes).map("%02x".format(_)).mkString,
+        "content_hash")
+      assert(r.getString(3) ===
+        bytes.take(4).map("%02X".format(_)).mkString, "magic_hex")
+      assert(r.getLong(4) === (bytes.length + 255L) / 256L, "n_frames")
+      assert(r.getLong(5) >= 1L && r.getLong(5) <= r.getLong(4).max(1L),
+        "n_uniq_frames bounds")
+    }
+  }
+
   test("feature extraction is deterministic, batched, fixed-dim") {
     val assets = Multimodal.syntheticAssets(spark, 60).repartition(4, col("asset_id"))
     val f1 = Multimodal.extractFeatures(assets, dim = 16).collect()

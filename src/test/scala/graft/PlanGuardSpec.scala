@@ -56,16 +56,58 @@ class PlanGuardSpec extends SparkSpec {
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
     }
 
-  test("catalog-wide: no CartesianProduct, no unbounded single-partition Exchange") {
+  /** The r6f/r6g trap as a structural rule: a NON-EQUI join over a
+    * LogicalRDD-descended (localCheckpoint'd) frame has no stats to
+    * size a broadcast from, so size-based BNLJ selection is fragile —
+    * one fixture regen flipped dedup_threshold_sweep to CartesianProduct.
+    * Every such join must carry an EXPLICIT join-strategy hint. Checked
+    * on the optimized logical plan (hints are erased from physical). */
+  private def unhintedNonEquiRddJoins(
+      lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.LogicalRDD
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case other => Seq(other)
+    }
+    lp.collect {
+      case j: LJoin =>
+        def crossSides(a: Expression, b: Expression): Boolean =
+          (a.references.subsetOf(j.left.outputSet) &&
+            b.references.subsetOf(j.right.outputSet)) ||
+            (a.references.subsetOf(j.right.outputSet) &&
+              b.references.subsetOf(j.left.outputSet))
+        val hasEqui = j.condition.toSeq.flatMap(conj).exists {
+          case EqualTo(a, b) => crossSides(a, b)
+          case EqualNullSafe(a, b) => crossSides(a, b)
+          case _ => false
+        }
+        val touchesRdd =
+          Seq(j.left, j.right).exists(_.exists(_.isInstanceOf[LogicalRDD]))
+        val hinted = j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined)
+        if (!hasEqui && touchesRdd && !hinted) 1 else 0
+    }.sum
+  }
+
+  test("catalog-wide: no CartesianProduct, no unbounded single-partition " +
+      "Exchange, hints on non-equi joins of checkpointed frames") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan
+        val qe = fn(spark, sf).queryExecution
+        val plan = qe.executedPlan
         val nodes = allNodes(plan)
         val cart =
           if (!cartesianOk(name) && nodes.exists(_.isInstanceOf[CartesianProductExec]))
             Seq(s"$name: CartesianProduct") else Nil
-        cart ++ singlePartitionExchanges(plan).filterNot(isBoundedScalarAggFeed)
-          .map(e => s"$name: Exchange SinglePartition over [${e.child.nodeName}]")
+        val unhinted = unhintedNonEquiRddJoins(qe.optimizedPlan)
+        val hintMiss = if (unhinted > 0)
+          Seq(s"$name: $unhinted non-equi join(s) over a checkpointed " +
+            "frame without an explicit broadcast hint") else Nil
+        cart ++ hintMiss ++
+          singlePartitionExchanges(plan).filterNot(isBoundedScalarAggFeed)
+            .map(e => s"$name: Exchange SinglePartition over [${e.child.nodeName}]")
     }
     assert(offenders.isEmpty,
       s"scale-unsafe constructs crept back into declared plans:\n${offenders.mkString("\n")}")
