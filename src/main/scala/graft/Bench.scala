@@ -51,7 +51,13 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val timed = if (reps == 1) times else times.drop(1)
-      name -> timed.sorted.apply((timed.size - 1) / 2)
+      val sorted = timed.sorted
+      // true median: odd count -> middle, even count -> mean of the two
+      // middles (lower-middle alone would report the MIN for 2 samples)
+      val med =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+      name -> med
     }
     // 3-dp timings keep the JSON line short enough to survive the driver's
     // tail capture (round 1's full-precision line was truncated mid-queries

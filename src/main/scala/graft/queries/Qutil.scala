@@ -55,19 +55,32 @@ object Qutil {
     * DuckDB cell landed on a boundary). Each op here (multiply, add,
     * floor, long->double cast, divide) is correctly-rounded IEEE with
     * identical semantics everywhere, so same input bits => same output
-    * bits, deterministically. Oracle mirrors use r6Sql/r3Sql below —
-    * the r7 sweep (tools/round_sweep.py) converted every ROUND( site. */
-  def r6(c: Column): Column = floor(c * 1e6 + 0.5).cast(DoubleType) / 1e6
+    * bits, deterministically. NaN/±Inf pass THROUGH unrounded (the
+    * guard): Spark's floor(double) returns BIGINT, which turns NaN
+    * into 0 and +Inf into Long.MaxValue while DuckDB's floor keeps
+    * them — the old ROUND passed both through identically, so without
+    * the guard every converted site had a latent NaN/Inf divergence
+    * (r7 review finding; tools/round_sweep2.py upgraded all 153 SQL
+    * sites). NULL still propagates through the rounding arm. Oracle
+    * mirrors use r6Sql/r3Sql below — the r7 sweeps
+    * (tools/round_sweep.py + round_sweep2.py) converted every site. */
+  def rScale(c: Column, pow10: Double): Column = {
+    val x = c.cast(DoubleType)
+    when(isnan(x) || abs(x) === lit(Double.PositiveInfinity), x)
+      .otherwise(floor(x * pow10 + 0.5).cast(DoubleType) / pow10)
+  }
 
-  def r3(c: Column): Column = floor(c * 1e3 + 0.5).cast(DoubleType) / 1e3
+  def r6(c: Column): Column = rScale(c, 1e6)
+
+  def r3(c: Column): Column = rScale(c, 1e3)
 
   /** SQL-string mirrors of r6/r3, valid in BOTH dialects — use in shared
     * formula strings and oracle SQL. */
   def r6Sql(e: String): String =
-    s"(CAST(floor(($e) * 1e6 + 0.5) AS DOUBLE) / 1e6)"
+    s"((CASE WHEN isnan(($e)) OR abs(($e)) = CAST('Infinity' AS DOUBLE) THEN CAST(($e) AS DOUBLE) ELSE CAST(floor(($e) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   def r3Sql(e: String): String =
-    s"(CAST(floor(($e) * 1e3 + 0.5) AS DOUBLE) / 1e3)"
+    s"((CASE WHEN isnan(($e)) OR abs(($e)) = CAST('Infinity' AS DOUBLE) THEN CAST(($e) AS DOUBLE) ELSE CAST(floor(($e) * 1e3 + 0.5) AS DOUBLE) / 1e3 END))"
 
   /** Deterministic money rounding for DERIVED doubles (products like
     * price*(1-disc)). A plain decimal cast diverges between engines at the

@@ -37,7 +37,13 @@ class CatalogSpec extends SparkSpec {
     // lied. Make census membership structural: every catalog key must
     // appear (backticked or bare) somewhere in SURVEY.md.
     val survey = java.nio.file.Files.readString(java.nio.file.Path.of("SURVEY.md"))
-    val missing = SparkEntry.queries.keySet.filterNot(k => survey.contains(k))
+    // word-boundary match, not contains(): `embed_opq` must not pass
+    // merely because `embed_opq_learned` is documented
+    val missing = SparkEntry.queries.keySet.filterNot { k =>
+      java.util.regex.Pattern
+        .compile("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(k) + "(?![A-Za-z0-9_])")
+        .matcher(survey).find()
+    }
     assert(missing.isEmpty,
       s"queries missing from the SURVEY.md census: ${missing.toSeq.sorted}")
   }
