@@ -33,31 +33,39 @@ object Bench {
     // first measured query doesn't absorb startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("agg_pricing_summary").foreach(f => exec("warmup", f(spark, sfDir)))
-    // Per-query reps (r7, default 2): the FIRST evaluation of a new
-    // HOF-heavy plan shape costs ~10-15 s of Janino codegen once per JVM
-    // (r6c), so every one-shot bench round read 4-8x spikes on a handful
-    // of queries that re-timed warm at their steady medians (r6 verdict
-    // re-adjudicated six of them). Rep 1 is that warm-up; the reported
-    // value is the median of the remaining reps — the number that
-    // actually predicts steady-state cost on a long-lived cluster.
-    // SPARK_GRAFT_BENCH_REPS=1 restores the raw one-shot timing.
-    // Construction-time work (sink landings) re-runs per rep; every sink
-    // query overwrites its scratch landing, so re-runs are clean (r6c).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // De-spiked timing (r7): the FIRST evaluation of a new HOF-heavy
+    // plan shape costs ~10-15 s of Janino codegen once per JVM (r6c),
+    // so every one-shot bench round read 4-8x spikes on a handful of
+    // queries that re-timed warm at their steady medians (r6 verdict
+    // re-adjudicated six of them).
+    // Default (adaptive): one timed evaluation per query; any query
+    // whose first evaluation exceeded 3 s gets ONE re-evaluation and
+    // reports the faster of the two — cold codegen only ever inflates
+    // the first run, so min-of-two is the warm estimate, and the extra
+    // wall cost is bounded by the handful of genuinely-heavy queries
+    // (~60 s) instead of doubling the whole run.
+    // SPARK_GRAFT_BENCH_REPS=1 forces raw one-shot; =N>1 forces N reps
+    // for EVERY query and reports the median of reps 2..N.
+    // Construction-time work (sink landings) re-runs per evaluation;
+    // every sink query overwrites its scratch landing, so re-runs are
+    // clean (r6c).
+    val repsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt.max(1))
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         exec(name, fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
-      val timed = if (reps == 1) times else times.drop(1)
-      val sorted = timed.sorted
-      // true median: odd count -> middle, even count -> mean of the two
-      // middles (lower-middle alone would report the MIN for 2 samples)
-      val med =
-        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-      name -> med
+      val t1 = once()
+      val value = repsEnv match {
+        case Some(1) => t1
+        case Some(n) =>
+          val sorted = Seq.fill(n - 1)(once()).sorted
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        case None => if (t1 > 3.0) math.min(t1, once()) else t1
+      }
+      name -> value
     }
     // 3-dp timings keep the JSON line short enough to survive the driver's
     // tail capture (round 1's full-precision line was truncated mid-queries
