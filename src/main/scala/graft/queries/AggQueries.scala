@@ -39,13 +39,13 @@ object AggQueries {
   private def centsMoneyF(c: String): String =
     s"CAST(CAST($c AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE)"
   private def wmeanF(sc: String): String =
-    s"((CASE WHEN isnan((CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0)) OR abs((CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0)) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0) AS DOUBLE) ELSE CAST(floor((CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    s"((CASE WHEN isnan((CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0)) OR abs((CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0)) >= 9e12 THEN CAST((CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0) AS DOUBLE) ELSE CAST(floor((CAST($sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   /** Revenue-share emission (agg_pareto, agg_topk_other) over the exact
     * integer mass column and the exact total `tc` — one division,
     * shared verbatim (def: oracle Map init-order rule). */
   private def shareF(c: String): String =
-    s"((CASE WHEN isnan((CAST($c AS DOUBLE) / CAST(tc AS DOUBLE))) OR abs((CAST($c AS DOUBLE) / CAST(tc AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST($c AS DOUBLE) / CAST(tc AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST($c AS DOUBLE) / CAST(tc AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    s"((CASE WHEN isnan((CAST($c AS DOUBLE) / CAST(tc AS DOUBLE))) OR abs((CAST($c AS DOUBLE) / CAST(tc AS DOUBLE))) >= 9e12 THEN CAST((CAST($c AS DOUBLE) / CAST(tc AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST($c AS DOUBLE) / CAST(tc AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   /** Gini emission formulas off the exact moment sums (n, sx, sxr) —
     * shared verbatim by query and oracle; each DECIMAL(38,0)/HUGEINT sum
@@ -54,7 +54,7 @@ object AggQueries {
   private def giniSql: String =
     "((CASE WHEN isnan(((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))) OR abs(((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
-      "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))) = CAST('Infinity' AS DOUBLE) THEN CAST(((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))) >= 9e12 THEN CAST(((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) AS DOUBLE) ELSE CAST(floor(((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
@@ -628,7 +628,7 @@ object AggQueries {
        "c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1), " +
        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c) " +
        "SELECT bucket, CAST(bucket AS BIGINT) * 50000 AS lo_dollars, n, " +
-       "((CASE WHEN isnan((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) OR abs((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS frac " +
+       "((CASE WHEN isnan((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) OR abs((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) >= 9e12 THEN CAST((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS frac " +
        "FROM c CROSS JOIN t ORDER BY bucket"),
     "agg_pareto" ->
       // row_number over the identical DESC order stands in for
@@ -679,9 +679,9 @@ object AggQueries {
        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
        "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price, " +
        "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge, " +
-       "((CASE WHEN isnan((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_qty, " +
-       "((CASE WHEN isnan((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_price, " +
-       "((CASE WHEN isnan((CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_disc, " +
+       "((CASE WHEN isnan((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) >= 9e12 THEN CAST((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_qty, " +
+       "((CASE WHEN isnan((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) >= 9e12 THEN CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_price, " +
+       "((CASE WHEN isnan((CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*))) >= 9e12 THEN CAST((CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_disc, " +
        "COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
        "GROUP BY 1,2 ORDER BY 1,2"),
     "agg_distinct_exact" ->
@@ -712,28 +712,28 @@ object AggQueries {
        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
        "ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     "agg_having" ->
-      ("SELECT c_mktsegment, ((CASE WHEN isnan((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_bal, " +
+      ("SELECT c_mktsegment, ((CASE WHEN isnan((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) >= 9e12 THEN CAST((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_bal, " +
        "COUNT(*) AS n_cust FROM customer GROUP BY 1 " +
-       "HAVING ((CASE WHEN isnan((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) > 4000.0 ORDER BY 1"),
+       "HAVING ((CASE WHEN isnan((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) >= 9e12 THEN CAST((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) > 4000.0 ORDER BY 1"),
     "agg_extrema" ->
-      ("SELECT l_returnflag, ((CASE WHEN isnan((median(l_extendedprice))) OR abs((median(l_extendedprice))) = CAST('Infinity' AS DOUBLE) THEN CAST((median(l_extendedprice)) AS DOUBLE) ELSE CAST(floor((median(l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS med_price, " +
+      ("SELECT l_returnflag, ((CASE WHEN isnan((median(l_extendedprice))) OR abs((median(l_extendedprice))) >= 9e12 THEN CAST((median(l_extendedprice)) AS DOUBLE) ELSE CAST(floor((median(l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS med_price, " +
        "arg_min(l_orderkey, l_extendedprice) AS cheapest_order, " +
        "arg_max(l_orderkey, l_extendedprice) AS dearest_order, " +
        "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price " +
        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_stats" ->
       ("SELECT event_type, MIN(value) AS min_v, MAX(value) AS max_v, " +
-       "((CASE WHEN isnan((STDDEV_SAMP(value))) OR abs((STDDEV_SAMP(value))) = CAST('Infinity' AS DOUBLE) THEN CAST((STDDEV_SAMP(value)) AS DOUBLE) ELSE CAST(floor((STDDEV_SAMP(value)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS std_v, ((CASE WHEN isnan((quantile_cont(value, 0.5))) OR abs((quantile_cont(value, 0.5))) = CAST('Infinity' AS DOUBLE) THEN CAST((quantile_cont(value, 0.5)) AS DOUBLE) ELSE CAST(floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS med_v, " +
+       "((CASE WHEN isnan((STDDEV_SAMP(value))) OR abs((STDDEV_SAMP(value))) >= 9e12 THEN CAST((STDDEV_SAMP(value)) AS DOUBLE) ELSE CAST(floor((STDDEV_SAMP(value)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS std_v, ((CASE WHEN isnan((quantile_cont(value, 0.5))) OR abs((quantile_cont(value, 0.5))) >= 9e12 THEN CAST((quantile_cont(value, 0.5)) AS DOUBLE) ELSE CAST(floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS med_v, " +
        "COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"),
     "agg_corr" ->
-      ("SELECT l_returnflag, ((CASE WHEN isnan((corr(l_quantity, l_extendedprice))) OR abs((corr(l_quantity, l_extendedprice))) = CAST('Infinity' AS DOUBLE) THEN CAST((corr(l_quantity, l_extendedprice)) AS DOUBLE) ELSE CAST(floor((corr(l_quantity, l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS corr_qty_price, " +
-       "((CASE WHEN isnan((covar_samp(l_quantity, l_extendedprice))) OR abs((covar_samp(l_quantity, l_extendedprice))) = CAST('Infinity' AS DOUBLE) THEN CAST((covar_samp(l_quantity, l_extendedprice)) AS DOUBLE) ELSE CAST(floor((covar_samp(l_quantity, l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS covar_qty_price, " +
+      ("SELECT l_returnflag, ((CASE WHEN isnan((corr(l_quantity, l_extendedprice))) OR abs((corr(l_quantity, l_extendedprice))) >= 9e12 THEN CAST((corr(l_quantity, l_extendedprice)) AS DOUBLE) ELSE CAST(floor((corr(l_quantity, l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS corr_qty_price, " +
+       "((CASE WHEN isnan((covar_samp(l_quantity, l_extendedprice))) OR abs((covar_samp(l_quantity, l_extendedprice))) >= 9e12 THEN CAST((covar_samp(l_quantity, l_extendedprice)) AS DOUBLE) ELSE CAST(floor((covar_samp(l_quantity, l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS covar_qty_price, " +
        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_weighted_avg" ->
       ("SELECT l_returnflag, " +
        "((CASE WHEN isnan((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)" +
        "/CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))) OR abs((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)" +
-       "/CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)" +
+       "/CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))) >= 9e12 THEN CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)" +
        "/CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)" +
        "/CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS wavg_price, " +
        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
@@ -781,7 +781,7 @@ object AggQueries {
        "CAST(CAST(MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN cents END) AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE) AS p99, " +
        "COUNT(*) AS n_orders FROM w GROUP BY grp ORDER BY grp"),
     "agg_udaf_geomean" ->
-      ("SELECT l_returnflag, ((CASE WHEN isnan((EXP(AVG(LN(l_extendedprice))))) OR abs((EXP(AVG(LN(l_extendedprice))))) = CAST('Infinity' AS DOUBLE) THEN CAST((EXP(AVG(LN(l_extendedprice)))) AS DOUBLE) ELSE CAST(floor((EXP(AVG(LN(l_extendedprice)))) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS geomean_price, " +
+      ("SELECT l_returnflag, ((CASE WHEN isnan((EXP(AVG(LN(l_extendedprice))))) OR abs((EXP(AVG(LN(l_extendedprice))))) >= 9e12 THEN CAST((EXP(AVG(LN(l_extendedprice)))) AS DOUBLE) ELSE CAST(floor((EXP(AVG(LN(l_extendedprice)))) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS geomean_price, " +
        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")
   )
 }

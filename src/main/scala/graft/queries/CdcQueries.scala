@@ -61,7 +61,7 @@ object CdcQueries {
   private def iqrMoneyF(c: String): String =
     s"CAST(CAST($c AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE)"
   private def iqrRateF: String =
-    "((CASE WHEN isnan((CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE))) OR abs((CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    "((CASE WHEN isnan((CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE))) OR abs((CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE))) >= 9e12 THEN CAST((CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(n_low + n_high AS DOUBLE) / CAST(n_orders AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   /** Mann–Whitney z emission (dq_mannwhitney) off the double-cast exact
     * quantities (u_x2 = 2·U exact integer, std = Σ(t³−t), n1d/n2d cohort
@@ -76,7 +76,7 @@ object CdcQueries {
       "(2.0 * sqrt((n1d * n2d * ((n1d + n2d + 1.0) * (n1d + n2d) * (n1d + n2d - 1.0) - std)) / " +
       "(12.0 * (n1d + n2d) * (n1d + n2d - 1.0)))))) OR abs(((CAST(u_x2 AS DOUBLE) - n1d * n2d) / " +
       "(2.0 * sqrt((n1d * n2d * ((n1d + n2d + 1.0) * (n1d + n2d) * (n1d + n2d - 1.0) - std)) / " +
-      "(12.0 * (n1d + n2d) * (n1d + n2d - 1.0)))))) = CAST('Infinity' AS DOUBLE) THEN CAST(((CAST(u_x2 AS DOUBLE) - n1d * n2d) / " +
+      "(12.0 * (n1d + n2d) * (n1d + n2d - 1.0)))))) >= 9e12 THEN CAST(((CAST(u_x2 AS DOUBLE) - n1d * n2d) / " +
       "(2.0 * sqrt((n1d * n2d * ((n1d + n2d + 1.0) * (n1d + n2d) * (n1d + n2d - 1.0) - std)) / " +
       "(12.0 * (n1d + n2d) * (n1d + n2d - 1.0))))) AS DOUBLE) ELSE CAST(floor(((CAST(u_x2 AS DOUBLE) - n1d * n2d) / " +
       "(2.0 * sqrt((n1d * n2d * ((n1d + n2d + 1.0) * (n1d + n2d) * (n1d + n2d - 1.0) - std)) / " +
@@ -583,7 +583,7 @@ object CdcQueries {
           "x -> x.term_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("psi_raw"))
       terms.crossJoin(broadcast(tot))
         .selectExpr("bucket", "base_cnt", "cur_cnt",
-          "((CASE WHEN isnan((term_raw)) OR abs((term_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term", "((CASE WHEN isnan((psi_raw)) OR abs((psi_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((psi_raw) AS DOUBLE) ELSE CAST(floor((psi_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS psi")
+          "((CASE WHEN isnan((term_raw)) OR abs((term_raw)) >= 9e12 THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term", "((CASE WHEN isnan((psi_raw)) OR abs((psi_raw)) >= 9e12 THEN CAST((psi_raw) AS DOUBLE) ELSE CAST(floor((psi_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS psi")
         .orderBy("bucket")
     }),
 
@@ -606,7 +606,7 @@ object CdcQueries {
           "x -> x.term_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("jsd_raw"))
       terms.crossJoin(broadcast(tot))
         .selectExpr("bucket", "base_cnt", "cur_cnt",
-          "((CASE WHEN isnan((term_raw)) OR abs((term_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term", "((CASE WHEN isnan((jsd_raw)) OR abs((jsd_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((jsd_raw) AS DOUBLE) ELSE CAST(floor((jsd_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jsd")
+          "((CASE WHEN isnan((term_raw)) OR abs((term_raw)) >= 9e12 THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term", "((CASE WHEN isnan((jsd_raw)) OR abs((jsd_raw)) >= 9e12 THEN CAST((jsd_raw) AS DOUBLE) ELSE CAST(floor((jsd_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jsd")
         .orderBy("bucket")
     }),
 
@@ -628,9 +628,9 @@ object CdcQueries {
       val dnumExpr = "abs(cum_base * n_cur - cum_cur * n_base)"
       val gaps = cum.crossJoin(broadcast(totals))
         .selectExpr("bucket", "cum_base", "cum_cur", s"$dnumExpr AS dnum",
-          s"((CASE WHEN isnan((${ksFormula(dnumExpr)})) OR abs((${ksFormula(dnumExpr)})) = CAST('Infinity' AS DOUBLE) THEN CAST((${ksFormula(dnumExpr)}) AS DOUBLE) ELSE CAST(floor((${ksFormula(dnumExpr)}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS gap")
+          s"((CASE WHEN isnan((${ksFormula(dnumExpr)})) OR abs((${ksFormula(dnumExpr)})) >= 9e12 THEN CAST((${ksFormula(dnumExpr)}) AS DOUBLE) ELSE CAST(floor((${ksFormula(dnumExpr)}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS gap")
       val mx = gaps.agg(max(col("dnum")).as("mdn")).crossJoin(broadcast(totals))
-        .selectExpr(s"((CASE WHEN isnan((${ksFormula("mdn")})) OR abs((${ksFormula("mdn")})) = CAST('Infinity' AS DOUBLE) THEN CAST((${ksFormula("mdn")}) AS DOUBLE) ELSE CAST(floor((${ksFormula("mdn")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS ks")
+        .selectExpr(s"((CASE WHEN isnan((${ksFormula("mdn")})) OR abs((${ksFormula("mdn")})) >= 9e12 THEN CAST((${ksFormula("mdn")}) AS DOUBLE) ELSE CAST(floor((${ksFormula("mdn")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS ks")
       gaps.select(col("bucket"), col("cum_base"), col("cum_cur"), col("gap"))
         .crossJoin(broadcast(mx))
         .orderBy("bucket")
@@ -867,9 +867,9 @@ object CdcQueries {
           s"${ttestMean("b")} AS mb", s"${ttestVar("b")} AS vb",
           s"${ttestMean("c")} AS mc", s"${ttestVar("c")} AS vc")
         .selectExpr("n_base", "n_cur",
-          "((CASE WHEN isnan((mb)) OR abs((mb)) = CAST('Infinity' AS DOUBLE) THEN CAST((mb) AS DOUBLE) ELSE CAST(floor((mb) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_base", "((CASE WHEN isnan((mc)) OR abs((mc)) = CAST('Infinity' AS DOUBLE) THEN CAST((mc) AS DOUBLE) ELSE CAST(floor((mc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_cur",
-          "((CASE WHEN isnan((vb)) OR abs((vb)) = CAST('Infinity' AS DOUBLE) THEN CAST((vb) AS DOUBLE) ELSE CAST(floor((vb) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS var_base", "((CASE WHEN isnan((vc)) OR abs((vc)) = CAST('Infinity' AS DOUBLE) THEN CAST((vc) AS DOUBLE) ELSE CAST(floor((vc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS var_cur",
-          s"((CASE WHEN isnan(($ttestT)) OR abs(($ttestT)) = CAST('Infinity' AS DOUBLE) THEN CAST(($ttestT) AS DOUBLE) ELSE CAST(floor(($ttestT) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS t_stat", s"((CASE WHEN isnan(($ttestDf)) OR abs(($ttestDf)) = CAST('Infinity' AS DOUBLE) THEN CAST(($ttestDf) AS DOUBLE) ELSE CAST(floor(($ttestDf) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS df")
+          "((CASE WHEN isnan((mb)) OR abs((mb)) >= 9e12 THEN CAST((mb) AS DOUBLE) ELSE CAST(floor((mb) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_base", "((CASE WHEN isnan((mc)) OR abs((mc)) >= 9e12 THEN CAST((mc) AS DOUBLE) ELSE CAST(floor((mc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_cur",
+          "((CASE WHEN isnan((vb)) OR abs((vb)) >= 9e12 THEN CAST((vb) AS DOUBLE) ELSE CAST(floor((vb) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS var_base", "((CASE WHEN isnan((vc)) OR abs((vc)) >= 9e12 THEN CAST((vc) AS DOUBLE) ELSE CAST(floor((vc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS var_cur",
+          s"((CASE WHEN isnan(($ttestT)) OR abs(($ttestT)) >= 9e12 THEN CAST(($ttestT) AS DOUBLE) ELSE CAST(floor(($ttestT) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS t_stat", s"((CASE WHEN isnan(($ttestDf)) OR abs(($ttestDf)) >= 9e12 THEN CAST(($ttestDf) AS DOUBLE) ELSE CAST(floor(($ttestDf) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS df")
     }),
 
     // Chi-squared independence drift (r6d) — the CATEGORICAL member of
@@ -907,7 +907,7 @@ object CdcQueries {
         .selectExpr("event_type", "cohort", "obs", "rt", "ct", "nn",
           "CAST(CAST(dnum AS DECIMAL(38,0)) * dnum AS DOUBLE) AS d2")
         .selectExpr("event_type", "cohort", "obs",
-          s"((CASE WHEN isnan(($chi2ExpectedF)) OR abs(($chi2ExpectedF)) = CAST('Infinity' AS DOUBLE) THEN CAST(($chi2ExpectedF) AS DOUBLE) ELSE CAST(floor(($chi2ExpectedF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS expected",
+          s"((CASE WHEN isnan(($chi2ExpectedF)) OR abs(($chi2ExpectedF)) >= 9e12 THEN CAST(($chi2ExpectedF) AS DOUBLE) ELSE CAST(floor(($chi2ExpectedF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS expected",
           s"$chi2TermF AS term_raw")
       // df from a PLAIN count (cells = |types| x 2): a count_distinct
       // here would force a non-partial two-phase aggregate and a
@@ -918,7 +918,7 @@ object CdcQueries {
         expr("CAST(count(1) DIV 2 - 1 AS INT)").as("df"))
       cells.crossJoin(broadcast(tot))
         .selectExpr("event_type", "cohort", "obs", "expected",
-          "((CASE WHEN isnan((term_raw)) OR abs((term_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term", "((CASE WHEN isnan((chi2_raw)) OR abs((chi2_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((chi2_raw) AS DOUBLE) ELSE CAST(floor((chi2_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS chi2", "df")
+          "((CASE WHEN isnan((term_raw)) OR abs((term_raw)) >= 9e12 THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term", "((CASE WHEN isnan((chi2_raw)) OR abs((chi2_raw)) >= 9e12 THEN CAST((chi2_raw) AS DOUBLE) ELSE CAST(floor((chi2_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS chi2", "df")
         .orderBy("event_type", "cohort")
     }),
 
@@ -962,16 +962,16 @@ object CdcQueries {
       (s"WITH ${driftCteSql(10)}, " +
        s"tr AS (SELECT bucket, base_cnt, cur_cnt, $psiTermFormula AS term_raw FROM f CROSS JOIN t), " +
        "pp AS (SELECT list_sum(list(term_raw ORDER BY bucket)) AS psi_raw FROM tr) " +
-       "SELECT bucket, base_cnt, cur_cnt, ((CASE WHEN isnan((term_raw)) OR abs((term_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term, " +
-       "((CASE WHEN isnan((psi_raw)) OR abs((psi_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((psi_raw) AS DOUBLE) ELSE CAST(floor((psi_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS psi FROM tr CROSS JOIN pp ORDER BY bucket"),
+       "SELECT bucket, base_cnt, cur_cnt, ((CASE WHEN isnan((term_raw)) OR abs((term_raw)) >= 9e12 THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term, " +
+       "((CASE WHEN isnan((psi_raw)) OR abs((psi_raw)) >= 9e12 THEN CAST((psi_raw) AS DOUBLE) ELSE CAST(floor((psi_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS psi FROM tr CROSS JOIN pp ORDER BY bucket"),
     "dq_js_drift" ->
       // identical grid/smoothing to the psi oracle, the shared
       // jsTermFormula verbatim, bucket-ordered list_sum fold
       (s"WITH ${driftCteSql(10)}, " +
        s"tr AS (SELECT bucket, base_cnt, cur_cnt, $jsTermFormula AS term_raw FROM f CROSS JOIN t), " +
        "pp AS (SELECT list_sum(list(term_raw ORDER BY bucket)) AS jsd_raw FROM tr) " +
-       "SELECT bucket, base_cnt, cur_cnt, ((CASE WHEN isnan((term_raw)) OR abs((term_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term, " +
-       "((CASE WHEN isnan((jsd_raw)) OR abs((jsd_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((jsd_raw) AS DOUBLE) ELSE CAST(floor((jsd_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jsd FROM tr CROSS JOIN pp ORDER BY bucket"),
+       "SELECT bucket, base_cnt, cur_cnt, ((CASE WHEN isnan((term_raw)) OR abs((term_raw)) >= 9e12 THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term, " +
+       "((CASE WHEN isnan((jsd_raw)) OR abs((jsd_raw)) >= 9e12 THEN CAST((jsd_raw) AS DOUBLE) ELSE CAST(floor((jsd_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jsd FROM tr CROSS JOIN pp ORDER BY bucket"),
     "dq_ks_drift" ->
       // cumulative counts via the bounded grid self-join, exact integer
       // cross-multiplied CDF gaps, integer max, the shared ksFormula
@@ -981,9 +981,9 @@ object CdcQueries {
        "FROM f a JOIN f b2 ON b2.bucket <= a.bucket GROUP BY 1), " +
        "gp AS (SELECT bucket, cum_base, cum_cur, " +
        "abs(cum_base * n_cur - cum_cur * n_base) AS dnum, " +
-       s"((CASE WHEN isnan((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")})) OR abs((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")})) = CAST('Infinity' AS DOUBLE) THEN CAST((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")}) AS DOUBLE) ELSE CAST(floor((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS gap " +
+       s"((CASE WHEN isnan((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")})) OR abs((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")})) >= 9e12 THEN CAST((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")}) AS DOUBLE) ELSE CAST(floor((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS gap " +
        "FROM cum CROSS JOIN t), " +
-       s"mx AS (SELECT ((CASE WHEN isnan((${ksFormula("mdn")})) OR abs((${ksFormula("mdn")})) = CAST('Infinity' AS DOUBLE) THEN CAST((${ksFormula("mdn")}) AS DOUBLE) ELSE CAST(floor((${ksFormula("mdn")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS ks " +
+       s"mx AS (SELECT ((CASE WHEN isnan((${ksFormula("mdn")})) OR abs((${ksFormula("mdn")})) >= 9e12 THEN CAST((${ksFormula("mdn")}) AS DOUBLE) ELSE CAST(floor((${ksFormula("mdn")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS ks " +
        "FROM (SELECT MAX(dnum) AS mdn FROM gp) CROSS JOIN t) " +
        "SELECT bucket, cum_base, cum_cur, gap, ks FROM gp CROSS JOIN mx ORDER BY bucket"),
     "dq_chi2_drift" ->
@@ -1004,12 +1004,12 @@ object CdcQueries {
        "JOIN ct0 ON f.cohort = ct0.cohort CROSS JOIN n), " +
        "cd AS (SELECT event_type, cohort, obs, rt, ct, nn, " +
        "CAST(CAST(dnum AS HUGEINT) * dnum AS DOUBLE) AS d2 FROM cl), " +
-       s"tr AS (SELECT event_type, cohort, obs, ((CASE WHEN isnan(($chi2ExpectedF)) OR abs(($chi2ExpectedF)) = CAST('Infinity' AS DOUBLE) THEN CAST(($chi2ExpectedF) AS DOUBLE) ELSE CAST(floor(($chi2ExpectedF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS expected, " +
+       s"tr AS (SELECT event_type, cohort, obs, ((CASE WHEN isnan(($chi2ExpectedF)) OR abs(($chi2ExpectedF)) >= 9e12 THEN CAST(($chi2ExpectedF) AS DOUBLE) ELSE CAST(floor(($chi2ExpectedF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS expected, " +
        s"$chi2TermF AS term_raw FROM cd), " +
        "tot AS (SELECT list_sum(list(term_raw ORDER BY event_type, cohort)) AS chi2_raw, " +
        "CAST(COUNT(*) // 2 - 1 AS INT) AS df FROM tr) " +
-       "SELECT event_type, cohort, obs, expected, ((CASE WHEN isnan((term_raw)) OR abs((term_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term, " +
-       "((CASE WHEN isnan((chi2_raw)) OR abs((chi2_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((chi2_raw) AS DOUBLE) ELSE CAST(floor((chi2_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
+       "SELECT event_type, cohort, obs, expected, ((CASE WHEN isnan((term_raw)) OR abs((term_raw)) >= 9e12 THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term, " +
+       "((CASE WHEN isnan((chi2_raw)) OR abs((chi2_raw)) >= 9e12 THEN CAST((chi2_raw) AS DOUBLE) ELSE CAST(floor((chi2_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
     "scd2_type3" ->
       // the shared upsert CTE prefix verbatim; identical null/op logic
       (s"WITH $upsertCtesSql " +
@@ -1123,9 +1123,9 @@ object CdcQueries {
        "mv AS (SELECT n_base, n_cur, nb, nc, " +
        s"${ttestMean("b")} AS mb, ${ttestVar("b")} AS vb, " +
        s"${ttestMean("c")} AS mc, ${ttestVar("c")} AS vc FROM dd) " +
-       "SELECT n_base, n_cur, ((CASE WHEN isnan((mb)) OR abs((mb)) = CAST('Infinity' AS DOUBLE) THEN CAST((mb) AS DOUBLE) ELSE CAST(floor((mb) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_base, ((CASE WHEN isnan((mc)) OR abs((mc)) = CAST('Infinity' AS DOUBLE) THEN CAST((mc) AS DOUBLE) ELSE CAST(floor((mc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_cur, " +
-       "((CASE WHEN isnan((vb)) OR abs((vb)) = CAST('Infinity' AS DOUBLE) THEN CAST((vb) AS DOUBLE) ELSE CAST(floor((vb) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS var_base, ((CASE WHEN isnan((vc)) OR abs((vc)) = CAST('Infinity' AS DOUBLE) THEN CAST((vc) AS DOUBLE) ELSE CAST(floor((vc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS var_cur, " +
-       s"((CASE WHEN isnan(($ttestT)) OR abs(($ttestT)) = CAST('Infinity' AS DOUBLE) THEN CAST(($ttestT) AS DOUBLE) ELSE CAST(floor(($ttestT) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS t_stat, ((CASE WHEN isnan(($ttestDf)) OR abs(($ttestDf)) = CAST('Infinity' AS DOUBLE) THEN CAST(($ttestDf) AS DOUBLE) ELSE CAST(floor(($ttestDf) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS df FROM mv"),
+       "SELECT n_base, n_cur, ((CASE WHEN isnan((mb)) OR abs((mb)) >= 9e12 THEN CAST((mb) AS DOUBLE) ELSE CAST(floor((mb) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_base, ((CASE WHEN isnan((mc)) OR abs((mc)) >= 9e12 THEN CAST((mc) AS DOUBLE) ELSE CAST(floor((mc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_cur, " +
+       "((CASE WHEN isnan((vb)) OR abs((vb)) >= 9e12 THEN CAST((vb) AS DOUBLE) ELSE CAST(floor((vb) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS var_base, ((CASE WHEN isnan((vc)) OR abs((vc)) >= 9e12 THEN CAST((vc) AS DOUBLE) ELSE CAST(floor((vc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS var_cur, " +
+       s"((CASE WHEN isnan(($ttestT)) OR abs(($ttestT)) >= 9e12 THEN CAST(($ttestT) AS DOUBLE) ELSE CAST(floor(($ttestT) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS t_stat, ((CASE WHEN isnan(($ttestDf)) OR abs(($ttestDf)) >= 9e12 THEN CAST(($ttestDf) AS DOUBLE) ELSE CAST(floor(($ttestDf) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS df FROM mv"),
     "dq_freshness" ->
       // epoch_us floor-div mirrors Spark's unix_micros DIV exactly (both
       // nonnegative, so floor == truncation); CAST pins INT vs BIGINT
@@ -1161,8 +1161,8 @@ object CdcQueries {
         "c AS (SELECT digit, COUNT(*) AS n FROM b GROUP BY 1), " +
         "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c), " +
         s"e AS (SELECT * FROM (VALUES $expList) AS v(digit, benford)) " +
-        "SELECT c.digit, c.n, ((CASE WHEN isnan((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) OR abs((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS observed, " +
-        "benford, ((CASE WHEN isnan((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford)) OR abs((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford)) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford) AS DOUBLE) ELSE CAST(floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS deviation " +
+        "SELECT c.digit, c.n, ((CASE WHEN isnan((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) OR abs((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) >= 9e12 THEN CAST((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS observed, " +
+        "benford, ((CASE WHEN isnan((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford)) OR abs((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford)) >= 9e12 THEN CAST((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford) AS DOUBLE) ELSE CAST(floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS deviation " +
         "FROM c CROSS JOIN t JOIN e ON e.digit = c.digit ORDER BY c.digit"
     },
     "dq_k_anonymity" ->
@@ -1239,7 +1239,7 @@ object CdcQueries {
        "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n)/(n-1) AS variance " +
        "FROM hc JOIN st USING (event_type)) " +
        "SELECT event_type, h, cnt, " +
-       "((CASE WHEN isnan((CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END)) OR abs((CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END)) = CAST('Infinity' AS DOUBLE) THEN CAST((CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END) AS DOUBLE) ELSE CAST(floor((CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS z, " +
+       "((CASE WHEN isnan((CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END)) OR abs((CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END)) >= 9e12 THEN CAST((CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END) AS DOUBLE) ELSE CAST(floor((CASE WHEN n = 1 OR variance <= 0.0 THEN 0.0 ELSE (cnt - mean)/sqrt(variance) END) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS z, " +
        "CASE WHEN n = 1 OR variance <= 0.0 THEN FALSE ELSE abs((cnt - mean)/sqrt(variance)) > 3.0 END AS is_anomaly " +
        "FROM j ORDER BY event_type, h"),
     "dq_anomaly_mad" ->
@@ -1258,7 +1258,7 @@ object CdcQueries {
        "mm AS (SELECT event_type, CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev END) AS BIGINT) AS mad " +
        "FROM r2 GROUP BY 1) " +
        "SELECT dv.event_type, h, cnt, med, mad, " +
-       "((CASE WHEN isnan((CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END)) OR abs((CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END)) = CAST('Infinity' AS DOUBLE) THEN CAST((CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END) AS DOUBLE) ELSE CAST(floor((CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS score, " +
+       "((CASE WHEN isnan((CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END)) OR abs((CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END)) >= 9e12 THEN CAST((CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END) AS DOUBLE) ELSE CAST(floor((CASE WHEN mad = 0 THEN 0.0 ELSE CAST(cnt - med AS DOUBLE) / CAST(mad AS DOUBLE) END) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS score, " +
        "(mad > 0 AND abs(cnt - med) > mad * 3) AS is_anomaly " +
        "FROM dv JOIN mm USING (event_type) ORDER BY event_type, h"),
     "dq_row_hash" ->

@@ -221,11 +221,11 @@ object FnQueries {
        "c_custkey >> 3 AS shr_3, CAST(bit_count(c_custkey) AS INT) AS popcnt " +
        "FROM customer ORDER BY c_custkey"),
     "fn_math" ->
-      ("SELECT l_orderkey, l_linenumber, ((CASE WHEN isnan((l_extendedprice)) OR abs((l_extendedprice)) = CAST('Infinity' AS DOUBLE) THEN CAST((l_extendedprice) AS DOUBLE) ELSE CAST(floor((l_extendedprice) * 1e1 + 0.5) AS DOUBLE) / 1e1 END)) AS price_r1, " +
+      ("SELECT l_orderkey, l_linenumber, ((CASE WHEN isnan((l_extendedprice)) OR abs((l_extendedprice)) >= 9e12 THEN CAST((l_extendedprice) AS DOUBLE) ELSE CAST(floor((l_extendedprice) * 1e1 + 0.5) AS DOUBLE) / 1e1 END)) AS price_r1, " +
        "ABS(l_discount - 0.05) AS abs_d, CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_p, " +
-       "CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_p, ((CASE WHEN isnan((POW(l_quantity, 2))) OR abs((POW(l_quantity, 2))) = CAST('Infinity' AS DOUBLE) THEN CAST((POW(l_quantity, 2)) AS DOUBLE) ELSE CAST(floor((POW(l_quantity, 2)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS qty_sq, " +
-       "((CASE WHEN isnan((LN(l_extendedprice))) OR abs((LN(l_extendedprice))) = CAST('Infinity' AS DOUBLE) THEN CAST((LN(l_extendedprice)) AS DOUBLE) ELSE CAST(floor((LN(l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS ln_p, ((CASE WHEN isnan((LOG10(l_extendedprice))) OR abs((LOG10(l_extendedprice))) = CAST('Infinity' AS DOUBLE) THEN CAST((LOG10(l_extendedprice)) AS DOUBLE) ELSE CAST(floor((LOG10(l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS log10_p, " +
-       "((CASE WHEN isnan((SQRT(l_quantity))) OR abs((SQRT(l_quantity))) = CAST('Infinity' AS DOUBLE) THEN CAST((SQRT(l_quantity)) AS DOUBLE) ELSE CAST(floor((SQRT(l_quantity)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS sqrt_q, l_orderkey % 7 AS key_mod, " +
+       "CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_p, ((CASE WHEN isnan((POW(l_quantity, 2))) OR abs((POW(l_quantity, 2))) >= 9e12 THEN CAST((POW(l_quantity, 2)) AS DOUBLE) ELSE CAST(floor((POW(l_quantity, 2)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS qty_sq, " +
+       "((CASE WHEN isnan((LN(l_extendedprice))) OR abs((LN(l_extendedprice))) >= 9e12 THEN CAST((LN(l_extendedprice)) AS DOUBLE) ELSE CAST(floor((LN(l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS ln_p, ((CASE WHEN isnan((LOG10(l_extendedprice))) OR abs((LOG10(l_extendedprice))) >= 9e12 THEN CAST((LOG10(l_extendedprice)) AS DOUBLE) ELSE CAST(floor((LOG10(l_extendedprice)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS log10_p, " +
+       "((CASE WHEN isnan((SQRT(l_quantity))) OR abs((SQRT(l_quantity))) >= 9e12 THEN CAST((SQRT(l_quantity)) AS DOUBLE) ELSE CAST(floor((SQRT(l_quantity)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS sqrt_q, l_orderkey % 7 AS key_mod, " +
        "CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sgn FROM lineitem " +
        "ORDER BY l_orderkey, l_linenumber, price_r1, abs_d, qty_sq, ln_p, sqrt_q"),
     "fn_array" ->
@@ -233,7 +233,7 @@ object FnQueries {
        "list_aggregate(embedding, 'max') AS emax, list_aggregate(embedding, 'min') AS emin, " +
        "list_sort(embedding[1:4])[1] AS h1, list_sort(embedding[1:4])[2] AS h2, " +
        "list_sort(embedding[1:4])[3] AS h3, list_sort(embedding[1:4])[4] AS h4, " +
-       "((CASE WHEN isnan((sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))) OR abs((sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))) = CAST('Infinity' AS DOUBLE) THEN CAST((sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS DOUBLE) ELSE CAST(floor((sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS l2_norm " +
+       "((CASE WHEN isnan((sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))) OR abs((sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))) >= 9e12 THEN CAST((sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS DOUBLE) ELSE CAST(floor((sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS l2_norm " +
        "FROM embeddings ORDER BY vec_id"),
     "fn_map_json" ->
       ("SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS kmod, " +
@@ -241,7 +241,7 @@ object FnQueries {
        "FROM events GROUP BY 1,2 ORDER BY 1,2"),
     "fn_variant" ->
       ("SELECT event_type, COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k, " +
-       "((CASE WHEN isnan((CAST(SUM(k) AS DOUBLE)/COUNT(k))) OR abs((CAST(SUM(k) AS DOUBLE)/COUNT(k))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(SUM(k) AS DOUBLE)/COUNT(k)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(k) AS DOUBLE)/COUNT(k)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_k FROM " +
+       "((CASE WHEN isnan((CAST(SUM(k) AS DOUBLE)/COUNT(k))) OR abs((CAST(SUM(k) AS DOUBLE)/COUNT(k))) >= 9e12 THEN CAST((CAST(SUM(k) AS DOUBLE)/COUNT(k)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(k) AS DOUBLE)/COUNT(k)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_k FROM " +
        "(SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) " +
        "GROUP BY 1 ORDER BY 1"),
     "fn_explode_tokens" ->

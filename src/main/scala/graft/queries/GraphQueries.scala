@@ -278,7 +278,7 @@ object GraphQueries {
           sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"))
         .selectExpr("m", "CAST(m AS DOUBLE) AS md", "CAST(sx AS DOUBLE) AS sxd",
           "CAST(sxx AS DOUBLE) AS sxxd", "CAST(sxy AS DOUBLE) AS sxyd")
-        .selectExpr("m AS m_directed", "((CASE WHEN isnan((sxd / md)) OR abs((sxd / md)) = CAST('Infinity' AS DOUBLE) THEN CAST((sxd / md) AS DOUBLE) ELSE CAST(floor((sxd / md) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_edge_deg",
+        .selectExpr("m AS m_directed", "((CASE WHEN isnan((sxd / md)) OR abs((sxd / md)) >= 9e12 THEN CAST((sxd / md) AS DOUBLE) ELSE CAST(floor((sxd / md) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_edge_deg",
           s"$assortF AS assortativity")
     }),
 
@@ -393,7 +393,7 @@ object GraphQueries {
   private def ccF: String =
     "CASE WHEN deg >= 2 THEN ((CASE WHEN isnan((CAST(2 * tri AS DOUBLE) / " +
       "(CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)))) OR abs((CAST(2 * tri AS DOUBLE) / " +
-      "(CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(2 * tri AS DOUBLE) / " +
+      "(CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)))) >= 9e12 THEN CAST((CAST(2 * tri AS DOUBLE) / " +
       "(CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE))) AS DOUBLE) ELSE CAST(floor((CAST(2 * tri AS DOUBLE) / " +
       "(CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) " +
       "ELSE CAST(0.0 AS DOUBLE) END"
@@ -412,7 +412,7 @@ object GraphQueries {
   private def modularitySql: String =
     "((CASE WHEN isnan(((CAST(m2 AS DOUBLE) * CAST(see AS DOUBLE) - CAST(sdd AS DOUBLE)) / " +
       "(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)))) OR abs(((CAST(m2 AS DOUBLE) * CAST(see AS DOUBLE) - CAST(sdd AS DOUBLE)) / " +
-      "(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)))) = CAST('Infinity' AS DOUBLE) THEN CAST(((CAST(m2 AS DOUBLE) * CAST(see AS DOUBLE) - CAST(sdd AS DOUBLE)) / " +
+      "(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)))) >= 9e12 THEN CAST(((CAST(m2 AS DOUBLE) * CAST(see AS DOUBLE) - CAST(sdd AS DOUBLE)) / " +
       "(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))) AS DOUBLE) ELSE CAST(floor(((CAST(m2 AS DOUBLE) * CAST(see AS DOUBLE) - CAST(sdd AS DOUBLE)) / " +
       "(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
@@ -423,7 +423,7 @@ object GraphQueries {
     * engines run identical IEEE arithmetic even past 2^53. */
   private def assortF: String =
     "CASE WHEN md * sxxd - sxd * sxd = 0.0 THEN CAST(NULL AS DOUBLE) " +
-      "ELSE ((CASE WHEN isnan(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd))) OR abs(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd))) = CAST('Infinity' AS DOUBLE) THEN CAST(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd)) AS DOUBLE) ELSE CAST(floor(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) END"
+      "ELSE ((CASE WHEN isnan(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd))) OR abs(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd))) >= 9e12 THEN CAST(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd)) AS DOUBLE) ELSE CAST(floor(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) END"
 
   /** One DuckDB label-propagation round: per-(node, label) neighbor
     * counts, then the identical (-cnt, lbl) min-struct argmax. */
@@ -474,7 +474,7 @@ object GraphQueries {
        "SUM(CAST(dx AS HUGEINT) * dy) AS sxy FROM el), " +
        "dd AS (SELECT m, CAST(m AS DOUBLE) AS md, CAST(sx AS DOUBLE) AS sxd, " +
        "CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd FROM mo) " +
-       "SELECT m AS m_directed, ((CASE WHEN isnan((sxd / md)) OR abs((sxd / md)) = CAST('Infinity' AS DOUBLE) THEN CAST((sxd / md) AS DOUBLE) ELSE CAST(floor((sxd / md) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_edge_deg, " +
+       "SELECT m AS m_directed, ((CASE WHEN isnan((sxd / md)) OR abs((sxd / md)) >= 9e12 THEN CAST((sxd / md) AS DOUBLE) ELSE CAST(floor((sxd / md) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS mean_edge_deg, " +
        s"$assortF AS assortativity FROM dd"),
     "graph_pagerank" ->
       (s"WITH $edgesCteSql, " +
@@ -494,7 +494,7 @@ object GraphQueries {
        "SELECT p1, p2, sup, s1.s AS s1, s2.s AS s2, " +
        "((CASE WHEN isnan((CAST(sup AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
        "(CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE)))) OR abs((CAST(sup AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
-       "(CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE)))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(sup AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
+       "(CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE)))) >= 9e12 THEN CAST((CAST(sup AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
        "(CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE))) AS DOUBLE) ELSE CAST(floor((CAST(sup AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
        "(CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS lift " +
        "FROM pr JOIN si s1 ON pr.p1 = s1.pk JOIN si s2 ON pr.p2 = s2.pk " +
@@ -561,7 +561,7 @@ object GraphQueries {
        "pr2 AS (SELECT a.pk AS p1, b.pk AS p2, CAST(SUM(a.w) AS BIGINT) AS sw, " +
        "COUNT(*) AS common FROM w a JOIN w b ON a.ok = b.ok AND a.pk < b.pk " +
        "GROUP BY 1, 2 HAVING COUNT(*) >= 2) " +
-       "SELECT p1, p2, common, ((CASE WHEN isnan((CAST(sw AS DOUBLE) / 1000000000.0)) OR abs((CAST(sw AS DOUBLE) / 1000000000.0)) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(sw AS DOUBLE) / 1000000000.0) AS DOUBLE) ELSE CAST(floor((CAST(sw AS DOUBLE) / 1000000000.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS aa_score " +
+       "SELECT p1, p2, common, ((CASE WHEN isnan((CAST(sw AS DOUBLE) / 1000000000.0)) OR abs((CAST(sw AS DOUBLE) / 1000000000.0)) >= 9e12 THEN CAST((CAST(sw AS DOUBLE) / 1000000000.0) AS DOUBLE) ELSE CAST(floor((CAST(sw AS DOUBLE) / 1000000000.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS aa_score " +
        "FROM pr2 ORDER BY p1, p2"),
     "graph_jaccard_nbr" ->
       // shared basket/pair CTEs (basketCteSql), one degree aggregate,
@@ -569,7 +569,7 @@ object GraphQueries {
       (s"WITH $basketCteSql, " +
        "dg AS (SELECT pk, COUNT(*) AS deg FROM p GROUP BY 1) " +
        "SELECT p1, p2, sup AS common, a.deg AS deg_a, b.deg AS deg_b, " +
-       "((CASE WHEN isnan((CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE))) OR abs((CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jaccard " +
+       "((CASE WHEN isnan((CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE))) OR abs((CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE))) >= 9e12 THEN CAST((CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(sup AS DOUBLE) / CAST(a.deg + b.deg - sup AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jaccard " +
        "FROM pr JOIN dg a ON p1 = a.pk JOIN dg b ON p2 = b.pk ORDER BY p1, p2")
   )
 }

@@ -124,7 +124,7 @@ object KmeansQueries {
           min(struct((-col("c")).as("nc"), col("label").as("lb"))).as("m"))
         .selectExpr("cluster", "n_vecs", "m.lb AS majority_label",
           "-m.nc AS majority_cnt",
-          "((CASE WHEN isnan((CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE))) OR abs((CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS purity")
+          "((CASE WHEN isnan((CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE))) OR abs((CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE))) >= 9e12 THEN CAST((CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(-m.nc AS DOUBLE) / CAST(n_vecs AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS purity")
         .orderBy("cluster")
     }),
 
@@ -513,7 +513,7 @@ object KmeansQueries {
       "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1000000000000.0) " +
       ") OR abs(((CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / " +
       "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1000000000000.0) " +
-      ") = CAST('Infinity' AS DOUBLE) THEN CAST(((CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / " +
+      ") >= 9e12 THEN CAST(((CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / " +
       "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1000000000000.0) " +
       " AS DOUBLE) ELSE CAST(floor(((CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / " +
       "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1000000000000.0) " +
@@ -730,7 +730,7 @@ object KmeansQueries {
 
   private def kmeansSql: String =
     s"WITH $kmeansAssignCtes " +
-      "SELECT vec_id, cluster, ((CASE WHEN isnan((d2)) OR abs((d2)) = CAST('Infinity' AS DOUBLE) THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 FROM af WHERE rn = 1 ORDER BY vec_id"
+      "SELECT vec_id, cluster, ((CASE WHEN isnan((d2)) OR abs((d2)) >= 9e12 THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 FROM af WHERE rn = 1 ORDER BY vec_id"
 
   /** Cluster-vs-label purity off the same assignment chain: per-cluster
     * majority label via the (-count, label) min-struct argmax (the
@@ -745,7 +745,7 @@ object KmeansQueries {
       "-(MIN(struct_pack(nc := -c, lb := label))).nc AS majority_cnt " +
       "FROM cl GROUP BY 1) " +
       "SELECT cluster, n_vecs, majority_label, majority_cnt, " +
-      "((CASE WHEN isnan((CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE))) OR abs((CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS purity " +
+      "((CASE WHEN isnan((CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE))) OR abs((CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE))) >= 9e12 THEN CAST((CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(majority_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS purity " +
       "FROM per ORDER BY cluster"
 
   private def outlierSql: String =
@@ -761,7 +761,7 @@ object KmeansQueries {
       "FROM embeddings e JOIN ct ON e.label = ct.label), " +
       "r AS (SELECT label, vec_id, d2, " +
       "row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rn FROM d) " +
-      "SELECT label, vec_id, ((CASE WHEN isnan((d2)) OR abs((d2)) = CAST('Infinity' AS DOUBLE) THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2, CAST(rn AS INT) AS rank " +
+      "SELECT label, vec_id, ((CASE WHEN isnan((d2)) OR abs((d2)) >= 9e12 THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2, CAST(rn AS INT) AS rank " +
       "FROM r WHERE rn <= 5 ORDER BY label, rank"
 
   private def covarianceSql: String =
@@ -821,7 +821,7 @@ object KmeansQueries {
 
   private def pqSql: String =
     s"$pqChainSql " +
-      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, ((CASE WHEN isnan((d2)) OR abs((d2)) = CAST('Infinity' AS DOUBLE) THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 " +
+      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, ((CASE WHEN isnan((d2)) OR abs((d2)) >= 9e12 THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 " +
       "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
 
   /** Query-side ADC table CTEs (qq: the query's subvectors; dt: its
@@ -848,7 +848,7 @@ object KmeansQueries {
       "WHERE af.rn = 1 AND af.vec_id <> 0), " +
       "sc AS (SELECT vec_id, list_sum(list(d2q ORDER BY sub)) AS adc FROM t GROUP BY 1), " +
       "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
-      "SELECT vec_id, ((CASE WHEN isnan((adc)) OR abs((adc)) = CAST('Infinity' AS DOUBLE) THEN CAST((adc) AS DOUBLE) ELSE CAST(floor((adc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
+      "SELECT vec_id, ((CASE WHEN isnan((adc)) OR abs((adc)) >= 9e12 THEN CAST((adc) AS DOUBLE) ELSE CAST(floor((adc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
 
   /** OPQ mirror: micro-quantize, Walsh-Hadamard rotate in exact BIGINT
     * arithmetic (the sign computed from bit_count of the index AND —
@@ -866,7 +866,7 @@ object KmeansQueries {
 
   private def opqSql: String =
     s"WITH $opqSvCte, ${chainCtes("", "sv", 0, pqSubdim)} " +
-      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, ((CASE WHEN isnan((d2)) OR abs((d2)) = CAST('Infinity' AS DOUBLE) THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 " +
+      "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, ((CASE WHEN isnan((d2)) OR abs((d2)) >= 9e12 THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 " +
       "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
 
   /** RQ mirror: stage-1 chain (g*) over full vectors, residual CTE off
@@ -880,7 +880,7 @@ object KmeansQueries {
       s"list_transform(generate_series(1, $dims), i -> sv[i] - c[i]) AS sv " +
       "FROM gaf WHERE rn = 1), " +
       chainCtes("h", "rs", pqK, dims) + " " +
-      "SELECT h.vec_id, r.code1, h.cluster AS code2, ((CASE WHEN isnan((h.d2)) OR abs((h.d2)) = CAST('Infinity' AS DOUBLE) THEN CAST((h.d2) AS DOUBLE) ELSE CAST(floor((h.d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 " +
+      "SELECT h.vec_id, r.code1, h.cluster AS code2, ((CASE WHEN isnan((h.d2)) OR abs((h.d2)) >= 9e12 THEN CAST((h.d2) AS DOUBLE) ELSE CAST(floor((h.d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 " +
       "FROM haf h JOIN rs r ON h.vec_id = r.vec_id WHERE h.rn = 1 ORDER BY h.vec_id"
 
   /** MRL mirror: prefix-L2 top-50 candidates, exact full-width re-rank
@@ -895,7 +895,7 @@ object KmeansQueries {
       "rr AS (SELECT vec_id, pd2, " +
       s"${sqDistSqlN(dims, "embedding", "qv")} AS d2 " +
       "FROM cand CROSS JOIN q ORDER BY d2, vec_id LIMIT 10) " +
-      "SELECT vec_id, ((CASE WHEN isnan((pd2)) OR abs((pd2)) = CAST('Infinity' AS DOUBLE) THEN CAST((pd2) AS DOUBLE) ELSE CAST(floor((pd2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS prefix_d2, ((CASE WHEN isnan((d2)) OR abs((d2)) = CAST('Infinity' AS DOUBLE) THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 " +
+      "SELECT vec_id, ((CASE WHEN isnan((pd2)) OR abs((pd2)) >= 9e12 THEN CAST((pd2) AS DOUBLE) ELSE CAST(floor((pd2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS prefix_d2, ((CASE WHEN isnan((d2)) OR abs((d2)) >= 9e12 THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 " +
       "FROM rr ORDER BY dist2, vec_id"
 
   /** Hamming mirror: same sign-bit halves (1 << (i-1) keeps shifts in
@@ -916,7 +916,7 @@ object KmeansQueries {
       "rr AS (SELECT vec_id, hamming, " +
       s"${sqDistSqlN(dims, "embedding", "qv")} AS d2 " +
       "FROM cand CROSS JOIN q ORDER BY d2, vec_id LIMIT 10) " +
-      "SELECT vec_id, hamming, ((CASE WHEN isnan((d2)) OR abs((d2)) = CAST('Infinity' AS DOUBLE) THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 FROM rr ORDER BY dist2, vec_id"
+      "SELECT vec_id, hamming, ((CASE WHEN isnan((d2)) OR abs((d2)) >= 9e12 THEN CAST((d2) AS DOUBLE) ELSE CAST(floor((d2) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dist2 FROM rr ORDER BY dist2, vec_id"
   }
 
   /** IVFPQ mirror: coarse cells from the 16 fixed centroid vectors
@@ -942,7 +942,7 @@ object KmeansQueries {
       "WHERE af.rn = 1 AND af.vec_id <> 0), " +
       "sc AS (SELECT vec_id, list_sum(list(d2q ORDER BY sub)) AS adc FROM t GROUP BY 1), " +
       "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
-      "SELECT vec_id, ((CASE WHEN isnan((adc)) OR abs((adc)) = CAST('Infinity' AS DOUBLE) THEN CAST((adc) AS DOUBLE) ELSE CAST(floor((adc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
+      "SELECT vec_id, ((CASE WHEN isnan((adc)) OR abs((adc)) >= 9e12 THEN CAST((adc) AS DOUBLE) ELSE CAST(floor((adc) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
 
   /** DuckDB mirror of pcaTop + the projection: the same exact integer
     * moment CTEs as covarianceSql, the symmetric covariance assembled
@@ -990,7 +990,7 @@ object KmeansQueries {
     s"WITH $pcaCtes " +
       s"SELECT vec_id, label, ((CASE WHEN isnan((list_sum(list_transform(generate_series(1, $dims), i -> " +
       s"(CAST(embedding[i] AS DOUBLE) - mus[i]) * u[i])))) OR abs((list_sum(list_transform(generate_series(1, $dims), i -> " +
-      s"(CAST(embedding[i] AS DOUBLE) - mus[i]) * u[i])))) = CAST('Infinity' AS DOUBLE) THEN CAST((list_sum(list_transform(generate_series(1, $dims), i -> " +
+      s"(CAST(embedding[i] AS DOUBLE) - mus[i]) * u[i])))) >= 9e12 THEN CAST((list_sum(list_transform(generate_series(1, $dims), i -> " +
       s"(CAST(embedding[i] AS DOUBLE) - mus[i]) * u[i]))) AS DOUBLE) ELSE CAST(floor((list_sum(list_transform(generate_series(1, $dims), i -> " +
       "(CAST(embedding[i] AS DOUBLE) - mus[i]) * u[i]))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS pc1 " +
       "FROM embeddings CROSS JOIN uvec CROSS JOIN mu ORDER BY vec_id"

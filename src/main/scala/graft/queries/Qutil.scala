@@ -55,18 +55,22 @@ object Qutil {
     * DuckDB cell landed on a boundary). Each op here (multiply, add,
     * floor, long->double cast, divide) is correctly-rounded IEEE with
     * identical semantics everywhere, so same input bits => same output
-    * bits, deterministically. NaN/±Inf pass THROUGH unrounded (the
-    * guard): Spark's floor(double) returns BIGINT, which turns NaN
-    * into 0 and +Inf into Long.MaxValue while DuckDB's floor keeps
-    * them — the old ROUND passed both through identically, so without
-    * the guard every converted site had a latent NaN/Inf divergence
-    * (r7 review finding; tools/round_sweep2.py upgraded all 153 SQL
-    * sites). NULL still propagates through the rounding arm. Oracle
+    * bits, deterministically. NaN, ±Inf AND huge finites (|x| >= 9e12)
+    * pass THROUGH unrounded (the guard): Spark's floor(double) returns
+    * BIGINT, which turns NaN into 0 and SATURATES anything past
+    * Long.MaxValue/1e6 ≈ 9.22e12 at Long.MaxValue, while DuckDB's floor
+    * keeps doubles — the old ROUND passed all of these through
+    * identically, so without the guard every converted site had a
+    * latent divergence on degenerate ratios (r7 review findings;
+    * tools/round_sweep2.py upgraded all 153 SQL sites). Above 9e12 the
+    * double grid is coarser than 1e-3 anyway — 6-decimal display
+    * rounding is meaningless there, and both engines emit the identical
+    * raw value. NULL still propagates through the rounding arm. Oracle
     * mirrors use r6Sql/r3Sql below — the r7 sweeps
     * (tools/round_sweep.py + round_sweep2.py) converted every site. */
   def rScale(c: Column, pow10: Double): Column = {
     val x = c.cast(DoubleType)
-    when(isnan(x) || abs(x) === lit(Double.PositiveInfinity), x)
+    when(isnan(x) || abs(x) >= lit(9e12), x)
       .otherwise(floor(x * pow10 + 0.5).cast(DoubleType) / pow10)
   }
 
@@ -77,10 +81,10 @@ object Qutil {
   /** SQL-string mirrors of r6/r3, valid in BOTH dialects — use in shared
     * formula strings and oracle SQL. */
   def r6Sql(e: String): String =
-    s"((CASE WHEN isnan(($e)) OR abs(($e)) = CAST('Infinity' AS DOUBLE) THEN CAST(($e) AS DOUBLE) ELSE CAST(floor(($e) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    s"((CASE WHEN isnan(($e)) OR abs(($e)) >= 9e12 THEN CAST(($e) AS DOUBLE) ELSE CAST(floor(($e) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   def r3Sql(e: String): String =
-    s"((CASE WHEN isnan(($e)) OR abs(($e)) = CAST('Infinity' AS DOUBLE) THEN CAST(($e) AS DOUBLE) ELSE CAST(floor(($e) * 1e3 + 0.5) AS DOUBLE) / 1e3 END))"
+    s"((CASE WHEN isnan(($e)) OR abs(($e)) >= 9e12 THEN CAST(($e) AS DOUBLE) ELSE CAST(floor(($e) * 1e3 + 0.5) AS DOUBLE) / 1e3 END))"
 
   /** Deterministic money rounding for DERIVED doubles (products like
     * price*(1-disc)). A plain decimal cast diverges between engines at the

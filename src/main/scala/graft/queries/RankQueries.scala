@@ -193,7 +193,7 @@ object RankQueries {
     "text_bm25" ->
       (s"WITH $bm25CtesSql " +
        s"SELECT doc_id, dl, ${(0 until nT).map(i => s"tf$i").mkString(", ")}, bm25 " +
-       "FROM (SELECT *, ((CASE WHEN isnan((score)) OR abs((score)) = CAST('Infinity' AS DOUBLE) THEN CAST((score) AS DOUBLE) ELSE CAST(floor((score) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS bm25 FROM sc ORDER BY score DESC, doc_id LIMIT 10) " +
+       "FROM (SELECT *, ((CASE WHEN isnan((score)) OR abs((score)) >= 9e12 THEN CAST((score) AS DOUBLE) ELSE CAST(floor((score) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS bm25 FROM sc ORDER BY score DESC, doc_id LIMIT 10) " +
        "ORDER BY bm25 DESC, doc_id"),
     "sim_hybrid_rrf" ->
       // ranks via ROW_NUMBER over the same raw-score top-20 selections

@@ -403,7 +403,7 @@ object SampleQueries {
     * division order cannot drift. A def: vals below the oracle Map are
     * null at Map-init (the ts_decompose lesson). */
   private def bootMeanSql: String =
-    "((CASE WHEN isnan((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0)) OR abs((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0)) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0) AS DOUBLE) ELSE CAST(floor((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    "((CASE WHEN isnan((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0)) OR abs((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0)) >= 9e12 THEN CAST((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0) AS DOUBLE) ELSE CAST(floor((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   val oracle: Map[String, String] = Map(
     "sample_bootstrap_ci" ->
@@ -510,7 +510,7 @@ object SampleQueries {
       ("WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
        "m AS (SELECT doc_id, source, " + Text2Queries.qualityScoreSql + " AS q FROM b), " +
        "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn FROM m) " +
-       "SELECT doc_id, source, CAST(rn AS INT) AS rn, ((CASE WHEN isnan((q)) OR abs((q)) = CAST('Infinity' AS DOUBLE) THEN CAST((q) AS DOUBLE) ELSE CAST(floor((q) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS quality " +
+       "SELECT doc_id, source, CAST(rn AS INT) AS rn, ((CASE WHEN isnan((q)) OR abs((q)) >= 9e12 THEN CAST((q) AS DOUBLE) ELSE CAST(floor((q) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS quality " +
        "FROM r WHERE rn <= 15 ORDER BY doc_id"),
     "sample_target_mix" ->
       // pure integer quota arithmetic (// mirrors Spark DIV — all terms

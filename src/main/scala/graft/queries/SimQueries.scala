@@ -251,7 +251,7 @@ object SimQueries {
         .groupBy(col("a.bucket").as("bucket"))
         .agg(max(col("a.n_bucket")).as("n_bucket"),
           sum(col("g.n_bucket")).as("n_pairs_ge"))
-        .selectExpr("bucket", "((CASE WHEN isnan((CAST(bucket AS DOUBLE) / 20.0)) OR abs((CAST(bucket AS DOUBLE) / 20.0)) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(bucket AS DOUBLE) / 20.0) AS DOUBLE) ELSE CAST(floor((CAST(bucket AS DOUBLE) / 20.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS threshold",
+        .selectExpr("bucket", "((CASE WHEN isnan((CAST(bucket AS DOUBLE) / 20.0)) OR abs((CAST(bucket AS DOUBLE) / 20.0)) >= 9e12 THEN CAST((CAST(bucket AS DOUBLE) / 20.0) AS DOUBLE) ELSE CAST(floor((CAST(bucket AS DOUBLE) / 20.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS threshold",
           "n_bucket", "n_pairs_ge")
         .orderBy("bucket")
     }),
@@ -528,7 +528,7 @@ object SimQueries {
       val tot = cellsN.agg(sum("n_vecs").as("total"), count(lit(1)).as("n_cells"))
       cellsN.crossJoin(broadcast(tot))
         .selectExpr("cell", "n_vecs",
-          "((CASE WHEN isnan((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE))) OR abs((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS share",
+          "((CASE WHEN isnan((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE))) OR abs((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE))) >= 9e12 THEN CAST((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS share",
           "n_vecs * n_cells > 2 * total AS hot")
         .orderBy("cell")
     }),
@@ -690,7 +690,7 @@ object SimQueries {
     * the fixed eval mass (8 queries × top-10), one division (def:
     * oracle Map init-order rule). */
   private def sweepRecallF: String =
-    "((CASE WHEN isnan((CAST(n_hits AS DOUBLE) / 80.0)) OR abs((CAST(n_hits AS DOUBLE) / 80.0)) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(n_hits AS DOUBLE) / 80.0) AS DOUBLE) ELSE CAST(floor((CAST(n_hits AS DOUBLE) / 80.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    "((CASE WHEN isnan((CAST(n_hits AS DOUBLE) / 80.0)) OR abs((CAST(n_hits AS DOUBLE) / 80.0)) >= 9e12 THEN CAST((CAST(n_hits AS DOUBLE) / 80.0) AS DOUBLE) ELSE CAST(floor((CAST(n_hits AS DOUBLE) / 80.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
@@ -745,7 +745,7 @@ object SimQueries {
       "WHERE s.vec_id <> 0 AND bit_count(xor(CAST(s.sg AS BIGINT), CAST(qsg AS BIGINT))) <= 5), " +
       s"sc AS (SELECT vec_id, ${dotSql("embedding", "qv")} AS dp, " +
       s"sqrt(${dotSql("embedding", "embedding")}) AS ne, sqrt(${dotSql("qv", "qv")}) AS nq FROM c) " +
-      "SELECT vec_id, cosine FROM (SELECT vec_id, ((CASE WHEN isnan((dp/(ne*nq))) OR abs((dp/(ne*nq))) = CAST('Infinity' AS DOUBLE) THEN CAST((dp/(ne*nq)) AS DOUBLE) ELSE CAST(floor((dp/(ne*nq)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine, dp/(ne*nq) AS rawc " +
+      "SELECT vec_id, cosine FROM (SELECT vec_id, ((CASE WHEN isnan((dp/(ne*nq))) OR abs((dp/(ne*nq))) >= 9e12 THEN CAST((dp/(ne*nq)) AS DOUBLE) ELSE CAST(floor((dp/(ne*nq)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine, dp/(ne*nq) AS rawc " +
       "FROM sc ORDER BY rawc DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"
   }
 
@@ -767,7 +767,7 @@ object SimQueries {
       "r AS (SELECT qid, vec_id, cos, " +
       "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn " +
       "FROM sc WHERE NOT isnan(cos)) " +
-      "SELECT qid, CAST(rn AS INT) AS rank, vec_id, ((CASE WHEN isnan((cos)) OR abs((cos)) = CAST('Infinity' AS DOUBLE) THEN CAST((cos) AS DOUBLE) ELSE CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine " +
+      "SELECT qid, CAST(rn AS INT) AS rank, vec_id, ((CASE WHEN isnan((cos)) OR abs((cos)) >= 9e12 THEN CAST((cos) AS DOUBLE) ELSE CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine " +
       "FROM r WHERE rn <= 3 ORDER BY qid, rank"
   }
 
@@ -781,7 +781,7 @@ object SimQueries {
        "c AS (SELECT vec_id, label, scale, embedding, " +
        "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS codes " +
        "FROM b) " +
-       "SELECT vec_id, label, ((CASE WHEN isnan((scale)) OR abs((scale)) = CAST('Infinity' AS DOUBLE) THEN CAST((scale) AS DOUBLE) ELSE CAST(floor((scale) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS scale, " +
+       "SELECT vec_id, label, ((CASE WHEN isnan((scale)) OR abs((scale)) >= 9e12 THEN CAST((scale) AS DOUBLE) ELSE CAST(floor((scale) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS scale, " +
        "CAST(list_sum(codes) AS BIGINT) AS code_sum, " +
        "CAST(list_min(codes) AS BIGINT) AS code_min, " +
        "CAST(list_max(codes) AS BIGINT) AS code_max, " +
@@ -789,7 +789,7 @@ object SimQueries {
        "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale) * " +
        "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale))) / 64.0)) OR abs((list_sum(list_transform(generate_series(1, 64), i -> " +
        "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale) * " +
-       "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale))) / 64.0)) = CAST('Infinity' AS DOUBLE) THEN CAST((list_sum(list_transform(generate_series(1, 64), i -> " +
+       "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale))) / 64.0)) >= 9e12 THEN CAST((list_sum(list_transform(generate_series(1, 64), i -> " +
        "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale) * " +
        "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale))) / 64.0) AS DOUBLE) ELSE CAST(floor((list_sum(list_transform(generate_series(1, 64), i -> " +
        "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale) * " +
@@ -816,7 +816,7 @@ object SimQueries {
        "(CAST(embedding[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) * scales[i])) * " +
        "(CAST(embedding[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) * scales[i])))) / 64.0)) OR abs((list_sum(list_transform(generate_series(1, 64), i -> " +
        "(CAST(embedding[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) * scales[i])) * " +
-       "(CAST(embedding[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) * scales[i])))) / 64.0)) = CAST('Infinity' AS DOUBLE) THEN CAST((list_sum(list_transform(generate_series(1, 64), i -> " +
+       "(CAST(embedding[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) * scales[i])))) / 64.0)) >= 9e12 THEN CAST((list_sum(list_transform(generate_series(1, 64), i -> " +
        "(CAST(embedding[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) * scales[i])) * " +
        "(CAST(embedding[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) * scales[i])))) / 64.0) AS DOUBLE) ELSE CAST(floor((list_sum(list_transform(generate_series(1, 64), i -> " +
        "(CAST(embedding[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE) * scales[i])) * " +
@@ -833,7 +833,7 @@ object SimQueries {
        // side exactly (sorting one side rounded and the other raw diverges
        // when two cosines differ only past 6 dp); LIMIT still selects by
        // the raw value inside s via the same deterministic computation.
-       "SELECT vec_id, cosine FROM (SELECT vec_id, ((CASE WHEN isnan((dp/(ne*nq))) OR abs((dp/(ne*nq))) = CAST('Infinity' AS DOUBLE) THEN CAST((dp/(ne*nq)) AS DOUBLE) ELSE CAST(floor((dp/(ne*nq)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine, dp/(ne*nq) AS rawc " +
+       "SELECT vec_id, cosine FROM (SELECT vec_id, ((CASE WHEN isnan((dp/(ne*nq))) OR abs((dp/(ne*nq))) >= 9e12 THEN CAST((dp/(ne*nq)) AS DOUBLE) ELSE CAST(floor((dp/(ne*nq)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine, dp/(ne*nq) AS rawc " +
        "FROM s ORDER BY rawc DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"),
     "sim_search_filtered" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
@@ -841,15 +841,15 @@ object SimQueries {
        s"sqrt(${dotSql("embedding", "embedding")}) AS ne, sqrt(${dotSql("qv", "qv")}) AS nq " +
        "FROM embeddings CROSS JOIN q WHERE vec_id <> 0 AND label IN (1, 2, 3)) " +
        "SELECT vec_id, label, cosine FROM (SELECT vec_id, label, " +
-       "((CASE WHEN isnan((dp/(ne*nq))) OR abs((dp/(ne*nq))) = CAST('Infinity' AS DOUBLE) THEN CAST((dp/(ne*nq)) AS DOUBLE) ELSE CAST(floor((dp/(ne*nq)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine, dp/(ne*nq) AS rawc " +
+       "((CASE WHEN isnan((dp/(ne*nq))) OR abs((dp/(ne*nq))) >= 9e12 THEN CAST((dp/(ne*nq)) AS DOUBLE) ELSE CAST(floor((dp/(ne*nq)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine, dp/(ne*nq) AS rawc " +
        "FROM s ORDER BY rawc DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"),
     "dedup_embed_cosine" ->
       (s"WITH $cosinePairsCteSql " +
-       "SELECT label, vec_a, vec_b, ((CASE WHEN isnan((cos)) OR abs((cos)) = CAST('Infinity' AS DOUBLE) THEN CAST((cos) AS DOUBLE) ELSE CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine FROM f " +
+       "SELECT label, vec_a, vec_b, ((CASE WHEN isnan((cos)) OR abs((cos)) >= 9e12 THEN CAST((cos) AS DOUBLE) ELSE CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine FROM f " +
        "ORDER BY label, vec_a, vec_b"),
     "dedup_embed_lsh" ->
       (s"WITH $embedBandPairsCteSql " +
-       "SELECT label, vec_a, vec_b, ((CASE WHEN isnan((cos)) OR abs((cos)) = CAST('Infinity' AS DOUBLE) THEN CAST((cos) AS DOUBLE) ELSE CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine FROM g " +
+       "SELECT label, vec_a, vec_b, ((CASE WHEN isnan((cos)) OR abs((cos)) >= 9e12 THEN CAST((cos) AS DOUBLE) ELSE CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine FROM g " +
        "ORDER BY label, vec_a, vec_b"),
     "dedup_cluster_embed_lsh" ->
       (s"WITH RECURSIVE $embedBandPairsCteSql, " +
@@ -871,7 +871,7 @@ object SimQueries {
        "j AS (SELECT c.cluster_id, n.vec_id, n.nrm FROM c JOIN n ON c.doc = n.vec_id), " +
        "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY nrm DESC, vec_id) AS rn, " +
        "COUNT(*) OVER (PARTITION BY cluster_id) AS csize FROM j) " +
-       "SELECT cluster_id, vec_id AS survivor, ((CASE WHEN isnan((nrm)) OR abs((nrm)) = CAST('Infinity' AS DOUBLE) THEN CAST((nrm) AS DOUBLE) ELSE CAST(floor((nrm) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS norm, csize " +
+       "SELECT cluster_id, vec_id AS survivor, ((CASE WHEN isnan((nrm)) OR abs((nrm)) >= 9e12 THEN CAST((nrm) AS DOUBLE) ELSE CAST(floor((nrm) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS norm, csize " +
        "FROM r WHERE rn = 1 ORDER BY cluster_id"),
     "dedup_cluster_embed" ->
       (s"WITH RECURSIVE $cosinePairsCteSql, " +
@@ -889,7 +889,7 @@ object SimQueries {
       (s"WITH $cosinePairsCteSql, " +
        "bk AS (SELECT CAST(floor(cos * 20.0) AS INT) AS bucket FROM f), " +
        "bc AS (SELECT bucket, COUNT(*) AS n_bucket FROM bk GROUP BY 1) " +
-       "SELECT a.bucket, ((CASE WHEN isnan((CAST(a.bucket AS DOUBLE) / 20.0)) OR abs((CAST(a.bucket AS DOUBLE) / 20.0)) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(a.bucket AS DOUBLE) / 20.0) AS DOUBLE) ELSE CAST(floor((CAST(a.bucket AS DOUBLE) / 20.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS threshold, " +
+       "SELECT a.bucket, ((CASE WHEN isnan((CAST(a.bucket AS DOUBLE) / 20.0)) OR abs((CAST(a.bucket AS DOUBLE) / 20.0)) >= 9e12 THEN CAST((CAST(a.bucket AS DOUBLE) / 20.0) AS DOUBLE) ELSE CAST(floor((CAST(a.bucket AS DOUBLE) / 20.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS threshold, " +
        "MAX(a.n_bucket) AS n_bucket, CAST(SUM(g.n_bucket) AS BIGINT) AS n_pairs_ge " +
        "FROM bc a JOIN bc g ON g.bucket >= a.bucket GROUP BY 1 ORDER BY 1"),
     "embed_ivf_stats" ->
@@ -902,7 +902,7 @@ object SimQueries {
        "a AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM a1), " +
        "cn AS (SELECT cid AS cell, COUNT(*) AS n_vecs FROM a WHERE crn = 1 GROUP BY 1), " +
        "t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total, COUNT(*) AS n_cells FROM cn) " +
-       "SELECT cell, n_vecs, ((CASE WHEN isnan((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE))) OR abs((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS share, " +
+       "SELECT cell, n_vecs, ((CASE WHEN isnan((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE))) OR abs((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE))) >= 9e12 THEN CAST((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS share, " +
        "n_vecs * n_cells > 2 * total AS hot " +
        "FROM cn CROSS JOIN t ORDER BY cell"),
     "sim_recall_eval" ->
@@ -931,7 +931,7 @@ object SimQueries {
        "h AS (SELECT ann.qid, COUNT(*) AS n_hit FROM ann " +
        "JOIN ext ON ann.qid = ext.qid AND ann.vec_id = ext.vec_id GROUP BY 1) " +
        "SELECT q.qid AS vec_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, " +
-       "((CASE WHEN isnan((CAST(COALESCE(n_hit, 0) AS DOUBLE)/10.0)) OR abs((CAST(COALESCE(n_hit, 0) AS DOUBLE)/10.0)) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(COALESCE(n_hit, 0) AS DOUBLE)/10.0) AS DOUBLE) ELSE CAST(floor((CAST(COALESCE(n_hit, 0) AS DOUBLE)/10.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS recall " +
+       "((CASE WHEN isnan((CAST(COALESCE(n_hit, 0) AS DOUBLE)/10.0)) OR abs((CAST(COALESCE(n_hit, 0) AS DOUBLE)/10.0)) >= 9e12 THEN CAST((CAST(COALESCE(n_hit, 0) AS DOUBLE)/10.0) AS DOUBLE) ELSE CAST(floor((CAST(COALESCE(n_hit, 0) AS DOUBLE)/10.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS recall " +
        "FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY vec_id"),
     "sim_probe_sweep" ->
       // the sim_recall_eval CTEs with the probe depth as a config axis
@@ -974,7 +974,7 @@ object SimQueries {
        "cand AS (SELECT cells.vec_id AS vec_id FROM cells JOIN qc USING (cell) WHERE cells.vec_id <> 0), " +
        s"sc AS (SELECT e.vec_id, ${dotSql("e.embedding", "qv")}/(e.nrm*qnrm) AS cos " +
        "FROM e JOIN cand USING (vec_id) CROSS JOIN q) " +
-       "SELECT vec_id, cosine FROM (SELECT vec_id, ((CASE WHEN isnan((cos)) OR abs((cos)) = CAST('Infinity' AS DOUBLE) THEN CAST((cos) AS DOUBLE) ELSE CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine, cos " +
+       "SELECT vec_id, cosine FROM (SELECT vec_id, ((CASE WHEN isnan((cos)) OR abs((cos)) >= 9e12 THEN CAST((cos) AS DOUBLE) ELSE CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine, cos " +
        "FROM sc ORDER BY cos DESC, vec_id LIMIT 10) ORDER BY cosine DESC, vec_id"),
     "sim_join_label" ->
       ("WITH p AS (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b, " +
@@ -985,7 +985,7 @@ object SimQueries {
        // so an unfiltered zero-norm pair would win here and diverge)
        "f AS (SELECT * FROM p WHERE NOT isnan(cos)), " +
        "r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) AS rn FROM f) " +
-       "SELECT label, vec_a, vec_b, ((CASE WHEN isnan((cos)) OR abs((cos)) = CAST('Infinity' AS DOUBLE) THEN CAST((cos) AS DOUBLE) ELSE CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine FROM r WHERE rn = 1 ORDER BY label"),
+       "SELECT label, vec_a, vec_b, ((CASE WHEN isnan((cos)) OR abs((cos)) >= 9e12 THEN CAST((cos) AS DOUBLE) ELSE CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cosine FROM r WHERE rn = 1 ORDER BY label"),
     "sim_knn_classify" ->
       ("WITH q AS (SELECT vec_id AS qid, label AS true_label, embedding AS qv " +
        "FROM embeddings WHERE vec_id < 20), " +

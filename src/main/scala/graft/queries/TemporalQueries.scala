@@ -38,9 +38,9 @@ object TemporalQueries {
     * popPctF: relative change (a−b)/b over exact-decimal-derived doubles
     * in one fixed op order (ts_period_over_period). */
   private def wapeF: String =
-    "((CASE WHEN isnan((CAST(sum_abs AS DOUBLE) / CAST(sum_act AS DOUBLE))) OR abs((CAST(sum_abs AS DOUBLE) / CAST(sum_act AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(sum_abs AS DOUBLE) / CAST(sum_act AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(sum_abs AS DOUBLE) / CAST(sum_act AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    "((CASE WHEN isnan((CAST(sum_abs AS DOUBLE) / CAST(sum_act AS DOUBLE))) OR abs((CAST(sum_abs AS DOUBLE) / CAST(sum_act AS DOUBLE))) >= 9e12 THEN CAST((CAST(sum_abs AS DOUBLE) / CAST(sum_act AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(sum_abs AS DOUBLE) / CAST(sum_act AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
   private def popPctF(a: String, b: String): String =
-    s"((CASE WHEN isnan(((CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) / CAST($b AS DOUBLE))) OR abs(((CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) / CAST($b AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST(((CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) / CAST($b AS DOUBLE)) AS DOUBLE) ELSE CAST(floor(((CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) / CAST($b AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    s"((CASE WHEN isnan(((CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) / CAST($b AS DOUBLE))) OR abs(((CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) / CAST($b AS DOUBLE))) >= 9e12 THEN CAST(((CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) / CAST($b AS DOUBLE)) AS DOUBLE) ELSE CAST(floor(((CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) / CAST($b AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   val queries: Map[String, Q] = Map(
     // Holt linear-trend smoothing + 3-step forecast (r6f) — the
@@ -592,9 +592,9 @@ object TemporalQueries {
         .agg(sum("det24").as("s24"), count(lit(1)).as("n_hod"))
       interior.join(broadcast(seas), Seq("event_type", "hod"))
         .selectExpr("event_type", "h", "hod", "cnt",
-          s"((CASE WHEN isnan(($decTrendF)) OR abs(($decTrendF)) = CAST('Infinity' AS DOUBLE) THEN CAST(($decTrendF) AS DOUBLE) ELSE CAST(floor(($decTrendF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS trend",
-          s"((CASE WHEN isnan(($decSeasF)) OR abs(($decSeasF)) = CAST('Infinity' AS DOUBLE) THEN CAST(($decSeasF) AS DOUBLE) ELSE CAST(floor(($decSeasF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS seasonal",
-          s"((CASE WHEN isnan(($decResidF)) OR abs(($decResidF)) = CAST('Infinity' AS DOUBLE) THEN CAST(($decResidF) AS DOUBLE) ELSE CAST(floor(($decResidF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS resid")
+          s"((CASE WHEN isnan(($decTrendF)) OR abs(($decTrendF)) >= 9e12 THEN CAST(($decTrendF) AS DOUBLE) ELSE CAST(floor(($decTrendF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS trend",
+          s"((CASE WHEN isnan(($decSeasF)) OR abs(($decSeasF)) >= 9e12 THEN CAST(($decSeasF) AS DOUBLE) ELSE CAST(floor(($decSeasF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS seasonal",
+          s"((CASE WHEN isnan(($decResidF)) OR abs(($decResidF)) >= 9e12 THEN CAST(($decResidF) AS DOUBLE) ELSE CAST(floor(($decResidF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS resid")
         .orderBy("event_type", "h")
     }),
 
@@ -648,7 +648,7 @@ object TemporalQueries {
           col("day").as("d"))).as("m"))
         .crossJoin(broadcast(totals))
         .selectExpr("m.d AS cp_day", "-m.ns AS cp_snum", "n_days", "total")
-        .selectExpr("cp_day", s"((CASE WHEN isnan(($cusumStatFormula)) OR abs(($cusumStatFormula)) = CAST('Infinity' AS DOUBLE) THEN CAST(($cusumStatFormula) AS DOUBLE) ELSE CAST(floor(($cusumStatFormula) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cp_stat")
+        .selectExpr("cp_day", s"((CASE WHEN isnan(($cusumStatFormula)) OR abs(($cusumStatFormula)) >= 9e12 THEN CAST(($cusumStatFormula) AS DOUBLE) ELSE CAST(floor(($cusumStatFormula) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cp_stat")
       scored.select(col("day"), col("cnt"), col("k"), col("cum"), col("cusum"))
         .crossJoin(broadcast(cp))
         .orderBy("day")
@@ -692,7 +692,7 @@ object TemporalQueries {
     * formula string; constant series emit NULL via an integer predicate). */
   private def acfF: String =
     "CASE WHEN den > 0 THEN " +
-      "((CASE WHEN isnan((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) OR abs((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) END"
+      "((CASE WHEN isnan((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) OR abs((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) >= 9e12 THEN CAST((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) END"
 
   private def rollCorrSql: String =
     "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN " +
@@ -700,7 +700,7 @@ object TemporalQueries {
       "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
       "sqrt(CAST(n * syy - sy * sy AS DOUBLE))))) OR abs((CAST(n * sxy - sx * sy AS DOUBLE) / " +
       "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
-      "sqrt(CAST(n * syy - sy * sy AS DOUBLE))))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "sqrt(CAST(n * syy - sy * sy AS DOUBLE))))) >= 9e12 THEN CAST((CAST(n * sxy - sx * sy AS DOUBLE) / " +
       "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
       "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS DOUBLE) ELSE CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE) / " +
       "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
@@ -882,12 +882,12 @@ object TemporalQueries {
        "FROM gf CROSS JOIN (SELECT unnest(range(0, 20)) AS k)), " +
        "e AS (SELECT event_type, h, SUM(wc) AS num, SUM(w) AS den " +
        "FROM contrib GROUP BY 1,2) " +
-       "SELECT gf.event_type, gf.h, gf.cnt, ((CASE WHEN isnan((num / den)) OR abs((num / den)) = CAST('Infinity' AS DOUBLE) THEN CAST((num / den) AS DOUBLE) ELSE CAST(floor((num / den) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS ema " +
+       "SELECT gf.event_type, gf.h, gf.cnt, ((CASE WHEN isnan((num / den)) OR abs((num / den)) >= 9e12 THEN CAST((num / den) AS DOUBLE) ELSE CAST(floor((num / den) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS ema " +
        "FROM gf JOIN e ON gf.event_type = e.event_type AND gf.h = e.h " +
        "ORDER BY gf.event_type, gf.h"),
     "ts_interpolate" ->
       ("WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events), " +
-       "hc AS (SELECT event_type, h, ((CASE WHEN isnan((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS v " +
+       "hc AS (SELECT event_type, h, ((CASE WHEN isnan((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))) >= 9e12 THEN CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS v " +
        "FROM ev GROUP BY 1,2), " +
        "b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hc), " +
        "t AS (SELECT DISTINCT event_type FROM hc), " +
@@ -909,7 +909,7 @@ object TemporalQueries {
        "CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
        "ELSE ((CASE WHEN isnan((pv + (nv - pv) * (CAST(date_diff('hour', ph, h) AS DOUBLE)" +
        "/CAST(date_diff('hour', ph, nh) AS DOUBLE)))) OR abs((pv + (nv - pv) * (CAST(date_diff('hour', ph, h) AS DOUBLE)" +
-       "/CAST(date_diff('hour', ph, nh) AS DOUBLE)))) = CAST('Infinity' AS DOUBLE) THEN CAST((pv + (nv - pv) * (CAST(date_diff('hour', ph, h) AS DOUBLE)" +
+       "/CAST(date_diff('hour', ph, nh) AS DOUBLE)))) >= 9e12 THEN CAST((pv + (nv - pv) * (CAST(date_diff('hour', ph, h) AS DOUBLE)" +
        "/CAST(date_diff('hour', ph, nh) AS DOUBLE))) AS DOUBLE) ELSE CAST(floor((pv + (nv - pv) * (CAST(date_diff('hour', ph, h) AS DOUBLE)" +
        "/CAST(date_diff('hour', ph, nh) AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) END AS v, " +
        "v IS NOT NULL AS observed " +
@@ -944,7 +944,7 @@ object TemporalQueries {
        "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
        "s AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1) " +
        "SELECT c.from_type, c.to_type, c.n, " +
-       "((CASE WHEN isnan((CAST(c.n AS DOUBLE) / CAST(s.tot AS DOUBLE))) OR abs((CAST(c.n AS DOUBLE) / CAST(s.tot AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(c.n AS DOUBLE) / CAST(s.tot AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(c.n AS DOUBLE) / CAST(s.tot AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS p " +
+       "((CASE WHEN isnan((CAST(c.n AS DOUBLE) / CAST(s.tot AS DOUBLE))) OR abs((CAST(c.n AS DOUBLE) / CAST(s.tot AS DOUBLE))) >= 9e12 THEN CAST((CAST(c.n AS DOUBLE) / CAST(s.tot AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(c.n AS DOUBLE) / CAST(s.tot AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS p " +
        "FROM c JOIN s USING (from_type) ORDER BY from_type, to_type"),
     "ts_active_users" ->
       ("WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
@@ -982,7 +982,7 @@ object TemporalQueries {
        "base AS (SELECT event_type, hod, CAST(SUM(cnt) AS BIGINT) AS s_hod, " +
        "COUNT(*) AS n_hod FROM gf GROUP BY 1, 2) " +
        "SELECT gf.event_type, gf.h, gf.cnt, gf.hod, " +
-       "((CASE WHEN isnan((CAST(s_hod AS DOUBLE) / CAST(n_hod AS DOUBLE))) OR abs((CAST(s_hod AS DOUBLE) / CAST(n_hod AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(s_hod AS DOUBLE) / CAST(n_hod AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(s_hod AS DOUBLE) / CAST(n_hod AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS expected, " +
+       "((CASE WHEN isnan((CAST(s_hod AS DOUBLE) / CAST(n_hod AS DOUBLE))) OR abs((CAST(s_hod AS DOUBLE) / CAST(n_hod AS DOUBLE))) >= 9e12 THEN CAST((CAST(s_hod AS DOUBLE) / CAST(n_hod AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(s_hod AS DOUBLE) / CAST(n_hod AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS expected, " +
        "gf.cnt * n_hod > s_hod * 2 AS is_spike " +
        "FROM gf JOIN base ON gf.event_type = base.event_type AND gf.hod = base.hod " +
        "ORDER BY gf.event_type, gf.h"),
@@ -1008,8 +1008,8 @@ object TemporalQueries {
        "se AS (SELECT event_type, hod, CAST(SUM(det24) AS BIGINT) AS s24, " +
        "CAST(COUNT(*) AS BIGINT) AS n_hod FROM i GROUP BY 1, 2) " +
        "SELECT i.event_type, i.h, i.hod, i.cnt, " +
-       s"((CASE WHEN isnan(($decTrendF)) OR abs(($decTrendF)) = CAST('Infinity' AS DOUBLE) THEN CAST(($decTrendF) AS DOUBLE) ELSE CAST(floor(($decTrendF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS trend, ((CASE WHEN isnan(($decSeasF)) OR abs(($decSeasF)) = CAST('Infinity' AS DOUBLE) THEN CAST(($decSeasF) AS DOUBLE) ELSE CAST(floor(($decSeasF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS seasonal, " +
-       s"((CASE WHEN isnan(($decResidF)) OR abs(($decResidF)) = CAST('Infinity' AS DOUBLE) THEN CAST(($decResidF) AS DOUBLE) ELSE CAST(floor(($decResidF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS resid " +
+       s"((CASE WHEN isnan(($decTrendF)) OR abs(($decTrendF)) >= 9e12 THEN CAST(($decTrendF) AS DOUBLE) ELSE CAST(floor(($decTrendF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS trend, ((CASE WHEN isnan(($decSeasF)) OR abs(($decSeasF)) >= 9e12 THEN CAST(($decSeasF) AS DOUBLE) ELSE CAST(floor(($decSeasF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS seasonal, " +
+       s"((CASE WHEN isnan(($decResidF)) OR abs(($decResidF)) >= 9e12 THEN CAST(($decResidF) AS DOUBLE) ELSE CAST(floor(($decResidF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS resid " +
        "FROM i JOIN se ON i.event_type = se.event_type AND i.hod = se.hod " +
        "ORDER BY i.event_type, i.h"),
     "ts_changepoint" ->
@@ -1029,7 +1029,7 @@ object TemporalQueries {
        "sc AS (SELECT day, cnt, k, cum, n_days * cum - k * total AS cusum FROM cum CROSS JOIN t), " +
        "cpm AS (SELECT MIN(struct_pack(ns := -abs(cusum), d := day)) AS m FROM sc), " +
        "cp AS (SELECT (m).d AS cp_day, " +
-       s"((CASE WHEN isnan((${cusumStatFormula.replace("cp_snum", "-(m).ns")})) OR abs((${cusumStatFormula.replace("cp_snum", "-(m).ns")})) = CAST('Infinity' AS DOUBLE) THEN CAST((${cusumStatFormula.replace("cp_snum", "-(m).ns")}) AS DOUBLE) ELSE CAST(floor((${cusumStatFormula.replace("cp_snum", "-(m).ns")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cp_stat " +
+       s"((CASE WHEN isnan((${cusumStatFormula.replace("cp_snum", "-(m).ns")})) OR abs((${cusumStatFormula.replace("cp_snum", "-(m).ns")})) >= 9e12 THEN CAST((${cusumStatFormula.replace("cp_snum", "-(m).ns")}) AS DOUBLE) ELSE CAST(floor((${cusumStatFormula.replace("cp_snum", "-(m).ns")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cp_stat " +
        "FROM cpm CROSS JOIN t) " +
        "SELECT day, cnt, k, cum, cusum, cp_day, cp_stat " +
        "FROM sc CROSS JOIN cp ORDER BY day"),

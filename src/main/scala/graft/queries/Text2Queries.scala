@@ -414,7 +414,7 @@ object Text2Queries {
         .agg(max("ns").as("n_tokens"), expr(
           "aggregate(transform(array_sort(collect_list(struct(tok, term_raw))), " +
             "x -> x.term_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("jsd_raw"))
-        .selectExpr("source", "n_tokens", "((CASE WHEN isnan((jsd_raw)) OR abs((jsd_raw)) = CAST('Infinity' AS DOUBLE) THEN CAST((jsd_raw) AS DOUBLE) ELSE CAST(floor((jsd_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jsd")
+        .selectExpr("source", "n_tokens", "((CASE WHEN isnan((jsd_raw)) OR abs((jsd_raw)) >= 9e12 THEN CAST((jsd_raw) AS DOUBLE) ELSE CAST(floor((jsd_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jsd")
         .orderBy("source")
     }),
 
@@ -592,12 +592,12 @@ object Text2Queries {
     * verbatim by query and oracle (defs: the oracle Map init-order
     * rule). One division each over exact-integer-derived doubles. */
   private def ttrF: String =
-    "((CASE WHEN isnan((CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE))) OR abs((CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    "((CASE WHEN isnan((CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE))) OR abs((CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE))) >= 9e12 THEN CAST((CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
   private def herdanF: String =
-    "((CASE WHEN isnan((ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)))) OR abs((ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)))) = CAST('Infinity' AS DOUBLE) THEN CAST((ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE))) AS DOUBLE) ELSE CAST(floor((ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    "((CASE WHEN isnan((ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)))) OR abs((ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)))) >= 9e12 THEN CAST((ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE))) AS DOUBLE) ELSE CAST(floor((ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   private def pmiF: String =
-    "((CASE WHEN isnan((ln(CAST(n_tot * cnt AS DOUBLE) / CAST(cx * cy AS DOUBLE)))) OR abs((ln(CAST(n_tot * cnt AS DOUBLE) / CAST(cx * cy AS DOUBLE)))) = CAST('Infinity' AS DOUBLE) THEN CAST((ln(CAST(n_tot * cnt AS DOUBLE) / CAST(cx * cy AS DOUBLE))) AS DOUBLE) ELSE CAST(floor((ln(CAST(n_tot * cnt AS DOUBLE) / CAST(cx * cy AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
+    "((CASE WHEN isnan((ln(CAST(n_tot * cnt AS DOUBLE) / CAST(cx * cy AS DOUBLE)))) OR abs((ln(CAST(n_tot * cnt AS DOUBLE) / CAST(cx * cy AS DOUBLE)))) >= 9e12 THEN CAST((ln(CAST(n_tot * cnt AS DOUBLE) / CAST(cx * cy AS DOUBLE))) AS DOUBLE) ELSE CAST(floor((ln(CAST(n_tot * cnt AS DOUBLE) / CAST(cx * cy AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   /** The Zipf ln-ln fit over ANY corpus frame with a `text` column — ONE
     * definition shared by the declared query (documents table) and the
@@ -627,9 +627,9 @@ object Text2Queries {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("y") * col("y")).as("syy"))
       m.selectExpr("CAST(n AS BIGINT) AS k",
-        s"((CASE WHEN isnan(($zipfSlope)) OR abs(($zipfSlope)) = CAST('Infinity' AS DOUBLE) THEN CAST(($zipfSlope) AS DOUBLE) ELSE CAST(floor(($zipfSlope) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS slope",
-        s"((CASE WHEN isnan(($zipfIntercept)) OR abs(($zipfIntercept)) = CAST('Infinity' AS DOUBLE) THEN CAST(($zipfIntercept) AS DOUBLE) ELSE CAST(floor(($zipfIntercept) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS intercept",
-        s"((CASE WHEN isnan(($zipfR2)) OR abs(($zipfR2)) = CAST('Infinity' AS DOUBLE) THEN CAST(($zipfR2) AS DOUBLE) ELSE CAST(floor(($zipfR2) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS r2")
+        s"((CASE WHEN isnan(($zipfSlope)) OR abs(($zipfSlope)) >= 9e12 THEN CAST(($zipfSlope) AS DOUBLE) ELSE CAST(floor(($zipfSlope) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS slope",
+        s"((CASE WHEN isnan(($zipfIntercept)) OR abs(($zipfIntercept)) >= 9e12 THEN CAST(($zipfIntercept) AS DOUBLE) ELSE CAST(floor(($zipfIntercept) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS intercept",
+        s"((CASE WHEN isnan(($zipfR2)) OR abs(($zipfR2)) >= 9e12 THEN CAST(($zipfR2) AS DOUBLE) ELSE CAST(floor(($zipfR2) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS r2")
   }
 
   /** Rank domain of the Zipf fit — ONE constant feeding the query, the
@@ -765,9 +765,9 @@ object Text2Queries {
          "CAST(len(tri) AS INT) AS n_trigrams, " +
          "CAST(len(tri) - len(list_distinct(tri)) AS INT) AS dup_tri_cnt FROM g) " +
          "SELECT doc_id, n_bigrams, top_bigram_cnt, " +
-         "((CASE WHEN isnan((CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE))) OR abs((CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS top2_frac, " +
+         "((CASE WHEN isnan((CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE))) OR abs((CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE))) >= 9e12 THEN CAST((CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS top2_frac, " +
          "n_trigrams, dup_tri_cnt, " +
-         "((CASE WHEN isnan((CAST(dup_tri_cnt AS DOUBLE) / CAST(n_trigrams AS DOUBLE))) OR abs((CAST(dup_tri_cnt AS DOUBLE) / CAST(n_trigrams AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(dup_tri_cnt AS DOUBLE) / CAST(n_trigrams AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(dup_tri_cnt AS DOUBLE) / CAST(n_trigrams AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dup3_frac, " +
+         "((CASE WHEN isnan((CAST(dup_tri_cnt AS DOUBLE) / CAST(n_trigrams AS DOUBLE))) OR abs((CAST(dup_tri_cnt AS DOUBLE) / CAST(n_trigrams AS DOUBLE))) >= 9e12 THEN CAST((CAST(dup_tri_cnt AS DOUBLE) / CAST(n_trigrams AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(dup_tri_cnt AS DOUBLE) / CAST(n_trigrams AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS dup3_frac, " +
          "(top_bigram_cnt * 100 > n_bigrams * 18 OR dup_tri_cnt * 100 > n_trigrams * 18) AS repetitive " +
          "FROM m ORDER BY doc_id"),
       "text_zipf_slope" ->
@@ -779,8 +779,8 @@ object Text2Queries {
          s"kk AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cf AS DOUBLE)) AS y FROM r WHERE rank <= $zipfK), " +
          "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
          "SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy FROM kk) " +
-         s"SELECT CAST(n AS BIGINT) AS k, ((CASE WHEN isnan(($zipfSlope)) OR abs(($zipfSlope)) = CAST('Infinity' AS DOUBLE) THEN CAST(($zipfSlope) AS DOUBLE) ELSE CAST(floor(($zipfSlope) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS slope, " +
-         s"((CASE WHEN isnan(($zipfIntercept)) OR abs(($zipfIntercept)) = CAST('Infinity' AS DOUBLE) THEN CAST(($zipfIntercept) AS DOUBLE) ELSE CAST(floor(($zipfIntercept) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS intercept, ((CASE WHEN isnan(($zipfR2)) OR abs(($zipfR2)) = CAST('Infinity' AS DOUBLE) THEN CAST(($zipfR2) AS DOUBLE) ELSE CAST(floor(($zipfR2) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS r2 FROM m"),
+         s"SELECT CAST(n AS BIGINT) AS k, ((CASE WHEN isnan(($zipfSlope)) OR abs(($zipfSlope)) >= 9e12 THEN CAST(($zipfSlope) AS DOUBLE) ELSE CAST(floor(($zipfSlope) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS slope, " +
+         s"((CASE WHEN isnan(($zipfIntercept)) OR abs(($zipfIntercept)) >= 9e12 THEN CAST(($zipfIntercept) AS DOUBLE) ELSE CAST(floor(($zipfIntercept) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS intercept, ((CASE WHEN isnan(($zipfR2)) OR abs(($zipfR2)) >= 9e12 THEN CAST(($zipfR2) AS DOUBLE) ELSE CAST(floor(($zipfR2) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS r2 FROM m"),
       "text_collocations" ->
         // the shared bigram shingle, the same one-frame marginals, the
         // same deterministic top-K cut, the shared PMI formula string
@@ -836,7 +836,7 @@ object Text2Queries {
          "tr AS (SELECT f.source, f.tok, ns, " +
          s"$srcJsTermF AS term_raw FROM f JOIN stot ON f.source = stot.source CROSS JOIN gv) " +
          "SELECT source, MAX(ns) AS n_tokens, " +
-         "((CASE WHEN isnan((list_sum(list(term_raw ORDER BY tok)))) OR abs((list_sum(list(term_raw ORDER BY tok)))) = CAST('Infinity' AS DOUBLE) THEN CAST((list_sum(list(term_raw ORDER BY tok))) AS DOUBLE) ELSE CAST(floor((list_sum(list(term_raw ORDER BY tok))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jsd " +
+         "((CASE WHEN isnan((list_sum(list(term_raw ORDER BY tok)))) OR abs((list_sum(list(term_raw ORDER BY tok)))) >= 9e12 THEN CAST((list_sum(list(term_raw ORDER BY tok))) AS DOUBLE) ELSE CAST(floor((list_sum(list(term_raw ORDER BY tok))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jsd " +
          "FROM tr GROUP BY source ORDER BY source"),
       "text_lexical_richness" ->
         // identical (source, tok) histogram / rollups; SUM(BIGINT) cast
@@ -858,7 +858,7 @@ object Text2Queries {
          "SELECT doc_id, MAX(n) AS n_tokens, " +
          "((CASE WHEN isnan((-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
          "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))))) OR abs((-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
-         "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))))) = CAST('Infinity' AS DOUBLE) THEN CAST((-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+         "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))))) >= 9e12 THEN CAST((-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
          "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))) AS DOUBLE) ELSE CAST(floor((-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
          "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS entropy " +
          "FROM c JOIN n USING (doc_id) GROUP BY doc_id ORDER BY doc_id"),
@@ -869,7 +869,7 @@ object Text2Queries {
          "f2 AS (SELECT bg, COUNT(*) AS c2 FROM tw GROUP BY 1), " +
          "f1 AS (SELECT w1, COUNT(*) AS c1 FROM tw GROUP BY 1) " +
          "SELECT doc_id, COUNT(*) AS n_bigrams, " +
-         "((CASE WHEN isnan((AVG(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))))) OR abs((AVG(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))))) = CAST('Infinity' AS DOUBLE) THEN CAST((AVG(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)))) AS DOUBLE) ELSE CAST(floor((AVG(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)))) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS logprob " +
+         "((CASE WHEN isnan((AVG(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))))) OR abs((AVG(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))))) >= 9e12 THEN CAST((AVG(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)))) AS DOUBLE) ELSE CAST(floor((AVG(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)))) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS logprob " +
          "FROM tw JOIN f2 USING (bg) JOIN f1 USING (w1) " +
          "GROUP BY doc_id ORDER BY doc_id"),
       "text_containment" ->
@@ -883,7 +883,7 @@ object Text2Queries {
          "FROM ts a JOIN ts b ON a.bg = b.bg AND a.source = b.source " +
          "AND a.doc_id <> b.doc_id AND b.nt * 10 >= a.nt * 8 GROUP BY 1, 2, 3, 4) " +
          "SELECT doc_inner, doc_outer, na, nb, inter, " +
-         "((CASE WHEN isnan((CAST(inter AS DOUBLE) / CAST(na AS DOUBLE))) OR abs((CAST(inter AS DOUBLE) / CAST(na AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS containment " +
+         "((CASE WHEN isnan((CAST(inter AS DOUBLE) / CAST(na AS DOUBLE))) OR abs((CAST(inter AS DOUBLE) / CAST(na AS DOUBLE))) >= 9e12 THEN CAST((CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS containment " +
          "FROM p WHERE inter * 10 >= na * 8 ORDER BY doc_inner, doc_outer"),
       "text_unigram_logprob" ->
         // SUM(BIGINT) -> HUGEINT: cast back so tn's division matches
@@ -891,7 +891,7 @@ object Text2Queries {
          "f AS (SELECT tok, COUNT(*) AS cf FROM t GROUP BY 1), " +
          "n AS (SELECT CAST(SUM(cf) AS BIGINT) AS tn FROM f) " +
          "SELECT doc_id, COUNT(*) AS n_tokens, " +
-         "((CASE WHEN isnan((AVG(ln(CAST(cf AS DOUBLE) / CAST(tn AS DOUBLE))))) OR abs((AVG(ln(CAST(cf AS DOUBLE) / CAST(tn AS DOUBLE))))) = CAST('Infinity' AS DOUBLE) THEN CAST((AVG(ln(CAST(cf AS DOUBLE) / CAST(tn AS DOUBLE)))) AS DOUBLE) ELSE CAST(floor((AVG(ln(CAST(cf AS DOUBLE) / CAST(tn AS DOUBLE)))) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS logprob " +
+         "((CASE WHEN isnan((AVG(ln(CAST(cf AS DOUBLE) / CAST(tn AS DOUBLE))))) OR abs((AVG(ln(CAST(cf AS DOUBLE) / CAST(tn AS DOUBLE))))) >= 9e12 THEN CAST((AVG(ln(CAST(cf AS DOUBLE) / CAST(tn AS DOUBLE)))) AS DOUBLE) ELSE CAST(floor((AVG(ln(CAST(cf AS DOUBLE) / CAST(tn AS DOUBLE)))) * 1e3 + 0.5) AS DOUBLE) / 1e3 END)) AS logprob " +
          "FROM t JOIN f USING (tok) CROSS JOIN n GROUP BY doc_id ORDER BY doc_id"),
       "text_langid" ->
         (s"WITH sc AS (SELECT doc_id, lang, $markerSql FROM documents) " +
@@ -901,17 +901,17 @@ object Text2Queries {
       "text_quality" ->
         ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) " +
          "SELECT doc_id, CAST(len(tk) AS INT) AS n_tok, CAST(len(list_distinct(tk)) AS INT) AS n_uniq, " +
-         "((CASE WHEN isnan((CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk))) OR abs((CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk)) AS DOUBLE) ELSE CAST(floor((CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS uniq_ratio, " +
-         "((CASE WHEN isnan((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk))) OR abs((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk)) AS DOUBLE) ELSE CAST(floor((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_token_len, " +
-         s"((CASE WHEN isnan((CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk))) OR abs((CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk)) AS DOUBLE) ELSE CAST(floor((CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS stop_ratio, " +
-         s"((CASE WHEN isnan(($qualityScoreSql)) OR abs(($qualityScoreSql)) = CAST('Infinity' AS DOUBLE) THEN CAST(($qualityScoreSql) AS DOUBLE) ELSE CAST(floor(($qualityScoreSql) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS quality_score " +
+         "((CASE WHEN isnan((CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk))) OR abs((CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk))) >= 9e12 THEN CAST((CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk)) AS DOUBLE) ELSE CAST(floor((CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS uniq_ratio, " +
+         "((CASE WHEN isnan((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk))) OR abs((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk))) >= 9e12 THEN CAST((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk)) AS DOUBLE) ELSE CAST(floor((CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/len(tk)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_token_len, " +
+         s"((CASE WHEN isnan((CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk))) OR abs((CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk))) >= 9e12 THEN CAST((CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk)) AS DOUBLE) ELSE CAST(floor((CAST(len(list_filter(tk, t -> list_contains($stopArr, t))) AS DOUBLE)/len(tk)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS stop_ratio, " +
+         s"((CASE WHEN isnan(($qualityScoreSql)) OR abs(($qualityScoreSql)) >= 9e12 THEN CAST(($qualityScoreSql) AS DOUBLE) ELSE CAST(floor(($qualityScoreSql) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS quality_score " +
          "FROM b ORDER BY doc_id"),
       "text_dedup_keep_best" ->
         ("WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS tk, " +
          "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents), " +
          s"m AS (SELECT doc_id, lang, h, $qualityScoreSql AS q FROM b), " +
          "r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY q DESC, doc_id) AS rn FROM m) " +
-         "SELECT doc_id, lang, h, ((CASE WHEN isnan((q)) OR abs((q)) = CAST('Infinity' AS DOUBLE) THEN CAST((q) AS DOUBLE) ELSE CAST(floor((q) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS quality FROM r WHERE rn = 1 ORDER BY doc_id"),
+         "SELECT doc_id, lang, h, ((CASE WHEN isnan((q)) OR abs((q)) >= 9e12 THEN CAST((q) AS DOUBLE) ELSE CAST(floor((q) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS quality FROM r WHERE rn = 1 ORDER BY doc_id"),
       "text_token_count" ->
         ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars_obs, " +
          "CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
@@ -957,7 +957,7 @@ object Text2Queries {
          "JOIN e b ON a.source = b.source AND a.fp = b.fp AND a.doc_id < b.doc_id " +
          "GROUP BY 1, 2) " +
          "SELECT doc_a, doc_b, shared, n_a, n_b, " +
-         "((CASE WHEN isnan((CAST(shared AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE))) OR abs((CAST(shared AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(shared AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(shared AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS containment " +
+         "((CASE WHEN isnan((CAST(shared AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE))) OR abs((CAST(shared AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE))) >= 9e12 THEN CAST((CAST(shared AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(shared AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS containment " +
          "FROM p WHERE shared >= 2 ORDER BY doc_a, doc_b")
     )
   }

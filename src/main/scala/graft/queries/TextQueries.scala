@@ -503,7 +503,7 @@ object TextQueries {
       "j AS (SELECT c.cluster_id, q.doc_id, q.q FROM c JOIN q ON c.doc = q.doc_id), " +
       "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn, " +
       "COUNT(*) OVER (PARTITION BY cluster_id) AS csize FROM j) " +
-      "SELECT cluster_id, doc_id AS survivor, ((CASE WHEN isnan((q)) OR abs((q)) = CAST('Infinity' AS DOUBLE) THEN CAST((q) AS DOUBLE) ELSE CAST(floor((q) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS quality, csize " +
+      "SELECT cluster_id, doc_id AS survivor, ((CASE WHEN isnan((q)) OR abs((q)) >= 9e12 THEN CAST((q) AS DOUBLE) ELSE CAST(floor((q) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS quality, csize " +
       "FROM r WHERE rn = 1 ORDER BY cluster_id"
 
   /** Union-graph survivor closure: the same reach/argmax CTEs as
@@ -524,7 +524,7 @@ object TextQueries {
       "j AS (SELECT c.cluster_id, q.doc_id, q.q FROM c JOIN q ON c.doc = q.doc_id), " +
       "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn, " +
       "COUNT(*) OVER (PARTITION BY cluster_id) AS csize FROM j) " +
-      "SELECT cluster_id, doc_id AS survivor, ((CASE WHEN isnan((q)) OR abs((q)) = CAST('Infinity' AS DOUBLE) THEN CAST((q) AS DOUBLE) ELSE CAST(floor((q) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS quality, csize " +
+      "SELECT cluster_id, doc_id AS survivor, ((CASE WHEN isnan((q)) OR abs((q)) >= 9e12 THEN CAST((q) AS DOUBLE) ELSE CAST(floor((q) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS quality, csize " +
       "FROM r WHERE rn = 1 ORDER BY cluster_id"
 
   val oracle: Map[String, String] = Map(
@@ -576,8 +576,8 @@ object TextQueries {
     "text_dedup_cluster_survivor" -> survivorOracleSql,
     "text_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
-       "((CASE WHEN isnan((CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(SUM(n_chars) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(n_chars) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_chars, " +
-       "((CASE WHEN isnan((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_tokens, " +
+       "((CASE WHEN isnan((CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))) >= 9e12 THEN CAST((CAST(SUM(n_chars) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(n_chars) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_chars, " +
+       "((CASE WHEN isnan((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*))) OR abs((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*))) >= 9e12 THEN CAST((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*)) AS DOUBLE) ELSE CAST(floor((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS avg_tokens, " +
        "COUNT(DISTINCT source) AS n_sources FROM documents GROUP BY 1 ORDER BY 1"),
     "text_normalize_dedup_exact" ->
       ("WITH n AS (SELECT doc_id, lang, " +
@@ -590,7 +590,7 @@ object TextQueries {
        "sizes AS (SELECT doc_id, COUNT(*) AS nt FROM t GROUP BY 1), " +
        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM t a " +
        "JOIN t b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1,2) " +
-       "SELECT doc_a, doc_b, ((CASE WHEN isnan((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter))) OR abs((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter)) AS DOUBLE) ELSE CAST(floor((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jaccard " +
+       "SELECT doc_a, doc_b, ((CASE WHEN isnan((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter))) OR abs((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter))) >= 9e12 THEN CAST((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter)) AS DOUBLE) ELSE CAST(floor((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jaccard " +
        "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
        "WHERE CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter) >= 0.6 ORDER BY doc_a, doc_b"),
     "text_near_dup_ngram" ->
@@ -600,7 +600,7 @@ object TextQueries {
        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM t a " +
        "JOIN t b ON a.bg = b.bg AND a.source = b.source AND a.doc_id < b.doc_id " +
        "GROUP BY 1,2) " +
-       "SELECT doc_a, doc_b, ((CASE WHEN isnan((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter))) OR abs((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter))) = CAST('Infinity' AS DOUBLE) THEN CAST((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter)) AS DOUBLE) ELSE CAST(floor((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jaccard " +
+       "SELECT doc_a, doc_b, ((CASE WHEN isnan((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter))) OR abs((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter))) >= 9e12 THEN CAST((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter)) AS DOUBLE) ELSE CAST(floor((CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS jaccard " +
        "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
        "WHERE CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter) >= 0.1 ORDER BY doc_a, doc_b"),
     "text_tfidf_topterms" ->
@@ -611,7 +611,7 @@ object TextQueries {
        "sc AS (SELECT lang, term, tf * ln(CAST(ndocs AS DOUBLE)/df) AS score " +
        "FROM tf JOIN dfreq USING (term) CROSS JOIN nd), " +
        "r AS (SELECT lang, term, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk FROM sc) " +
-       "SELECT lang, CAST(rnk AS INT) AS rnk, term, ((CASE WHEN isnan((score)) OR abs((score)) = CAST('Infinity' AS DOUBLE) THEN CAST((score) AS DOUBLE) ELSE CAST(floor((score) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS score FROM r " +
+       "SELECT lang, CAST(rnk AS INT) AS rnk, term, ((CASE WHEN isnan((score)) OR abs((score)) >= 9e12 THEN CAST((score) AS DOUBLE) ELSE CAST(floor((score) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS score FROM r " +
        "WHERE rnk <= 5 ORDER BY lang, rnk"),
     "text_ngrams" ->
       ("SELECT bigram, COUNT(*) AS cnt FROM (SELECT unnest(" +

@@ -169,7 +169,7 @@ object WindowQueries {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY event_id"),
     "win_ntile_pctrank" ->
       ("SELECT c_custkey, c_acctbal, CAST(ntile(4) OVER w AS INT) AS quartile, " +
-       "((CASE WHEN isnan((percent_rank() OVER w)) OR abs((percent_rank() OVER w)) = CAST('Infinity' AS DOUBLE) THEN CAST((percent_rank() OVER w) AS DOUBLE) ELSE CAST(floor((percent_rank() OVER w) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS pct_rank, ((CASE WHEN isnan((cume_dist() OVER w)) OR abs((cume_dist() OVER w)) = CAST('Infinity' AS DOUBLE) THEN CAST((cume_dist() OVER w) AS DOUBLE) ELSE CAST(floor((cume_dist() OVER w) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cume " +
+       "((CASE WHEN isnan((percent_rank() OVER w)) OR abs((percent_rank() OVER w)) >= 9e12 THEN CAST((percent_rank() OVER w) AS DOUBLE) ELSE CAST(floor((percent_rank() OVER w) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS pct_rank, ((CASE WHEN isnan((cume_dist() OVER w)) OR abs((cume_dist() OVER w)) >= 9e12 THEN CAST((cume_dist() OVER w) AS DOUBLE) ELSE CAST(floor((cume_dist() OVER w) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS cume " +
        "FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey")
   )
 }

@@ -1173,31 +1173,34 @@ class PropertySpec extends SparkSpec {
     assert(c1.length >= 10, "the stream must actually chunk (expected ~16-token cuts)")
   }
 
-  test("r6/r6Sql display rounding: NaN and ±Inf pass through on BOTH engine paths") {
+  test("r6/r6Sql display rounding: NaN, ±Inf and huge finites pass through on BOTH engine paths") {
     // The r7 guarded spelling exists because Spark's floor(double)
-    // returns BIGINT ((long)NaN = 0, (long)+Inf = Long.MaxValue) while
-    // DuckDB's floor keeps NaN/Inf — the old ROUND built-in passed both
-    // through identically. Pin the Column helper AND the SQL spelling on
-    // the literal specials + a normal value + NULL.
+    // returns BIGINT ((long)NaN = 0, and anything past
+    // Long.MaxValue/1e6 ~ 9.22e12 SATURATES at Long.MaxValue) while
+    // DuckDB's floor keeps doubles — the old ROUND built-in passed all
+    // of these through identically. Pin the Column helper AND the SQL
+    // spelling on the specials + a huge finite + a normal value + NULL.
     import org.apache.spark.sql.Row
     val df = spark.sql(
       "SELECT CAST('NaN' AS DOUBLE) AS nan, CAST('Infinity' AS DOUBLE) AS pinf, " +
         "CAST('-Infinity' AS DOUBLE) AS ninf, CAST(1.2345678 AS DOUBLE) AS x, " +
-        "CAST(NULL AS DOUBLE) AS nul")
+        "CAST(NULL AS DOUBLE) AS nul, CAST(1.25e13 AS DOUBLE) AS huge")
     val viaCol = df.select(
       Qutil.r6(col("nan")).as("a"), Qutil.r6(col("pinf")).as("b"),
       Qutil.r6(col("ninf")).as("c"), Qutil.r6(col("x")).as("d"),
-      Qutil.r6(col("nul")).as("e")).head()
+      Qutil.r6(col("nul")).as("e"), Qutil.r6(col("huge")).as("f")).head()
     val viaSql = df.selectExpr(
       s"${Qutil.r6Sql("nan")} AS a", s"${Qutil.r6Sql("pinf")} AS b",
       s"${Qutil.r6Sql("ninf")} AS c", s"${Qutil.r6Sql("x")} AS d",
-      s"${Qutil.r6Sql("nul")} AS e").head()
+      s"${Qutil.r6Sql("nul")} AS e", s"${Qutil.r6Sql("huge")} AS f").head()
     for (r <- Seq(viaCol, viaSql)) {
       assert(r.getDouble(0).isNaN, "NaN must survive rounding")
       assert(r.getDouble(1).isPosInfinity, "+Inf must survive rounding")
       assert(r.getDouble(2).isNegInfinity, "-Inf must survive rounding")
       assert(r.getDouble(3) === 1.234568, "normal values round half-up to 6")
       assert(r.isNullAt(4), "NULL must stay NULL")
+      assert(r.getDouble(5) === 1.25e13,
+        "a finite value past the BIGINT saturation point must pass through raw")
     }
   }
 }

@@ -278,11 +278,7 @@ class StreamingSpec extends SparkSpec {
     // recovered, the replay emits nothing (every hash already known)
     // and the final sink equals the batch dedup; if state were lost,
     // phase-1 docs would re-emit and doc_ids would duplicate.
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val docs = Tables.documents(spark, sf)
         .select("doc_id", "lang", "text").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
@@ -314,11 +310,6 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
       assert(got === expected,
         "post-restart survivors must equal the batch dedup of the full corpus")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
     }
   }
 

@@ -49,12 +49,22 @@ def convert(text, path):
             out.append(text[pos:])
             break
         inner_start = m + len(ANCHOR)
+        # idempotency: a site already inside the guarded CASE's ELSE arm
+        # must not be wrapped again
+        if text[max(0, m - 5):m] == 'ELSE ':
+            out.append(text[pos:inner_start])
+            pos = inner_start
+            continue
         close = find_matching(text, inner_start)
         inner = text[inner_start:close]
         tail_m = TAIL_IN.search(inner)
         if not tail_m:
-            out.append(text[pos:close + 1])
-            pos = close + 1
+            # advance past the anchor only, NOT past its closing paren —
+            # a nested display-rounding site inside a non-matching outer
+            # CAST(floor( (e.g. an integer-quantization wrapper) must
+            # still be scanned
+            out.append(text[pos:inner_start])
+            pos = inner_start
             continue
         scale = int(tail_m.group(1))
         w = inner[:tail_m.start()].strip()
@@ -62,8 +72,8 @@ def convert(text, path):
         after = text[close + 1:]
         after_m = re.match(r'\s*AS DOUBLE\)\s*/\s*1e(\d+)', after)
         if not after_m or int(after_m.group(1)) != scale:
-            out.append(text[pos:close + 1])
-            pos = close + 1
+            out.append(text[pos:inner_start])
+            pos = inner_start
             continue
         end = close + 1 + after_m.end()
         line_no = text.count('\n', 0, m) + 1
