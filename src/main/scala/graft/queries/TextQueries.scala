@@ -223,6 +223,32 @@ object TextQueries {
     * Jaccard is pinned in CatalogSpec. est values are multiples of 1/32
     * (one exact IEEE division). */
   private val queries4: Map[String, Q] = Map(
+    // Per-SOURCE dedup-rate census (r7) — the funnel's actionable grain:
+    // the global report says HOW MUCH duplication exists, this says
+    // WHERE (the decision a curation run actually takes is "drop or
+    // down-weight source X"). Per source: docs, exact-unique mass
+    // (shared contentHash), exact-dup overhang, and docs involved in
+    // near-dup candidate pairs (shared minhashPairs — pairs are blocked
+    // within source, so membership rolls up cleanly). KEYED
+    // count_distinct (the keys=[] PlanGuard rule does not apply); the
+    // pair side is the banded generator, never all-pairs.
+    "text_dedup_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(contentHash(col("text"))).as("n_unique"))
+      val members = minhashPairs(s, d)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val nd = members.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_neardup_docs"))
+      base.join(nd, Seq("source"), "left")
+        .na.fill(0L, Seq("n_neardup_docs"))
+        .selectExpr("source", "n_docs", "n_unique",
+          "n_docs - n_unique AS n_exact_dup", "n_neardup_docs")
+        .orderBy("source")
+    }),
+
     // Dedup-pipeline funnel census (r6g) — the ONE-ROW observability
     // report a curation run logs after every dedup pass: corpus size →
     // exact-unique mass → candidate pairs → near-dup clusters (size
@@ -572,6 +598,19 @@ object TextQueries {
     },
     "dedup_semantic_union" -> unionSurvivorOracleSql,
     "text_minhash_lsh" -> (minhashPairsSql + " ORDER BY doc_a, doc_b"),
+    "text_dedup_by_source" ->
+      (s"WITH pairs AS ($minhashPairsSql), " +
+       "b AS (SELECT source, COUNT(*) AS n_docs, " +
+       "COUNT(DISTINCT sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS n_unique " +
+       "FROM documents GROUP BY 1), " +
+       "m AS (SELECT DISTINCT doc_id FROM " +
+       "(SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)), " +
+       "nd AS (SELECT d.source, COUNT(*) AS n_neardup_docs FROM m " +
+       "JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1) " +
+       "SELECT b.source, n_docs, CAST(n_unique AS BIGINT) AS n_unique, " +
+       "n_docs - n_unique AS n_exact_dup, " +
+       "COALESCE(n_neardup_docs, CAST(0 AS BIGINT)) AS n_neardup_docs " +
+       "FROM b LEFT JOIN nd ON b.source = nd.source ORDER BY b.source"),
     "dedup_cluster_cc" -> clusterOracleSql,
     "text_dedup_cluster_survivor" -> survivorOracleSql,
     "text_stats" ->

@@ -45,6 +45,25 @@ class PipelineSpec extends SparkSpec {
     assert(nMulti === 0L || nInMulti >= 2 * nMulti, "multi clusters have >= 2 docs")
   }
 
+  test("text_dedup_by_source reconciles against the global funnel and corpus") {
+    // the per-source grain must roll up exactly to the global report:
+    // docs sum to the corpus; near-dup members sum to the funnel's
+    // docs-in-multi-clusters (pairs are blocked within source, so every
+    // pair member belongs to exactly one source, and pair-membership ==
+    // multi-cluster membership by CC construction)
+    val rows = SparkEntry.queries("text_dedup_by_source")(spark, sf).collect()
+    val funnel = SparkEntry.queries("text_dedup_funnel")(spark, sf).collect()(0)
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count(),
+      "per-source docs must sum to the corpus")
+    assert(rows.map(_.getLong(4)).sum === funnel.getLong(4),
+      "per-source near-dup members must sum to the funnel's docs-in-multi")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "unique <= docs per source")
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+      assert(r.getLong(4) <= r.getLong(1), "near-dup members <= docs per source")
+    }
+  }
+
   test("observe piggybacks DQ metrics on the landing pass (no second scan)") {
     // The 100 TB DQ pattern: df.observe attaches aggregate metrics to the
     // SAME physical pass that lands the data — rule counts arrive with the
