@@ -636,6 +636,34 @@ object CdcQueries {
         .orderBy("bucket")
     }),
 
+    // Wasserstein-1 / earth-mover drift (r8, the r7 verdict's ask #3) —
+    // the magnitude-weighted completion of the drift family: on the
+    // same 20-bucket integer grid, W1 in bucket units is the SUM of
+    // exactly the per-bucket |CDF gap|s the KS query maxes over. The
+    // gap numerators |cumb*n_cur - cumc*n_base| are exact integer
+    // cross-multiplications off the bounded grid self-join; their sum
+    // stays exact (DECIMAL(38,0) / HUGEINT — the moment-sum headroom
+    // rule), and ONE shared-formula division (the SAME ksFormula)
+    // emits the statistic. No ln, no smoothing, nothing to round but
+    // the display.
+    "dq_emd_drift" -> ((s, d) => {
+      val (filled, totals) = driftBuckets(s, d, 20)
+      val cum = filled.as("a")
+        .join(broadcast(filled.as("b")), col("b.bucket") <= col("a.bucket"))
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(sum(col("b.base_cnt")).as("cum_base"), sum(col("b.cur_cnt")).as("cum_cur"))
+      val dnumExpr = "abs(cum_base * n_cur - cum_cur * n_base)"
+      val gaps = cum.crossJoin(broadcast(totals))
+        .selectExpr("bucket", "cum_base", "cum_cur", s"$dnumExpr AS dnum",
+          s"${r6Sql(ksFormula(dnumExpr))} AS gap")
+      val sm = gaps.agg(sum(col("dnum").cast(DecimalType(38, 0))).as("sdn"))
+        .crossJoin(broadcast(totals))
+        .selectExpr(s"${r6Sql(ksFormula("sdn"))} AS emd")
+      gaps.select(col("bucket"), col("cum_base"), col("cum_cur"), col("gap"))
+        .crossJoin(broadcast(sm))
+        .orderBy("bucket")
+    }),
+
     // Watermark-incremental extraction ticks (r6g) — the scheduled-
     // migration heartbeat itself (the reference's declared job is an
     // Airflow-tick Salesforce→S3 sync): the order span splits into 3
@@ -986,6 +1014,21 @@ object CdcQueries {
        s"mx AS (SELECT ((CASE WHEN isnan((${ksFormula("mdn")})) OR abs((${ksFormula("mdn")})) >= 9e12 THEN CAST((${ksFormula("mdn")}) AS DOUBLE) ELSE CAST(floor((${ksFormula("mdn")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS ks " +
        "FROM (SELECT MAX(dnum) AS mdn FROM gp) CROSS JOIN t) " +
        "SELECT bucket, cum_base, cum_cur, gap, ks FROM gp CROSS JOIN mx ORDER BY bucket"),
+    "dq_emd_drift" ->
+      // same grid + cumulative self-join as ks; SUM of the exact
+      // integer gap numerators (HUGEINT — never materialized, cast
+      // once to double inside the shared ksFormula) instead of MAX
+      (s"WITH ${driftCteSql(20)}, " +
+       "cum AS (SELECT a.bucket, CAST(SUM(b2.base_cnt) AS BIGINT) AS cum_base, " +
+       "CAST(SUM(b2.cur_cnt) AS BIGINT) AS cum_cur " +
+       "FROM f a JOIN f b2 ON b2.bucket <= a.bucket GROUP BY 1), " +
+       "gp AS (SELECT bucket, cum_base, cum_cur, " +
+       "abs(cum_base * n_cur - cum_cur * n_base) AS dnum, " +
+       s"${r6Sql(ksFormula("abs(cum_base * n_cur - cum_cur * n_base)"))} AS gap " +
+       "FROM cum CROSS JOIN t), " +
+       s"sm AS (SELECT ${r6Sql(ksFormula("sdn"))} AS emd " +
+       "FROM (SELECT SUM(dnum) AS sdn FROM gp) CROSS JOIN t) " +
+       "SELECT bucket, cum_base, cum_cur, gap, emd FROM gp CROSS JOIN sm ORDER BY bucket"),
     "dq_chi2_drift" ->
       // same cohort CTE, zero-filled contingency grid, HUGEINT square
       // cast once to double, shared expected/term formulas, (type,

@@ -44,9 +44,14 @@ object MmQueries {
           "sha2(bin, 256) AS content_hash",
           "substring(hx, 1, 8) AS magic_hex",
           "(n_bytes + 255) DIV 256 AS n_frames",
-          "CAST(size(array_distinct(transform(" +
+          // r8 (ADVICE): an empty payload has 0 frames, so its
+          // distinct-frame census is 0, not the 1 empty-slice hash the
+          // GREATEST(...,1) grid would emit — keep n_frames and
+          // n_uniq_frames internally consistent for n_bytes = 0.
+          "CASE WHEN n_bytes = 0 THEN CAST(0 AS BIGINT) ELSE " +
+            "CAST(size(array_distinct(transform(" +
             "sequence(0, GREATEST(CAST((n_bytes + 255) DIV 256 AS INT), 1) - 1), " +
-            "k -> sha2(substring(hx, k*512 + 1, 512), 256)))) AS BIGINT) " +
+            "k -> sha2(substring(hx, k*512 + 1, 512), 256)))) AS BIGINT) END " +
             "AS n_uniq_frames",
           "substring(hx, CAST(n_bytes DIV 2 AS INT) * 2 + 1, 16) AS mid_hex")
         .orderBy("doc_id"))
@@ -64,9 +69,10 @@ object MmQueries {
         "sha256(text) AS content_hash, " +
         "substring(hx, 1, 8) AS magic_hex, " +
         "(n_bytes + 255) // 256 AS n_frames, " +
+        "CASE WHEN n_bytes = 0 THEN CAST(0 AS BIGINT) ELSE " +
         "CAST(len(list_distinct(list_transform(" +
         "range(0, GREATEST((n_bytes + 255) // 256, 1)), " +
-        "k -> sha256(substring(hx, CAST(k*512 + 1 AS INT), 512))))) AS BIGINT) " +
+        "k -> sha256(substring(hx, CAST(k*512 + 1 AS INT), 512))))) AS BIGINT) END " +
         "AS n_uniq_frames, " +
         "substring(hx, CAST(n_bytes // 2 AS INT) * 2 + 1, 16) AS mid_hex " +
         "FROM h ORDER BY doc_id")

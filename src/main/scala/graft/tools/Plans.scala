@@ -211,6 +211,13 @@ object Plans {
       ("the read-back scan is an OrcScan with the o_orderstatus filter in PushedFilters and a " +
        "5-column ReadSchema; the aggregate is the standard partial -> shuffle-on-2-keys -> final " +
        "shape. The write side is a plain unpartitioned ORC land of the projected 5 columns."),
+    "source_dpp_join" ->
+      ("dynamic partition pruning actually PLANS (r7 fix: the dim's selectivity must be a literal " +
+       "threshold — a crossJoin'd scalar gets fused into the join condition and PartitionPruning " +
+       "silently declines): the fact scan's PartitionFilters carry a dynamicpruningexpression fed " +
+       "by the dim-side subquery, so at scale only the partitions surviving the dim filter are " +
+       "read. SourcesSpec:92-131 pins this structurally — the expression must be present WITH the " +
+       "selective filter and absent without it."),
     "graph_basket_affinity" ->
       ("pair generation is an equality self-join on the ORDER key (pairs per basket C(k,2), " +
        "k = lines-per-order — group-bounded, never corpus-quadratic), immediately aggregated " +
@@ -222,10 +229,12 @@ object Plans {
        "edge set (the threshold is the scale control: ~3.6k edges from ~1.2M raw pairs at sf0.1); " +
        "the p1<p2 invariant yields each triangle once — no orientation dedup pass."),
     "embed_covariance" ->
-      ("the 2080 upper-triangle micro-unit products generate IN-ROW (nested-transform flatten in " +
-       "the scan projection — never a corpus self-join), one partial-aggregable shuffle on the " +
-       "bounded (i, j) key, and the 64-row first-moment side re-enters via two broadcast joins; " +
-       "post-scan work is matrix-cardinality, data-size independent."),
+      ("ONE corpus scan (r8: the fused microAll frame emits the 2080 upper-triangle products AND " +
+       "the 64 first moments in-row — nested-transform flatten in the scan projection, never a " +
+       "corpus self-join), one partial-aggregable shuffle on the bounded (i, j) key, " +
+       "localCheckpoint(true) on the 2144-row result so its pairs/moments consumers don't re-run " +
+       "the scan; the moments re-enter via two broadcast joins — post-scan work is " +
+       "matrix-cardinality, data-size independent."),
     "embed_pca_top" ->
       ("the deployed plan is scan -> project -> sort: means and eigenvector enter as 64-element " +
        "literals (the power iteration ran at construction over the bounded exact-integer moment " +

@@ -38,8 +38,13 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getString(3) ===
         bytes.take(4).map("%02X".format(_)).mkString, "magic_hex")
       assert(r.getLong(4) === (bytes.length + 255L) / 256L, "n_frames")
-      assert(r.getLong(5) >= 1L && r.getLong(5) <= r.getLong(4).max(1L),
-        "n_uniq_frames bounds")
+      // r8: empty payloads census 0 uniq frames (consistent with
+      // n_frames = 0); non-empty stay within [1, n_frames]
+      if (bytes.isEmpty)
+        assert(r.getLong(5) === 0L, "n_uniq_frames empty payload")
+      else
+        assert(r.getLong(5) >= 1L && r.getLong(5) <= r.getLong(4),
+          "n_uniq_frames bounds")
     }
   }
 

@@ -946,6 +946,44 @@ class PropertySpec extends SparkSpec {
     assert(last.getLong(1) === nb && last.getLong(2) === nc)
   }
 
+  test("dq_emd_drift: independent recompute; EMD = sum of the KS gaps, >= ks") {
+    // same in-memory cohort/bucket recompute as the ks test, summed
+    val raw = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) AS us", "value").collect()
+      .map(r => (r.getLong(0) / 86400000000L,
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    val (minD, maxD) = (raw.map(_._1).min, raw.map(_._1).max)
+    val (minC, maxC) = (raw.map(_._2).min, raw.map(_._2).max)
+    val mid = minD + (maxD - minD) / 2
+    val base = Array.fill(20)(0L)
+    val cur = Array.fill(20)(0L)
+    raw.foreach { case (day, cents) =>
+      val b = (((cents - minC) * 20) / (maxC - minC + 1)).toInt
+      if (day <= mid) base(b) += 1 else cur(b) += 1
+    }
+    val (nb, nc) = (base.sum, cur.sum)
+    val cumB = base.scanLeft(0L)(_ + _).tail
+    val cumC = cur.scanLeft(0L)(_ + _).tail
+    val dnums = (0 until 20).map(b => math.abs(cumB(b) * nc - cumC(b) * nb))
+    val emd = dnums.sum.toDouble / (nb.toDouble * nc.toDouble)
+    val rows = SparkEntry.queries("dq_emd_drift")(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (b, cb, cc, gap, emdGot) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(cb === cumB(b), s"bucket $b cumulative baseline")
+      assert(cc === cumC(b), s"bucket $b cumulative current")
+      val refGap = dnums(b).toDouble / (nb.toDouble * nc.toDouble)
+      assert(math.abs(gap - refGap) < 1.1e-6, s"bucket $b gap: $gap vs $refGap")
+      assert(math.abs(emdGot - emd) < 1.1e-6, s"emd: $emdGot vs $emd")
+    }
+    // W1 dominates the sup gap: emd >= ks on the same grid
+    val ks = dnums.max.toDouble / (nb.toDouble * nc.toDouble)
+    assert(emd >= ks - 1e-12, "emd must dominate the KS statistic")
+    // and the last bucket's gap is zero (both CDFs close)
+    assert(dnums.last === 0L)
+  }
+
   test("ts_decompose: additive identity holds and per-slot residual means vanish") {
     val rows = SparkEntry.queries("ts_decompose")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(2), r.getLong(3),

@@ -7,9 +7,14 @@ display-rounding site
 
     CAST(floor(W * 1e<n> + 0.5) AS DOUBLE) / 1e<n>
 
-to the guarded form
+to the guarded form (the CANONICAL Qutil.rScale spelling — the huge-
+finite guard is >= 9e12, not an Infinity equality: Spark floor(double)
+SATURATES at Long.MaxValue for any finite value past ~9.22e12 while
+DuckDB keeps doubles, so an Infinity-only guard still diverges on huge
+finites; above 9e12 the double grid is coarser than 1e-3 anyway, so
+display rounding is meaningless there)
 
-    (CASE WHEN isnan(W) OR abs(W) = CAST('Infinity' AS DOUBLE)
+    (CASE WHEN isnan(W) OR abs(W) >= 9e12
           THEN CAST(W AS DOUBLE)
           ELSE CAST(floor(W * 1e<n> + 0.5) AS DOUBLE) / 1e<n> END)
 
@@ -78,7 +83,7 @@ def convert(text, path):
         end = close + 1 + after_m.end()
         line_no = text.count('\n', 0, m) + 1
         print(f"--- {path}:{line_no} scale={scale} W={w[:80]}")
-        repl = (f"(CASE WHEN isnan({w}) OR abs({w}) = CAST('Infinity' AS DOUBLE) "
+        repl = (f"(CASE WHEN isnan({w}) OR abs({w}) >= 9e12 "
                 f"THEN CAST({w} AS DOUBLE) "
                 f"ELSE CAST(floor({w} * 1e{scale} + 0.5) AS DOUBLE) / 1e{scale} END)")
         out.append(text[pos:m])
