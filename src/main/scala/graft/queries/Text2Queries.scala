@@ -210,6 +210,25 @@ object Text2Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Exact shared-span dedup (r8, the r7 verdict's ask #4) — the
+    // span-GRAIN member of the dedup family (winnowing detects local
+    // overlap approximately; this reports the exact longest shared
+    // token run per candidate pair, the Lee et al. deduplicate-
+    // text-datasets statistic a excision pass needs). Candidates from
+    // the winnow fingerprint inverted index (bucketed, never
+    // all-pairs); exact extension via matched trigram positions on
+    // diagonals + gaps-and-islands maximal runs (sharedSpans — shared
+    // with PropertySpec's planted-run test). All integer.
+    "text_shared_span" -> ((s, d) => sharedSpans(Tables.documents(s, d))),
+
+    // One BPE merge round (r8, the r7 verdict's ask #5) — what a
+    // tokenizer trainer computes per iteration: the most frequent
+    // adjacent character pair over the word-frequency dictionary,
+    // with the deterministic (count DESC, pair ASC) tie-break. Top-20
+    // emitted with ranks (bpeMergeRound — shared with PropertySpec's
+    // known-merge-order corpus).
+    "text_bpe_merges" -> ((s, d) => bpeMergeRound(Tables.documents(s, d))),
+
     // Keep-BEST dedup: per normalized-content hash keep the highest
     // quality-score duplicate (ties to the smaller doc_id) — the form a
     // training-data pipeline actually wants, vs keep-min-id. The score is
@@ -689,6 +708,87 @@ object Text2Queries {
         i => array_min(slice(hs, i, lit(winnowW))))))
       .otherwise(array(array_min(hs)))
 
+  /** One BPE merge round (text_bpe_merges, r8) over ANY corpus frame
+    * with a text column — the tokenizer-training primitive: symbol
+    * vocabulary = characters, candidate merges = adjacent character
+    * pairs WITHIN words, scored by corpus frequency (pair occurrences
+    * per distinct word × word frequency — the char-pair explode runs
+    * at DICTIONARY grain, the fn_fuzzy_match lesson, so corpus size
+    * only feeds the word-count aggregate). Top-K by (count DESC, pair
+    * ASC — the deterministic BPE tie-break), ranked on the bounded
+    * K-row set via the zipf collect_list+posexplode trick (no
+    * partitionless window). All integer. Shared by the declared query
+    * and PropertySpec's known-merge-order test. */
+  private[graft] def bpeMergeRound(corpus: org.apache.spark.sql.DataFrame,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val wf = corpus
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+    val pc = wf
+      .select(col("cf"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("cf")).as("cnt"))
+    val top = pc.orderBy(col("cnt").desc, col("pair")).limit(k)
+    top
+      .agg(expr("sort_array(collect_list(struct(-cnt AS nc, pair AS pair, cnt AS cnt)))")
+        .as("a"))
+      .select(posexplode(col("a")).as(Seq("p0", "s")))
+      .select((col("p0") + 1).cast(IntegerType).as("rank"),
+        col("s.pair").as("pair"), col("s.cnt").as("cnt"))
+      .orderBy("rank")
+  }
+
+  /** Exact shared-span extension (text_shared_span, r8 — the Lee et
+    * al. deduplicate-text-datasets span grain): candidate pairs come
+    * from the winnow fingerprint inverted index (ANY shared
+    * fingerprint — a shared token run >= winnowW + 2 guarantees one,
+    * so candidacy recall is structural, never all-pairs), then the
+    * longest shared token run per candidate pair is computed EXACTLY
+    * from the full trigram-hash position lists: matched positions
+    * (pa, pb) group by diagonal d = pa - pb, maximal consecutive-pa
+    * islands via the gaps-and-islands rank trick (keyed window —
+    * PlanGuard-safe), longest run of r shared trigrams = r + 2 shared
+    * tokens. All integer; shared verbatim by the declared query and
+    * PropertySpec's planted-run test. */
+  private[graft] def sharedSpans(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = split(col("text"), " ")
+    val base = corpus.where(size(tk) >= 3)
+      .select(col("doc_id"), col("source"), winnowHs(tk).as("hs"))
+      .localCheckpoint(true)
+    val fps = base.select(col("doc_id"), col("source"),
+      explode(winnowSelect(col("hs"))).as("fp"))
+    val cand = fps.as("a").join(fps.as("b"),
+        col("a.source") === col("b.source") && col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val e = base.select(col("doc_id"), col("source"),
+      posexplode(col("hs")).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("source"), (col("p0") + 1).as("pos"), col("h"))
+    val mp = e.as("x").join(e.as("y"),
+        col("x.source") === col("y.source") && col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val runs = mp.withColumn("d", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")))
+      .groupBy("doc_a", "doc_b", "d", "grp")
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy("doc_a", "doc_b")
+      .agg(max(col("run")).as("run_trigrams"),
+        count(lit(1)).as("n_runs"),
+        sum(col("run")).as("n_matches"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("run_trigrams") + 2).as("span_tokens"),
+        col("run_trigrams"), col("n_runs"), col("n_matches"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The ln-ln least-squares emission formulas, shared verbatim between
     * the Spark selectExpr and the DuckDB oracle so the final IEEE op
     * order is identical by construction (never regr_* built-ins — their
@@ -939,6 +1039,47 @@ object Text2Queries {
          "SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_occ, " +
          "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM h GROUP BY 1 " +
          "HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY 1"),
+      "text_bpe_merges" ->
+        // same dictionary-grain char-pair counting; ranks via a plain
+        // window over the bounded 20-row top set (DuckDB side only —
+        // the Spark side uses the zipf bounded-set trick)
+        ("WITH wf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM " +
+         "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+         "WHERE length(tok) >= 2 GROUP BY 1), " +
+         "pc0 AS (SELECT cf, unnest(list_transform(generate_series(1, length(tok) - 1), " +
+         "i -> substring(tok, CAST(i AS INT), 2))) AS pair FROM wf), " +
+         "pc AS (SELECT pair, CAST(SUM(cf) AS BIGINT) AS cnt FROM pc0 GROUP BY 1), " +
+         "top AS (SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20) " +
+         "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank, " +
+         "pair, cnt FROM top ORDER BY rank"),
+      "text_shared_span" ->
+        // same trigram/hash60/winnow CTEs; candidates = ANY shared
+        // winnow fingerprint; exact extension = matched positions per
+        // diagonal, gaps-and-islands maximal runs (row_number keyed
+        // window), run of r trigrams = r + 2 tokens. unnest(range(...))
+        // in the SELECT list per the lateral-generate_series rule.
+        ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk " +
+         "FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+         s"hsc AS (SELECT doc_id, source, list_transform(${trigramsSqlOf("tk")}, " +
+         s"x -> ${hash60Sql("x")}) AS hs FROM t), " +
+         s"fp0 AS (SELECT doc_id, source, CASE WHEN len(hs) >= $winnowW THEN " +
+         s"list_distinct(list_transform(generate_series(1, len(hs) - ${winnowW - 1}), " +
+         s"i -> list_min(hs[i:i+${winnowW - 1}]))) ELSE [list_min(hs)] END AS fps FROM hsc), " +
+         "fe AS (SELECT doc_id, source, unnest(fps) AS fp FROM fp0), " +
+         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM fe a " +
+         "JOIN fe b ON a.source = b.source AND a.fp = b.fp AND a.doc_id < b.doc_id), " +
+         "e0 AS (SELECT doc_id, source, hs, unnest(range(1, len(hs) + 1)) AS pos FROM hsc), " +
+         "e AS (SELECT doc_id, source, CAST(pos AS INT) AS pos, hs[CAST(pos AS INT)] AS h FROM e0), " +
+         "mp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb " +
+         "FROM e x JOIN e y ON x.source = y.source AND x.h = y.h AND x.doc_id < y.doc_id " +
+         "JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id), " +
+         "rk AS (SELECT doc_a, doc_b, pa - pb AS d, pa, " +
+         "row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS rn FROM mp), " +
+         "runs AS (SELECT doc_a, doc_b, d, pa - rn AS grp, CAST(COUNT(*) AS BIGINT) AS run " +
+         "FROM rk GROUP BY 1, 2, 3, 4) " +
+         "SELECT doc_a, doc_b, MAX(run) + 2 AS span_tokens, MAX(run) AS run_trigrams, " +
+         "CAST(COUNT(*) AS BIGINT) AS n_runs, CAST(SUM(run) AS BIGINT) AS n_matches " +
+         "FROM runs GROUP BY 1, 2 ORDER BY 1, 2"),
       "text_winnow_dup" ->
         // same trigram shingles (trigramsSqlOf), same hash60, same
         // windowed-min selection (DuckDB list slicing is 1-based

@@ -302,6 +302,12 @@ object Plans {
        "windowed min references them per-window — the embed_opq CollapseProject rule, " +
        "156 s -> 2 s at sf0.1), then an inverted-index equality join on (source, fingerprint) " +
        "— candidate pairs come from bucket equality, never an all-pairs comparison."),
+    "text_shared_span" ->
+      ("the Lee-et-al candidate-then-verify split as a plan: candidacy is the winnow " +
+       "fingerprint inverted-index equality join (bucketed — never all-pairs), and the exact " +
+       "longest-run extension touches only matched trigram positions of candidate pairs " +
+       "(left_semi prunes before the diagonal islands), with every window KEYED by " +
+       "(pair, diagonal) — no partitionless sort anywhere."),
     "join_asof_union" ->
       ("the scalable two-stream asof: both sides UNION with a side tag and ONE " +
        "hash-partitioned sort per user key resolves every match via a keyed window — no " +

@@ -1169,6 +1169,50 @@ class PropertySpec extends SparkSpec {
     fps.foreach { case (id, f) => assert(f.subsetOf(hsets(id))) }
   }
 
+  test("text_shared_span: planted runs report their EXACT token length") {
+    import spark.implicits._
+    import graft.queries.Text2Queries
+    // docs 1 and 2 share a 12-token run AND a disjoint 7-token run;
+    // doc 3 is vocabulary-disjoint. Expect ONE pair row (1,2) with
+    // span_tokens exactly 12, the 7-token run visible as a second
+    // island (runs of 10 and 5 trigrams), and nothing touching doc 3.
+    val long = (0 until 12).map(i => s"run$i").mkString(" ")
+    val short = (0 until 7).map(i => s"sec$i").mkString(" ")
+    val docs = Seq(
+      (1L, "w", s"aa0 aa1 aa2 $long aa3 aa4 $short aa5"),
+      (2L, "w", s"bb0 $short bb1 bb2 bb3 $long bb4"),
+      (3L, "w", "cc0 cc1 cc2 cc3 cc4 cc5 cc6 cc7 cc8 cc9 cc10 cc11"))
+      .toDF("doc_id", "source", "text")
+    val rows = Text2Queries.sharedSpans(docs).collect()
+    assert(rows.length === 1, s"expected exactly the (1,2) pair, got ${rows.length}")
+    val r = rows.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 12L, s"span_tokens must be EXACTLY 12, got ${r.getLong(2)}")
+    assert(r.getLong(3) === 10L, "longest run must be 10 trigrams")
+    assert(r.getLong(4) === 2L, s"expected 2 maximal runs, got ${r.getLong(4)}")
+    assert(r.getLong(5) === 15L, "total matched trigram positions must be 10 + 5")
+  }
+
+  test("text_bpe_merges: known corpus yields the exact BPE merge order") {
+    import spark.implicits._
+    import graft.queries.Text2Queries
+    // the classic BPE toy dictionary: low x5, lower x2, widest x3, plus
+    // aaa (in-token pair multiplicity: 'aa' occurs twice in one word)
+    val docs = Seq(
+      (1L, "low low low lower widest"),
+      (2L, "low low lower widest widest"),
+      (3L, "aaa")).toDF("doc_id", "text")
+    val got = Text2Queries.bpeMergeRound(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val expected = Seq(
+      (1, "lo", 7L), (2, "ow", 7L),               // tie broken pair-ASC
+      (3, "de", 3L), (4, "es", 3L), (5, "id", 3L),
+      (6, "st", 3L), (7, "wi", 3L),
+      (8, "aa", 2L),                               // multiplicity counted
+      (9, "er", 2L), (10, "we", 2L))
+    assert(got.toSeq === expected)
+  }
+
   test("embed_quantize_int8: codes in int8 range, mse under the half-step bound") {
     // half-up quantization guarantees |v - c*s| <= s/2 per dim, so
     // mse <= s^2/4; both sides here are round-6 emissions, so allow one
