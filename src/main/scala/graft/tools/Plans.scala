@@ -308,6 +308,11 @@ object Plans {
        "longest-run extension touches only matched trigram positions of candidate pairs " +
        "(left_semi prunes before the diagonal islands), with every window KEYED by " +
        "(pair, diagonal) — no partitionless sort anywhere."),
+    "text_bpe_merges" ->
+      ("dictionary-grain tokenizer training: the char-pair explode runs over DISTINCT words " +
+       "(corpus size only feeds the word-count aggregate), top-K lands via " +
+       "TakeOrderedAndProject, and ranks come from the bounded-set collect_list+posexplode " +
+       "trick — no partitionless window over the pair vocabulary."),
     "join_asof_union" ->
       ("the scalable two-stream asof: both sides UNION with a side tag and ONE " +
        "hash-partitioned sort per user key resolves every match via a keyed window — no " +
