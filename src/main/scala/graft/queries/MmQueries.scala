@@ -54,7 +54,50 @@ object MmQueries {
             "k -> sha2(substring(hx, k*512 + 1, 512), 256)))) AS BIGINT) END " +
             "AS n_uniq_frames",
           "substring(hx, CAST(n_bytes DIV 2 AS INT) * 2 + 1, 16) AS mid_hex")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // TRUE-binary parquet round-trip (r8, the r7 verdict's ask #6):
+    // mm_binary_features proves the operator surface over CAST(text AS
+    // BINARY) — which is still UTF-8 bytes. This query lands a REAL
+    // opaque payload (chained-sha256 bytes: zeros, high bytes, no
+    // text encoding) through the parquet BYTE_ARRAY writer via the
+    // scratch machinery, reads it back, and runs the frame census on
+    // the READ-BACK column. The oracle recomputes the identical
+    // payload independently from doc_id (both engines chain the same
+    // lowercase-hex sha256), so a hash match proves the binary
+    // write/read path is bit-lossless end to end. Payloads are 32-160
+    // bytes (1 + doc_id % 5 chain segments), frames 64 bytes; all
+    // census ops run on the ONE portable hex rendering.
+    "mm_binary_roundtrip" -> ((s, d) => {
+      val out = ScanQueries.scratch("mm_binary", d)
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "sha2(CAST(doc_id AS STRING), 256) AS h1")
+        .selectExpr("doc_id", "h1", "sha2(h1, 256) AS h2")
+        .selectExpr("doc_id", "h1", "h2", "sha2(h2, 256) AS h3")
+        .selectExpr("doc_id", "h1", "h2", "h3", "sha2(h3, 256) AS h4")
+        .selectExpr("doc_id", "h1", "h2", "h3", "h4", "sha2(h4, 256) AS h5")
+        .selectExpr("doc_id",
+          "unhex(substring(concat(h1, h2, h3, h4, h5), 1, " +
+            "CAST((doc_id % 5 + 1) * 64 AS INT))) AS payload")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .selectExpr("doc_id", "payload AS bin")
+        .selectExpr("doc_id", "bin",
+          "CAST(length(bin) AS BIGINT) AS n_bytes",
+          "upper(hex(bin)) AS hx")
+        .selectExpr(
+          "doc_id",
+          "n_bytes",
+          "sha2(hx, 256) AS content_hash",
+          "substring(hx, 1, 8) AS magic_hex",
+          "(n_bytes + 63) DIV 64 AS n_frames",
+          "CAST(size(array_distinct(transform(" +
+            "sequence(0, CAST((n_bytes + 63) DIV 64 AS INT) - 1), " +
+            "k -> sha2(substring(hx, k*128 + 1, 128), 256)))) AS BIGINT) " +
+            "AS n_uniq_frames",
+          "substring(hx, CAST(n_bytes DIV 2 AS INT) * 2 + 1, 16) AS mid_hex")
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -73,6 +116,30 @@ object MmQueries {
         "CAST(len(list_distinct(list_transform(" +
         "range(0, GREATEST((n_bytes + 255) // 256, 1)), " +
         "k -> sha256(substring(hx, CAST(k*512 + 1 AS INT), 512))))) AS BIGINT) END " +
+        "AS n_uniq_frames, " +
+        "substring(hx, CAST(n_bytes // 2 AS INT) * 2 + 1, 16) AS mid_hex " +
+        "FROM h ORDER BY doc_id"),
+    "mm_binary_roundtrip" ->
+      // recomputes the chained-sha payload INDEPENDENTLY from doc_id
+      // (never reads the landed file) — hash equality proves the
+      // Spark-side parquet BYTE_ARRAY round-trip returned the exact
+      // bytes. Same lowercase sha256 hex chain, same 64-byte frames.
+      ("WITH g1 AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS h1 FROM documents), " +
+        "g2 AS (SELECT doc_id, h1, sha256(h1) AS h2 FROM g1), " +
+        "g3 AS (SELECT doc_id, h1, h2, sha256(h2) AS h3 FROM g2), " +
+        "g4 AS (SELECT doc_id, h1, h2, h3, sha256(h3) AS h4 FROM g3), " +
+        "g5 AS (SELECT doc_id, h1, h2, h3, h4, sha256(h4) AS h5 FROM g4), " +
+        "gen AS (SELECT doc_id, unhex(substring(h1 || h2 || h3 || h4 || h5, 1, " +
+        "CAST((doc_id % 5 + 1) * 64 AS INT))) AS bin FROM g5), " +
+        "h AS (SELECT doc_id, CAST(octet_length(bin) AS BIGINT) AS n_bytes, " +
+        "upper(hex(bin)) AS hx FROM gen) " +
+        "SELECT doc_id, n_bytes, " +
+        "sha256(hx) AS content_hash, " +
+        "substring(hx, 1, 8) AS magic_hex, " +
+        "(n_bytes + 63) // 64 AS n_frames, " +
+        "CAST(len(list_distinct(list_transform(" +
+        "range(0, (n_bytes + 63) // 64), " +
+        "k -> sha256(substring(hx, CAST(k*128 + 1 AS INT), 128))))) AS BIGINT) " +
         "AS n_uniq_frames, " +
         "substring(hx, CAST(n_bytes // 2 AS INT) * 2 + 1, 16) AS mid_hex " +
         "FROM h ORDER BY doc_id")

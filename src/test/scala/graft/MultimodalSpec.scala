@@ -48,6 +48,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_binary_roundtrip: landed BYTE_ARRAY reads back bit-exact vs a JVM recompute") {
+    val out = SparkEntry.queries("mm_binary_roundtrip")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the landed file itself: BinaryType schema, payload bytes equal an
+    // independent MessageDigest sha-chain recompute from doc_id alone
+    val landed = spark.read.parquet(queries.ScanQueries.scratch("mm_binary", sf))
+    assert(landed.schema("payload").dataType === BinaryType)
+    val byId = landed.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chainBytes(id: Long): Array[Byte] = {
+      val hs = Iterator.iterate(sha(id.toString))(sha).take(5).toSeq
+      val hex = hs.mkString.take(((id % 5) + 1).toInt * 64)
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    var sawHighByte = false
+    out.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val exp = chainBytes(id)
+      assert(byId(id) === exp, s"doc $id payload bytes diverged through parquet")
+      assert(r.getLong(1) === exp.length.toLong, "n_bytes")
+      val hx = exp.map("%02X".format(_)).mkString
+      assert(r.getString(2) === sha(hx), s"doc $id content_hash")
+      if (exp.exists(b => b < 0 || b == 0)) sawHighByte = true
+    }
+    assert(sawHighByte, "payloads must exercise true non-UTF8 bytes")
+  }
+
   test("feature extraction is deterministic, batched, fixed-dim") {
     val assets = Multimodal.syntheticAssets(spark, 60).repartition(4, col("asset_id"))
     val f1 = Multimodal.extractFeatures(assets, dim = 16).collect()
