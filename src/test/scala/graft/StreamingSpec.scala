@@ -756,6 +756,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState incremental drift histogram equals batch dq_drift_psi under REVERSED batching") {
+    // the streaming face of the drift family: per-bucket cohort counts
+    // folded commutatively (two additions), so arrival order must NOT
+    // matter — reversed uneven batches, exact count parity against the
+    // batch dq_drift_psi rows. The psi itself is consumer-derived from
+    // the emitted histogram facts (the FreshnessProcessor hours_behind
+    // principle: a keyed processor cannot see other buckets or the
+    // cohort totals). The input is the SAME CdcQueries.cohortBuckets
+    // frame every batch drift gauge counts.
+    withRocksDB {
+      val rows = queries.CdcQueries.cohortBuckets(spark, sf, 10)
+        .collect().map(r => (r.getInt(1), r.getInt(0)))   // (bucket, cohort)
+      val batches = rows.grouped((rows.length + 3) / 4).toSeq.reverse
+      val input = MemoryStream[(Int, Int)](spark)
+      val stream = graft.streaming.DriftProcessor.driftStream(
+        input.toDF().toDF("bucket", "cohort"))
+      val q = stream.writeStream.format("memory").queryName("drift_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // max-n row per bucket is the current histogram cell; zero-fill
+      // buckets the stream never saw (the batch grid is zero-filled)
+      val facts = spark.table("drift_incr").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).values.map(_.maxBy(_._4))
+        .map(f => f._1 -> (f._2, f._3)).toMap
+      val hist = (0 until 10).map(b => facts.getOrElse(b, (0L, 0L)))
+      val expected = SparkEntry.queries("dq_drift_psi")(spark, sf).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+        .sortBy(_._1)
+      assert(expected.length === 10)
+      expected.foreach { case (b, bc, cc, _) =>
+        assert(hist(b) === ((bc, cc)), s"bucket $b counts must match batch")
+      }
+      // consumer-side gauge: same +1/+10 smoothing, bucket-order fold
+      val nb = hist.map(_._1).sum
+      val nc = hist.map(_._2).sum
+      val psi = (0 until 10).map { b =>
+        val pb = (hist(b)._1 + 1).toDouble / (nb + 10).toDouble
+        val pc = (hist(b)._2 + 1).toDouble / (nc + 10).toDouble
+        (pb - pc) * math.log(pb / pc)
+      }.sum
+      assert(math.abs(psi - expected.head._4) < 1.1e-6,
+        "consumer-derived psi must match the batch emission")
+    }
+  }
+
   test("transformWithState Holt: exact batch-query parity on uneven ascending batches") {
     // the processor advances the IDENTICAL integer recurrence the batch
     // ts_holt_forecast folds driver-side — every (day, level, trend,
