@@ -740,18 +740,27 @@ object Text2Queries {
       .orderBy("rank")
   }
 
-  /** Exact shared-span extension (text_shared_span, r8 — the Lee et
-    * al. deduplicate-text-datasets span grain): candidate pairs come
-    * from the winnow fingerprint inverted index (ANY shared
-    * fingerprint — a shared token run >= winnowW + 2 guarantees one,
-    * so candidacy recall is structural, never all-pairs), then the
-    * longest shared token run per candidate pair is computed EXACTLY
-    * from the full trigram-hash position lists: matched positions
-    * (pa, pb) group by diagonal d = pa - pb, maximal consecutive-pa
-    * islands via the gaps-and-islands rank trick (keyed window —
-    * PlanGuard-safe), longest run of r shared trigrams = r + 2 shared
-    * tokens. All integer; shared verbatim by the declared query and
-    * PropertySpec's planted-run test. */
+  /** Exact shared-span extension (text_shared_span, r8; candidate-
+    * bounded r9 — the Lee et al. deduplicate-text-datasets span
+    * grain): candidate pairs come from the winnow fingerprint
+    * inverted index (ANY shared fingerprint — a shared token run
+    * >= winnowW + 2 guarantees one, so candidacy recall is
+    * structural, never all-pairs), then the longest shared token run
+    * per candidate pair is computed from the full trigram-hash
+    * position lists. The position pairing is DRIVEN FROM the
+    * candidate set (cand -> x positions on doc_a, then -> y on
+    * (doc_b, h)): work is Sigma_pairs |hs| — bounded by candidate
+    * pairs — never the Sigma_h n_h^2 of a raw per-hash self-join, so
+    * one hot trigram (boilerplate, stop-phrase) cannot make the
+    * stage quadratic at 100x. Matched positions (pa, pb) group by
+    * diagonal d = pa - pb, maximal consecutive-pa islands via the
+    * gaps-and-islands rank trick (keyed window — PlanGuard-safe),
+    * longest run of r shared trigrams = r + 2 shared tokens. All
+    * integer; exact modulo 60-bit trigram-hash collisions (a
+    * collision can in principle extend a span — both engines hash
+    * identically so parity is unaffected; at 60 bits the per-pair
+    * collision odds are ~|hs|^2/2^60). Shared verbatim by the
+    * declared query and PropertySpec's planted-run test. */
   private[graft] def sharedSpans(corpus: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val tk = split(col("text"), " ")
@@ -768,12 +777,17 @@ object Text2Queries {
     val e = base.select(col("doc_id"), col("source"),
       posexplode(col("hs")).as(Seq("p0", "h")))
       .select(col("doc_id"), col("source"), (col("p0") + 1).as("pos"), col("h"))
-    val mp = e.as("x").join(e.as("y"),
-        col("x.source") === col("y.source") && col("x.h") === col("y.h") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+    // pair positions FROM the candidate set (doc_id is the corpus key;
+    // cand pairs are same-source by construction, so no source key is
+    // needed here): cand x positions(doc_a), then equality on
+    // (doc_b, h) — the candidate restriction bounds the join input
+    // instead of filtering its output.
+    val mp = cand
+      .join(e.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(e.as("y"),
+        col("doc_b") === col("y.doc_id") && col("x.h") === col("y.h"))
+      .select(col("doc_a"), col("doc_b"),
         col("x.pos").as("pa"), col("y.pos").as("pb"))
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
     val runs = mp.withColumn("d", col("pa") - col("pb"))
       .withColumn("grp", col("pa") - row_number().over(
         Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")))

@@ -245,6 +245,18 @@ object Plans {
        "broadcast literals (codebooks + the query's 4x4 distance table) — zero joins, zero " +
        "shuffles until TakeOrderedAndProject merges 10 rows per partition; the memory-bound " +
        "billion-scale ANN scan, as a plan."),
+    "sim_search_opq" ->
+      ("the rotated-ADC claim: the query vector is rotated through the SAME shared Householder " +
+       "frame the trainer used (learnedRot — one definition, scanner and codebook cannot " +
+       "diverge), the 4x4 distance table is driver-side bounded math entering as literals, and " +
+       "the corpus pass is ONE in-row rotate+assign+lookup projection into " +
+       "TakeOrderedAndProject — the checkpoint on the rotated frame stops CollapseProject from " +
+       "re-evaluating the 64-dim matvec per distance expression."),
+    "dq_emd_drift" ->
+      ("the shared-grid claim: Wasserstein-1 rides the dq_ks_drift machinery unchanged — the " +
+       "event scan ends at per-bucket cohort counts, the CDF gap numerators accumulate over " +
+       "the BOUNDED bucket-grid self-join, and EMD is their exact integer SUM where KS is " +
+       "their max; one new gauge costs zero new scan or shuffle structure."),
     "sample_target_mix" ->
       ("bounded per-source counts -> one broadcast scalar (the feasible total) -> quota join -> " +
        "ONE window per source partition for the salted-hash rank; the quota is data-dependent so " +
@@ -304,9 +316,11 @@ object Plans {
        "— candidate pairs come from bucket equality, never an all-pairs comparison."),
     "text_shared_span" ->
       ("the Lee-et-al candidate-then-verify split as a plan: candidacy is the winnow " +
-       "fingerprint inverted-index equality join (bucketed — never all-pairs), and the exact " +
-       "longest-run extension touches only matched trigram positions of candidate pairs " +
-       "(left_semi prunes before the diagonal islands), with every window KEYED by " +
+       "fingerprint inverted-index equality join (bucketed — never all-pairs), and the " +
+       "longest-run extension is DRIVEN FROM the candidate set (cand joins to positions on " +
+       "doc_a, then equality on (doc_b, trigram-hash)) — position-match work is bounded by " +
+       "candidate pairs, never the per-hash n_h^2 of a raw position self-join, so a hot " +
+       "boilerplate trigram cannot go quadratic at 100x; every window KEYED by " +
        "(pair, diagonal) — no partitionless sort anywhere."),
     "text_bpe_merges" ->
       ("dictionary-grain tokenizer training: the char-pair explode runs over DISTINCT words " +
