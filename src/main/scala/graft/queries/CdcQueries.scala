@@ -624,16 +624,19 @@ object CdcQueries {
     // counts come from the bounded grid self-join (20x20 — no
     // partitionless window, PlanGuard-safe), the gap numerator is the
     // exact cross-multiplication |cumb*n_cur - cumc*n_base| (the
-    // ts_seasonal_baseline trick lifted to CDFs), the max is an integer
-    // max, and ONE shared-formula division emits the statistic. No ln,
-    // no smoothing, nothing to round but the display.
+    // ts_seasonal_baseline trick lifted to CDFs) carried in
+    // DECIMAL(38,0)/HUGEINT so cum*n cannot overflow BIGINT past ~3e9
+    // rows under ANSI (r9; the moment-sum headroom rule), the max is an
+    // integer max, and ONE shared-formula division emits the statistic
+    // (decimal->double casts are correctly rounded on both engines).
+    // No ln, no smoothing, nothing to round but the display.
     "dq_ks_drift" -> ((s, d) => {
       val (filled, totals) = driftBuckets(s, d, 20)
       val cum = filled.as("a")
         .join(broadcast(filled.as("b")), col("b.bucket") <= col("a.bucket"))
         .groupBy(col("a.bucket").as("bucket"))
         .agg(sum(col("b.base_cnt")).as("cum_base"), sum(col("b.cur_cnt")).as("cum_cur"))
-      val dnumExpr = "abs(cum_base * n_cur - cum_cur * n_base)"
+      val dnumExpr = "abs(CAST(cum_base AS DECIMAL(38,0)) * n_cur - CAST(cum_cur AS DECIMAL(38,0)) * n_base)"
       val gaps = cum.crossJoin(broadcast(totals))
         .selectExpr("bucket", "cum_base", "cum_cur", s"$dnumExpr AS dnum",
           s"((CASE WHEN isnan((${ksFormula(dnumExpr)})) OR abs((${ksFormula(dnumExpr)})) >= 9e12 THEN CAST((${ksFormula(dnumExpr)}) AS DOUBLE) ELSE CAST(floor((${ksFormula(dnumExpr)}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS gap")
@@ -649,9 +652,11 @@ object CdcQueries {
     // same 20-bucket integer grid, W1 in bucket units is the SUM of
     // exactly the per-bucket |CDF gap|s the KS query maxes over. The
     // gap numerators |cumb*n_cur - cumc*n_base| are exact integer
-    // cross-multiplications off the bounded grid self-join; their sum
-    // stays exact (DECIMAL(38,0) / HUGEINT — the moment-sum headroom
-    // rule), and ONE shared-formula division (the SAME ksFormula)
+    // cross-multiplications off the bounded grid self-join, carried in
+    // DECIMAL(38,0)/HUGEINT end-to-end (r9 — cum*n cannot overflow
+    // BIGINT past ~3e9 rows under ANSI); their sum stays exact (the
+    // moment-sum headroom rule), and ONE shared-formula division (the
+    // SAME ksFormula)
     // emits the statistic. No ln, no smoothing, nothing to round but
     // the display.
     "dq_emd_drift" -> ((s, d) => {
@@ -660,7 +665,7 @@ object CdcQueries {
         .join(broadcast(filled.as("b")), col("b.bucket") <= col("a.bucket"))
         .groupBy(col("a.bucket").as("bucket"))
         .agg(sum(col("b.base_cnt")).as("cum_base"), sum(col("b.cur_cnt")).as("cum_cur"))
-      val dnumExpr = "abs(cum_base * n_cur - cum_cur * n_base)"
+      val dnumExpr = "abs(CAST(cum_base AS DECIMAL(38,0)) * n_cur - CAST(cum_cur AS DECIMAL(38,0)) * n_base)"
       val gaps = cum.crossJoin(broadcast(totals))
         .selectExpr("bucket", "cum_base", "cum_cur", s"$dnumExpr AS dnum",
           s"${r6Sql(ksFormula(dnumExpr))} AS gap")
@@ -1016,8 +1021,8 @@ object CdcQueries {
        "CAST(SUM(b2.cur_cnt) AS BIGINT) AS cum_cur " +
        "FROM f a JOIN f b2 ON b2.bucket <= a.bucket GROUP BY 1), " +
        "gp AS (SELECT bucket, cum_base, cum_cur, " +
-       "abs(cum_base * n_cur - cum_cur * n_base) AS dnum, " +
-       s"((CASE WHEN isnan((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")})) OR abs((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")})) >= 9e12 THEN CAST((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")}) AS DOUBLE) ELSE CAST(floor((${ksFormula("abs(cum_base * n_cur - cum_cur * n_base)")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS gap " +
+       "abs(CAST(cum_base AS HUGEINT) * n_cur - CAST(cum_cur AS HUGEINT) * n_base) AS dnum, " +
+       s"((CASE WHEN isnan((${ksFormula("abs(CAST(cum_base AS HUGEINT) * n_cur - CAST(cum_cur AS HUGEINT) * n_base)")})) OR abs((${ksFormula("abs(CAST(cum_base AS HUGEINT) * n_cur - CAST(cum_cur AS HUGEINT) * n_base)")})) >= 9e12 THEN CAST((${ksFormula("abs(CAST(cum_base AS HUGEINT) * n_cur - CAST(cum_cur AS HUGEINT) * n_base)")}) AS DOUBLE) ELSE CAST(floor((${ksFormula("abs(CAST(cum_base AS HUGEINT) * n_cur - CAST(cum_cur AS HUGEINT) * n_base)")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS gap " +
        "FROM cum CROSS JOIN t), " +
        s"mx AS (SELECT ((CASE WHEN isnan((${ksFormula("mdn")})) OR abs((${ksFormula("mdn")})) >= 9e12 THEN CAST((${ksFormula("mdn")}) AS DOUBLE) ELSE CAST(floor((${ksFormula("mdn")}) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS ks " +
        "FROM (SELECT MAX(dnum) AS mdn FROM gp) CROSS JOIN t) " +
@@ -1031,8 +1036,8 @@ object CdcQueries {
        "CAST(SUM(b2.cur_cnt) AS BIGINT) AS cum_cur " +
        "FROM f a JOIN f b2 ON b2.bucket <= a.bucket GROUP BY 1), " +
        "gp AS (SELECT bucket, cum_base, cum_cur, " +
-       "abs(cum_base * n_cur - cum_cur * n_base) AS dnum, " +
-       s"${r6Sql(ksFormula("abs(cum_base * n_cur - cum_cur * n_base)"))} AS gap " +
+       "abs(CAST(cum_base AS HUGEINT) * n_cur - CAST(cum_cur AS HUGEINT) * n_base) AS dnum, " +
+       s"${r6Sql(ksFormula("abs(CAST(cum_base AS HUGEINT) * n_cur - CAST(cum_cur AS HUGEINT) * n_base)"))} AS gap " +
        "FROM cum CROSS JOIN t), " +
        s"sm AS (SELECT ${r6Sql(ksFormula("sdn"))} AS emd " +
        "FROM (SELECT SUM(dnum) AS sdn FROM gp) CROSS JOIN t) " +
