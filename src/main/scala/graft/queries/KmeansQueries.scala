@@ -430,7 +430,21 @@ object KmeansQueries {
         .limit(10)
         .select(col("vec_id"), r6(col("adc")).as("adc_d2"))
         .orderBy("adc_d2", "vec_id")
-    })
+    }),
+
+    // Embedding drift gauge (r9, the r8 verdict's ask #3) — the drift
+    // family's missing vector column: the same half-split cohort idea
+    // as cohortSplit (here on vec_id, the ingestion-order surrogate —
+    // embeddings carry no timestamp), then per-dim exact micro-unit
+    // moment sums per cohort in ONE corpus pass (the microAll /
+    // kmeans-centroid pattern: floor(x*1e6+0.5) BIGINT, DECIMAL(38,0)/
+    // HUGEINT sums, order-free), fixed-order IEEE divisions for the
+    // cohort means, per-dim mean shift, and ONE centroid-L2 drift
+    // number from the dim-ordered fold (collect_list+sort == list_sum
+    // ORDER BY — the r6b bit-exact pair). sqrt is correctly rounded
+    // both engines, so round 6 holds throughout.
+    "dq_embed_drift" -> ((s, d) =>
+      embedDrift(Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))))
   )
 
   /** Fused exact micro-unit moment sums in ONE corpus scan (r7 verdict
@@ -1098,7 +1112,76 @@ object KmeansQueries {
       "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
       s"SELECT vec_id, ${r6Sql("adc")} AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
 
+  /** Shared fixed-order formula strings for dq_embed_drift: exact
+    * integer micro-unit sums cast once to double, two divisions in one
+    * order (the embed_outlier_dist centroid spelling). Defs, not vals
+    * (the r6d object-init-order rule). */
+  private def meanBaseFormula =
+    "CAST(s_base AS DOUBLE) / CAST(n_base AS DOUBLE) / 1000000.0"
+  private def meanCurFormula =
+    "CAST(s_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) / 1000000.0"
+  private def meanShiftFormula = s"($meanCurFormula) - ($meanBaseFormula)"
+
+  /** The dq_embed_drift core over ANY (vec_id, embedding) frame —
+    * extracted so PropertySpec can feed a planted small-dim frame and
+    * recompute the means/shift/L2 independently in Scala. Cohorts:
+    * first half of the vec_id span = 0 (baseline), second = 1
+    * (current), off ONE broadcast bounds row. The 64-row shifted frame
+    * is checkpointed once (two consumers: the per-dim emission and the
+    * L2 fold — the chi2 bounded-multi-consumer lesson). */
+  private[graft] def embedDrift(e: DataFrame): DataFrame = {
+    val bounds = e.agg(min("vec_id").as("mn"), max("vec_id").as("mx"))
+    val mom = e.crossJoin(broadcast(bounds))
+      .selectExpr(
+        "CASE WHEN vec_id <= mn + (mx - mn) DIV 2 THEN 0 ELSE 1 END AS cohort",
+        "embedding")
+      .select(col("cohort"), posexplode(col("embedding")).as(Seq("p0", "x")))
+      .select(col("cohort"), (col("p0") + 1).cast(IntegerType).as("dim"),
+        floor(col("x").cast(DoubleType) * 1000000.0 + 0.5).as("q"))
+      .groupBy("dim")
+      .agg(
+        sum(when(col("cohort") === 0, col("q")).otherwise(0L)
+          .cast(DecimalType(38, 0))).as("s_base"),
+        sum(when(col("cohort") === 1, col("q")).otherwise(0L)
+          .cast(DecimalType(38, 0))).as("s_cur"),
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val sh = mom.selectExpr("dim", "n_base", "n_cur",
+      s"($meanBaseFormula) AS mb_raw", s"($meanCurFormula) AS mc_raw",
+      s"($meanShiftFormula) AS sh_raw")
+      .localCheckpoint(true)
+    val l2 = sh.agg(expr(
+      "aggregate(transform(array_sort(collect_list(struct(dim, sh_raw))), " +
+        "x -> x.sh_raw * x.sh_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+      .as("ss"))
+      .selectExpr(s"${r6Sql("sqrt(ss)")} AS l2_drift")
+    sh.crossJoin(broadcast(l2))
+      .selectExpr("dim", "n_base", "n_cur",
+        s"${r6Sql("mb_raw")} AS mean_base", s"${r6Sql("mc_raw")} AS mean_cur",
+        s"${r6Sql("sh_raw")} AS mean_shift", "l2_drift")
+      .orderBy("dim")
+  }
+
+  private def embedDriftSql: String =
+    "WITH b AS (SELECT MIN(vec_id) AS mn, MAX(vec_id) AS mx FROM embeddings), " +
+      "ck AS (SELECT CASE WHEN vec_id <= mn + (mx - mn) // 2 THEN 0 ELSE 1 END AS cohort, " +
+      "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qs " +
+      "FROM embeddings CROSS JOIN b), " +
+      "m AS (SELECT CAST(i AS INT) AS dim, " +
+      "CAST(SUM(CASE WHEN cohort = 0 THEN qs[i] ELSE 0 END) AS HUGEINT) AS s_base, " +
+      "CAST(SUM(CASE WHEN cohort = 1 THEN qs[i] ELSE 0 END) AS HUGEINT) AS s_cur, " +
+      "CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base, " +
+      "CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur " +
+      s"FROM ck CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) ii GROUP BY 1), " +
+      s"sh AS (SELECT dim, n_base, n_cur, ($meanBaseFormula) AS mb_raw, " +
+      s"($meanCurFormula) AS mc_raw, ($meanShiftFormula) AS sh_raw FROM m), " +
+      s"l2 AS (SELECT ${r6Sql("sqrt(list_sum(list(sh_raw * sh_raw ORDER BY dim)))")} AS l2_drift FROM sh) " +
+      s"SELECT dim, n_base, n_cur, ${r6Sql("mb_raw")} AS mean_base, " +
+      s"${r6Sql("mc_raw")} AS mean_cur, ${r6Sql("sh_raw")} AS mean_shift, l2_drift " +
+      "FROM sh CROSS JOIN l2 ORDER BY dim"
+
   val oracle: Map[String, String] = Map(
+    "dq_embed_drift" -> embedDriftSql,
     "embed_kmeans" -> kmeansSql,
     "embed_cluster_purity" -> puritySql,
     "embed_outlier_dist" -> outlierSql,

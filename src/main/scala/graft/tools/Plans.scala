@@ -257,6 +257,12 @@ object Plans {
        "event scan ends at per-bucket cohort counts, the CDF gap numerators accumulate over " +
        "the BOUNDED bucket-grid self-join, and EMD is their exact integer SUM where KS is " +
        "their max; one new gauge costs zero new scan or shuffle structure."),
+    "dq_embed_drift" ->
+      ("the vector-drift gauge in one corpus pass: both cohorts' per-dim micro-unit moment " +
+       "sums come from ONE posexplode + conditional-sum aggregate (partial-aggregable, 64 " +
+       "output rows), the bounded shifted frame is checkpointed once for its two consumers, " +
+       "and the centroid-L2 fold runs over the dim-ordered 64-row collect — no second scan, " +
+       "no window, no per-cohort join."),
     "sample_target_mix" ->
       ("bounded per-source counts -> one broadcast scalar (the feasible total) -> quota join -> " +
        "ONE window per source partition for the salted-hash rank; the quota is data-dependent so " +

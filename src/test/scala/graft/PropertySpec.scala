@@ -1285,4 +1285,47 @@ class PropertySpec extends SparkSpec {
         "a finite value past the BIGINT saturation point must pass through raw")
     }
   }
+
+  test("dq_embed_drift: planted frame matches an independent Scala recompute") {
+    import spark.implicits._
+    import graft.queries.KmeansQueries
+    // 6 vectors, 4 dims; cohort split mn + (mx - mn) DIV 2 = 3, so
+    // vec_ids 1-3 are the baseline and 4-6 the current cohort. The two
+    // cohorts deliberately sit in different regions so every dim shifts.
+    val vecs = Seq(
+      (1L, Seq(0.10f, -0.20f, 0.30f, 0.05f)),
+      (2L, Seq(0.12f, -0.18f, 0.28f, 0.00f)),
+      (3L, Seq(0.08f, -0.22f, 0.33f, -0.05f)),
+      (4L, Seq(0.50f, 0.10f, -0.10f, 0.20f)),
+      (5L, Seq(0.55f, 0.12f, -0.12f, 0.25f)),
+      (6L, Seq(0.45f, 0.08f, -0.08f, 0.15f)))
+    val got = KmeansQueries.embedDrift(vecs.toDF("vec_id", "embedding"))
+      .collect()
+    assert(got.length === 4)
+    // independent recompute: exact micro-unit integer sums, then the
+    // query's fixed op order ((s/n)/1e6, shift = mc - mb, dim-ascending
+    // left fold of shift^2, sqrt, guarded 6-dp rounding)
+    def q(x: Float): Long = math.floor(x.toDouble * 1000000.0 + 0.5).toLong
+    def r6d(v: Double): Double =
+      if (v.isNaN || math.abs(v) >= 9e12) v else math.floor(v * 1e6 + 0.5) / 1e6
+    val (base, cur) = vecs.partition(_._1 <= 3L)
+    val shifts = (0 until 4).map { i =>
+      val sb = base.map(v => q(v._2(i))).sum
+      val sc = cur.map(v => q(v._2(i))).sum
+      val mb = sb.toDouble / base.size.toDouble / 1000000.0
+      val mc = sc.toDouble / cur.size.toDouble / 1000000.0
+      (mb, mc, mc - mb)
+    }
+    var ss = 0.0
+    shifts.foreach { case (_, _, sh) => ss += sh * sh }
+    val l2 = r6d(math.sqrt(ss))
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) === i + 1)
+      assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+      assert(r.getDouble(3) === r6d(shifts(i)._1), s"mean_base dim ${i + 1}")
+      assert(r.getDouble(4) === r6d(shifts(i)._2), s"mean_cur dim ${i + 1}")
+      assert(r.getDouble(5) === r6d(shifts(i)._3), s"mean_shift dim ${i + 1}")
+      assert(r.getDouble(6) === l2, s"l2_drift dim ${i + 1}")
+    }
+  }
 }
