@@ -229,6 +229,12 @@ object Text2Queries {
     // known-merge-order corpus).
     "text_bpe_merges" -> ((s, d) => bpeMergeRound(Tables.documents(s, d))),
 
+    // Multi-round BPE training (r9): 3 chained merge rounds at
+    // dictionary grain — apply the round-k top merge to the word
+    // forms, recount, emit (round, rank, pair, merged, cnt). See
+    // bpeTrain for the closed-form greedy-merge parity argument.
+    "text_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
+
     // Keep-BEST dedup: per normalized-content hash keep the highest
     // quality-score duplicate (ties to the smaller doc_id) — the form a
     // training-data pipeline actually wants, vs keep-min-id. The score is
@@ -740,6 +746,92 @@ object Text2Queries {
       .orderBy("rank")
   }
 
+  /** Multi-round BPE training (text_bpe_train, r9 — the r8 verdict's
+    * ask #4): bpeMergeRound chained — per round, adjacent-symbol pair
+    * counts at DICTIONARY grain (the corpus only feeds the word-count
+    * aggregate once), the round's top merge (count DESC, pair ASC —
+    * the deterministic BPE tie-break) enters as a 1-row broadcast
+    * crossJoin (never a driver literal — the oracle mirrors the same
+    * winner CTE), and the merge applies greedily left-to-right via a
+    * CLOSED-FORM parity test instead of a sequential fold: a merge at
+    * position i is blocked iff an odd number of consecutive matches
+    * immediately precede it, and consecutive matches require a = b
+    * (syms[i] would have to equal both), so blocked(i) reduces to the
+    * parity of the a-run ending at i-1 — pure list HOFs, identical in
+    * both dialects (greedy "aaaa" -> [aa, aa], not [aa, a, a]).
+    * Words shrunk to one symbol drop out of later pair counts (the
+    * length >= 2 dictionary filter re-applies per round). Ranks on the
+    * bounded top-K set via the zipf collect_list+posexplode trick. */
+  private def bpeMergedAt(syms: org.apache.spark.sql.Column,
+      wa: org.apache.spark.sql.Column, wb: org.apache.spark.sql.Column,
+      i: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = size(syms)
+    // index clamps per the r6c LEAST rule (ANSI element_at throws OOB);
+    // the i <= n-1 / i > 1 guards make clamped reads unreachable-true
+    val at = (ix: org.apache.spark.sql.Column) =>
+      element_at(syms, least(greatest(ix, lit(1)), n).cast(IntegerType))
+    val isMatch = (i <= n - 1) && (at(i) === wa) && (at(i + 1) === wb)
+    // pm = length of the consecutive-match run before i (= the wa-run
+    // ending at i-1; only nonzero when wa = wb); merge iff pm is even
+    val pm = when(i <= 1, lit(0)).otherwise(
+      (i - 1) - coalesce(array_max(filter(
+        sequence(lit(1), greatest(i - 1, lit(1)).cast(IntegerType)),
+        j => at(j) =!= wa)), lit(0)))
+    isMatch && (wa =!= wb || pm % 2 === 0)
+  }
+
+  private def bpePairCounts(w: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val syms = col("syms")
+    w.where(size(syms) >= 2)
+      .select(col("cf"), explode(transform(sequence(lit(1), size(syms) - 1),
+        i => struct(
+          element_at(syms, i.cast(IntegerType)).as("a"),
+          element_at(syms, least(i + 1, size(syms)).cast(IntegerType)).as("b"))))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cf")).as("cnt"))
+  }
+
+  private[graft] def bpeTrain(corpus: org.apache.spark.sql.DataFrame,
+      rounds: Int = 3, k: Int = 10): org.apache.spark.sql.DataFrame = {
+    var w = corpus
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+      .select(expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
+        .as("syms"), col("cf"))
+      .localCheckpoint(true)
+    val outs = (1 to rounds).map { r =>
+      val pc = bpePairCounts(w).localCheckpoint(true)
+      val top = pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(k)
+        .agg(expr("sort_array(collect_list(struct(-cnt AS nc, a AS a, b AS b, cnt AS cnt)))")
+          .as("arr"))
+        .select(posexplode(col("arr")).as(Seq("p0", "s")))
+        .select(lit(r).as("round"),
+          (col("p0") + 1).cast(IntegerType).as("rank"),
+          col("s.a").as("pair_a"), col("s.b").as("pair_b"),
+          concat(col("s.a"), col("s.b")).as("merged"), col("s.cnt").as("cnt"))
+      if (r < rounds) {
+        val win = pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .select(col("a").as("wa"), col("b").as("wb"))
+        val syms = col("syms")
+        w = w.crossJoin(broadcast(win))
+          .withColumn("syms", flatten(transform(sequence(lit(1), size(syms)), i =>
+            when(bpeMergedAt(syms, col("wa"), col("wb"), i),
+              array(concat(col("wa"), col("wb"))))
+              .when(i > 1 && bpeMergedAt(syms, col("wa"), col("wb"), i - 1),
+                array().cast(ArrayType(StringType)))
+              .otherwise(array(element_at(syms,
+                least(i, size(syms)).cast(IntegerType)))))))
+          .drop("wa", "wb")
+          .localCheckpoint(true)
+      }
+      top
+    }
+    outs.reduce(_ union _).orderBy("round", "rank")
+  }
+
   /** Exact shared-span extension (text_shared_span, r8; candidate-
     * bounded r9 — the Lee et al. deduplicate-text-datasets span
     * grain): candidate pairs come from the winnow fingerprint
@@ -832,6 +924,47 @@ object Text2Queries {
       "AND x.bv = y.bv AND x.doc_id < y.doc_id " +
       "WHERE bit_count(xor(x.simhash, y.simhash)) <= 8 ORDER BY doc_a, doc_b"
   }
+
+  /** DuckDB mirror of bpeMergedAt — the same clamped closed-form greedy
+    * parity test, with ix a SQL index expression over the outer lambda
+    * variable. */
+  private def bpeMergedSql(ix: String): String =
+    s"(($ix) <= len(syms) - 1 " +
+      s"AND syms[LEAST(GREATEST(($ix), 1), len(syms))] = wa " +
+      s"AND syms[LEAST(($ix) + 1, len(syms))] = wb " +
+      s"AND (wa <> wb OR ((($ix) - 1) - (CASE WHEN ($ix) <= 1 THEN 0 ELSE " +
+      s"COALESCE(list_max(list_filter(range(1, GREATEST(($ix), 1)), j -> syms[j] <> wa)), 0) END)) % 2 = 0))"
+
+  /** One oracle BPE round: pair counts p_r from w_r, ranked top-10 t_r,
+    * winner v_r, and (when not last) the merged dictionary w_{r+1}. */
+  private def bpeRoundCtes(r: Int, last: Boolean): String = {
+    val base =
+      s"p$r AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cf) AS BIGINT) AS cnt " +
+        s"FROM (SELECT syms, cf, unnest(range(1, len(syms))) AS i FROM w$r WHERE len(syms) >= 2) GROUP BY 1, 2), " +
+        s"t$r AS (SELECT $r AS round, CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS INT) AS rank, " +
+        s"a AS pair_a, b AS pair_b, a || b AS merged, cnt " +
+        s"FROM (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 10))"
+    if (last) base
+    else base + ", " +
+      s"v$r AS (SELECT a AS wa, b AS wb FROM p$r ORDER BY cnt DESC, a, b LIMIT 1), " +
+      s"w${r + 1} AS (SELECT flatten(list_transform(range(1, len(syms) + 1), i -> " +
+      s"CASE WHEN ${bpeMergedSql("i")} THEN [wa || wb] " +
+      s"WHEN i > 1 AND ${bpeMergedSql("i - 1")} THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE [syms[LEAST(GREATEST(i, 1), len(syms))]] END)) AS syms, cf " +
+      s"FROM w$r CROSS JOIN v$r)"
+  }
+
+  private def bpeTrainSql: String =
+    "WITH w1 AS (SELECT list_transform(generate_series(1, length(tok)), " +
+      "i -> substring(tok, CAST(i AS INT), 1)) AS syms, cf FROM " +
+      "(SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "WHERE length(tok) >= 2 GROUP BY 1)), " +
+      s"${bpeRoundCtes(1, last = false)}, " +
+      s"${bpeRoundCtes(2, last = false)}, " +
+      s"${bpeRoundCtes(3, last = true)} " +
+      "SELECT * FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3) " +
+      "ORDER BY round, rank"
 
   val oracle: Map[String, String] = {
     val markerSql = markers.map { case (l, ws) =>
@@ -1066,6 +1199,10 @@ object Text2Queries {
          "top AS (SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20) " +
          "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank, " +
          "pair, cnt FROM top ORDER BY rank"),
+      "text_bpe_train" ->
+        // 3 chained merge rounds: winner CTE per round, greedy merge
+        // via the same clamped closed-form parity test (bpeMergedSql)
+        bpeTrainSql,
       "text_shared_span" ->
         // same trigram/hash60/winnow CTEs; candidates = ANY shared
         // winnow fingerprint; exact extension = matched positions per

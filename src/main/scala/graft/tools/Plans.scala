@@ -333,6 +333,12 @@ object Plans {
        "(corpus size only feeds the word-count aggregate), top-K lands via " +
        "TakeOrderedAndProject, and ranks come from the bounded-set collect_list+posexplode " +
        "trick — no partitionless window over the pair vocabulary."),
+    "text_bpe_train" ->
+      ("iterated tokenizer training without driver loops over data: each round's pair count " +
+       "is a dictionary-grain aggregate off the CHECKPOINTED symbol table, the winning merge " +
+       "enters as a 1-row broadcast crossJoin (never a collected literal), and the greedy " +
+       "merge is a closed-form in-row parity projection — corpus is scanned ONCE (round 1's " +
+       "word count); rounds cost dictionary-cardinality, not corpus-cardinality."),
     "join_asof_union" ->
       ("the scalable two-stream asof: both sides UNION with a side tag and ONE " +
        "hash-partitioned sort per user key resolves every match via a keyed window — no " +

@@ -1286,6 +1286,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_train: classic corpus yields the known 3-round merge order") {
+    import spark.implicits._
+    import graft.queries.Text2Queries
+    // same toy dictionary as the text_bpe_merges test: low x5, lower x2,
+    // widest x3, aaa. Hand-derived chain: round 1 winner (l,o) cnt 7
+    // (tie with (o,w) broken pair-ASC), round 2 winner (lo,w) cnt 7,
+    // round 3 winner (d,e) cnt 3 (widest's pairs lead once low/lower
+    // collapse).
+    val docs = Seq(
+      (1L, "low low low lower widest"),
+      (2L, "low low lower widest widest"),
+      (3L, "aaa")).toDF("doc_id", "text")
+    val got = Text2Queries.bpeTrain(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    val winners = got.filter(_._2 == 1).toSeq
+    assert(winners === Seq(
+      (1, 1, "l", "o", "lo", 7L),
+      (2, 1, "lo", "w", "low", 7L),
+      (3, 1, "d", "e", "de", 3L)))
+    // round 2 must count the MERGED symbol's pairs: (lo,w) = 7, and the
+    // raw char pairs l-o / o-w must be gone
+    val r2 = got.filter(_._1 == 2).map(g => (g._3, g._4) -> g._6).toMap
+    assert(!r2.contains(("l", "o")) && !r2.contains(("o", "w")))
+    // round 3: low+lower collapsed to [low]/[low,e,r]; (low,e) cnt 2
+    val r3 = got.filter(_._1 == 3).map(g => (g._3, g._4) -> g._6).toMap
+    assert(r3(("low", "e")) === 2L && r3(("e", "r")) === 2L)
+  }
+
+  test("text_bpe_train: a=b merges are greedy left-to-right non-overlapping") {
+    import spark.implicits._
+    import graft.queries.Text2Queries
+    // "aaaa": round 1 pair (a,a) cnt 3 (positions 1-3), greedy merge
+    // must yield [aa, aa] (parity rule), so round 2 sees exactly ONE
+    // (aa,aa) pair; round 3's dictionary is the single symbol "aaaa"
+    // and emits nothing.
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = Text2Queries.bpeTrain(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1, 1, "a", "a", "aa", 3L),
+      (2, 1, "aa", "aa", "aaaa", 1L)))
+  }
+
   test("dq_embed_drift: planted frame matches an independent Scala recompute") {
     import spark.implicits._
     import graft.queries.KmeansQueries
