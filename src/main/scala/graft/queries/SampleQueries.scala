@@ -396,6 +396,40 @@ object SampleQueries {
         .select(col("doc_id"), col("source"), col("w").as("temp_w"),
           col("quota"))
         .orderBy("doc_id")
+    }),
+
+    // Dedup-aware source mixing (r9, the r8 verdict's ask #5) — the
+    // decision text_dedup_by_source's census exists to drive: quotas
+    // proportional to each source's measured UNIQUE doc mass (the
+    // SAME contentHash definition — a source full of exact dups gets
+    // proportionally fewer slots), so contamination down-weights the
+    // domain automatically. Integer rational arithmetic with BOUNDED
+    // numerators: the weight is basis points w_s = nu_s·10⁴ DIV Σnu
+    // (≤ 10⁴), quota k_s = LEAST(budget·w_s DIV 10⁴, n_s) with
+    // budget = Σn DIV 2 — every product stays ≤ Σn·10⁴, BIGINT-safe
+    // at 100 TB (the ks/emd overflow lesson, preempted). Selection by
+    // the shared salted hash (rebuild-stable), one keyed count-distinct
+    // (never keys=[]), one per-source window.
+    "sample_dedup_weighted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        countDistinct(TextQueries.contentHash(col("text"))).as("nu"))
+      val tot = counts.agg(sum("n").as("tot_n"), sum("nu").as("tot_u"))
+      val quotas = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("nu"), col("tot_n"),
+          expr("nu * 10000 DIV tot_u").as("uniq_bp"))
+        .select(col("source"), col("n"), col("nu"), col("uniq_bp"),
+          expr("LEAST((tot_n DIV 2) * uniq_bp DIV 10000, n)").as("quota"))
+      val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      docs.select(col("doc_id"), col("source"),
+          phash(col("doc_id"), "dedupw:").as("hk"))
+        .join(quotas, "source")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"),
+          col("uniq_bp").cast(IntegerType).as("uniq_bp"), col("quota"))
+        .orderBy("doc_id")
     })
   )
 
@@ -540,6 +574,23 @@ object SampleQueries {
        "row_number() OVER (PARTITION BY b.source ORDER BY hk, doc_id) AS rn " +
        "FROM b JOIN q ON b.source = q.source) " +
        "SELECT doc_id, source, w AS temp_w, quota " +
+       "FROM r WHERE rn <= quota ORDER BY doc_id"),
+    "sample_dedup_weighted" ->
+      // the same contentHash normalization as text_dedup_by_source,
+      // basis-point unique-mass weights, integer quota arithmetic
+      // (// == DIV on nonnegative), the shared salted hash selector
+      ("WITH c AS (SELECT source, COUNT(*) AS n, " +
+       "CAST(COUNT(DISTINCT sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS BIGINT) AS nu " +
+       "FROM documents GROUP BY 1), " +
+       "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n, CAST(SUM(nu) AS BIGINT) AS tot_u FROM c), " +
+       "q AS (SELECT source, n, nu, nu * 10000 // tot_u AS uniq_bp FROM c CROSS JOIN t), " +
+       "q2 AS (SELECT q.source, q.n, q.nu, q.uniq_bp, " +
+       "LEAST((tot_n // 2) * uniq_bp // 10000, n) AS quota FROM q CROSS JOIN t), " +
+       "b AS (SELECT doc_id, source, " + phashSql("doc_id", "dedupw:") + " AS hk FROM documents), " +
+       "r AS (SELECT b.doc_id, b.source, q2.uniq_bp, q2.quota, " +
+       "row_number() OVER (PARTITION BY b.source ORDER BY hk, doc_id) AS rn " +
+       "FROM b JOIN q2 ON b.source = q2.source) " +
+       "SELECT doc_id, source, CAST(uniq_bp AS INT) AS uniq_bp, CAST(quota AS BIGINT) AS quota " +
        "FROM r WHERE rn <= quota ORDER BY doc_id")
   )
 }

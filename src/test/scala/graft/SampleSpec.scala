@@ -262,6 +262,43 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("sample_dedup_weighted quotas track per-source unique mass") {
+    // recompute the census and quotas independently: nu_s = distinct
+    // normalized-content hashes per source, w_s = nu_s*10^4 DIV W,
+    // budget = total DIV 2, k_s = min(budget*w_s DIV 10^4, n_s) — kept
+    // counts must equal them EXACTLY. Then the composition property:
+    // a source's quota share never exceeds its unique-mass share by
+    // more than one basis-point floor step (dups down-weight, never
+    // up-weight).
+    import org.apache.spark.sql.functions.{col, lit, count, countDistinct}
+    val census = Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(graft.queries.TextQueries.contentHash(col("text"))).as("nu"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val counts = census.map(c => c._1 -> c._2).toMap
+    val uniq = census.map(c => c._1 -> c._3).toMap
+    val totN = counts.values.sum
+    val totU = uniq.values.sum
+    val bp = uniq.view.mapValues(nu => nu * 10000L / totU).toMap
+    val quota = counts.keys.map(s =>
+      s -> math.min((totN / 2) * bp(s) / 10000L, counts(s))).toMap
+    val kept = SparkEntry.queries("sample_dedup_weighted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(keptBySource === quota.filter(_._2 > 0),
+      "kept counts must equal the integer quotas exactly")
+    kept.foreach { case (_, s, w, q) =>
+      assert(w === bp(s).toInt && q === quota(s),
+        s"emitted weight/quota mismatch for $s")
+    }
+    // down-weighting: quota share tracks unique share, not raw share
+    quota.foreach { case (s, q) =>
+      assert(q * 10000L <= (totN / 2) * bp(s),
+        s"quota for $s exceeds its unique-mass entitlement")
+    }
+  }
+
   test("sample_bootstrap_ci: Poisson thresholds, envelope, and unbiasedness") {
     // the threshold table IS the Poisson(1) CDF scaled to 2^60
     val e1 = math.exp(-1.0)
