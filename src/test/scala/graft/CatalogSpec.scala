@@ -513,4 +513,33 @@ class CatalogSpec extends SparkSpec {
     }
     assert(out.map(_._1).distinct.length === out.length)
   }
+
+  test("join_anti and set_except report planted reconciliation diffs") {
+    // Both queries verify 0=0 at every fixture SF (every customer has
+    // orders; every customer nation has suppliers — r8 verdict), so the
+    // oracle hash proves nothing about their semantics. Plant a scratch
+    // sfDir with an orphan customer and a supplier-less nation and run
+    // the DECLARED queries against it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted_sf")
+      .toString
+    Seq((1L, "Customer#1", 10L), (2L, "Customer#2", 20L),
+        (3L, "Customer#orphan", 30L))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((100L, 1L), (101L, 1L), (102L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((7L, 10L), (8L, 30L))
+      .toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val anti = SparkEntry.queries("join_anti")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(anti.toSeq === Seq((3L, "Customer#orphan")),
+      "anti join must surface exactly the order-less customer")
+    val except = SparkEntry.queries("set_except")(spark, dir)
+      .collect().map(_.getLong(0))
+    assert(except.toSeq === Seq(20L),
+      "except must surface exactly the supplier-less customer nation")
+  }
 }
