@@ -104,6 +104,16 @@ object CdcQueries {
   private def chi2TermF: String =
     "d2 / (CAST(nn AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"
 
+  /** dq_mutual_info per-cell term: (obs/N)·ln(obs·N/(rt·ct)) in nats —
+    * the ratio runs through doubles in one fixed cast order (no integer
+    * cross-product, nothing to overflow), ONE ln per bounded cell, zero
+    * cells contribute exactly 0. `ln` is natural log in BOTH dialects
+    * (never `log` — DuckDB log is base 10). */
+  private def miRatioF: String =
+    "(CAST(obs AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"
+  private def miTermF: String =
+    s"CASE WHEN obs = 0 THEN CAST(0.0 AS DOUBLE) ELSE (CAST(obs AS DOUBLE) / CAST(nn AS DOUBLE)) * ln($miRatioF) END"
+
   /** The upsert fixture frames — base snapshot (key, price) and the CDC
     * change feed (key, op, c_price) derived against it — ONE definition
     * shared by the batch cdc_merge_upsert query and the streaming
@@ -963,6 +973,42 @@ object CdcQueries {
         .orderBy("event_type", "cohort")
     }),
 
+    // Mutual information between event type and cohort (r9) — the
+    // dependence gauge next to dq_chi2_drift (chi2 asks "is the
+    // contingency surprising"; MI answers "how many nats does knowing
+    // the cohort tell you about the type"): the SAME zero-filled
+    // (|types| x 2) contingency grid, checkpointed once, marginals as
+    // integer sums, per-cell term (obs/N)·ln(obs·N/(rt·ct)) with ONE
+    // ln per bounded cell (the psi/chi2 round-6 argument — never a
+    // corpus-sized ln sum), zero cells contribute exactly 0, ratio
+    // through doubles in one fixed cast order (no integer product, so
+    // nothing to overflow at any scale), total via the (type, cohort)-
+    // ordered fold.
+    "dq_mutual_info" -> ((s, d) => {
+      val obs0 = cohortSplit(s, d).groupBy("event_type", "cohort")
+        .agg(count(lit(1)).as("obs"))
+      val grid = obs0.select("event_type").distinct()
+        .crossJoin(s.range(0, 2).select(col("id").cast(IntegerType).as("cohort")))
+      val filled = grid.join(obs0, Seq("event_type", "cohort"), "left")
+        .na.fill(0L, Seq("obs"))
+        .localCheckpoint(true)
+      val rt = filled.groupBy("event_type").agg(sum("obs").as("rt"))
+      val ctt = filled.groupBy("cohort").agg(sum("obs").as("ct"))
+      val n = filled.agg(sum("obs").as("nn"))
+      val cells = filled.join(broadcast(rt), "event_type")
+        .join(broadcast(ctt), "cohort")
+        .crossJoin(broadcast(n))
+        .selectExpr("event_type", "cohort", "obs", "rt", "ct", "nn",
+          s"($miTermF) AS term_raw")
+      val tot = cells.agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(event_type, cohort, term_raw))), " +
+          "x -> x.term_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("mi_raw"))
+      cells.crossJoin(broadcast(tot))
+        .selectExpr("event_type", "cohort", "obs", "rt", "ct",
+          s"${r6Sql("term_raw")} AS term", s"${r6Sql("mi_raw")} AS mi_nats")
+        .orderBy("event_type", "cohort")
+    }),
+
     // Per-row content fingerprint for source/target reconciliation hashing.
     "dq_row_hash" -> ((s, d) =>
       Tables.nation(s, d)
@@ -1066,6 +1112,25 @@ object CdcQueries {
        "CAST(COUNT(*) // 2 - 1 AS INT) AS df FROM tr) " +
        "SELECT event_type, cohort, obs, expected, ((CASE WHEN isnan((term_raw)) OR abs((term_raw)) >= 9e12 THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term, " +
        "((CASE WHEN isnan((chi2_raw)) OR abs((chi2_raw)) >= 9e12 THEN CAST((chi2_raw) AS DOUBLE) ELSE CAST(floor((chi2_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
+    "dq_mutual_info" ->
+      // same cohort CTE + zero-filled contingency grid as chi2; shared
+      // miTermF per cell, (type, cohort)-ordered list fold for the total
+      (s"WITH $cohortCteSql, " +
+       "o AS (SELECT event_type, cohort, CAST(COUNT(*) AS BIGINT) AS obs FROM ck GROUP BY 1, 2), " +
+       "ty AS (SELECT DISTINCT event_type FROM o), " +
+       "g AS (SELECT event_type, CAST(unnest([0, 1]) AS INT) AS cohort FROM ty), " +
+       "f AS (SELECT g.event_type, g.cohort, COALESCE(obs, 0) AS obs FROM g " +
+       "LEFT JOIN o ON g.event_type = o.event_type AND g.cohort = o.cohort), " +
+       "rt0 AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM f GROUP BY 1), " +
+       "ct0 AS (SELECT cohort, CAST(SUM(obs) AS BIGINT) AS ct FROM f GROUP BY 1), " +
+       "n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM f), " +
+       "cl AS (SELECT f.event_type, f.cohort, obs, rt, ct, nn " +
+       "FROM f JOIN rt0 ON f.event_type = rt0.event_type " +
+       "JOIN ct0 ON f.cohort = ct0.cohort CROSS JOIN n), " +
+       s"tr AS (SELECT event_type, cohort, obs, rt, ct, ($miTermF) AS term_raw FROM cl), " +
+       "tot AS (SELECT list_sum(list(term_raw ORDER BY event_type, cohort)) AS mi_raw FROM tr) " +
+       s"SELECT event_type, cohort, obs, rt, ct, ${r6Sql("term_raw")} AS term, " +
+       s"${r6Sql("mi_raw")} AS mi_nats FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
     "scd2_type3" ->
       // the shared upsert CTE prefix verbatim; identical null/op logic
       (s"WITH $upsertCtesSql " +

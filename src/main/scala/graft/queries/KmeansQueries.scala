@@ -432,6 +432,56 @@ object KmeansQueries {
         .orderBy("adc_d2", "vec_id")
     }),
 
+    // Embedding isotropy gauge (r9) — the anisotropy pathology check an
+    // embedding QC pass runs (a healthy embedding space spreads around
+    // its mean direction; a collapsed "cone" shows a high average
+    // cosine-to-centroid): corpus mean vector from the bounded per-dim
+    // micro-unit moment gather (the embed_quantize_perdim 1-row-array
+    // recipe), per-vector cosine to it via the SAME dotD fold the sim
+    // family mirrors, then everything downstream is EXACT INTEGER —
+    // cos/norm quantize to micro-units (identical double bits on both
+    // engines -> identical BIGINTs), 10 integer cosine buckets on
+    // [-1, 1], per-bucket and global means from DECIMAL(38,0)/HUGEINT
+    // sums with fixed-order divisions. Zero-norm vectors drop via the
+    // NOT isnan guard (the cosinePairs rule). ONE corpus scan: totals
+    // derive from the bounded bucket frame, never a second pass.
+    "embed_isotropy" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e
+        .select(posexplode(col("embedding")).as(Seq("p0", "x")))
+        .select((col("p0") + 1).as("pos"),
+          floor(col("x").cast(DoubleType) * 1000000.0 + 0.5).as("sv"))
+        .groupBy("pos").agg(sum("sv").as("ss"), count(lit(1)).as("cnt"))
+        .select(col("pos"),
+          (col("ss").cast(DoubleType) / col("cnt").cast(DoubleType) / 1000000.0).as("v"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          p => p.getField("v")).as("cent"))
+      val scored = e.crossJoin(broadcast(cent))
+        .select(cosineD(col("embedding"), col("cent")).as("cos"),
+          normD(col("embedding")).as("nrm"))
+        .where(!isnan(col("cos")))
+        .select(floor(col("cos") * 1000000.0 + 0.5).as("qc"),
+          floor(col("nrm") * 1000000.0 + 0.5).as("qn"))
+      val bk = scored
+        .groupBy(expr("CAST(LEAST(GREATEST((qc + 1000000) DIV 200000, 0), 9) AS INT)")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qc").cast(DecimalType(38, 0))).as("sqc"),
+          sum(col("qn").cast(DecimalType(38, 0))).as("sqn"))
+      val grid = s.range(0, 10).select(col("id").cast(IntegerType).as("bucket"))
+      val filled = grid.join(bk, Seq("bucket"), "left")
+        .na.fill(0L, Seq("n"))
+        .localCheckpoint(true)
+      val tot = filled.agg(sum("n").as("n_all"),
+        sum("sqc").as("tsqc"), sum("sqn").as("tsqn"))
+      filled.crossJoin(broadcast(tot))
+        .selectExpr("bucket", "n AS n_vecs",
+          s"CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE) ELSE ${r6Sql(isoAvgCosF)} END AS avg_cos",
+          s"${r6Sql(isoMeanCosF)} AS mean_cos",
+          s"${r6Sql(isoMeanNormF)} AS mean_norm")
+        .orderBy("bucket")
+    }),
+
     // Embedding drift gauge (r9, the r8 verdict's ask #3) — the drift
     // family's missing vector column: the same half-split cohort idea
     // as cohortSplit (here on vec_id, the ingestion-order surrogate —
@@ -1112,6 +1162,44 @@ object KmeansQueries {
       "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
       s"SELECT vec_id, ${r6Sql("adc")} AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
 
+  /** embed_isotropy shared fixed-order formula strings (defs — the r6d
+    * object-init-order rule). */
+  private def isoAvgCosF =
+    "CAST(sqc AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0"
+  private def isoMeanCosF =
+    "CAST(tsqc AS DOUBLE) / CAST(n_all AS DOUBLE) / 1000000.0"
+  private def isoMeanNormF =
+    "CAST(tsqn AS DOUBLE) / CAST(n_all AS DOUBLE) / 1000000.0"
+
+  /** The exact DuckDB mirror of Qutil.dotD's zip_with left fold. */
+  private def dotSqlN(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $dims), " +
+      s"i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
+
+  private def isotropySql: String =
+    "WITH s1 AS (SELECT i AS pos, " +
+      "CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss, " +
+      "COUNT(*) AS cnt " +
+      s"FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) ii GROUP BY 1), " +
+      "ct AS (SELECT list(CAST(ss AS DOUBLE)/CAST(cnt AS DOUBLE)/1000000.0 ORDER BY pos) AS cent FROM s1), " +
+      s"ctn AS (SELECT cent, sqrt(${dotSqlN("cent", "cent")}) AS cnrm FROM ct), " +
+      s"n0 AS (SELECT vec_id, embedding, sqrt(${dotSqlN("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      s"c AS (SELECT ${dotSqlN("embedding", "cent")} / (nrm * cnrm) AS cos, nrm " +
+      "FROM n0 CROSS JOIN ctn), " +
+      "q AS (SELECT CAST(floor(cos*1000000.0 + 0.5) AS BIGINT) AS qc, " +
+      "CAST(floor(nrm*1000000.0 + 0.5) AS BIGINT) AS qn FROM c WHERE NOT isnan(cos)), " +
+      "bk AS (SELECT CAST(LEAST(GREATEST((qc + 1000000) // 200000, 0), 9) AS INT) AS bucket, " +
+      "COUNT(*) AS n, CAST(SUM(qc) AS HUGEINT) AS sqc, CAST(SUM(qn) AS HUGEINT) AS sqn " +
+      "FROM q GROUP BY 1), " +
+      "g AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket), " +
+      "f AS (SELECT g.bucket, COALESCE(n, 0) AS n, sqc, sqn FROM g LEFT JOIN bk ON g.bucket = bk.bucket), " +
+      "t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(sqc) AS HUGEINT) AS tsqc, " +
+      "CAST(SUM(sqn) AS HUGEINT) AS tsqn FROM f) " +
+      "SELECT bucket, n AS n_vecs, " +
+      s"CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE) ELSE ${r6Sql(isoAvgCosF)} END AS avg_cos, " +
+      s"${r6Sql(isoMeanCosF)} AS mean_cos, ${r6Sql(isoMeanNormF)} AS mean_norm " +
+      "FROM f CROSS JOIN t ORDER BY bucket"
+
   /** Shared fixed-order formula strings for dq_embed_drift: exact
     * integer micro-unit sums cast once to double, two divisions in one
     * order (the embed_outlier_dist centroid spelling). Defs, not vals
@@ -1182,6 +1270,7 @@ object KmeansQueries {
 
   val oracle: Map[String, String] = Map(
     "dq_embed_drift" -> embedDriftSql,
+    "embed_isotropy" -> isotropySql,
     "embed_kmeans" -> kmeansSql,
     "embed_cluster_purity" -> puritySql,
     "embed_outlier_dist" -> outlierSql,

@@ -25,6 +25,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * needed. */
 object MmQueries {
 
+  /** The ONE true-binary payload generator (mm_binary_roundtrip,
+    * mm_frame_sample): chained-sha256 bytes derived from doc_id —
+    * zeros, high bytes, no text encoding; 32-160 bytes (1 + doc_id % 5
+    * chain segments of 32 bytes). The oracle recomputes the identical
+    * chain independently, so the two queries can never disagree on
+    * what the payload is. */
+  private def payloadFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "sha2(CAST(doc_id AS STRING), 256) AS h1")
+      .selectExpr("doc_id", "h1", "sha2(h1, 256) AS h2")
+      .selectExpr("doc_id", "h1", "h2", "sha2(h2, 256) AS h3")
+      .selectExpr("doc_id", "h1", "h2", "h3", "sha2(h3, 256) AS h4")
+      .selectExpr("doc_id", "h1", "h2", "h3", "h4", "sha2(h4, 256) AS h5")
+      .selectExpr("doc_id",
+        "unhex(substring(concat(h1, h2, h3, h4, h5), 1, " +
+          "CAST((doc_id % 5 + 1) * 64 AS INT))) AS payload")
+
+  /** DuckDB mirror of payloadFrame: CTEs g1..g5/gen ending in
+    * gen(doc_id, bin). */
+  private def payloadCteSql: String =
+    "g1 AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS h1 FROM documents), " +
+      "g2 AS (SELECT doc_id, h1, sha256(h1) AS h2 FROM g1), " +
+      "g3 AS (SELECT doc_id, h1, h2, sha256(h2) AS h3 FROM g2), " +
+      "g4 AS (SELECT doc_id, h1, h2, h3, sha256(h3) AS h4 FROM g3), " +
+      "g5 AS (SELECT doc_id, h1, h2, h3, h4, sha256(h4) AS h5 FROM g4), " +
+      "gen AS (SELECT doc_id, unhex(substring(h1 || h2 || h3 || h4 || h5, 1, " +
+      "CAST((doc_id % 5 + 1) * 64 AS INT))) AS bin FROM g5)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-asset binary feature census: byte count, sha-256 content
@@ -70,16 +98,7 @@ object MmQueries {
     // census ops run on the ONE portable hex rendering.
     "mm_binary_roundtrip" -> ((s, d) => {
       val out = ScanQueries.scratch("mm_binary", d)
-      Tables.documents(s, d)
-        .selectExpr("doc_id", "sha2(CAST(doc_id AS STRING), 256) AS h1")
-        .selectExpr("doc_id", "h1", "sha2(h1, 256) AS h2")
-        .selectExpr("doc_id", "h1", "h2", "sha2(h2, 256) AS h3")
-        .selectExpr("doc_id", "h1", "h2", "h3", "sha2(h3, 256) AS h4")
-        .selectExpr("doc_id", "h1", "h2", "h3", "h4", "sha2(h4, 256) AS h5")
-        .selectExpr("doc_id",
-          "unhex(substring(concat(h1, h2, h3, h4, h5), 1, " +
-            "CAST((doc_id % 5 + 1) * 64 AS INT))) AS payload")
-        .write.mode("overwrite").parquet(out)
+      payloadFrame(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .selectExpr("doc_id", "payload AS bin")
         .selectExpr("doc_id", "bin",
@@ -97,7 +116,30 @@ object MmQueries {
             "AS n_uniq_frames",
           "substring(hx, CAST(n_bytes DIV 2 AS INT) * 2 + 1, 16) AS mid_hex")
         .orderBy("doc_id")
-    })
+    }),
+
+    // Fixed-stride frame SAMPLING at frame grain (r9) — what a video
+    // ingest pipeline runs before any codec: pick every 2nd 32-byte
+    // frame of the true-binary payload (the SAME chained-sha generator
+    // as mm_binary_roundtrip — one payload definition) and emit one row
+    // per sampled frame with its byte offset and fingerprint. This is
+    // the explode side of the census queries: downstream dedup/decode
+    // operates on these rows. Row-local map work + one explode — no
+    // shuffle before the final sort; the last partial frame's hex
+    // substring clamps identically on both engines.
+    "mm_frame_sample" -> ((s, d) =>
+      payloadFrame(s, d)
+        .selectExpr("doc_id", "CAST(length(payload) AS BIGINT) AS n_bytes",
+          "upper(hex(payload)) AS hx")
+        .selectExpr("doc_id", "n_bytes",
+          "CAST((n_bytes + 31) DIV 32 AS INT) AS n_frames", "hx")
+        .selectExpr("doc_id", "n_bytes", "n_frames",
+          "explode(sequence(0, n_frames - 1, 2)) AS fidx", "hx")
+        .selectExpr("doc_id", "n_bytes", "n_frames",
+          "CAST(fidx AS INT) AS frame_idx",
+          "CAST(fidx AS BIGINT) * 32 AS off_bytes",
+          "sha2(substring(hx, fidx * 64 + 1, 64), 256) AS frame_hash")
+        .orderBy("doc_id", "frame_idx"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -124,13 +166,7 @@ object MmQueries {
       // (never reads the landed file) — hash equality proves the
       // Spark-side parquet BYTE_ARRAY round-trip returned the exact
       // bytes. Same lowercase sha256 hex chain, same 64-byte frames.
-      ("WITH g1 AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS h1 FROM documents), " +
-        "g2 AS (SELECT doc_id, h1, sha256(h1) AS h2 FROM g1), " +
-        "g3 AS (SELECT doc_id, h1, h2, sha256(h2) AS h3 FROM g2), " +
-        "g4 AS (SELECT doc_id, h1, h2, h3, sha256(h3) AS h4 FROM g3), " +
-        "g5 AS (SELECT doc_id, h1, h2, h3, h4, sha256(h4) AS h5 FROM g4), " +
-        "gen AS (SELECT doc_id, unhex(substring(h1 || h2 || h3 || h4 || h5, 1, " +
-        "CAST((doc_id % 5 + 1) * 64 AS INT))) AS bin FROM g5), " +
+      (s"WITH $payloadCteSql, " +
         "h AS (SELECT doc_id, CAST(octet_length(bin) AS BIGINT) AS n_bytes, " +
         "upper(hex(bin)) AS hx FROM gen) " +
         "SELECT doc_id, n_bytes, " +
@@ -142,6 +178,19 @@ object MmQueries {
         "k -> sha256(substring(hx, CAST(k*128 + 1 AS INT), 128))))) AS BIGINT) " +
         "AS n_uniq_frames, " +
         "substring(hx, CAST(n_bytes // 2 AS INT) * 2 + 1, 16) AS mid_hex " +
-        "FROM h ORDER BY doc_id")
+        "FROM h ORDER BY doc_id"),
+    "mm_frame_sample" ->
+      // same payload CTEs; sampled indices via unnest(range(0, nf, 2))
+      // (DuckDB range stop exclusive == Spark sequence(0, nf-1, 2))
+      (s"WITH $payloadCteSql, " +
+        "h AS (SELECT doc_id, CAST(octet_length(bin) AS BIGINT) AS n_bytes, " +
+        "upper(hex(bin)) AS hx FROM gen), " +
+        "f AS (SELECT doc_id, n_bytes, CAST((n_bytes + 31) // 32 AS INT) AS n_frames, hx FROM h), " +
+        "e AS (SELECT doc_id, n_bytes, n_frames, hx, " +
+        "unnest(range(0, n_frames, 2)) AS fidx FROM f) " +
+        "SELECT doc_id, n_bytes, n_frames, CAST(fidx AS INT) AS frame_idx, " +
+        "CAST(fidx AS BIGINT) * 32 AS off_bytes, " +
+        "sha256(substring(hx, CAST(fidx * 64 + 1 AS INT), 64)) AS frame_hash " +
+        "FROM e ORDER BY doc_id, frame_idx")
   )
 }

@@ -668,6 +668,36 @@ object SimQueries {
           array_max(col("codes")).as("code_max"),
           r6(aggregate(sqerr, lit(0.0), (a, x) => a + x) / 64.0).as("mse"))
         .orderBy("vec_id")
+    }),
+
+    // Hard-negative mining (r9) — the contrastive-training data op (a
+    // retriever/embedding trainer pairs each anchor with its most
+    // SIMILAR differently-labeled vectors — the negatives that actually
+    // move the loss): 8 anchor vectors broadcast against the corpus
+    // (sim_knn_classify's norm-precompute shape — one dot per pair),
+    // different-label filter BEFORE the rank, top-3 per anchor via the
+    // keyed window (WindowGroupLimit prunes per partition). Cosine
+    // doubles are bit-identical both engines (the dotD fold mirror), so
+    // the ranking needs no tolerance; NaN (zero-norm) drops via the
+    // cosinePairs isnan rule.
+    "sim_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("q_label"),
+          col("embedding").as("qv"), normD(col("embedding")).as("qnrm"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      e.select(col("vec_id").as("cid"), col("label"), col("embedding"),
+          normD(col("embedding")).as("nrm"))
+        .join(broadcast(q), col("label") =!= col("q_label"))
+        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .where(!isnan(col("cos")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("qid"), col("q_label"),
+          col("rn").cast(IntegerType).as("rank"),
+          col("cid").as("neg_id"), col("label").as("neg_label"),
+          r6(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
     })
   )
 
@@ -996,6 +1026,19 @@ object SimQueries {
        "nn AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM p), " +
        "votes AS (SELECT qid, true_label, label, COUNT(*) AS votes FROM nn WHERE rn <= 5 GROUP BY 1,2,3), " +
        "maj AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS mr FROM votes) " +
-       "SELECT qid AS vec_id, label AS pred_label, true_label FROM maj WHERE mr = 1 ORDER BY vec_id")
+       "SELECT qid AS vec_id, label AS pred_label, true_label FROM maj WHERE mr = 1 ORDER BY vec_id"),
+    "sim_hard_negatives" ->
+      // same anchor/norm/dot shape as knn; different-label filter in the
+      // join, isnan guard before the rank (the cosinePairs rule)
+      ("WITH q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qv " +
+       "FROM embeddings WHERE vec_id < 8), " +
+       "p AS (SELECT qid, q_label, e.vec_id AS cid, e.label, " +
+       s"${dotSql("e.embedding", "qv")} / " +
+       s"(sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("qv", "qv")})) AS cos " +
+       "FROM embeddings e JOIN q ON e.label <> q_label), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn " +
+       "FROM p WHERE NOT isnan(cos)) " +
+       s"SELECT qid, q_label, CAST(rn AS INT) AS rank, cid AS neg_id, label AS neg_label, " +
+       s"${r6Sql("cos")} AS cos FROM r WHERE rn <= 3 ORDER BY qid, rank")
   )
 }

@@ -257,6 +257,16 @@ object Plans {
        "event scan ends at per-bucket cohort counts, the CDF gap numerators accumulate over " +
        "the BOUNDED bucket-grid self-join, and EMD is their exact integer SUM where KS is " +
        "their max; one new gauge costs zero new scan or shuffle structure."),
+    "embed_isotropy" ->
+      ("one corpus scan ends at the per-dim moment aggregate; the 64-value centroid broadcasts " +
+       "back as ONE array literal-frame, the cosine fold is in-row map work, and every " +
+       "downstream statistic (bucket histogram, global means) derives from the checkpointed " +
+       "10-row bucket frame — totals are bucket sums, never a second corpus pass."),
+    "sim_hard_negatives" ->
+      ("the contrastive-mining scan shape: 8 anchors enter as a BroadcastExchange, the corpus " +
+       "side computes one dot product per surviving pair (different-label filter inside the " +
+       "join), and WindowGroupLimit prunes each anchor's partition to 3 before the window " +
+       "sort — the shuffle carries survivors, not the anchor-crossed corpus."),
     "dq_embed_drift" ->
       ("the vector-drift gauge in one corpus pass: both cohorts' per-dim micro-unit moment " +
        "sums come from ONE posexplode + conditional-sum aggregate (partial-aggregable, 64 " +

@@ -503,4 +503,31 @@ class KmeansSpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("embed_isotropy: bucket-mass closure, bounds, bucket-range containment") {
+    val rows = SparkEntry.queries("embed_isotropy")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === (0 until 10))
+    // the fixture has no zero-norm vector, so nothing drops at the isnan
+    // guard and the bucket masses must close over the corpus
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum === n, "bucket masses must sum to the corpus")
+    // the same global gauges ride every row; cosine means in range
+    assert(rows.map(_._4).distinct.length === 1)
+    assert(rows.map(_._5).distinct.length === 1)
+    val mc = rows.head._4
+    assert(mc >= -1.0 - 1e-6 && mc <= 1.0 + 1e-6)
+    assert(rows.head._5 > 0.0, "mean norm must be positive")
+    rows.foreach { case (b, nb, avg, _, _) =>
+      if (nb == 0L) assert(avg.isEmpty, s"empty bucket $b must emit NULL avg")
+      avg.foreach { a =>
+        // bucket b covers cosines in [0.2b - 1, 0.2(b+1) - 1] (micro-unit
+        // grid; bucket 9 also absorbs the +1 endpoint)
+        assert(a >= b * 0.2 - 1.0 - 1e-6 && a <= (b + 1) * 0.2 - 1.0 + 1e-6,
+          s"bucket $b avg $a outside its cosine range")
+      }
+    }
+  }
 }

@@ -107,4 +107,32 @@ class MultimodalSpec extends SparkSpec {
     val pAfter = resized.select(sha2(col("payload"), 256)).collect().map(_.getString(0))
     assert(pBefore.sameElements(pAfter))
   }
+
+  test("mm_frame_sample: stride, offsets, and fingerprints match a MessageDigest recompute") {
+    val rows = SparkEntry.queries("mm_frame_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getString(5)))
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.map(_._1).distinct.length.toLong ===
+      graft.Tables.documents(spark, sf).count(),
+      "every document contributes at least frame 0")
+    rows.groupBy(_._1).foreach { case (docId, g) =>
+      // independent payload recompute: the same chained sha256 hex
+      var h = sha(docId.toString)
+      val sb = new StringBuilder(h)
+      for (_ <- 2 to 5) { h = sha(h); sb.append(h) }
+      val nBytes = (docId % 5 + 1) * 32
+      val hx = sb.substring(0, (nBytes * 2).toInt).toUpperCase
+      val nFrames = ((nBytes + 31) / 32).toInt
+      assert(g.map(_._4).sorted.toSeq === (0 until nFrames by 2),
+        s"doc $docId must sample every 2nd frame")
+      g.foreach { case (_, nb, nf, fi, off, fh) =>
+        assert(nb === nBytes && nf === nFrames && off === fi.toLong * 32L)
+        val slice = hx.substring(fi * 64, math.min(fi * 64 + 64, hx.length))
+        assert(fh === sha(slice), s"frame $fi of doc $docId")
+      }
+    }
+  }
 }

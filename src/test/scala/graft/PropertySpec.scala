@@ -1331,6 +1331,33 @@ class PropertySpec extends SparkSpec {
       (2, 1, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("dq_mutual_info: terms recompose from emitted counts; MI = ordered sum >= 0") {
+    val rows = SparkEntry.queries("dq_mutual_info")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    def r6d(v: Double): Double =
+      if (v.isNaN || math.abs(v) >= 9e12) v else math.floor(v * 1e6 + 0.5) / 1e6
+    val nn = rows.map(_._3).sum
+    // replay the query's exact op order on the emitted counts: ratio in
+    // one fixed cast order, ONE ln, (obs/N) * ln — same JVM libm as the
+    // executors, so equality is exact after the shared rounding
+    val raw = rows.sortBy(r => (r._1, r._2)).map { case (_, _, obs, rt, ct, term, _) =>
+      val t = if (obs == 0L) 0.0
+        else (obs.toDouble / nn.toDouble) *
+          math.log((obs.toDouble * nn.toDouble) / (rt.toDouble * ct.toDouble))
+      assert(r6d(t) === term, "per-cell term must recompose from (obs, rt, ct)")
+      t
+    }
+    var mi = 0.0
+    raw.foreach(mi += _)
+    rows.foreach { case (_, _, _, _, _, _, m) => assert(m === r6d(mi)) }
+    assert(mi >= -1e-9, "mutual information is nonnegative")
+    // marginals close: each cohort's ct equals the sum of its obs
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sum === g.head._5)
+    }
+  }
+
   test("dq_embed_drift: planted frame matches an independent Scala recompute") {
     import spark.implicits._
     import graft.queries.KmeansQueries

@@ -185,4 +185,38 @@ class SimSpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.map(_.getLong(1)).distinct.length > 1)
   }
+
+  test("sim_hard_negatives: exact agreement with an in-memory brute force") {
+    import graft.Tables
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // the while-loop left fold is the exact dotD mirror (the r6b
+    // list_sum == left-fold fact), so ranks need no tolerance
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    val expected = vecs.filter(_._1 < 8L).sortBy(_._1).flatMap {
+      case (qid, ql, qv) =>
+        val qn = math.sqrt(dot(qv, qv))
+        vecs.filter(_._2 != ql)
+          .map { case (cid, cl, cv) =>
+            (cid, cl, dot(cv, qv) / (math.sqrt(dot(cv, cv)) * qn)) }
+          .filterNot(_._3.isNaN)
+          .sortBy { case (cid, _, c) => (-c, cid) }
+          .take(3).zipWithIndex
+          .map { case ((cid, cl, _), i) => (qid, i + 1, cid, cl) }
+    }
+    val got = SparkEntry.queries("sim_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSeq === expected.toSeq)
+    // every emitted negative really is differently labeled
+    val labels = vecs.map(v => v._1 -> v._2).toMap
+    got.foreach { case (qid, _, nid, nl) =>
+      assert(labels(nid) === nl)
+      assert(nl != labels(qid))
+    }
+  }
 }
