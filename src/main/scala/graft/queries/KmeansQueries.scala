@@ -432,6 +432,38 @@ object KmeansQueries {
         .orderBy("adc_d2", "vec_id")
     }),
 
+    // MRL prefix-length recall sweep (r9) — the eval matrix
+    // sim_search_mrl's two-stage deployment decision reads (what does
+    // each stored prefix width buy?): ONE corpus pass computes the
+    // prefix L2 at 8/16/32/64 dims (the checkpointed narrow distance
+    // frame — the sim_probe_sweep one-frame rule), exact top-10 = the
+    // 64-dim ranking, recall@10 per width from bounded 10-row joins.
+    // Fully exact: every ranking ties (d, vec_id) and only the hit
+    // COUNT carries to the emission (the sim_recall_eval argument).
+    "sim_mrl_sweep" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dists = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          sqDistD(slice(col("embedding"), 1, 8), slice(col("qv"), 1, 8)).as("d8"),
+          sqDistD(slice(col("embedding"), 1, 16), slice(col("qv"), 1, 16)).as("d16"),
+          sqDistD(slice(col("embedding"), 1, 32), slice(col("qv"), 1, 32)).as("d32"),
+          sqDistD(col("embedding"), col("qv")).as("d64"))
+        .localCheckpoint(true)
+      val exact = dists.orderBy(col("d64"), col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      val hits = Seq(8, 16, 32, 64).map { p =>
+        dists.orderBy(col(s"d$p"), col("vec_id")).limit(10)
+          .select(col("vec_id"))
+          .join(broadcast(exact), "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(p).as("prefix_len"), col("n_hits"))
+      }.reduce(_ union _)
+      hits.selectExpr("prefix_len", "n_hits",
+          s"${r6Sql("CAST(n_hits AS DOUBLE) / 10.0")} AS recall")
+        .orderBy("prefix_len")
+    }),
+
     // Embedding isotropy gauge (r9) — the anisotropy pathology check an
     // embedding QC pass runs (a healthy embedding space spreads around
     // its mean direction; a collapsed "cone" shows a high average
@@ -1162,6 +1194,31 @@ object KmeansQueries {
       "r AS (SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10) " +
       s"SELECT vec_id, ${r6Sql("adc")} AS adc_d2 FROM r ORDER BY adc_d2, vec_id"
 
+  /** sim_mrl_sweep oracle: the same one-distance-frame shape; per-width
+    * hit CTEs generated from one template so the four widths cannot
+    * drift. */
+  private def mrlSweepSql: String = {
+    val widths = Seq(8, 16, 32, 64)
+    val hitCtes = widths.map { p =>
+      s"h$p AS (SELECT $p AS prefix_len, CAST(COUNT(*) AS BIGINT) AS n_hits " +
+        s"FROM (SELECT vec_id FROM ds ORDER BY d$p, vec_id LIMIT 10) t$p " +
+        "JOIN ex USING (vec_id))"
+    }.mkString(", ")
+    val unioned = widths.map(p => s"SELECT * FROM h$p").mkString(" UNION ALL ")
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+      "ds AS (SELECT vec_id, " +
+      s"${sqDistSqlN(8, "embedding", "qv")} AS d8, " +
+      s"${sqDistSqlN(16, "embedding", "qv")} AS d16, " +
+      s"${sqDistSqlN(32, "embedding", "qv")} AS d32, " +
+      s"${sqDistSqlN(64, "embedding", "qv")} AS d64 " +
+      "FROM embeddings CROSS JOIN q WHERE vec_id <> 0), " +
+      "ex AS (SELECT vec_id FROM ds ORDER BY d64, vec_id LIMIT 10), " +
+      s"$hitCtes " +
+      "SELECT prefix_len, n_hits, " +
+      s"${r6Sql("CAST(n_hits AS DOUBLE) / 10.0")} AS recall " +
+      s"FROM ($unioned) ORDER BY prefix_len"
+  }
+
   /** embed_isotropy shared fixed-order formula strings (defs — the r6d
     * object-init-order rule). */
   private def isoAvgCosF =
@@ -1271,6 +1328,7 @@ object KmeansQueries {
   val oracle: Map[String, String] = Map(
     "dq_embed_drift" -> embedDriftSql,
     "embed_isotropy" -> isotropySql,
+    "sim_mrl_sweep" -> mrlSweepSql,
     "embed_kmeans" -> kmeansSql,
     "embed_cluster_purity" -> puritySql,
     "embed_outlier_dist" -> outlierSql,

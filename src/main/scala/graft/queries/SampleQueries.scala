@@ -430,6 +430,38 @@ object SampleQueries {
         .select(col("doc_id"), col("source"),
           col("uniq_bp").cast(IntegerType).as("uniq_bp"), col("quota"))
         .orderBy("doc_id")
+    }),
+
+    // Epoch planning with repetition (r9) — the step the quota samplers
+    // deliberately stop short of: when a source's token target EXCEEDS
+    // its available mass, a real pretraining recipe repeats the source
+    // for whole epochs (capped — data quality decays past ~4 reuses)
+    // plus a fractional remainder. Same declared rational weights as
+    // sample_target_mix (num_s/50), token mass via the shared
+    // tokenCount, budget = Σtokens DIV 2; target_s = budget·num_s DIV
+    // 50, epochs = LEAST(target DIV avail, 4), remainder tokens from
+    // the UNCAPPED division (what the next epoch would need), a capped
+    // flag where the 4-epoch ceiling binds. All integer; one bounded
+    // per-source aggregate — the plan is |sources| rows.
+    "sample_epoch_plan" -> ((s, d) => {
+      val den = 50L
+      val num = (substring(col("source"), 4, 10).cast(LongType) % 4 + 1).as("num")
+      val per = Tables.documents(s, d)
+        .select(col("source"), tokenCount(col("text")).cast(LongType).as("tk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("avail_tokens"))
+        .select(col("source"), num, col("n_docs"), col("avail_tokens"))
+      val tot = per.agg(sum("avail_tokens").as("tot_tokens"))
+      per.crossJoin(broadcast(tot))
+        .selectExpr("source", "CAST(num AS INT) AS target_w", "n_docs",
+          "avail_tokens",
+          s"(tot_tokens DIV 2) * num DIV $den AS target_tokens")
+        .selectExpr("source", "target_w", "n_docs", "avail_tokens",
+          "target_tokens",
+          "CAST(LEAST(target_tokens DIV avail_tokens, 4) AS INT) AS epochs",
+          "target_tokens % avail_tokens AS rem_tokens",
+          "target_tokens DIV avail_tokens > 4 AS capped")
+        .orderBy("source")
     })
   )
 
@@ -591,6 +623,21 @@ object SampleQueries {
        "row_number() OVER (PARTITION BY b.source ORDER BY hk, doc_id) AS rn " +
        "FROM b JOIN q2 ON b.source = q2.source) " +
        "SELECT doc_id, source, CAST(uniq_bp AS INT) AS uniq_bp, CAST(quota AS BIGINT) AS quota " +
-       "FROM r WHERE rn <= quota ORDER BY doc_id")
+       "FROM r WHERE rn <= quota ORDER BY doc_id"),
+    "sample_epoch_plan" ->
+      // same declared weights, shared token count (len of the split),
+      // integer epoch arithmetic (// == DIV on nonnegative)
+      ("WITH p AS (SELECT source, (CAST(substring(source, 4) AS BIGINT) % 4 + 1) AS num, " +
+       "COUNT(*) AS n_docs, " +
+       "CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS avail_tokens " +
+       "FROM documents GROUP BY 1, 2), " +
+       "t AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS tot_tokens FROM p), " +
+       "q AS (SELECT source, num, n_docs, avail_tokens, " +
+       "(tot_tokens // 2) * num // 50 AS target_tokens FROM p CROSS JOIN t) " +
+       "SELECT source, CAST(num AS INT) AS target_w, n_docs, avail_tokens, target_tokens, " +
+       "CAST(LEAST(target_tokens // avail_tokens, 4) AS INT) AS epochs, " +
+       "target_tokens % avail_tokens AS rem_tokens, " +
+       "target_tokens // avail_tokens > 4 AS capped " +
+       "FROM q ORDER BY source")
   )
 }

@@ -504,6 +504,18 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("sim_mrl_sweep: full width is a perfect retriever; recalls well-formed") {
+    val rows = SparkEntry.queries("sim_mrl_sweep")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(8, 16, 32, 64))
+    // the 64-dim "prefix" IS the exact ranking — recall must be 1.0
+    assert(rows.last._2 === 10L && rows.last._3 === 1.0)
+    rows.foreach { case (_, h, rec) =>
+      assert(h >= 0L && h <= 10L)
+      assert(rec === h.toDouble / 10.0)
+    }
+  }
+
   test("embed_isotropy: bucket-mass closure, bounds, bucket-range containment") {
     val rows = SparkEntry.queries("embed_isotropy")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1),

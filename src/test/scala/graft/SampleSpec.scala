@@ -299,6 +299,30 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("sample_epoch_plan: epoch arithmetic recomputes; division identity holds") {
+    import org.apache.spark.sql.functions.{col, split, size => fsize}
+    val per = Tables.documents(spark, sf)
+      .select(col("source"), fsize(split(col("text"), " ")).cast("long").as("tk"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val tot = per.values.map(_._2).sum
+    val got = SparkEntry.queries("sample_epoch_plan")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getLong(6), r.getBoolean(7)))
+    assert(got.map(_._1).toSeq === per.keys.toSeq.sorted)
+    got.foreach { case (s, w, nDocs, avail, target, epochs, rem, capped) =>
+      val num = s.drop(3).toLong % 4 + 1
+      assert(w === num.toInt && nDocs === per(s)._1 && avail === per(s)._2)
+      assert(target === (tot / 2) * num / 50)
+      val div = target / avail
+      assert(epochs === math.min(div, 4L).toInt)
+      assert(rem === target % avail)
+      assert(capped === (div > 4L))
+      // the plan reconstructs its target exactly
+      assert(div * avail + rem === target)
+    }
+  }
+
   test("sample_bootstrap_ci: Poisson thresholds, envelope, and unbiasedness") {
     // the threshold table IS the Poisson(1) CDF scaled to 2^60
     val e1 = math.exp(-1.0)
