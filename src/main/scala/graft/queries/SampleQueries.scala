@@ -41,6 +41,13 @@ object SampleQueries {
   private def phashSql(expr: String, salt: String) =
     hash60Sql(s"'$salt' || CAST($expr AS VARCHAR)")
 
+  /** The deterministic-reservoir order key — ONE definition shared by
+    * streaming.ReservoirProcessor's stream builder and its parity
+    * recompute (the tokenBudget precedent: stream and batch can never
+    * drift on what "smallest hash" means). */
+  private[graft] def reservoirKey(docId: org.apache.spark.sql.Column) =
+    phash(docId, "reservoir:")
+
   /** The split assignment as a reusable column expression — stateless and
     * row-local, so the SAME dialect runs on a batch table or a readStream
     * (splits get assigned at land time on each Airflow-tick increment;

@@ -838,4 +838,47 @@ class StreamingSpec extends SparkSpec {
         "streamed Holt fits must equal the batch recurrence exactly")
     }
   }
+
+  test("streaming hash reservoir equals the batch bottom-k under any order and replay") {
+    // min-k by (shared salted hash, doc_id) is commutative AND
+    // idempotent — reversed uneven batches plus a full replay of the
+    // first batch must land the identical per-source sample.
+    withRocksDB {
+      val k = 5
+      val docs = Tables.documents(spark, sf).select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      val batches0 = docs.grouped((docs.length + 2) / 3).toSeq.reverse
+      val batches = batches0 :+ batches0.last // replay: zero effect on the sample
+      val input = MemoryStream[(String, Long)](spark)
+      val stream = graft.streaming.ReservoirProcessor.reservoirStream(
+        input.toDF().toDF("source", "doc_id"), k)
+      val q = stream.writeStream.format("memory").queryName("res_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val all = spark.table("res_incr").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val got = all.groupBy(_._1).view.mapValues { rs =>
+        val nMax = rs.map(_._4).max
+        rs.filter(_._4 == nMax).map(r => (r._3, r._2)).sorted.toSeq
+      }.toMap
+      // batch recompute through the SAME shared reservoirKey expression
+      val expected = Tables.documents(spark, sf)
+        .select(col("source"), col("doc_id"),
+          graft.queries.SampleQueries.reservoirKey(col("doc_id")).as("h"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(
+          _.map(r => (r._3, r._2)).sorted.take(k).toSeq).toMap
+      assert(got === expected,
+        "stream sample must equal the batch bottom-k doc-for-doc")
+      // n_seen audited the replay (it counts re-delivered rows) while
+      // the kept sets above still matched — the idempotence claim
+      val fedPerSource = (docs ++ batches0.last).groupBy(_._1)
+        .view.mapValues(_.length.toLong).toMap
+      all.groupBy(_._1).foreach { case (s, rs) =>
+        assert(rs.map(_._4).max === fedPerSource(s),
+          s"n_seen must count every delivered row for $s")
+      }
+    }
+  }
 }
