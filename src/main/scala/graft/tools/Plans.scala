@@ -257,6 +257,16 @@ object Plans {
        "event scan ends at per-bucket cohort counts, the CDF gap numerators accumulate over " +
        "the BOUNDED bucket-grid self-join, and EMD is their exact integer SUM where KS is " +
        "their max; one new gauge costs zero new scan or shuffle structure."),
+    "dq_mutual_info" ->
+      ("the chi2 grid claim, re-used: the event scan ends at the (type, cohort) count " +
+       "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
+       "consumers, and the MI total folds over the bounded cell space — a second dependence " +
+       "gauge costs zero new scan structure."),
+    "sample_dedup_weighted" ->
+      ("census-driven quotas without a second corpus pass: ONE keyed aggregate computes both " +
+       "raw and unique-mass counts per source, the bounded weight frame broadcasts back, and " +
+       "selection is the shared salted-hash window per source — the dedup census and the " +
+       "sampler share a scan."),
     "embed_isotropy" ->
       ("one corpus scan ends at the per-dim moment aggregate; the 64-value centroid broadcasts " +
        "back as ONE array literal-frame, the cosine fold is in-row map work, and every " +
