@@ -160,6 +160,48 @@ object JoinQueries {
         .orderBy("event_id")
     }),
 
+    // Nearest as-of (r9) — the bidirectional completion of the asof
+    // family (backward join_asof/_union, forward join_asof_forward):
+    // for each purchase, the user's nearest view in EITHER direction
+    // within the 30-min tolerance, ties to the backward match (the
+    // attribution default). Same union+tag ordering, ONE window pass
+    // per direction (both structs ride the join_asof_union tie rule),
+    // gaps in exact epoch-µs integers, and the four emissions pick
+    // through ONE shared CASE string (nearestPick — Spark and the
+    // oracle cannot disagree on the tie rule). A same-ts view sorts
+    // before the purchase (tag 0 < 1) and lands backward with gap 0.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val u = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+        .union(ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag")))
+      val wb = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val vstruct = when(col("tag") === 0,
+        struct(col("ts").as("vts"), col("event_id").as("vid")))
+      u.withColumn("prv", last(vstruct, ignoreNulls = true).over(wb))
+        .withColumn("nxt", first(vstruct, ignoreNulls = true).over(wf))
+        .where(col("tag") === 1)
+        .selectExpr("event_id", "user_id", "ts",
+          s"CASE WHEN prv IS NOT NULL AND unix_micros(ts) - unix_micros(prv.vts) <= $asofNearTol " +
+            "THEN unix_micros(ts) - unix_micros(prv.vts) END AS bgap",
+          "prv.vid AS bvid", "prv.vts AS bvts",
+          s"CASE WHEN nxt IS NOT NULL AND unix_micros(nxt.vts) - unix_micros(ts) <= $asofNearTol " +
+            "THEN unix_micros(nxt.vts) - unix_micros(ts) END AS fgap",
+          "nxt.vid AS fvid", "nxt.vts AS fvts")
+        .selectExpr("event_id", "user_id", "ts",
+          s"${nearestPick("'B'", "'F'")} AS direction",
+          s"${nearestPick("bvid", "fvid")} AS view_id",
+          s"${nearestPick("bvts", "fvts")} AS view_ts",
+          s"${nearestPick("bgap", "fgap")} AS gap_us")
+        .orderBy("event_id")
+    }),
+
     "join_asof" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
@@ -279,7 +321,42 @@ object JoinQueries {
       s"g$x AS (SELECT user_id, sid, epoch_us(MIN(ts)) AS st, " +
       s"epoch_us(MAX(ts)) + 1800000000 AS en FROM s$x GROUP BY 1, 2)"
 
+  /** join_asof_nearest: 30-minute tolerance in exact epoch-µs. */
+  private def asofNearTol = 1800000000L
+
+  /** The ONE nearest-match pick rule (join_asof_nearest): backward wins
+    * ties; a side only participates when its tolerance-gated gap is
+    * non-null. Pure shared-dialect SQL — interpolated verbatim into the
+    * Spark selectExpr AND the DuckDB oracle. */
+  private def nearestPick(b: String, f: String): String =
+    s"CASE WHEN bgap IS NOT NULL AND (fgap IS NULL OR bgap <= fgap) THEN $b " +
+      s"WHEN fgap IS NOT NULL THEN $f END"
+
   val oracle: Map[String, String] = Map(
+    "join_asof_nearest" ->
+      // same union/tag/window machinery as the asof_union oracle, both
+      // directions, the shared nearestPick CASE for all four emissions
+      ("WITH u AS (SELECT user_id, ts, event_id, 0 AS tag FROM events WHERE event_type = 'view' " +
+       "UNION ALL SELECT user_id, ts, event_id, 1 AS tag FROM events WHERE event_type = 'purchase'), " +
+       "w AS (SELECT *, last_value(CASE WHEN tag = 0 THEN struct_pack(vts := ts, vid := event_id) END " +
+       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prv, " +
+       "first_value(CASE WHEN tag = 0 THEN struct_pack(vts := ts, vid := event_id) END " +
+       "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id " +
+       "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt FROM u), " +
+       "g AS (SELECT event_id, user_id, ts, " +
+       s"CASE WHEN prv IS NOT NULL AND epoch_us(ts) - epoch_us((prv).vts) <= $asofNearTol " +
+       "THEN epoch_us(ts) - epoch_us((prv).vts) END AS bgap, " +
+       "(prv).vid AS bvid, (prv).vts AS bvts, " +
+       s"CASE WHEN nxt IS NOT NULL AND epoch_us((nxt).vts) - epoch_us(ts) <= $asofNearTol " +
+       "THEN epoch_us((nxt).vts) - epoch_us(ts) END AS fgap, " +
+       "(nxt).vid AS fvid, (nxt).vts AS fvts FROM w WHERE tag = 1) " +
+       "SELECT event_id, user_id, ts, " +
+       s"${nearestPick("'B'", "'F'")} AS direction, " +
+       s"${nearestPick("bvid", "fvid")} AS view_id, " +
+       s"${nearestPick("bvts", "fvts")} AS view_ts, " +
+       s"${nearestPick("bgap", "fgap")} AS gap_us " +
+       "FROM g ORDER BY event_id"),
     "join_interval_overlap" ->
       // the oracle side joins intervals DIRECTLY on the half-open overlap
       // predicate (no bucketing needed off-engine) — proving the bucketed

@@ -542,4 +542,39 @@ class CatalogSpec extends SparkSpec {
     assert(except.toSeq === Seq(20L),
       "except must surface exactly the supplier-less customer nation")
   }
+
+  test("join_asof_nearest picks the closer side, ties backward, same-ts is gap 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted_asof")
+      .toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: tie at 30 s each way -> backward wins; then a B-only match
+    // user 2: forward-only match; user 3: nothing within tolerance;
+    // user 4: view at the SAME ts as the purchase -> backward, gap 0
+    Seq(
+      (1L, ts(0), 10L, "view", 1.0),
+      (1L, ts(100), 11L, "view", 1.0),
+      (1L, ts(130), 20L, "purchase", 1.0),
+      (1L, ts(160), 12L, "view", 1.0),
+      (1L, ts(190), 21L, "purchase", 1.0),
+      (2L, ts(0), 30L, "purchase", 1.0),
+      (2L, ts(60), 40L, "view", 1.0),
+      (3L, ts(0), 50L, "purchase", 1.0),
+      (3L, ts(7200), 51L, "view", 1.0),
+      (4L, ts(500), 60L, "view", 1.0),
+      (4L, ts(500), 70L, "purchase", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("join_asof_nearest")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (20L, "B", 11L, 30000000L),
+      (21L, "B", 12L, 30000000L),
+      (30L, "F", 40L, 60000000L),
+      (50L, null, -1L, -1L),
+      (70L, "B", 60L, 0L)))
+  }
 }
