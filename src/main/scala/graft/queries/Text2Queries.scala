@@ -554,6 +554,30 @@ object Text2Queries {
     // the final op order cannot drift (the r5b agg_regression rule).
     "text_zipf_slope" -> ((s, d) => zipfFit(Tables.documents(s, d))),
 
+    // Tokenizer/vocabulary coverage gauge (r9): per source, the
+    // fraction of token OCCURRENCES outside the corpus top-25
+    // vocabulary — the coverage check a tokenizer/embedding-table
+    // deployment runs before freezing its vocab (high OOV mass on one
+    // source = that domain will fragment into bytes/UNKs). Vocab =
+    // top-25 by corpus frequency, deterministic (cf DESC, tok ASC) via
+    // TakeOrderedAndProject; membership via a broadcast left join of
+    // the bounded vocab; ONE keyed aggregate; all integer until the
+    // emission division.
+    "text_oov_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+        .orderBy(col("cf").desc, col("tok")).limit(25)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .selectExpr("source", "n_tok", "n_oov",
+          s"${r6Sql("CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE)")} AS oov_rate")
+        .orderBy("source")
+    }),
+
     // PMI collocations (r6g) — the top-collK bigrams by frequency with
     // pointwise mutual information ln(N·c_xy / (c_x·c_y)), the classic
     // "is this pair a phrase or chance?" signal (Church & Hanks) that
@@ -1203,6 +1227,19 @@ object Text2Queries {
         // 3 chained merge rounds: winner CTE per round, greedy merge
         // via the same clamped closed-form parity test (bpeMergedSql)
         bpeTrainSql,
+      "text_oov_rate" ->
+        // same top-25 vocab tie-break, broadcast-able LEFT JOIN
+        // membership, one keyed rollup, the shared division string
+        ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+         "v AS (SELECT tok, 1 AS in_vocab FROM " +
+         "(SELECT tok, COUNT(*) AS cf FROM tk GROUP BY 1 ORDER BY cf DESC, tok LIMIT 25)), " +
+         "j AS (SELECT tk.source, CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END AS oov " +
+         "FROM tk LEFT JOIN v ON tk.tok = v.tok), " +
+         "g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
+         "CAST(SUM(oov) AS BIGINT) AS n_oov FROM j GROUP BY 1) " +
+         "SELECT source, n_tok, n_oov, " +
+         s"${r6Sql("CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE)")} AS oov_rate " +
+         "FROM g ORDER BY source"),
       "text_shared_span" ->
         // same trigram/hash60/winnow CTEs; candidates = ANY shared
         // winnow fingerprint; exact extension = matched positions per

@@ -257,6 +257,11 @@ object Plans {
        "event scan ends at per-bucket cohort counts, the CDF gap numerators accumulate over " +
        "the BOUNDED bucket-grid self-join, and EMD is their exact integer SUM where KS is " +
        "their max; one new gauge costs zero new scan or shuffle structure."),
+    "text_oov_rate" ->
+      ("vocabulary coverage without a vocabulary shuffle: the top-25 vocab lands via " +
+       "TakeOrderedAndProject off the token aggregate, membership is a BroadcastHashJoin of " +
+       "the bounded vocab against the token stream, and the per-source rollup is one keyed " +
+       "partial-aggregable groupBy — corpus cost is the token explode, nothing else grows."),
     "dq_mutual_info" ->
       ("the chi2 grid claim, re-used: the event scan ends at the (type, cohort) count " +
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +

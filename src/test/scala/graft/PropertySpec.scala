@@ -1331,6 +1331,29 @@ class PropertySpec extends SparkSpec {
       (2, 1, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("text_oov_rate matches an independent vocabulary recompute") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+    val vocab = toks.map(_._2).groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (tok, cf) => (-cf, tok) }.take(25).map(_._1).toSet
+    val expected = toks.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.count(p => !vocab.contains(p._2)).toLong)
+    }.toMap
+    def r6d(v: Double): Double =
+      if (v.isNaN || math.abs(v) >= 9e12) v else math.floor(v * 1e6 + 0.5) / 1e6
+    val got = SparkEntry.queries("text_oov_rate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === expected.keys.toSeq.sorted)
+    got.foreach { case (s, nTok, nOov, rate) =>
+      assert((nTok, nOov) === expected(s), s"counts for $s")
+      assert(rate === r6d(nOov.toDouble / nTok.toDouble), s"rate for $s")
+    }
+    // the 31-token fixture vocabulary vs a 25-slot vocab: OOV mass must
+    // be present but minority (the fixture is near-uniform)
+    assert(got.exists(_._3 > 0L) && got.forall(g => g._3 * 2 < g._2))
+  }
+
   test("dq_mutual_info: terms recompose from emitted counts; MI = ordered sum >= 0") {
     val rows = SparkEntry.queries("dq_mutual_info")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
