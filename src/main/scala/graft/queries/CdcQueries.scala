@@ -114,6 +114,45 @@ object CdcQueries {
   private def miTermF: String =
     s"CASE WHEN obs = 0 THEN CAST(0.0 AS DOUBLE) ELSE (CAST(obs AS DOUBLE) / CAST(nn AS DOUBLE)) * ln($miRatioF) END"
 
+  /** THE zero-filled (|types| x 2) contingency cell frame with
+    * marginals joined in — (event_type, cohort, obs, rt, ct, nn) —
+    * shared by dq_chi2_drift and dq_mutual_info (extracted r9; the
+    * driftBuckets extend-never-fork rule). The bounded grid is
+    * checkpointed once: four consumers (rt/ct/n/cells) would otherwise
+    * each re-run the event scan + cohort chain (the r6c lesson). */
+  private def contingencyCells(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val obs0 = cohortSplit(s, d).groupBy("event_type", "cohort")
+      .agg(count(lit(1)).as("obs"))
+    val grid = obs0.select("event_type").distinct()
+      .crossJoin(s.range(0, 2).select(col("id").cast(IntegerType).as("cohort")))
+    val filled = grid.join(obs0, Seq("event_type", "cohort"), "left")
+      .na.fill(0L, Seq("obs"))
+      .localCheckpoint(true)
+    val rt = filled.groupBy("event_type").agg(sum("obs").as("rt"))
+    val ctt = filled.groupBy("cohort").agg(sum("obs").as("ct"))
+    val n = filled.agg(sum("obs").as("nn"))
+    filled.join(broadcast(rt), "event_type")
+      .join(broadcast(ctt), "cohort")
+      .crossJoin(broadcast(n))
+  }
+
+  /** DuckDB mirror of contingencyCells: CTEs through `cl` with the
+    * same (event_type, cohort, obs, rt, ct, nn) columns. */
+  private def contingencyCteSql: String =
+    s"$cohortCteSql, " +
+      "o AS (SELECT event_type, cohort, CAST(COUNT(*) AS BIGINT) AS obs FROM ck GROUP BY 1, 2), " +
+      "ty AS (SELECT DISTINCT event_type FROM o), " +
+      "g AS (SELECT event_type, CAST(unnest([0, 1]) AS INT) AS cohort FROM ty), " +
+      "f AS (SELECT g.event_type, g.cohort, COALESCE(obs, 0) AS obs FROM g " +
+      "LEFT JOIN o ON g.event_type = o.event_type AND g.cohort = o.cohort), " +
+      "rt0 AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM f GROUP BY 1), " +
+      "ct0 AS (SELECT cohort, CAST(SUM(obs) AS BIGINT) AS ct FROM f GROUP BY 1), " +
+      "n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM f), " +
+      "cl AS (SELECT f.event_type, f.cohort, obs, rt, ct, nn " +
+      "FROM f JOIN rt0 ON f.event_type = rt0.event_type " +
+      "JOIN ct0 ON f.cohort = ct0.cohort CROSS JOIN n)"
+
   /** The upsert fixture frames — base snapshot (key, price) and the CDC
     * change feed (key, op, c_price) derived against it — ONE definition
     * shared by the batch cdc_merge_upsert query and the streaming
@@ -936,23 +975,7 @@ object CdcQueries {
     // collect_list shape); df = (|types|-1)*(2-1) comes from the same
     // bounded aggregate.
     "dq_chi2_drift" -> ((s, d) => {
-      val obs0 = cohortSplit(s, d).groupBy("event_type", "cohort")
-        .agg(count(lit(1)).as("obs"))
-      val grid = obs0.select("event_type").distinct()
-        .crossJoin(s.range(0, 2).select(col("id").cast(IntegerType).as("cohort")))
-      // checkpoint the BOUNDED (|types| x 2) table once: four consumers
-      // (rt/ct/n/cells) would otherwise each re-run the event scan +
-      // cohort chain (the r6c multi-consumer recompute rule; the frame
-      // is 10 rows — driver-cheap, graph_pagerank precedent)
-      val filled = grid.join(obs0, Seq("event_type", "cohort"), "left")
-        .na.fill(0L, Seq("obs"))
-        .localCheckpoint(true)
-      val rt = filled.groupBy("event_type").agg(sum("obs").as("rt"))
-      val ctt = filled.groupBy("cohort").agg(sum("obs").as("ct"))
-      val n = filled.agg(sum("obs").as("nn"))
-      val cells = filled.join(broadcast(rt), "event_type")
-        .join(broadcast(ctt), "cohort")
-        .crossJoin(broadcast(n))
+      val cells = contingencyCells(s, d)
         .selectExpr("event_type", "cohort", "obs", "rt", "ct", "nn",
           "obs * nn - rt * ct AS dnum")
         .selectExpr("event_type", "cohort", "obs", "rt", "ct", "nn",
@@ -985,19 +1008,7 @@ object CdcQueries {
     // nothing to overflow at any scale), total via the (type, cohort)-
     // ordered fold.
     "dq_mutual_info" -> ((s, d) => {
-      val obs0 = cohortSplit(s, d).groupBy("event_type", "cohort")
-        .agg(count(lit(1)).as("obs"))
-      val grid = obs0.select("event_type").distinct()
-        .crossJoin(s.range(0, 2).select(col("id").cast(IntegerType).as("cohort")))
-      val filled = grid.join(obs0, Seq("event_type", "cohort"), "left")
-        .na.fill(0L, Seq("obs"))
-        .localCheckpoint(true)
-      val rt = filled.groupBy("event_type").agg(sum("obs").as("rt"))
-      val ctt = filled.groupBy("cohort").agg(sum("obs").as("ct"))
-      val n = filled.agg(sum("obs").as("nn"))
-      val cells = filled.join(broadcast(rt), "event_type")
-        .join(broadcast(ctt), "cohort")
-        .crossJoin(broadcast(n))
+      val cells = contingencyCells(s, d)
         .selectExpr("event_type", "cohort", "obs", "rt", "ct", "nn",
           s"($miTermF) AS term_raw")
       val tot = cells.agg(expr(
@@ -1089,23 +1100,14 @@ object CdcQueries {
        "FROM (SELECT SUM(dnum) AS sdn FROM gp) CROSS JOIN t) " +
        "SELECT bucket, cum_base, cum_cur, gap, emd FROM gp CROSS JOIN sm ORDER BY bucket"),
     "dq_chi2_drift" ->
-      // same cohort CTE, zero-filled contingency grid, HUGEINT square
-      // cast once to double, shared expected/term formulas, (type,
-      // cohort)-ordered list fold for the total
-      (s"WITH $cohortCteSql, " +
-       "o AS (SELECT event_type, cohort, CAST(COUNT(*) AS BIGINT) AS obs FROM ck GROUP BY 1, 2), " +
-       "ty AS (SELECT DISTINCT event_type FROM o), " +
-       "g AS (SELECT event_type, CAST(unnest([0, 1]) AS INT) AS cohort FROM ty), " +
-       "f AS (SELECT g.event_type, g.cohort, COALESCE(obs, 0) AS obs FROM g " +
-       "LEFT JOIN o ON g.event_type = o.event_type AND g.cohort = o.cohort), " +
-       "rt0 AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM f GROUP BY 1), " +
-       "ct0 AS (SELECT cohort, CAST(SUM(obs) AS BIGINT) AS ct FROM f GROUP BY 1), " +
-       "n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM f), " +
-       "cl AS (SELECT f.event_type, f.cohort, obs, rt, ct, nn, " +
-       "obs * nn - rt * ct AS dnum FROM f JOIN rt0 ON f.event_type = rt0.event_type " +
-       "JOIN ct0 ON f.cohort = ct0.cohort CROSS JOIN n), " +
+      // the shared contingency CTE prefix, HUGEINT square cast once to
+      // double, shared expected/term formulas, (type, cohort)-ordered
+      // list fold for the total
+      (s"WITH $contingencyCteSql, " +
+       "cn AS (SELECT event_type, cohort, obs, rt, ct, nn, " +
+       "obs * nn - rt * ct AS dnum FROM cl), " +
        "cd AS (SELECT event_type, cohort, obs, rt, ct, nn, " +
-       "CAST(CAST(dnum AS HUGEINT) * dnum AS DOUBLE) AS d2 FROM cl), " +
+       "CAST(CAST(dnum AS HUGEINT) * dnum AS DOUBLE) AS d2 FROM cn), " +
        s"tr AS (SELECT event_type, cohort, obs, ((CASE WHEN isnan(($chi2ExpectedF)) OR abs(($chi2ExpectedF)) >= 9e12 THEN CAST(($chi2ExpectedF) AS DOUBLE) ELSE CAST(floor(($chi2ExpectedF) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS expected, " +
        s"$chi2TermF AS term_raw FROM cd), " +
        "tot AS (SELECT list_sum(list(term_raw ORDER BY event_type, cohort)) AS chi2_raw, " +
@@ -1113,20 +1115,9 @@ object CdcQueries {
        "SELECT event_type, cohort, obs, expected, ((CASE WHEN isnan((term_raw)) OR abs((term_raw)) >= 9e12 THEN CAST((term_raw) AS DOUBLE) ELSE CAST(floor((term_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS term, " +
        "((CASE WHEN isnan((chi2_raw)) OR abs((chi2_raw)) >= 9e12 THEN CAST((chi2_raw) AS DOUBLE) ELSE CAST(floor((chi2_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) AS chi2, df FROM tr CROSS JOIN tot ORDER BY event_type, cohort"),
     "dq_mutual_info" ->
-      // same cohort CTE + zero-filled contingency grid as chi2; shared
-      // miTermF per cell, (type, cohort)-ordered list fold for the total
-      (s"WITH $cohortCteSql, " +
-       "o AS (SELECT event_type, cohort, CAST(COUNT(*) AS BIGINT) AS obs FROM ck GROUP BY 1, 2), " +
-       "ty AS (SELECT DISTINCT event_type FROM o), " +
-       "g AS (SELECT event_type, CAST(unnest([0, 1]) AS INT) AS cohort FROM ty), " +
-       "f AS (SELECT g.event_type, g.cohort, COALESCE(obs, 0) AS obs FROM g " +
-       "LEFT JOIN o ON g.event_type = o.event_type AND g.cohort = o.cohort), " +
-       "rt0 AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM f GROUP BY 1), " +
-       "ct0 AS (SELECT cohort, CAST(SUM(obs) AS BIGINT) AS ct FROM f GROUP BY 1), " +
-       "n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM f), " +
-       "cl AS (SELECT f.event_type, f.cohort, obs, rt, ct, nn " +
-       "FROM f JOIN rt0 ON f.event_type = rt0.event_type " +
-       "JOIN ct0 ON f.cohort = ct0.cohort CROSS JOIN n), " +
+      // the SAME shared contingency CTE prefix as chi2; shared miTermF
+      // per cell, (type, cohort)-ordered list fold for the total
+      (s"WITH $contingencyCteSql, " +
        s"tr AS (SELECT event_type, cohort, obs, rt, ct, ($miTermF) AS term_raw FROM cl), " +
        "tot AS (SELECT list_sum(list(term_raw ORDER BY event_type, cohort)) AS mi_raw FROM tr) " +
        s"SELECT event_type, cohort, obs, rt, ct, ${r6Sql("term_raw")} AS term, " +

@@ -450,8 +450,11 @@ object KmeansQueries {
           sqDistD(slice(col("embedding"), 1, 32), slice(col("qv"), 1, 32)).as("d32"),
           sqDistD(col("embedding"), col("qv")).as("d64"))
         .localCheckpoint(true)
+      // bounded 10-row frame with 4 consumers — checkpoint once or the
+      // d64 TakeOrdered re-runs per hit branch (the r6d rule)
       val exact = dists.orderBy(col("d64"), col("vec_id")).limit(10)
         .select(col("vec_id"))
+        .localCheckpoint(true)
       val hits = Seq(8, 16, 32, 64).map { p =>
         dists.orderBy(col(s"d$p"), col("vec_id")).limit(10)
           .select(col("vec_id"))
