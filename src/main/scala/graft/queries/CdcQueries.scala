@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1049,10 +1050,65 @@ object CdcQueries {
         .unpivot(Array(col("user_id")),
           Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
           "event_type", "cnt")
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // Referential-integrity census (r9) — the migration contract check
+    // run BEFORE trusting any landed snapshot: for every declared FK,
+    // one pass counts child rows and orphans (child keys with no parent)
+    // via a left join + conditional sum — never a separate anti-join
+    // scan per metric. The fixtures satisfy every full FK (orphans = 0,
+    // pinned in PropertySpec), so the census also checks lineitem
+    // against a DATE-BOUNDED parent snapshot (orders before 1998) — the
+    // incremental-sync reality where children land before their parents:
+    // that row's orphan count is the backlog a sync scheduler drains,
+    // and it is nonzero at every SF. Scale shape: each relation is one
+    // shuffle join on its FK (nation broadcasts; the snapshot filter
+    // pushes to the parent scan) feeding a keys=[] scalar aggregate
+    // (partial_ + bounded SinglePartition — the PlanGuard-blessed
+    // shape); the union is 5 one-row frames. All-BIGINT emission.
+    "dq_referential_integrity" -> ((s, d) => {
+      def check(name: String, child: DataFrame, fk: String,
+                parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+        val p0 = parent.select(col(pk).as("pk")).distinct()
+        val p = if (bcast) broadcast(p0) else p0
+        child.select(col(fk).as("ck"))
+          .join(p, col("ck") === col("pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphan"))
+          .select(lit(name).as("fk_name"), col("n_child"), col("n_orphan"))
+      }
+      val cust = Tables.customer(s, d)
+      val ords = Tables.orders(s, d)
+      check("customer_nation", cust, "c_nationkey", Tables.nation(s, d), "n_nationkey", bcast = true)
+        .union(check("events_customer", Tables.events(s, d), "user_id", cust, "c_custkey", bcast = false))
+        .union(check("lineitem_orders", Tables.lineitem(s, d), "l_orderkey", ords, "o_orderkey", bcast = false))
+        .union(check("lineitem_orders_snapshot", Tables.lineitem(s, d), "l_orderkey",
+          // a native TIMESTAMP_NTZ literal (not year()) so the cutoff
+          // reaches the orders parquet scan as a PushedFilter
+          ords.where(col("o_orderdate") <
+            lit(java.time.LocalDateTime.of(1998, 1, 1, 0, 0))), "o_orderkey", bcast = false))
+        .union(check("orders_customer", ords, "o_custkey", cust, "c_custkey", bcast = false))
+        .orderBy("fk_name")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_referential_integrity" ->
+      // one left-join + conditional-sum block per declared FK, unioned;
+      // SUM comes back HUGEINT — cast (the r4 rule); year() works on
+      // the o_orderdate timestamp identically in both dialects
+      ((Seq(
+        ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey", ""),
+        ("events_customer", "events", "user_id", "customer", "c_custkey", ""),
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey", ""),
+        ("lineitem_orders_snapshot", "lineitem", "l_orderkey", "orders", "o_orderkey",
+          " WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"),
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey", ""))
+        .map { case (nm, ch, fk, pt, pk, w) =>
+          s"SELECT '$nm' AS fk_name, CAST(COUNT(*) AS BIGINT) AS n_child, " +
+            "CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan " +
+            s"FROM $ch c LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $pt$w) p ON c.$fk = p.pk"
+        }.mkString(" UNION ALL ")) + " ORDER BY fk_name"),
     "dq_drift_psi" ->
       // identical integer split/bucket arithmetic (// == DIV on
       // nonnegative), COALESCE-zero-filled 10-bucket grid, the shared

@@ -128,6 +128,38 @@ object KmeansQueries {
         .orderBy("cluster")
     }),
 
+    // SemDeDup-style cluster-bounded semantic dedup (r9): pair candidacy
+    // comes from the LEARNED k-means partition instead of a fixture label
+    // (dedup_embed_cosine) or an LSH band (dedup_embed_lsh) — the
+    // Abbas-et-al recipe: cluster the corpus, compare pairs ONLY within a
+    // cluster, emit near-dups above the catalog's cos >= 0.35 threshold.
+    // At 100 TB the all-pairs frame is quadratic but a k-cluster
+    // partition divides the work by ~k (and real deployments raise k
+    // with the corpus so cells stay bounded); the k=8 cluster key is
+    // salted 8 ways (the labelPairs rule) so no single reducer owns a
+    // cluster. Assignment reuses the shared finalCentroids/assign —
+    // bit-identical cross-engine, so the pair SET is fully oracled.
+    "dedup_embed_kmeans" -> ((s, d) => {
+      val cents = finalCentroids(s, d)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      val asg = assign(e, cents).select("vec_id", "cluster", "embedding", "nrm")
+      val a = asg.select(col("vec_id").as("a_id"), col("cluster"),
+          col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+        .withColumn("sa", pmod(xxhash64(col("a_id")), lit(8)).cast("int"))
+      val b = asg.select(col("vec_id").as("b_id"), col("cluster").as("b_cluster"),
+          col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+        .withColumn("sb", explode(array((0 until 8).map(lit): _*)))
+      a.hint("merge").join(b,
+          col("cluster") === col("b_cluster") && col("sa") === col("sb") &&
+            col("a_id") < col("b_id"))
+        .withColumn("cos", dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+        .where(col("cos") >= 0.35)
+        .select(col("cluster"), col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+          r6(col("cos")).as("cosine"))
+        .orderBy("cluster", "vec_a", "vec_b")
+    }),
+
     // Embedding QC: top-5 outliers per label by squared distance to the
     // label's centroid (exact integer-moment means, distributed argmax via
     // the WindowGroupLimit top-k shape — no driver work at all here; the
@@ -1328,7 +1360,28 @@ object KmeansQueries {
       s"${r6Sql("mc_raw")} AS mean_cur, ${r6Sql("sh_raw")} AS mean_shift, l2_drift " +
       "FROM sh CROSS JOIN l2 ORDER BY dim"
 
+  /** SemDeDup mirror: the shared assignment chain, per-vector norms
+    * (sqrt of the same left-fold dot), within-cluster pairs, and the
+    * cosinePairsCteSql NaN guard (NaN >= 0.35 is FALSE in Spark but
+    * sorts-largest TRUE in DuckDB). */
+  private def semdedupSql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, $dims), i -> " +
+        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"WITH $kmeansAssignCtes, " +
+      "asg AS (SELECT vec_id, cluster FROM af WHERE rn = 1), " +
+      s"n AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm " +
+      "FROM embeddings), " +
+      "j AS (SELECT a.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b, " +
+      s"${dot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos " +
+      "FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id " +
+      "JOIN n x ON x.vec_id = a.vec_id JOIN n y ON y.vec_id = b.vec_id) " +
+      s"SELECT cluster, vec_a, vec_b, ${r6Sql("cos")} AS cosine " +
+      "FROM j WHERE NOT isnan(cos) AND cos >= 0.35 ORDER BY cluster, vec_a, vec_b"
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_embed_kmeans" -> semdedupSql,
     "dq_embed_drift" -> embedDriftSql,
     "embed_isotropy" -> isotropySql,
     "sim_mrl_sweep" -> mrlSweepSql,

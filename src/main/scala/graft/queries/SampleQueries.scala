@@ -57,6 +57,24 @@ object SampleQueries {
     when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
   }
 
+  /** The decontamination shingle frame — ONE definition for the
+    * doc-grain leakage list (text_decontaminate) and its source-grain
+    * census (text_contamination_census): split membership from the
+    * shared splitCol hash, 5-gram shingles as row-local HOFs
+    * (map-side; the length(sh) > 0 filter drops the sub-5-token
+    * degenerates). The two queries join/aggregate this one frame, so
+    * "which shingle leaks" can never drift between them. */
+  private def decontShingled(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tk = split(col("text"), " ")
+    val sh5 = transform(sequence(lit(1), greatest(size(tk) - 4, lit(0))),
+      i => concat_ws(" ", slice(tk, i, lit(5))))
+    Tables.documents(s, d)
+      .withColumn("split", splitCol(col("doc_id")))
+      .select(col("doc_id"), col("source"), col("split"), explode(sh5).as("sh"))
+      .where(length(col("sh")) > 0)
+  }
+
   /** Poisson(1) inverse-CDF thresholds on the 60-bit hash range —
     * floor(CDF(k) * 2^60) for k = 0..5 (multiplicity caps at 6; the
     * tail past the cap is P ≈ 8e-5, identically truncated on both
@@ -170,13 +188,7 @@ object SampleQueries {
     // shingle key at any corpus size. Output: contaminated train docs
     // with their distinct shared-shingle count.
     "text_decontaminate" -> ((s, d) => {
-      val tk = split(col("text"), " ")
-      val sh5 = transform(sequence(lit(1), greatest(size(tk) - 4, lit(0))),
-        i => concat_ws(" ", slice(tk, i, lit(5))))
-      val shingled = Tables.documents(s, d)
-        .withColumn("split", splitCol(col("doc_id")))
-        .select(col("doc_id"), col("split"), explode(sh5).as("sh"))
-        .where(length(col("sh")) > 0)
+      val shingled = decontShingled(s, d)
       val train = shingled.where(col("split") === "train")
         .select("doc_id", "sh").distinct()
       val test = shingled.where(col("split") === "test")
@@ -185,6 +197,37 @@ object SampleQueries {
         .groupBy("doc_id")
         .agg(count_distinct(col("sh")).as("n_contaminated"))
         .orderBy("doc_id")
+    }),
+
+    // Contamination CENSUS (r9) — the source-grain rollup of the SAME
+    // leakage check text_decontaminate runs at doc grain (shared
+    // decontShingled frame: identical split, identical 5-gram shingle —
+    // the two views can never disagree): per source, how many of its
+    // train docs leak into the held-out test split and through how many
+    // distinct shared shingles. This is the number a mixing decision
+    // reads (down-weight or re-split a leaky source) where the doc-grain
+    // list is what a scrubber consumes. Same scale shape: equality join
+    // on the shingle (inverted index — never train×test doc pairs; the
+    // test side is a corpus-sized split, NOT broadcastable), then two
+    // keyed rollups; the clean-source zero rows come from a left join
+    // off the bounded per-source base frame.
+    "text_contamination_census" -> ((s, d) => {
+      val shingled = decontShingled(s, d)
+      val test = shingled.where(col("split") === "test")
+        .select("sh").distinct()
+      val train = shingled.where(col("split") === "train")
+        .select("doc_id", "source", "sh").distinct()
+      val per = train.join(test, "sh")
+        .groupBy("source")
+        .agg(count_distinct(col("doc_id")).as("n_flagged"),
+          count_distinct(col("sh")).as("n_hit_grams"))
+      Tables.documents(s, d)
+        .where(splitCol(col("doc_id")) === "train")
+        .groupBy("source").agg(count(lit(1)).as("n_train"))
+        .join(per, Seq("source"), "left")
+        .na.fill(0L, Seq("n_flagged", "n_hit_grams"))
+        .select("source", "n_train", "n_flagged", "n_hit_grams")
+        .orderBy("source")
     }),
 
     // Token-budget data mixing: each source contributes docs, in salted-
@@ -475,6 +518,22 @@ object SampleQueries {
   /** Replicate-mean formula (cents → price) — shared string so the
     * division order cannot drift. A def: vals below the oracle Map are
     * null at Map-init (the ts_decompose lesson). */
+  /** Shared decontamination CTE prefix (mirrors decontShingled): d =
+    * docs + split bucket, s = exploded 5-gram shingles + split label,
+    * tr/te = the distinct train/test shingle sides. Extended by both
+    * the doc-grain and census oracles — never forked (the pqChainSql
+    * rule). A def, not a val: the textually-later init would leave it
+    * null inside the oracle Map (the ts_decompose lesson). */
+  private def decontCtesSql: String =
+    "d AS (SELECT doc_id, source, string_split(text, ' ') AS tk, " +
+      phashSql("doc_id", "split:") + " % 100 AS bk FROM documents), " +
+      "s AS (SELECT doc_id, source, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'valid' " +
+      "ELSE 'test' END AS split, " +
+      "unnest(list_transform(generate_series(1, GREATEST(len(tk) - 4, 0)), " +
+      "i -> array_to_string(tk[i:i+4], ' '))) AS sh FROM d), " +
+      "tr AS (SELECT DISTINCT doc_id, source, sh FROM s WHERE split = 'train' AND length(sh) > 0), " +
+      "te AS (SELECT DISTINCT sh FROM s WHERE split = 'test' AND length(sh) > 0)"
+
   private def bootMeanSql: String =
     "((CASE WHEN isnan((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0)) OR abs((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0)) >= 9e12 THEN CAST((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0) AS DOUBLE) ELSE CAST(floor((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
@@ -513,16 +572,23 @@ object SampleQueries {
        "SELECT doc_id, chunk_id, chunk FROM c WHERE length(chunk) > 0 " +
        "ORDER BY doc_id, chunk_id"),
     "text_decontaminate" ->
-      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk, " +
-       phashSql("doc_id", "split:") + " % 100 AS bk FROM documents), " +
-       "s AS (SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'valid' " +
-       "ELSE 'test' END AS split, " +
-       "unnest(list_transform(generate_series(1, GREATEST(len(tk) - 4, 0)), " +
-       "i -> array_to_string(tk[i:i+4], ' '))) AS sh FROM d), " +
-       "tr AS (SELECT DISTINCT doc_id, sh FROM s WHERE split = 'train' AND length(sh) > 0), " +
-       "te AS (SELECT DISTINCT sh FROM s WHERE split = 'test' AND length(sh) > 0) " +
+      (s"WITH $decontCtesSql " +
        "SELECT tr.doc_id, COUNT(DISTINCT tr.sh) AS n_contaminated " +
        "FROM tr JOIN te USING (sh) GROUP BY 1 ORDER BY 1"),
+    "text_contamination_census" ->
+      // the same shared CTE prefix; COALESCE-zero left join off the
+      // per-source train base (bk < 80 == splitCol 'train'); COUNT
+      // DISTINCT / COUNT casts per the HUGEINT rule
+      (s"WITH $decontCtesSql, " +
+       "per AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_flagged, " +
+       "CAST(COUNT(DISTINCT tr.sh) AS BIGINT) AS n_hit_grams " +
+       "FROM tr JOIN te USING (sh) GROUP BY 1), " +
+       "base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train " +
+       "FROM d WHERE bk < 80 GROUP BY 1) " +
+       "SELECT base.source, n_train, " +
+       "CAST(COALESCE(n_flagged, 0) AS BIGINT) AS n_flagged, " +
+       "CAST(COALESCE(n_hit_grams, 0) AS BIGINT) AS n_hit_grams " +
+       "FROM base LEFT JOIN per ON base.source = per.source ORDER BY base.source"),
     "sample_token_budget" ->
       // exclusive running sum: ROWS BETWEEN UNBOUNDED PRECEDING AND 1
       // PRECEDING; CAST to BIGINT (DuckDB window SUM widens) to match

@@ -76,6 +76,16 @@ object Plans {
       ("row-local shingle generation (HOFs in the scan stage), then an inverted-index equality " +
        "join on the shingle between train and test splits — never a train x test pair join; " +
        "distributes on the shingle key at any corpus size."),
+    "text_contamination_census" ->
+      ("the source-grain rollup of the SAME shared shingle frame text_decontaminate consumes: " +
+       "the inverted-index shingle join again (the test side is a corpus-sized split — never " +
+       "broadcast), two keyed count-distinct rollups, and clean-source zeros from a left join " +
+       "off the bounded per-source base."),
+    "dedup_embed_kmeans" ->
+      ("SemDeDup-shape semantic dedup: pair candidacy bounded by the LEARNED k-means cell " +
+       "instead of a label or an LSH band — assignment is a map pass against the broadcast " +
+       "k x 64 centroid literal, the k=8 cluster key is salted 8 ways into a sort-merge join " +
+       "(no single reducer owns a cell), and only within-cell pairs ever pay the exact cosine."),
     "ts_retention_cohort" ->
       ("three key-grouped aggregates (distinct activity, per-user cohort min, per-(cohort, offset) " +
        "count-distinct) — no window, no self-join; the final key space is bounded (days x offsets)."),
@@ -267,6 +277,11 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "dq_referential_integrity" ->
+      ("every FK check is ONE shuffle join on the key + a conditional scalar aggregate — " +
+       "never a separate anti-join scan per metric; the nation parent enters as a " +
+       "BroadcastHashJoin, the snapshot cutoff filter pushes into the orders parquet scan " +
+       "(PushedFilters), and the union stitches five bounded one-row frames."),
     "sample_dedup_weighted" ->
       ("census-driven quotas without a second corpus pass: ONE keyed aggregate computes both " +
        "raw and unique-mass counts per source, the bounded weight frame broadcasts back, and " +

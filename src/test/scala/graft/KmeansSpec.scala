@@ -542,4 +542,42 @@ class KmeansSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedup_embed_kmeans equals an independent within-cluster pair recompute") {
+    // independent reference: the pinned-exact embed_kmeans assignment
+    // (verified above against pure-Scala Lloyd) + a driver-side
+    // all-pairs cosine INSIDE each cluster — the query's salted SMJ
+    // must produce exactly this set, nothing across clusters.
+    val asg = SparkEntry.queries("embed_kmeans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      (a, ia) <- ids.zipWithIndex
+      b <- ids.drop(ia + 1)
+      if asg(a) == asg(b)
+      c = cos(vecs(a), vecs(b))
+      if !c.isNaN && c >= 0.35
+    } yield (asg(a), a, b) -> c).toMap
+    val out = SparkEntry.queries("dedup_embed_kmeans")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(out.keySet === expected.keySet, "pair set must match the reference exactly")
+    out.foreach { case (k, c) =>
+      assert(math.abs(c - expected(k)) < 1e-5, s"pair $k cosine")
+    }
+    // non-degenerate: pairs exist and span more than one cluster
+    assert(out.nonEmpty)
+    assert(out.keySet.map(_._1).size > 1, "pairs must span multiple clusters")
+  }
 }

@@ -1423,4 +1423,23 @@ class PropertySpec extends SparkSpec {
       assert(r.getDouble(6) === l2, s"l2_drift dim ${i + 1}")
     }
   }
+
+  test("dq_referential_integrity: full FKs hold, snapshot backlog is a proper subset") {
+    import graft.queries.CdcQueries
+    val byName = CdcQueries.queries("dq_referential_integrity")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every full FK holds on the fixtures — orphan count exactly 0
+    Seq("customer_nation", "events_customer", "lineitem_orders", "orders_customer")
+      .foreach { fk => assert(byName(fk)._2 === 0L, s"$fk orphans") }
+    // the snapshot backlog row is NON-trivial: some lineitem rows
+    // reference post-cutoff orders (nonzero) but not all of them (the
+    // cutoff sits inside the date range) — guards against the cutoff
+    // drifting outside the fixture's o_orderdate span
+    val (nChild, nOrphan) = byName("lineitem_orders_snapshot")
+    assert(nOrphan > 0L, "snapshot backlog must be nonzero")
+    assert(nOrphan < nChild, "snapshot backlog must not be the whole table")
+    // n_child agrees with the full-FK row (same child table)
+    assert(nChild === byName("lineitem_orders")._1)
+    assert(byName.size === 5)
+  }
 }

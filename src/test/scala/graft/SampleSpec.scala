@@ -349,4 +349,26 @@ class SampleSpec extends SparkSpec {
     }
     assert(lo < hi, "replicates must differ (nondegenerate resampling)")
   }
+
+  test("text_contamination_census reconciles exactly with the doc-grain leakage list") {
+    import graft.queries.SampleQueries
+    val census = SampleQueries.queries("text_contamination_census")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the doc-grain list + each doc's source — the census MUST be its rollup
+    val docs = SampleQueries.queries("text_decontaminate")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flaggedBySrc = docs.groupBy(srcOf).view.mapValues(_.size.toLong).toMap
+    census.foreach { case (src, (nTrain, nFlagged, nHit)) =>
+      assert(nFlagged === flaggedBySrc.getOrElse(src, 0L), s"$src n_flagged")
+      assert(nFlagged <= nTrain, s"$src flagged can't exceed train mass")
+      // a source with hits has flagged docs and vice versa
+      assert((nHit > 0L) === (nFlagged > 0L), s"$src gram/doc consistency")
+    }
+    assert(census.values.map(_._2).sum === docs.size.toLong, "census totals = list size")
+    // every source appears (clean sources as zero rows), none invented
+    val allSrc = srcOf.values.toSet
+    assert(census.keySet === allSrc, "one census row per source")
+  }
 }
