@@ -1089,10 +1089,60 @@ object CdcQueries {
             lit(java.time.LocalDateTime.of(1998, 1, 1, 0, 0))), "o_orderkey", bcast = false))
         .union(check("orders_customer", ords, "o_custkey", cust, "c_custkey", bcast = false))
         .orderBy("fk_name")
+    }),
+
+    // Join-key skew census (r9) — the DIAGNOSIS that precedes the
+    // join_skew_salted REMEDY: for each declared join-key domain, key
+    // cardinality, the hottest key and its mass, and the skew ratio
+    // (max key count over the uniform expectation n_rows/n_keys). At
+    // 100 TB this is the number that decides salting factor / AQE skew
+    // thresholds BEFORE the big join runs. Shape per domain: one keyed
+    // count (map-side partials) + one keys=[] scalar fold over it
+    // (partial_ + bounded SinglePartition — the PlanGuard-blessed
+    // shape); the hottest-key argmax is the (-cnt, key) min-struct
+    // AGGREGATE (the agg_mode rule — never a window over the key
+    // space). All integer until the ONE shared-formula division.
+    "dq_skew_census" -> ((s, d) => {
+      def census(name: String, df: DataFrame, key: String): DataFrame =
+        df.select(col(key).cast(LongType).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("cnt")).as("max_cnt"),
+            min(struct((-col("cnt")).as("nc"), col("k").as("kk"))).as("m"))
+          .selectExpr(s"'$name' AS key_domain", "n_rows", "n_keys", "max_cnt",
+            "m.kk AS hottest_key", s"$skewRatioFormula AS skew_ratio")
+      census("events_user", Tables.events(s, d), "user_id")
+        .union(census("lineitem_orderkey", Tables.lineitem(s, d), "l_orderkey"))
+        .union(census("orders_custkey", Tables.orders(s, d), "o_custkey"))
+        .orderBy("key_domain")
     })
   )
 
+  /** Skew ratio = max key mass / uniform expectation, ONE fixed-order
+    * formula string over (max_cnt, n_keys, n_rows) shared by the Spark
+    * emission and the oracle (a def — the ts_decompose init-order rule). */
+  private def skewRatioFormula: String = graft.queries.Qutil.r6Sql(
+    "CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+
   val oracle: Map[String, String] = Map(
+    "dq_skew_census" ->
+      // per domain: keyed count subquery, the (-cnt, key) min-struct
+      // argmax, SUM/COUNT casts per the HUGEINT rule, and the shared
+      // skewRatioFormula applied in an OUTER select over the aggregate
+      // row (same two-step op order as the Spark emission)
+      ((Seq(
+        ("events_user", "events", "user_id"),
+        ("lineitem_orderkey", "lineitem", "l_orderkey"),
+        ("orders_custkey", "orders", "o_custkey"))
+        .map { case (nm, t, k) =>
+          "SELECT key_domain, n_rows, n_keys, max_cnt, hottest_key, " +
+            s"$skewRatioFormula AS skew_ratio FROM (" +
+            s"SELECT '$nm' AS key_domain, CAST(SUM(cnt) AS BIGINT) AS n_rows, " +
+            "CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(MAX(cnt) AS BIGINT) AS max_cnt, " +
+            "(MIN(struct_pack(nc := -cnt, kk := k))).kk AS hottest_key " +
+            s"FROM (SELECT CAST($k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS cnt " +
+            s"FROM $t GROUP BY 1))"
+        }.mkString(" UNION ALL ")) + " ORDER BY key_domain"),
     "dq_referential_integrity" ->
       // one left-join + conditional-sum block per declared FK, unioned;
       // SUM comes back HUGEINT — cast (the r4 rule); year() works on

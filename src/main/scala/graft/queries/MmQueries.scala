@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** SURVEY §2.11 multimodal columns — the DECLARED-query edition (r7).
   *
@@ -33,24 +35,24 @@ object MmQueries {
     * what the payload is. */
   private def payloadFrame(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .selectExpr("doc_id", "sha2(CAST(doc_id AS STRING), 256) AS h1")
-      .selectExpr("doc_id", "h1", "sha2(h1, 256) AS h2")
-      .selectExpr("doc_id", "h1", "h2", "sha2(h2, 256) AS h3")
-      .selectExpr("doc_id", "h1", "h2", "h3", "sha2(h3, 256) AS h4")
-      .selectExpr("doc_id", "h1", "h2", "h3", "h4", "sha2(h4, 256) AS h5")
-      .selectExpr("doc_id",
+      .selectExpr("doc_id", "source", "sha2(CAST(doc_id AS STRING), 256) AS h1")
+      .selectExpr("doc_id", "source", "h1", "sha2(h1, 256) AS h2")
+      .selectExpr("doc_id", "source", "h1", "h2", "sha2(h2, 256) AS h3")
+      .selectExpr("doc_id", "source", "h1", "h2", "h3", "sha2(h3, 256) AS h4")
+      .selectExpr("doc_id", "source", "h1", "h2", "h3", "h4", "sha2(h4, 256) AS h5")
+      .selectExpr("doc_id", "source",
         "unhex(substring(concat(h1, h2, h3, h4, h5), 1, " +
           "CAST((doc_id % 5 + 1) * 64 AS INT))) AS payload")
 
   /** DuckDB mirror of payloadFrame: CTEs g1..g5/gen ending in
-    * gen(doc_id, bin). */
+    * gen(doc_id, source, bin). */
   private def payloadCteSql: String =
-    "g1 AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS h1 FROM documents), " +
-      "g2 AS (SELECT doc_id, h1, sha256(h1) AS h2 FROM g1), " +
-      "g3 AS (SELECT doc_id, h1, h2, sha256(h2) AS h3 FROM g2), " +
-      "g4 AS (SELECT doc_id, h1, h2, h3, sha256(h3) AS h4 FROM g3), " +
-      "g5 AS (SELECT doc_id, h1, h2, h3, h4, sha256(h4) AS h5 FROM g4), " +
-      "gen AS (SELECT doc_id, unhex(substring(h1 || h2 || h3 || h4 || h5, 1, " +
+    "g1 AS (SELECT doc_id, source, sha256(CAST(doc_id AS VARCHAR)) AS h1 FROM documents), " +
+      "g2 AS (SELECT doc_id, source, h1, sha256(h1) AS h2 FROM g1), " +
+      "g3 AS (SELECT doc_id, source, h1, h2, sha256(h2) AS h3 FROM g2), " +
+      "g4 AS (SELECT doc_id, source, h1, h2, h3, sha256(h3) AS h4 FROM g3), " +
+      "g5 AS (SELECT doc_id, source, h1, h2, h3, h4, sha256(h4) AS h5 FROM g4), " +
+      "gen AS (SELECT doc_id, source, unhex(substring(h1 || h2 || h3 || h4 || h5, 1, " +
       "CAST((doc_id % 5 + 1) * 64 AS INT))) AS bin FROM g5)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -139,7 +141,41 @@ object MmQueries {
           "CAST(fidx AS INT) AS frame_idx",
           "CAST(fidx AS BIGINT) * 32 AS off_bytes",
           "sha2(substring(hx, fidx * 64 + 1, 64), 256) AS frame_hash")
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Shard-packing MANIFEST (r9) — the WebDataset/tar-shard planning
+    // step of a multimodal ingest: pack each source's assets, in
+    // doc_id order, into ~1 KiB shards and emit one manifest row per
+    // shard (asset count, byte total, id span, content fingerprint).
+    // Shard assignment is the pure integer exclusive-prefix-sum DIV
+    // budget (the sample_token_budget recipe — a shard may exceed the
+    // budget by at most one asset, the standard fill-then-cut rule, so
+    // membership needs no sequential fold and is reproducible on any
+    // engine). The window partitions by source (never a global sort);
+    // at extreme per-source cardinality the same prefix sum decomposes
+    // into the two-pass bucket-subtotal shape Scale.globalRank uses.
+    // The manifest fingerprint is order-free: sha256 over the sorted
+    // per-asset content hashes (the agg_string_concat recipe), so no
+    // collect order can perturb it.
+    "mm_shard_manifest" -> ((s, d) =>
+      payloadFrame(s, d)
+        .selectExpr("doc_id", "source",
+          "CAST(length(payload) AS BIGINT) AS n_bytes",
+          "sha2(upper(hex(payload)), 256) AS h")
+        .withColumn("cum_before",
+          coalesce(sum(col("n_bytes")).over(
+            Window.partitionBy("source").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .selectExpr("source", "cum_before DIV 1024 AS shard_seq",
+          "doc_id", "n_bytes", "h")
+        .groupBy(col("source"), col("shard_seq"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("shard_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sha2(concat_ws(",", array_sort(collect_list(col("h")))), 256)
+            .as("manifest_hash"))
+        .orderBy("source", "shard_seq"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -191,6 +227,23 @@ object MmQueries {
         "SELECT doc_id, n_bytes, n_frames, CAST(fidx AS INT) AS frame_idx, " +
         "CAST(fidx AS BIGINT) * 32 AS off_bytes, " +
         "sha256(substring(hx, CAST(fidx * 64 + 1 AS INT), 64)) AS frame_hash " +
-        "FROM e ORDER BY doc_id, frame_idx")
+        "FROM e ORDER BY doc_id, frame_idx"),
+    "mm_shard_manifest" ->
+      // same payload CTEs; exclusive prefix sum (ROWS ... 1 PRECEDING,
+      // CAST per the window-SUM-widens rule), // == DIV on nonnegative,
+      // order-free fingerprint via string_agg(h ORDER BY h) == Spark's
+      // sorted collect_list
+      (s"WITH $payloadCteSql, " +
+        "a AS (SELECT doc_id, source, CAST(octet_length(bin) AS BIGINT) AS n_bytes, " +
+        "sha256(upper(hex(bin))) AS h FROM gen), " +
+        "c AS (SELECT doc_id, source, n_bytes, h, " +
+        "CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM a) " +
+        "SELECT source, cum_before // 1024 AS shard_seq, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_assets, " +
+        "CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes, " +
+        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc, " +
+        "sha256(string_agg(h, ',' ORDER BY h)) AS manifest_hash " +
+        "FROM c GROUP BY 1, 2 ORDER BY source, shard_seq")
   )
 }

@@ -235,6 +235,31 @@ object Text2Queries {
     // bpeTrain for the closed-form greedy-merge parity argument.
     "text_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
 
+    // Inverted-index construction (r9) — the IR primitive under BM25 /
+    // tf-idf (both consume postings implicitly; this DECLARES the index
+    // build): per term, document frequency, collection frequency, and a
+    // bounded posting-list sample (the 5 smallest doc_ids). The sample
+    // is ranked BEFORE aggregation (row_number per term, rn <= 5) so no
+    // aggregate ever collects a df-sized list — a common term's full
+    // posting list is corpus-sized and must never ride through a
+    // collect_list at 100 TB; the final concat folds <= 5 rows. One
+    // explode + two keyed aggregates + one keyed window.
+    "text_postings" -> ((s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val cf = tk.groupBy("term").agg(count(lit(1)).as("cf"))
+      val dd = tk.distinct()
+      val df = dd.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("term").orderBy("doc_id")
+      val top = dd.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .groupBy("term")
+        .agg(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast(StringType))).as("top_docs"))
+      cf.join(df, "term").join(top, "term")
+        .select("term", "df", "cf", "top_docs")
+        .orderBy("term")
+    }),
+
     // Keep-BEST dedup: per normalized-content hash keep the highest
     // quality-score duplicate (ties to the smaller doc_id) — the form a
     // training-data pipeline actually wants, vs keep-min-id. The score is
@@ -1227,6 +1252,20 @@ object Text2Queries {
         // 3 chained merge rounds: winner CTE per round, greedy merge
         // via the same clamped closed-form parity test (bpeMergedSql)
         bpeTrainSql,
+      "text_postings" ->
+        // same rank-before-aggregate shape; list_sort on <= 5 BIGINTs
+        // == Spark's array_sort(collect_list), numeric order (never
+        // sort the stringified ids); COUNT casts per the HUGEINT rule
+        ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+         "cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM tk GROUP BY 1), " +
+         "dd AS (SELECT DISTINCT term, doc_id FROM tk), " +
+         "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dd GROUP BY 1), " +
+         "top AS (SELECT term, doc_id FROM (SELECT term, doc_id, " +
+         "row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM dd) WHERE rn <= 5), " +
+         "p AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS top_docs " +
+         "FROM top GROUP BY 1) " +
+         "SELECT cf.term AS term, df, cf, top_docs " +
+         "FROM cf JOIN df USING (term) JOIN p USING (term) ORDER BY term"),
       "text_oov_rate" ->
         // same top-25 vocab tie-break, broadcast-able LEFT JOIN
         // membership, one keyed rollup, the shared division string

@@ -81,6 +81,11 @@ object Plans {
        "the inverted-index shingle join again (the test side is a corpus-sized split — never " +
        "broadcast), two keyed count-distinct rollups, and clean-source zeros from a left join " +
        "off the bounded per-source base."),
+    "mm_shard_manifest" ->
+      ("shard membership is a pure integer exclusive-prefix-sum DIV budget over a window " +
+       "PARTITIONED BY source — never a global sort; the manifest fingerprint aggregates " +
+       "SORTED per-asset hashes so no collect order can perturb it; one window + one keyed " +
+       "aggregate over row-local payload hashing."),
     "dedup_embed_kmeans" ->
       ("SemDeDup-shape semantic dedup: pair candidacy bounded by the LEARNED k-means cell " +
        "instead of a label or an LSH band — assignment is a map pass against the broadcast " +
@@ -277,6 +282,11 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "dq_skew_census" ->
+      ("per key domain, ONE keyed count with map-side partials feeding a keys=[] scalar fold " +
+       "(partial_ + bounded SinglePartition); the hottest-key argmax is a min(struct) " +
+       "AGGREGATE, never a row_number window over the key space — the census that sizes " +
+       "salting factors never itself skews."),
     "dq_referential_integrity" ->
       ("every FK check is ONE shuffle join on the key + a conditional scalar aggregate — " +
        "never a separate anti-join scan per metric; the nation parent enters as a " +

@@ -56,7 +56,7 @@ class MultimodalSpec extends SparkSpec {
     val landed = spark.read.parquet(queries.ScanQueries.scratch("mm_binary", sf))
     assert(landed.schema("payload").dataType === BinaryType)
     val byId = landed.collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
     def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def chainBytes(id: Long): Array[Byte] = {
@@ -133,6 +133,40 @@ class MultimodalSpec extends SparkSpec {
         val slice = hx.substring(fi * 64, math.min(fi * 64 + 64, hx.length))
         assert(fh === sha(slice), s"frame $fi of doc $docId")
       }
+    }
+  }
+
+  test("mm_shard_manifest: shards partition each source's assets under the fill-then-cut rule") {
+    // independent JVM recompute of the packing: per source, doc_id
+    // order, exclusive byte prefix sum, shard = cum_before / 1024 —
+    // the manifest must be exactly the per-shard rollup of that walk.
+    val assets = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        (r.getString(1), id, (id % 5 + 1) * 32)   // payload bytes by construction
+      }
+    val walk = assets.groupBy(_._1).toSeq.flatMap { case (src, as) =>
+      var cum = 0L
+      as.sortBy(_._2).toSeq.map { case (_, id, nb) =>
+        val shard = cum / 1024L; cum += nb; (src, shard, id, nb)
+      }
+    }
+    val expected = walk.groupBy(w => (w._1, w._2)).map { case ((src, sh), ws) =>
+      (src, sh) -> (ws.size.toLong, ws.map(_._4).sum, ws.map(_._3).min, ws.map(_._3).max)
+    }
+    val out = SparkEntry.queries("mm_shard_manifest")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out === expected, "manifest must equal the reference packing walk")
+    // every shard respects the budget modulo its last asset (fill-then-cut:
+    // bytes-before-last < budget), shard seqs are contiguous from 0
+    expected.foreach { case ((src, sh), (n, bytes, _, lastDoc)) =>
+      val lastBytes = (lastDoc % 5 + 1) * 32
+      assert(bytes - lastBytes < 1024L, s"shard ($src, $sh) overfilled before its last asset")
+    }
+    expected.keys.groupBy(_._1).foreach { case (src, ks) =>
+      val seqs = ks.map(_._2).toSeq.sorted
+      assert(seqs === (0L until seqs.length).toSeq, s"$src shard seqs must be contiguous")
     }
   }
 }

@@ -881,4 +881,50 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState moment monitor equals batch dq_anomaly_zscore under REVERSED batching") {
+    // the streaming face of the anomaly gauges: per-series integer
+    // moments (n, sum, sum of squares) folded commutatively, so arrival
+    // order must NOT matter — reversed uneven batches, exact moment
+    // parity, and the consumer-derived z (the batch query's exact IEEE
+    // op order over the same integers) must match the batch emission.
+    withRocksDB {
+      val hc = Tables.events(spark, sf)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt")).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      val rows = hc.map(t => (t._1, t._3))
+      val batches = rows.grouped((rows.length + 3) / 4).toSeq.reverse
+      val input = MemoryStream[(String, Long)](spark)
+      val stream = graft.streaming.MomentsProcessor.momentsStream(
+        input.toDF().toDF("series", "x"))
+      val q = stream.writeStream.format("memory").queryName("mom_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // max-n row per series is the current moment state
+      val facts = spark.table("mom_incr").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).values.map(_.maxBy(_._2))
+        .map(f => f._1 -> (f._2, f._3, f._4)).toMap
+      val exp = hc.groupBy(_._1).map { case (t, rs) =>
+        t -> (rs.size.toLong, rs.map(_._3).sum, rs.map(x => x._3 * x._3).sum) }
+      assert(facts === exp, "streamed moments must equal the batch moments exactly")
+      // consumer-side gauge: the batch query's op order over the facts
+      val expected = SparkEntry.queries("dq_anomaly_zscore")(spark, sf).collect()
+        .map(r => ((r.getString(0), r.getTimestamp(1)),
+          (r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+      assert(expected.nonEmpty)
+      hc.foreach { case (t, h, cnt) =>
+        val (n, s, ss) = facts(t)
+        val mean = s.toDouble / n
+        val variance = (ss.toDouble - s.toDouble * s / n) / (n - 1)
+        val z = if (n == 1 || variance <= 0.0) 0.0 else (cnt - mean) / math.sqrt(variance)
+        val (bCnt, bZ, bAnom) = expected((t, h))
+        assert(bCnt === cnt)
+        assert(math.abs(z - bZ) < 1.1e-6, s"z for ($t, $h)")
+        assert(bAnom === (math.abs(z) > 3.0), s"flag for ($t, $h)")
+      }
+    }
+  }
 }
