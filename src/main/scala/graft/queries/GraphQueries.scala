@@ -128,6 +128,27 @@ object GraphQueries {
         .orderBy("deg")
     }),
 
+    // Connected-components census (r9) — the CC operator DECLARED on a
+    // graph-family graph (it powers every dedup_cluster_* query; here
+    // it censuses the co-purchase graph's component structure): nodes =
+    // all basketed parts (singletons count), edges = the SHARED
+    // supportedPairs frame (one pair/threshold definition with affinity
+    // and triangles), components via Scale.connectedComponents (the
+    // distributed min-label loop, per-round checkpoint truncation), then
+    // the component-SIZE histogram — the number that says whether the
+    // graph is one giant component or fragments. Oracle: the same
+    // recursive-closure shape as dedup_cluster_cc over the mirrored
+    // basketCteSql pair set.
+    "graph_components" -> ((s, d) => {
+      val p = basketItems(s, d)
+      val cc = graft.operators.Scale.connectedComponents(
+        p.select(col("pk").as("id")).distinct(),
+        supportedPairs(p).select(col("p1").as("src"), col("p2").as("dst")))
+      cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_components"))
+        .orderBy("csize")
+    }),
+
     // Market-basket affinity (r6): co-purchase pairs with support >= 2
     // and lift — association mining's first pass. Pair generation is the
     // within-basket self-join on the ORDER key: pairs per basket are
@@ -441,6 +462,19 @@ object GraphQueries {
       "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"
 
   val oracle: Map[String, String] = Map(
+    "graph_components" ->
+      // the dedup_cluster_cc recursive-closure shape over the shared
+      // basket pair CTEs; set-semantics UNION converges; min-label ==
+      // Scale.connectedComponents' min propagation
+      (s"WITH RECURSIVE $basketCteSql, " +
+       "e AS (SELECT p1 AS u, p2 AS v FROM pr UNION ALL SELECT p2, p1 FROM pr), " +
+       "nodes AS (SELECT DISTINCT pk AS id FROM p), " +
+       "reach AS (SELECT id AS n, id AS r FROM nodes " +
+       "UNION SELECT e.v AS n, reach.r AS r FROM reach JOIN e ON e.u = reach.n), " +
+       "c AS (SELECT n, MIN(r) AS cluster FROM reach GROUP BY 1), " +
+       "s AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize FROM c GROUP BY 1) " +
+       "SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components FROM s " +
+       "GROUP BY 1 ORDER BY 1"),
     "graph_bfs_dist" ->
       // recursive-CTE BFS: enumerate (node, depth) pairs to the hop bound
       // (set-semantics UNION bounds the recursion), then MIN(d) per node

@@ -36,6 +36,21 @@ object ScanQueries {
       .repartition(col("o_year"))
       .write.mode("overwrite").partitionBy("o_year").parquet(out)
 
+  /** Directory-grain retention delete: drop o_year=* partitions below
+    * the cutoff. One bounded FS listing (one entry per year); ONE
+    * definition shared by sink_retention_vacuum and its SourcesSpec
+    * mechanism test. */
+  private[graft] def vacuumYears(s: org.apache.spark.sql.SparkSession,
+      out: String, keepFrom: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.isDirectory).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("o_year=") && nm.drop(7).toInt < keepFrom)
+          fs.delete(st.getPath, true)
+      }
+  }
+
   val queries: Map[String, Q] = Map(
     // Full scan, all columns. NOTE: (l_orderkey, l_linenumber) is NOT
     // unique in the fixtures — l_extendedprice completes a total order.
@@ -252,6 +267,29 @@ object ScanQueries {
         .orderBy("event_type")
     }),
 
+    // Retention vacuum (r9) — the partition-lifecycle op every landed
+    // table runs on a schedule: land the partitioned history, then
+    // DELETE the partition directories older than the retention cutoff
+    // (keep o_year >= 1996) and read back what survives. Partition
+    // enumeration is one bounded FS listing (one entry per year — the
+    // sink_compaction getContentSummary class of driver work), deletion
+    // is directory-grain (never row-level rewrite: at 100 TB a
+    // retention pass that rewrites surviving data has already lost).
+    // The oracle aggregates the EXPECTED post-retention state straight
+    // from the source, so a vacuum that dropped a keeper or kept a
+    // dropper cannot hash-match; SourcesSpec additionally pins that
+    // surviving partition files keep name+size+mtime (vacuum must not
+    // touch what it keeps) and that expired directories are GONE.
+    "sink_retention_vacuum" -> ((s, d) => {
+      val out = scratch("retention", d)
+      landPartitionedOrders(s, d, out)
+      vacuumYears(s, out, 1996)
+      s.read.parquet(out)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"), sumDec2(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_year")
+    }),
+
     // Dynamic partition overwrite (r6e) — THE scheduled-migration write
     // semantics (a re-run re-lands only the partitions present in its
     // batch; static overwrite would TRUNCATE the table): land the full
@@ -387,6 +425,14 @@ object ScanQueries {
        "COUNT(DISTINCT event_id) AS n_ids, " +
        "CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents " +
        "FROM events GROUP BY 1 ORDER BY 1"),
+    "sink_retention_vacuum" ->
+      // expected post-retention state straight from the source: only
+      // the surviving years; a truncating or over-eager vacuum cannot
+      // match (year() returns BIGINT in DuckDB — cast to INT, the
+      // partition-inference rule)
+      ("SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+       "FROM orders WHERE year(o_orderdate) >= 1996 GROUP BY 1 ORDER BY 1"),
     "sink_dynamic_overwrite" ->
       // expected FINAL table state straight from the source: 1997 rows
       // carry the moneyD-revised price, all other years the original;

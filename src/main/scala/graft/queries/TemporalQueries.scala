@@ -654,6 +654,49 @@ object TemporalQueries {
         .orderBy("day")
     }),
 
+    // LTTB downsampling (r9) — the dashboard-grade series reducer
+    // (Steinarsson's Largest-Triangle-Three-Buckets, mean-anchor
+    // variant): pick ONE visually-dominant point per bucket — the one
+    // maximizing the triangle area against the NEIGHBOR buckets' mean
+    // points — plus the pinned first/last endpoints. The anchor means
+    // are rationals s/n, so every area is multiplied through by
+    // np²·nn: four BIGINT factors (day grain is bounded — days don't
+    // scale with data, only counts do), each CAST DECIMAL(19,0) before
+    // the cross-products so the products are DECIMAL(38,0)-exact on
+    // both engines at any count magnitude (the ks/emd rule) — the
+    // argmax compares exact integers, nothing FP anywhere. Shape: the
+    // bucketed day frame checkpoints once (3 consumers), the 10-row
+    // mean frame broadcasts to its ±1-shifted joins, selection is the
+    // (-area, day) min-struct AGGREGATE carrying cnt.
+    "ts_downsample_lttb" -> ((s, d) => {
+      val dc = Tables.events(s, d)
+        .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+      val bounds = dc.agg(min("day").as("mn"), max("day").as("mx"))
+      val bk = dc.crossJoin(broadcast(bounds))
+        .selectExpr("CAST(((day - mn) * 10) DIV (mx - mn + 1) AS INT) AS bucket",
+          "day", "cnt")
+        .localCheckpoint(true)
+      val m = bk.groupBy("bucket")
+        .agg(sum("day").as("sx"), sum("cnt").as("sy"), count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val mp = m.selectExpr("bucket + 1 AS bucket", "sx AS sxp", "sy AS syp", "n AS np")
+      val mc = m.selectExpr("bucket - 1 AS bucket", "sx AS sxc", "sy AS syc", "n AS nn")
+      val sel = bk.where(col("bucket").between(1, 8))
+        .join(broadcast(mp), "bucket").join(broadcast(mc), "bucket")
+        .selectExpr("bucket", "day", "cnt", s"-($lttbAreaExpr) AS na")
+        .groupBy("bucket")
+        .agg(min(struct(col("na"), col("day").as("dy"), col("cnt").as("c"))).as("s"))
+        .selectExpr("bucket", "s.dy AS day", "s.c AS cnt")
+      val first = bk.where(col("bucket") === 0)
+        .agg(min(struct(col("day").as("dy"), col("cnt").as("c"))).as("s"))
+        .selectExpr("0 AS bucket", "s.dy AS day", "s.c AS cnt")
+      val last = bk.where(col("bucket") === 9)
+        .agg(min(struct((-col("day")).as("nd"), col("cnt").as("c"))).as("s"))
+        .selectExpr("9 AS bucket", "-s.nd AS day", "s.c AS cnt")
+      first.union(sel).union(last).orderBy("bucket")
+    }),
+
     // CDC "last write wins": latest event per (user, type) — the Salesforce
     // upsert-compaction the reference's migration performs per object.
     "ts_dedup_latest" -> ((s, d) => {
@@ -706,7 +749,39 @@ object TemporalQueries {
       "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
       "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) END"
 
+  /** LTTB scaled triangle area over (day, cnt) vs the ±1-bucket mean
+    * anchors (sxp/syp/np, sxc/syc/nn) — ONE fixed-order string shared
+    * by the Spark selection and the oracle (a def — the ts_decompose
+    * init-order rule): BIGINT factors, DECIMAL(19,0) casts before the
+    * cross-products so both engines multiply exactly at any count
+    * magnitude. */
+  private def lttbAreaExpr: String =
+    "abs(CAST(sxp * nn - sxc * np AS DECIMAL(19,0)) * CAST(cnt * np - syp AS DECIMAL(19,0)) - " +
+      "CAST(sxp - day * np AS DECIMAL(19,0)) * CAST(syp * nn - syc * np AS DECIMAL(19,0)))"
+
   val oracle: Map[String, String] = Map(
+    "ts_downsample_lttb" ->
+      // same bucket/mean/anchor chain; struct_pack argmax carrying cnt
+      ("WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+       "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+       "bo AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM dc), " +
+       "bk AS (SELECT CAST(((day - mn) * 10) // (mx - mn + 1) AS INT) AS bucket, day, cnt " +
+       "FROM dc CROSS JOIN bo), " +
+       "m AS (SELECT bucket, CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(cnt) AS BIGINT) AS sy, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM bk GROUP BY 1), " +
+       "cand AS (SELECT b.bucket, b.day, b.cnt, p.sx AS sxp, p.sy AS syp, p.n AS np, " +
+       "x.sx AS sxc, x.sy AS syc, x.n AS nn " +
+       "FROM bk b JOIN m p ON p.bucket = b.bucket - 1 JOIN m x ON x.bucket = b.bucket + 1 " +
+       "WHERE b.bucket BETWEEN 1 AND 8), " +
+       s"sel AS (SELECT bucket, (MIN(struct_pack(na := -($lttbAreaExpr), dy := day, c := cnt))).dy AS day, " +
+       s"(MIN(struct_pack(na := -($lttbAreaExpr), dy := day, c := cnt))).c AS cnt FROM cand GROUP BY 1), " +
+       "fl AS (SELECT 0 AS bucket, (MIN(struct_pack(dy := day, c := cnt))).dy AS day, " +
+       "(MIN(struct_pack(dy := day, c := cnt))).c AS cnt FROM bk WHERE bucket = 0), " +
+       "la AS (SELECT 9 AS bucket, -((MIN(struct_pack(nd := -day, c := cnt))).nd) AS day, " +
+       "(MIN(struct_pack(nd := -day, c := cnt))).c AS cnt FROM bk WHERE bucket = 9) " +
+       "SELECT bucket, day, cnt FROM " +
+       "(SELECT * FROM fl UNION ALL SELECT * FROM sel UNION ALL SELECT * FROM la) " +
+       "ORDER BY bucket"),
     "ts_forecast_eval" ->
       // the identical recurrence on the train prefix (last 3 days held
       // out), exact integer errors, the shared wapeF division

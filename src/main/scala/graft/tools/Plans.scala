@@ -282,6 +282,20 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "graph_components" ->
+      ("component discovery is the distributed min-label join+groupBy loop with per-round " +
+       "localCheckpoint truncation (the dedup_cluster_cc operator on a graph-family graph) — " +
+       "never a driver-side traversal; the emission is two keyed aggregates over the " +
+       "bounded component space."),
+    "ts_downsample_lttb" ->
+      ("the scan ends at the per-day count; every downstream frame is grid-bounded — the " +
+       "bucketed day frame checkpoints once for its three consumers, the 10-row mean frame " +
+       "BROADCASTS to its plus/minus-one-shifted anchor joins, and the per-bucket selection " +
+       "is a min(struct) aggregate over exact integers, never a window and never FP."),
+    "sink_retention_vacuum" ->
+      ("retention is DIRECTORY-grain: one bounded FS listing + per-partition deletes — no " +
+       "row-level rewrite of surviving data; the read-back aggregate is the only scan and " +
+       "it reads only surviving partitions."),
     "dq_skew_census" ->
       ("per key domain, ONE keyed count with map-side partials feeding a keys=[] scalar fold " +
        "(partial_ + bounded SinglePartition); the hottest-key argmax is a min(struct) " +

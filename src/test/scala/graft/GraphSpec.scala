@@ -249,4 +249,30 @@ class GraphSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toMap
     assert(got === refCensus, "BFS census diverges from the frontier reference")
   }
+
+  test("graph_components equals a driver union-find over the same pair rule") {
+    // independent reference: union-find over co-purchase pairs with
+    // support >= 2 (the supportedPairs contract re-derived from raw
+    // lineitem), singletons included via the full basketed-part node set.
+    val rows = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = rows.map(_._2).distinct
+    val pairCnt = rows.groupBy(_._1).values.flatMap { basket =>
+      val pks = basket.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length) yield (pks(i), pks(j))
+    }.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairCnt.filter(_._2 >= 2).keys.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val refHist = nodes.groupBy(find).values.map(_.size.toLong).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+    val got = SparkEntry.queries("graph_components")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === refHist, "component-size histogram diverges from union-find")
+    // masses close over the node set
+    assert(got.map { case (sz, n) => sz * n }.sum === nodes.length.toLong)
+  }
 }

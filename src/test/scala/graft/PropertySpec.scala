@@ -1442,4 +1442,82 @@ class PropertySpec extends SparkSpec {
     assert(nChild === byName("lineitem_orders")._1)
     assert(byName.size === 5)
   }
+
+  test("text_postings: closure, bounds, and sample membership invariants") {
+    import graft.queries.Text2Queries
+    val rows = Text2Queries.queries("text_postings")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // independent token census
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val cfRef = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfRef = docs.flatMap { case (id, tk) => tk.distinct.map(t => (t, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rows.map(_._3).sum === docs.map(_._2.size.toLong).sum, "cf closes over the corpus")
+    rows.foreach { case (term, df, cf, topDocs) =>
+      assert(df <= cf, s"$term df <= cf")
+      assert(cf === cfRef(term), s"$term cf")
+      val postings = dfRef(term)
+      assert(df === postings.size.toLong, s"$term df")
+      val sample = topDocs.split(",").map(_.toLong).toSeq
+      assert(sample === postings.toSeq.sorted.take(5), s"$term sample = 5 smallest postings")
+    }
+  }
+
+  test("dq_skew_census: independent recompute of the events_user domain") {
+    import graft.queries.CdcQueries
+    val rows = CdcQueries.queries("dq_skew_census")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.size === 3)
+    val cnts = Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nRows = cnts.values.sum
+    val nKeys = cnts.size.toLong
+    val maxCnt = cnts.values.max
+    val hottest = cnts.toSeq.map { case (k, c) => (-c, k) }.min._2
+    val (gr, gk, gm, gh, gs) = rows("events_user")
+    assert(gr === nRows, "n_rows")
+    assert(gk === nKeys, "n_keys")
+    assert(gm === maxCnt, "max_cnt")
+    assert(gh === hottest, "hottest key (max mass, ties to smaller key)")
+    assert(math.abs(gs - maxCnt.toDouble * nKeys / nRows) < 1e-5, "skew ratio")
+    // uniform expectation bounds: ratio >= 1 everywhere by construction
+    rows.values.foreach { v => assert(v._5 >= 1.0 - 1e-9, "skew ratio >= 1") }
+  }
+
+  test("ts_downsample_lttb equals a BigInt reference walk; endpoints pinned") {
+    import graft.queries.TemporalQueries
+    val dc = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
+      .groupBy("day").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val mn = dc.map(_._1).min
+    val mx = dc.map(_._1).max
+    val bk = dc.map { case (day, cnt) => (((day - mn) * 10) / (mx - mn + 1)).toInt -> (day, cnt) }
+    val m = bk.groupBy(_._1).view.mapValues { ps =>
+      (BigInt(ps.map(_._2._1).sum), BigInt(ps.map(_._2._2).sum), BigInt(ps.size))
+    }.toMap
+    val expected = (0 to 9).map { b =>
+      val pts = bk.filter(_._1 == b).map(_._2)
+      val (day, cnt) =
+        if (b == 0) pts.minBy(_._1)
+        else if (b == 9) pts.maxBy(_._1)
+        else {
+          val (sxp, syp, np) = m(b - 1)
+          val (sxc, syc, nn) = m(b + 1)
+          pts.map { case (x, y) =>
+            val area = ((sxp * nn - sxc * np) * (BigInt(y) * np - syp) -
+              (sxp - BigInt(x) * np) * (syp * nn - syc * np)).abs
+            ((-area, x), (x, y))
+          }.minBy(_._1)._2
+        }
+      (b, day, cnt)
+    }
+    val got = TemporalQueries.queries("ts_downsample_lttb")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected, "selected points must match the reference walk exactly")
+    assert(got.head._2 === mn && got.last._2 === mx, "endpoints pinned to first/last day")
+  }
 }

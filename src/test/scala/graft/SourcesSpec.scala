@@ -224,6 +224,31 @@ class SourcesSpec extends SparkSpec {
       "merged table state diverges from the recompute")
   }
 
+  test("sink_retention_vacuum: keepers survive byte-identical, expired dirs are gone") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_spec").toString
+    graft.queries.ScanQueries.landPartitionedOrders(spark, sf, dir)
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("o_year=")).map { p =>
+        p.getName -> p.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).sorted.toSeq
+      }.toMap
+    val before = snapshot()
+    val (expired, keepers) = before.keySet.partition(_.drop(7).toInt < 1996)
+    assert(expired.nonEmpty && keepers.nonEmpty, "cutoff must split the landed years")
+    graft.queries.ScanQueries.vacuumYears(spark, dir, 1996)
+    val after = snapshot()
+    assert(after.keySet === keepers, "exactly the expired partitions must be gone")
+    keepers.foreach { p =>
+      assert(before(p) === after(p), s"$p must survive the vacuum untouched")
+    }
+    // surviving rows == source rows for the kept years
+    val survived = spark.read.parquet(dir).count()
+    val expect = Tables.orders(spark, sf)
+      .where(year(col("o_orderdate")) >= 1996).count()
+    assert(survived === expect, "vacuum must keep every row of every kept year")
+  }
+
   test("sink_zorder: file footprints are tight on BOTH dims; a 1-D sort is not") {
     import org.apache.spark.sql.functions._
     // run the declared query once: it lands the z-clustered files
