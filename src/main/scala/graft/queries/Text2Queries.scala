@@ -239,19 +239,27 @@ object Text2Queries {
     // tf-idf (both consume postings implicitly; this DECLARES the index
     // build): per term, document frequency, collection frequency, and a
     // bounded posting-list sample (the 5 smallest doc_ids). The sample
-    // is ranked BEFORE aggregation (row_number per term, rn <= 5) so no
-    // aggregate ever collects a df-sized list — a common term's full
-    // posting list is corpus-sized and must never ride through a
-    // collect_list at 100 TB; the final concat folds <= 5 rows. One
-    // explode + two keyed aggregates + one keyed window.
+    // is ranked BEFORE aggregation AND the ranking is SALTED two-stage
+    // (r9b self-review): a hot term's posting list is corpus-sized, so
+    // a window keyed on the term alone would funnel it through one
+    // reducer — stage 1 takes the per-(term, salt) top-5 across 16
+    // salt lanes (each lane ~df/16), stage 2 re-ranks the <= 80
+    // survivors per term. min-of-lane-mins == global min, so the
+    // emission is identical to the unsalted spelling; no aggregate
+    // ever collects or sorts a df-sized list. One explode + two keyed
+    // aggregates + two bounded-fan windows.
     "text_postings" -> ((s, d) => {
       val tk = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val cf = tk.groupBy("term").agg(count(lit(1)).as("cf"))
       val dd = tk.distinct()
       val df = dd.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("term").orderBy("doc_id")
-      val top = dd.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      val w1 = Window.partitionBy("term", "salt").orderBy("doc_id")
+      val w2 = Window.partitionBy("term").orderBy("doc_id")
+      val top = dd
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)).cast("int"))
+        .withColumn("rn1", row_number().over(w1)).where(col("rn1") <= 5)
+        .withColumn("rn", row_number().over(w2)).where(col("rn") <= 5)
         .groupBy("term")
         .agg(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
           x => x.cast(StringType))).as("top_docs"))

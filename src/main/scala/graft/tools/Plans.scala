@@ -282,6 +282,11 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "text_postings" ->
+      ("the posting sample is ranked before aggregation AND salted two-stage: per-(term, " +
+       "salt) top-5 across 16 lanes, then a re-rank of the <= 80 survivors — a hot term's " +
+       "corpus-sized posting list never funnels through a single reducer and never rides a " +
+       "collect_list; df/cf are plain partial-aggregable keyed counts."),
     "graph_components" ->
       ("component discovery is the distributed min-label join+groupBy loop with per-round " +
        "localCheckpoint truncation (the dedup_cluster_cc operator on a graph-family graph) — " +
