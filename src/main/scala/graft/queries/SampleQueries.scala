@@ -207,10 +207,12 @@ object SampleQueries {
     // distinct shared shingles. This is the number a mixing decision
     // reads (down-weight or re-split a leaky source) where the doc-grain
     // list is what a scrubber consumes. Same scale shape: equality join
-    // on the shingle (inverted index — never train×test doc pairs; the
-    // test side is a corpus-sized split, NOT broadcastable), then two
-    // keyed rollups; the clean-source zero rows come from a left join
-    // off the bounded per-source base frame.
+    // on the shingle (inverted index — never train×test doc pairs; no
+    // broadcast() HINT pins the corpus-sized test split into memory,
+    // the planner picks by stats — broadcast at fixture scale, shuffle
+    // on the shingle key at corpus scale), then two keyed rollups; the
+    // clean-source zero rows come from a left join off the bounded
+    // per-source base frame.
     "text_contamination_census" -> ((s, d) => {
       val shingled = decontShingled(s, d)
       val test = shingled.where(col("split") === "test")

@@ -170,6 +170,58 @@ object SimQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // MMR diversified re-ranking (r9b) — the retrieval op between ANN
+    // and the consumer (RAG context assembly, dedup-aware search):
+    // from the top-12 exact candidates of vec 0, greedily select 5 by
+    // Maximal Marginal Relevance (Carbonell-Goldstein; λ = 1/2 scales
+    // relevance and redundancy equally, so the comparison reduces to
+    // rel − max-sim-to-selected). Stage 1 is the distributed
+    // sim_search_topk scan (native CosineSim + TakeOrdered); the
+    // greedy loop runs driver-side over the BOUNDED 12-candidate
+    // matrix (the kmeans/pca driver-math class) on MICRO-UNIT integers
+    // — the cosines are bit-identical cross-engine (fold parity), so
+    // floor(x·1e6 + 0.5) quantization makes every comparison exact and
+    // the whole selection fully oracled (unrolled 5-step CTE chain, a
+    // bitmask over candidate ranks as the selected-set state). Ties at
+    // equal score go to the smaller vec_id on both engines.
+    "sim_search_mmr" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      import s.implicits._
+      val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cand = Tables.embeddings(s, d).where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(12)
+        .select(col("vec_id"), col("cos"), col("embedding"))
+        .collect()                                 // bounded: 12 rows
+      val ids = cand.map(_.getLong(0))
+      val rel = cand.map(r => math.floor(r.getDouble(1) * 1e6 + 0.5).toLong)
+      val vecs = cand.map(_.getSeq[Float](2).toArray)
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val nrm = vecs.map(v => math.sqrt(dot(v, v)))
+      def simU(i: Int, j: Int): Long =
+        math.floor(dot(vecs(i), vecs(j)) / (nrm(i) * nrm(j)) * 1e6 + 0.5).toLong
+      var sel = Set.empty[Int]
+      val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+      for (k <- 1 to 5) {
+        val (u, mm) = ids.indices.filterNot(sel)
+          .map { u =>
+            val mm = if (sel.isEmpty) rel(u)
+                     else rel(u) - sel.map(j => simU(u, j)).max
+            (u, mm)
+          }.minBy { case (u, mm) => (-mm, ids(u)) }
+        sel += u
+        picks += ((k, ids(u), rel(u), mm))
+      }
+      picks.toSeq.toDF("rank", "vec_id", "rel_u", "mmr_u")
+    }),
+
     // Filtered vector search (r6f) — ANN with a metadata predicate, the
     // operation every RAG store actually serves ("nearest neighbors
     // WHERE tenant/label/date ..."). This is the PRE-FILTER shape: the
@@ -725,6 +777,41 @@ object SimQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
 
+  /** Unrolled 5-step MMR greedy chain (sim_search_mmr): candidates
+    * ranked crn 1..12, selected set carried as a BIGINT bitmask over
+    * crn (≤ 12 bits — far below the 63-bit portable-shift cap), each
+    * step's argmax = ORDER BY mmru DESC, vec_id LIMIT 1 (the driver
+    * loop's exact tie rule). All scores are micro-unit BIGINTs
+    * quantized from bit-identical cosines, so the selection replays
+    * exactly. */
+  private def mmrSql: String = {
+    def step(k: Int): String =
+      s"m$k AS (SELECT c.crn, c.vec_id, c.relu, c.relu - MAX(p.simu) AS mmru, prev.mask AS pmask " +
+        s"FROM s${k - 1} prev JOIN pv c ON ((prev.mask >> (c.crn - 1)) & 1) = 0 " +
+        "JOIN ps p ON p.ca = c.crn AND ((prev.mask >> (p.cb - 1)) & 1) = 1 " +
+        "GROUP BY c.crn, c.vec_id, c.relu, prev.mask), " +
+        s"s$k AS (SELECT $k AS rank, crn, vec_id, relu, mmru, " +
+        "pmask | (CAST(1 AS BIGINT) << (crn - 1)) AS mask " +
+        s"FROM m$k ORDER BY mmru DESC, vec_id LIMIT 1)"
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+      s"c0 AS (SELECT vec_id, embedding, ${dotSql("embedding", "qv")} / " +
+      s"(sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})) AS cos " +
+      "FROM embeddings CROSS JOIN q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 12), " +
+      "pv AS (SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS crn, vec_id, " +
+      "CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS relu, embedding, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM c0), " +
+      "ps AS (SELECT a.crn AS ca, b.crn AS cb, " +
+      s"CAST(floor(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) AS simu " +
+      "FROM pv a JOIN pv b ON a.crn <> b.crn), " +
+      "s1 AS (SELECT 1 AS rank, crn, vec_id, relu, relu AS mmru, " +
+      "CAST(1 AS BIGINT) << (crn - 1) AS mask FROM (SELECT * FROM pv ORDER BY relu DESC, vec_id LIMIT 1)), " +
+      (2 to 5).map(step).mkString(", ") + " " +
+      "SELECT rank, vec_id, relu AS rel_u, mmru AS mmr_u FROM (" +
+      "SELECT rank, vec_id, relu, mmru FROM s1 " +
+      (2 to 5).map(k => s"UNION ALL SELECT rank, vec_id, relu, mmru FROM s$k").mkString(" ") +
+      ") ORDER BY rank"
+  }
+
   /** Plane-dot SQL fragment: the DuckDB mirror of dotD(v, plane k) with the
     * plane's integral thousandths inlined — shared by the single-query LSH
     * oracle (planes 0-15) and the banded pair-generator oracle (all 64). */
@@ -854,6 +941,7 @@ object SimQueries {
        "FROM c ORDER BY vec_id"),
     "sim_search_lsh_batch" -> lshBatchOracleSql,
     "sim_search_lsh" -> lshOracleSql,
+    "sim_search_mmr" -> mmrSql,
     "sim_search_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
        s"s AS (SELECT vec_id, ${dotSql("embedding", "qv")} AS dp, " +

@@ -78,9 +78,10 @@ object Plans {
        "distributes on the shingle key at any corpus size."),
     "text_contamination_census" ->
       ("the source-grain rollup of the SAME shared shingle frame text_decontaminate consumes: " +
-       "the inverted-index shingle join again (the test side is a corpus-sized split — never " +
-       "broadcast), two keyed count-distinct rollups, and clean-source zeros from a left join " +
-       "off the bounded per-source base."),
+       "the inverted-index equality join on the shingle again — no broadcast() HINT pins the " +
+       "test split into memory (the planner broadcasts it at fixture scale by stats; at corpus " +
+       "scale the same plan shuffles on the shingle key), two keyed count-distinct rollups, " +
+       "and clean-source zeros from a left join off the bounded per-source base."),
     "mm_shard_manifest" ->
       ("shard membership is a pure integer exclusive-prefix-sum DIV budget over a window " +
        "PARTITIONED BY source — never a global sort; the manifest fingerprint aggregates " +
@@ -282,6 +283,11 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "sim_search_mmr" ->
+      ("stage 1 is the shuffle-free broadcast-query CosineSim scan + TakeOrderedAndProject " +
+       "(the sim_search_topk shape); the greedy MMR loop then runs on a BOUNDED 12-candidate " +
+       "matrix (driver math, the kmeans/pca class) — no plan node ever sees more than the " +
+       "top-k, and the corpus is scanned exactly once."),
     "text_postings" ->
       ("the posting sample is ranked before aggregation AND salted two-stage: per-(term, " +
        "salt) top-5 across 16 lanes, then a re-rank of the <= 80 survivors — a hot term's " +

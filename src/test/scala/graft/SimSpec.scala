@@ -219,4 +219,48 @@ class SimSpec extends SparkSpec {
       assert(nl != labels(qid))
     }
   }
+
+  test("sim_search_mmr: greedy optimality at every rank; seed = exact top-1") {
+    // independent check of the GREEDY CONTRACT: recompute the candidate
+    // pool and micro-unit scores, then verify each emitted pick strictly
+    // maximizes (rel - max sim to the already-selected set) among the
+    // remaining candidates under the (score DESC, vec_id) tie rule.
+    val out = SparkEntry.queries("sim_search_mmr")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1 to 5))
+    assert(out.map(_._2).distinct.length === 5, "picks must be distinct")
+    // candidate pool: exact top-12 by cosine to vec 0 (brute force)
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val qv = all(0L)
+    val nq = math.sqrt(dot(qv, qv))
+    val pool = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, dot(v, qv) / (math.sqrt(dot(v, v)) * nq)) }
+      .sortBy { case (id, c) => (-c, id) }.take(12)
+    val relU = pool.map { case (id, c) => id -> math.floor(c * 1e6 + 0.5).toLong }.toMap
+    assert(out.forall(p => relU.contains(p._2)), "picks must come from the top-12 pool")
+    assert(out.head._2 === pool.head._1, "rank 1 must be the exact top-1")
+    def simU(a: Long, b: Long): Long = {
+      val (va, vb) = (all(a), all(b))
+      math.floor(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))) * 1e6 + 0.5).toLong
+    }
+    out.foreach { case (k, id, r, mm) =>
+      assert(r === relU(id), s"rank $k rel")
+      val selected = out.filter(_._1 < k).map(_._2)
+      val expMm = if (selected.isEmpty) r else r - selected.map(simU(id, _)).max
+      assert(mm === expMm, s"rank $k mmr score")
+      // no remaining candidate beats this pick under the tie rule
+      val remaining = pool.map(_._1).filterNot(selected.contains).filterNot(_ == id)
+      remaining.foreach { u =>
+        val uMm = if (selected.isEmpty) relU(u)
+                  else relU(u) - selected.map(simU(u, _)).max
+        assert(uMm < mm || (uMm == mm && id < u), s"rank $k: candidate $u beats pick $id")
+      }
+    }
+  }
 }
