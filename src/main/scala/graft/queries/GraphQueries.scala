@@ -116,6 +116,53 @@ object GraphQueries {
         .orderBy("d")
     }),
 
+    // HITS hub/authority centrality (r9c) — the OTHER classic centrality
+    // next to graph_pagerank, and the one that actually fits a BIPARTITE
+    // graph: on supplier->customer directed edges, a supplier is a good
+    // HUB if it serves good customers and a customer a good AUTHORITY if
+    // it buys from good hubs (mutual reinforcement — Kleinberg's a = Aᵀh,
+    // h = Aa). Fully integer like pagerank so both engines replay
+    // bit-identically: scores in micro-units, and the per-round
+    // normalization (textbook HITS normalizes each vector or it diverges)
+    // is an integer max-normalize x' = (x·1e6) DIV max — the
+    // cross-multiplication runs in DECIMAL(38,0) (HUGEINT in the oracle)
+    // so it cannot overflow at any degree scale (the ks/emd rule), and
+    // DIV on nonneg == DuckDB //. Scale shape: the directed edge set is
+    // computed once and checkpointed; each round is TWO shuffle joins +
+    // TWO partial-aggregable groupBys + two BOUNDED keys=[] scalar maxes
+    // broadcast back (the PlanGuard-blessed shape); rounds chain lazily
+    // into one job (the pagerank/BFS loop). The last-round authority
+    // frame is checkpointed once — it feeds BOTH the final hub round and
+    // its own top-12 emission (the multi-consumer rule).
+    "graph_hits" -> ((s, d) => {
+      val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .distinct()
+        .localCheckpoint(true)
+      var hub = e.select(col("sk")).distinct().withColumn("h", lit(1000000L))
+      var auth: DataFrame = null
+      for (k <- 1 to iters) {
+        val ar = e.join(hub, "sk").groupBy("ck").agg(sum("h").as("ar"))
+        val ma = ar.agg(max("ar").as("m"))
+        auth = ar.crossJoin(broadcast(ma))
+          .select(col("ck"),
+            expr("CAST((CAST(ar AS DECIMAL(38,0)) * 1000000) DIV m AS BIGINT)").as("a"))
+        if (k == iters) auth = auth.localCheckpoint(true)
+        val hr = e.join(auth, "ck").groupBy("sk").agg(sum("a").as("hr"))
+        val mh = hr.agg(max("hr").as("m"))
+        hub = hr.crossJoin(broadcast(mh))
+          .select(col("sk"),
+            expr("CAST((CAST(hr AS DECIMAL(38,0)) * 1000000) DIV m AS BIGINT)").as("h"))
+      }
+      hub.orderBy(col("h").desc, col("sk")).limit(12)
+        .select(lit("hub").as("kind"), col("sk").as("entity_key"), col("h").as("score"))
+        .union(auth.orderBy(col("a").desc, col("ck")).limit(12)
+          .select(lit("authority").as("kind"), col("ck").as("entity_key"), col("a").as("score")))
+        .orderBy(col("kind"), col("score").desc, col("entity_key"))
+    }),
+
     // Degree distribution of the same graph, split by entity kind — the
     // skew diagnostic you run BEFORE choosing a join/partition strategy
     // (a heavy-tailed histogram is the signal to salt or bucket). Two
@@ -446,6 +493,23 @@ object GraphQueries {
     "CASE WHEN md * sxxd - sxd * sxd = 0.0 THEN CAST(NULL AS DOUBLE) " +
       "ELSE ((CASE WHEN isnan(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd))) OR abs(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd))) >= 9e12 THEN CAST(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd)) AS DOUBLE) ELSE CAST(floor(((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) END"
 
+  /** One DuckDB HITS round: authority = max-normalized hub sums over
+    * in-edges, then hub = max-normalized authority sums over out-edges —
+    * the identical integer ops as the query (SUM cast back from HUGEINT,
+    * the normalization cross-multiplication IN HUGEINT, // == DIV on
+    * nonnegative). */
+  private def hitsRoundSql(k: Int): String =
+    s"ar$k AS (SELECT ck, CAST(SUM(h) AS BIGINT) AS ar " +
+      s"FROM eh JOIN h${k - 1} USING (sk) GROUP BY ck), " +
+      s"ma$k AS (SELECT MAX(ar) AS m FROM ar$k), " +
+      s"a$k AS (SELECT ck, CAST((CAST(ar AS HUGEINT) * 1000000) // m AS BIGINT) AS a " +
+      s"FROM ar$k CROSS JOIN ma$k), " +
+      s"hr$k AS (SELECT sk, CAST(SUM(a) AS BIGINT) AS hr " +
+      s"FROM eh JOIN a$k USING (ck) GROUP BY sk), " +
+      s"mh$k AS (SELECT MAX(hr) AS m FROM hr$k), " +
+      s"h$k AS (SELECT sk, CAST((CAST(hr AS HUGEINT) * 1000000) // m AS BIGINT) AS h " +
+      s"FROM hr$k CROSS JOIN mh$k)"
+
   /** One DuckDB label-propagation round: per-(node, label) neighbor
     * counts, then the identical (-cnt, lbl) min-struct argmax. */
   private def lpRoundSql(it: Int): String =
@@ -519,6 +583,19 @@ object GraphQueries {
        s"t AS (SELECT id, r FROM r$iters ORDER BY r DESC, id LIMIT 20) " +
        "SELECT id AS node, CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind, " +
        "id // 2 AS entity_key, r AS pr FROM t ORDER BY pr DESC, node"),
+    "graph_hits" ->
+      // directed bipartite edge CTE, three unrolled hub/authority rounds
+      // with the identical integer max-normalization, top-12 per side
+      ("WITH eh AS (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+       "h0 AS (SELECT DISTINCT sk, CAST(1000000 AS BIGINT) AS h FROM eh), " +
+       (1 to iters).map(hitsRoundSql).mkString(", ") + ", " +
+       s"th AS (SELECT sk, h FROM h$iters ORDER BY h DESC, sk LIMIT 12), " +
+       s"ta AS (SELECT ck, a FROM a$iters ORDER BY a DESC, ck LIMIT 12) " +
+       "SELECT kind, entity_key, score FROM (" +
+       "SELECT 'hub' AS kind, sk AS entity_key, h AS score FROM th " +
+       "UNION ALL SELECT 'authority', ck, a FROM ta) " +
+       "ORDER BY kind, score DESC, entity_key"),
     "graph_basket_affinity" ->
       // COUNT(*) sums cast back from HUGEINT-free paths (plain BIGINT);
       // lift = identical fixed-order double ops off exact integer counts

@@ -283,6 +283,13 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "graph_hits" ->
+      ("the pagerank Pregel-as-DataFrame loop with a per-round scalar normalize: each round " +
+       "is two shuffle joins + two partial-aggregable groupBys over the ONCE-checkpointed " +
+       "directed edge set, plus two BOUNDED keys=[] max aggregates broadcast back (the " +
+       "PlanGuard-blessed scalar shape) — the normalization cross-multiplication runs in " +
+       "DECIMAL(38,0) so no degree scale overflows it, and the last-round authority frame " +
+       "is checkpointed once for its two consumers."),
     "sim_search_mmr" ->
       ("stage 1 is the shuffle-free broadcast-query CosineSim scan + TakeOrderedAndProject " +
        "(the sim_search_topk shape); the greedy MMR loop then runs on a BOUNDED 12-candidate " +

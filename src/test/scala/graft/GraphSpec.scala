@@ -34,6 +34,36 @@ class GraphSpec extends SparkSpec {
     assert(kinds.nonEmpty && kinds.subsetOf(Set("supplier", "customer")))
   }
 
+  test("graph_hits equals an in-memory integer max-normalized reference (sf0.001)") {
+    // same directed bipartite edge set, same recurrence: a = norm(A'h),
+    // h = norm(Aa), norm(x) = (x * 1e6) / max — BigInt products mirror
+    // the query's DECIMAL(38,0) cross-multiplication exactly.
+    val ed = Tables.lineitem(spark, sf).select("l_suppkey", "l_orderkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var hub = ed.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = BigInt(m.values.max)
+      m.map { case (k, v) => k -> ((BigInt(v) * 1000000) / mx).toLong }
+    }
+    for (_ <- 1 to 3) {
+      auth = norm(ed.groupBy(_._2).map { case (c, es) => c -> es.map(e => hub(e._1)).sum })
+      hub = norm(ed.groupBy(_._1).map { case (s, es) => s -> es.map(e => auth(e._2)).sum })
+    }
+    val expH = hub.toSeq.sortBy { case (id, v) => (-v, id) }.take(12)
+    val expA = auth.toSeq.sortBy { case (id, v) => (-v, id) }.take(12)
+    val got = SparkEntry.queries("graph_hits")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.filter(_._1 == "hub").map(t => (t._2, t._3)).toSeq === expH)
+    assert(got.filter(_._1 == "authority").map(t => (t._2, t._3)).toSeq === expA)
+    // normalization invariant: each side's max score is exactly 1e6
+    assert(got.filter(_._1 == "hub").map(_._3).max === 1000000L)
+    assert(got.filter(_._1 == "authority").map(_._3).max === 1000000L)
+  }
+
   test("graph_label_prop equals an in-memory synchronous LPA reference (sf0.001)") {
     val e0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
