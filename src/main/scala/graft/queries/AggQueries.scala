@@ -522,6 +522,32 @@ object AggQueries {
         .orderBy("grp")
     }),
 
+    // Differentially-private histogram release (r9c) — the mechanism a
+    // pipeline runs before SHARING corpus statistics (per-source doc
+    // counts to a partner, per-cohort rollups to a dashboard): add
+    // discrete-Laplace noise to each count (ε = ln 2 per unit
+    // sensitivity; the two-sided geometric with p = 1/2, truncated to
+    // ±8 and renormalized). The noise is DETERMINISTIC by design —
+    // inverse-CDF over the portable 60-bit salted hash of the GROUP KEY
+    // against Scala-derived integer thresholds (the poissonThresholds /
+    // aaWeights pattern), so re-runs and both engines release IDENTICAL
+    // numbers: reproducible-release semantics (noise fixed per key per
+    // salt epoch — rotate the salt to re-draw), and the whole mechanism
+    // is fully oracled. Map-side: one keyed count, one hash per GROUP
+    // (bounded), no second pass. A real release would drop n_true/noise
+    // from the emission; they are emitted here because the contract IS
+    // the mechanism arithmetic. GREATEST clamps the noisy count at 0.
+    "agg_dp_counts" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_true"))
+        .withColumn("h", SampleQueries.phash(col("n_name"), "dp:"))
+        .selectExpr("n_name", "n_true", s"CAST(${dpNoiseSql("h")} AS BIGINT) AS noise")
+        .selectExpr("n_name", "n_true", "noise",
+          "GREATEST(n_true + noise, CAST(0 AS BIGINT)) AS n_noisy")
+        .orderBy("n_name")
+    }),
+
     // Custom typed UDAF surface. Rounded to 3 dp: the log-sum order differs
     // between engines and exp() amplifies the ulp drift past 1e-6.
     "agg_udaf_geomean" -> ((s, d) => {
@@ -533,6 +559,27 @@ object AggQueries {
         .orderBy("l_returnflag")
     })
   )
+
+  /** Discrete-Laplace (two-sided geometric, p = 1/2 ⇒ ε = ln 2)
+    * inverse-CDF thresholds on the 60-bit hash range, truncated to
+    * [-8, 8] and renormalized: floor(CDF(k)/S · 2^60) for k = -8..7
+    * (16 thresholds; h past the last ⇒ +8). Derived ONCE in Scala and
+    * interpolated into query AND oracle (the poissonThresholds
+    * pattern), so the double precision of the derivation is irrelevant
+    * to parity. */
+  private[queries] val dpThresholds: Seq[Long] = {
+    val raw = (-8 to 8).map(k => math.pow(0.5, math.abs(k)))
+    val tot = raw.sum
+    raw.init.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c / tot * math.pow(2.0, 60)).toLong)
+  }
+
+  /** The noise CASE over a 60-bit hash column — shared formula string
+    * (same literals, same comparison order, both dialects). */
+  private[queries] def dpNoiseSql(h: String): String =
+    dpThresholds.zipWithIndex
+      .map { case (t, i) => s"WHEN $h < $t THEN ${i - 8}" }
+      .mkString("CASE ", " ", " ELSE 8 END")
 
   /** ONE formula text for skewness / excess kurtosis over the double-cast
     * raw moments (m1..m4, n) — valid Spark SQL AND DuckDB SQL, used
@@ -576,6 +623,16 @@ object AggQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "agg_dp_counts" ->
+      // the identical salted hash + the same Scala-derived threshold
+      // literals (no DuckDB randomness anywhere); COUNT cast from the
+      // r6d HUGEINT rule; GREATEST clamp mirrored
+      ("WITH c AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_true " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1), " +
+       s"h AS (SELECT n_name, n_true, ${hash60Sql("'dp:' || CAST(n_name AS VARCHAR)")} AS h FROM c), " +
+       s"n AS (SELECT n_name, n_true, CAST(${dpNoiseSql("h")} AS BIGINT) AS noise FROM h) " +
+       "SELECT n_name, n_true, noise, " +
+       "GREATEST(n_true + noise, CAST(0 AS BIGINT)) AS n_noisy FROM n ORDER BY n_name"),
     "agg_regression" -> {
       val (slopeF, interF, r2F) = regressionFormulas
       "WITH b AS (SELECT l_returnflag AS grp, " +

@@ -283,6 +283,11 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "agg_dp_counts" ->
+      ("one keyed count + one hash per GROUP (bounded by the key domain, not the row count) " +
+       "— the DP noise is a pure map-side CASE over Scala-derived threshold literals, so the " +
+       "release costs exactly one partial-aggregable scan at any corpus size and re-runs " +
+       "release IDENTICAL numbers (deterministic inverse-CDF noise, no engine randomness)."),
     "graph_hits" ->
       ("the pagerank Pregel-as-DataFrame loop with a per-round scalar normalize: each round " +
        "is two shuffle joins + two partial-aggregable groupBys over the ONCE-checkpointed " +

@@ -590,6 +590,41 @@ class PropertySpec extends SparkSpec {
       "fixture checksums should be pairwise distinct")
   }
 
+  test("agg_dp_counts: independent noise recompute from the key hash; mechanism invariants") {
+    def hash60(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    // independent threshold re-derivation (same math, written fresh):
+    // two-sided geometric p=1/2 truncated to [-8,8], renormalized
+    val raw = (-8 to 8).map(k => math.pow(0.5, math.abs(k)))
+    val thr = raw.init.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c / raw.sum * math.pow(2.0, 60)).toLong)
+    def noise(key: String): Long = {
+      val h = hash60("dp:" + key)
+      val idx = thr.count(_ <= h)
+      (idx - 8).toLong
+    }
+    val trueCnt = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("agg_dp_counts")(spark, sf).collect()
+    assert(rows.length === trueCnt.size)
+    rows.foreach { r =>
+      val (name, nt, nz, nn) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt === trueCnt(name), s"$name true count")
+      assert(nz === noise(name), s"$name noise")
+      assert(math.abs(nz) <= 8L, s"$name noise bound")
+      assert(nn === math.max(nt + nz, 0L), s"$name clamped release")
+    }
+    // the mechanism actually perturbs on this fixture: some key gets
+    // nonzero noise (P[all 25 draws = 0] = (1/3)^25 — if this ever
+    // fires, the hash pipeline is broken, not unlucky)
+    assert(rows.exists(_.getLong(2) != 0L), "all noise zero — hash path broken")
+  }
+
   test("dq_outlier_iqr: independent per-group fence recompute") {
     val raw = Tables.orders(spark, sf)
       .selectExpr("o_orderpriority", "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
