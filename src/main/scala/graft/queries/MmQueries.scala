@@ -143,6 +143,34 @@ object MmQueries {
           "sha2(substring(hx, fidx * 64 + 1, 64), 256) AS frame_hash")
         .orderBy("doc_id", "frame_idx")),
 
+    // Exact binary-asset dedup census (r9c) — the first pass of any
+    // multimodal ingest: group the OPAQUE payload column by its bytes
+    // (equality on BinaryType directly — no pre-hash step, the engine
+    // dedups blobs like any key) and census the copy structure per
+    // source. Payloads here are CONTENT-keyed (chained sha of the
+    // normalized text, NOT of doc_id — two docs with the same content
+    // carry byte-identical payloads, the "same image re-uploaded"
+    // shape), so the census is non-trivial wherever exact text dups
+    // exist (sf0.01+; sf0.001 has none — r6g fact — and the census
+    // degenerates to all-unique there, which is itself the assertion).
+    // Scale shape: ONE two-level keyed aggregate — (source, payload)
+    // partial-combines map-side, then the bounded per-source rollup;
+    // keeper = min doc_id per copy group (the dedup survivor rule).
+    "mm_dedup_binary" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ch", TextQueries.contentHash(col("text")))
+        .selectExpr("doc_id", "source",
+          "unhex(concat(ch, sha2(ch, 256))) AS payload")
+        .groupBy("source", "payload")
+        .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"))
+        .groupBy("source")
+        .agg(sum("copies").as("n_assets"),
+          count(lit(1)).as("n_unique"),
+          (sum("copies") - count(lit(1))).as("n_dup_rows"),
+          max("copies").as("max_copies"),
+          min("keeper").as("min_keeper"))
+        .orderBy("source")),
+
     // Shard-packing MANIFEST (r9) — the WebDataset/tar-shard planning
     // step of a multimodal ingest: pack each source's assets, in
     // doc_id order, into ~1 KiB shards and emit one manifest row per
@@ -228,6 +256,20 @@ object MmQueries {
         "CAST(fidx AS BIGINT) * 32 AS off_bytes, " +
         "sha256(substring(hx, CAST(fidx * 64 + 1 AS INT), 64)) AS frame_hash " +
         "FROM e ORDER BY doc_id, frame_idx"),
+    "mm_dedup_binary" ->
+      // same normalized-content hash chain (the contentHash mirror with
+      // the 'g' flag), BLOB group-by on the unhexed payload, identical
+      // two-level rollup (SUM/COUNT cast per the r6d HUGEINT rule)
+      ("WITH ch AS (SELECT doc_id, source, " +
+        "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS ch FROM documents), " +
+        "pf AS (SELECT doc_id, source, unhex(ch || sha256(ch)) AS payload FROM ch), " +
+        "g AS (SELECT source, payload, CAST(COUNT(*) AS BIGINT) AS copies, " +
+        "MIN(doc_id) AS keeper FROM pf GROUP BY 1, 2) " +
+        "SELECT source, CAST(SUM(copies) AS BIGINT) AS n_assets, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_unique, " +
+        "CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dup_rows, " +
+        "MAX(copies) AS max_copies, MIN(keeper) AS min_keeper " +
+        "FROM g GROUP BY 1 ORDER BY 1"),
     "mm_shard_manifest" ->
       // same payload CTEs; exclusive prefix sum (ROWS ... 1 PRECEDING,
       // CAST per the window-SUM-widens rule), // == DIV on nonnegative,

@@ -283,6 +283,11 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "mm_dedup_binary" ->
+      ("blob dedup with NO pre-hash pass: the BinaryType payload IS the group key, so the " +
+       "census is one two-level keyed aggregate — (source, payload) partials combine " +
+       "map-side and only the bounded per-source rollup crosses the wire; at 100 TB the " +
+       "first-level shuffle carries one row per DISTINCT asset, not per copy."),
     "agg_dp_counts" ->
       ("one keyed count + one hash per GROUP (bounded by the key domain, not the row count) " +
        "— the DP noise is a pure map-side CASE over Scala-derived threshold literals, so the " +

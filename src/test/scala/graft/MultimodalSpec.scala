@@ -169,4 +169,30 @@ class MultimodalSpec extends SparkSpec {
       assert(seqs === (0L until seqs.length).toSeq, s"$src shard seqs must be contiguous")
     }
   }
+
+  test("mm_dedup_binary: census equals an in-memory normalized-content grouping") {
+    // independent reference: group docs per source by the SAME content
+    // normalization rule (lowercase, strip non-[a-z0-9 ]) with no Spark
+    // and no hashing at all — payload equality must coincide with
+    // content equality (the payload is a function of the content hash).
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.replaceAll("[^a-z0-9 ]", "")))
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val groups = ds.groupBy(_._3)
+      src -> (ds.length.toLong, groups.size.toLong,
+        (ds.length - groups.size).toLong,
+        groups.values.map(_.length.toLong).max,
+        groups.values.map(_.map(_._1).min).min)
+    }
+    val out = SparkEntry.queries("mm_dedup_binary")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out === expected, "census must match the content-grouping reference")
+    // r6g fact: sf0.001 documents carry NO exact dups — the census must
+    // degenerate to all-unique here (this is the assertion, not a gap)
+    assert(out.values.forall(v => v._3 == 0L && v._4 == 1L),
+      "sf0.001 must census all-unique")
+  }
 }
