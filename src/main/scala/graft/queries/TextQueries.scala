@@ -407,6 +407,16 @@ object TextQueries {
       base.select(col("doc_id") +: col("source") +: sigCols: _*)
   }
 
+  /** CMS grid geometry + the ONE bucket definition (depth-row r →
+    * column) shared by the batch sketch (text_cms_sketch — grid AND
+    * probe side) and streaming.CmsProcessor's feed builder, so the
+    * batch sketch and the incremental sketch can never disagree on
+    * where a token lands (the minhashBuckets/tokenBudget contract). */
+  private[graft] val cmsDepth = 4
+  private[graft] val cmsWidth = 64L
+  private[graft] def cmsBucket(tok: org.apache.spark.sql.Column, r: Int) =
+    pmod(hash60(concat(lit(s"cms$r:"), tok)), lit(cmsWidth)).cast(IntegerType)
+
   private[graft] def minhashBuckets(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val sigs = minhashSigs(docs)
@@ -451,6 +461,40 @@ object TextQueries {
         .select(col("lang"), col("rnk").cast(IntegerType).as("rnk"), col("term"),
           r6(col("score")).as("score"))
         .orderBy("lang", "rnk")
+    }),
+
+    // Count-min sketch (r9c) — the MERGEABLE frequency sketch next to
+    // HLL (agg_distinct_approx) and Misra-Gries (HeavyHitterProcessor):
+    // a depth×width grid of counters where every cell is a plain SUM,
+    // so shards build sketches independently and a 1000-executor merge
+    // is element-wise addition — the property that makes CMS the
+    // standard distributed frequency monitor. Fully DETERMINISTIC here
+    // (buckets from the portable salted hash60, one shared cmsBucket
+    // definition for the batch grid, the probe side, and
+    // streaming.CmsProcessor's feed) and therefore fully oracled —
+    // no other engine-ran sketch in the catalog can say that. The
+    // emission probes every vocab term: est = min over rows of its 4
+    // cells, emitted next to the exact count so the overcount (the CMS
+    // ≥-guarantee: est ≥ true, error from collisions only) is visible
+    // per term. Scale shape: the 4×64 grid is ONE partial-aggregable
+    // groupBy (bounded 256 cells) broadcast back to the probe join;
+    // the vocab side is the same keyed count any TF pass runs.
+    "text_cms_sketch" -> ((s, d) => {
+      val tok = toks(s, d).select("tok")
+      def rbCol(t: org.apache.spark.sql.Column) =
+        explode(array((0 until cmsDepth).map(r =>
+          struct(lit(r).as("r"), cmsBucket(t, r).as("b"))): _*)).as("rb")
+      val cells = tok.select(rbCol(col("tok")))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n_true"))
+      vocab.select(col("tok"), col("n_true"), rbCol(col("tok")))
+        .join(broadcast(cells),
+          col("rb.r") === col("r") && col("rb.b") === col("b"))
+        .groupBy("tok", "n_true").agg(min("cnt").as("n_est"))
+        .select(col("tok"), col("n_true"), col("n_est"),
+          (col("n_est") - col("n_true")).as("overcount"))
+        .orderBy("tok")
     }),
 
     // Top-20 bigrams via zip_with over shifted slices (pure HOFs, no UDF).
@@ -554,6 +598,22 @@ object TextQueries {
       "FROM r WHERE rn = 1 ORDER BY cluster_id"
 
   val oracle: Map[String, String] = Map(
+    "text_cms_sketch" ->
+      // the identical salted hash60 % width bucket rule ('cms<r>:' salt
+      // built from the grid row), the same 4×64 grid, the same min-probe
+      ("WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "rg AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
+       "rb AS (SELECT tok, r, " +
+       s"CAST(${hash60Sql("'cms' || CAST(r AS VARCHAR) || ':' || tok")} % 64 AS INT) AS b " +
+       "FROM tk CROSS JOIN rg), " +
+       "cells AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM rb GROUP BY 1, 2), " +
+       "vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_true FROM tk GROUP BY 1), " +
+       "pr AS (SELECT v.tok, v.n_true, g.r, " +
+       s"CAST(${hash60Sql("'cms' || CAST(g.r AS VARCHAR) || ':' || v.tok")} % 64 AS INT) AS b " +
+       "FROM vocab v CROSS JOIN rg g), " +
+       "e AS (SELECT pr.tok, pr.n_true, MIN(c.cnt) AS n_est FROM pr " +
+       "JOIN cells c ON pr.r = c.r AND pr.b = c.b GROUP BY 1, 2) " +
+       "SELECT tok, n_true, n_est, n_est - n_true AS overcount FROM e ORDER BY tok"),
     "text_cross_source_dup" ->
       // the shared bucket prefix, the identical <= 50 stop-bucket
       // filter, then the source-free join

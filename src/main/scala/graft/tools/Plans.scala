@@ -283,6 +283,11 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "text_cms_sketch" ->
+      ("the sketch grid is ONE partial-aggregable groupBy bounded by depth×width (256 " +
+       "cells, never the corpus) and is broadcast to the probe join — map-side partials " +
+       "ARE the per-shard sketches and the shuffle merges them element-wise, which is " +
+       "the CMS mergeability property expressed as a Spark plan."),
     "mm_dedup_binary" ->
       ("blob dedup with NO pre-hash pass: the BinaryType payload IS the group key, so the " +
        "census is one two-level keyed aggregate — (source, payload) partials combine " +

@@ -927,4 +927,58 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState incremental CMS equals the batch sketch under REVERSED batching") {
+    // the streaming face of text_cms_sketch: one counter per grid cell,
+    // pure addition — commutative AND associative, so reversed uneven
+    // batches must land the IDENTICAL grid. Cells are stamped with the
+    // SHARED TextQueries.cmsBucket definition upstream (the
+    // ReservoirProcessor contract); per-token estimates are derived
+    // consumer-side (min over the token's cells — the cross-cell read a
+    // keyed processor must not do) and matched against the batch query.
+    withRocksDB {
+      import queries.TextQueries.{cmsBucket, cmsDepth}
+      def cellsOf(t: org.apache.spark.sql.Column) =
+        array((0 until cmsDepth).map(r =>
+          (lit(r) * 64 + cmsBucket(t, r)).cast("int")): _*)
+      val cellRows = Tables.documents(spark, sf)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(explode(cellsOf(col("tok"))).as("cell"))
+        .collect().map(_.getInt(0))
+      val batches = cellRows.grouped((cellRows.length + 3) / 4).toSeq.reverse
+      val input = MemoryStream[Int](spark)
+      val stream = graft.streaming.CmsProcessor.cmsStream(input.toDF().toDF("cell"))
+      val q = stream.writeStream.format("memory").queryName("cms_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // max-cnt row per cell is the current counter
+      val grid = spark.table("cms_incr").collect()
+        .map(r => (r.getInt(0), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      // grid totality: every depth row counts every token occurrence
+      (0 until cmsDepth).foreach { r =>
+        val rowSum = grid.collect { case (c, n) if c / 64 == r => n }.sum
+        assert(rowSum === cellRows.length.toLong / cmsDepth, s"row $r total")
+      }
+      // consumer-side estimates equal the batch emission exactly
+      val vocabCells = Tables.documents(spark, sf)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").count()
+        .select(col("tok"), col("count"), cellsOf(col("tok")).as("cells"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2)))
+      val expected = SparkEntry.queries("text_cms_sketch")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val got = vocabCells.map { case (tok, nTrue, cells) =>
+        (tok, nTrue, cells.map(c => grid.getOrElse(c, 0L)).min)
+      }.sortBy(_._1)
+      assert(got.toSeq === expected.toSeq,
+        "streamed grid estimates must reproduce the batch sketch emission")
+      // the CMS guarantee on the streamed grid: est >= true, always
+      got.foreach { case (tok, nTrue, est) =>
+        assert(est >= nTrue, s"$tok estimate must never undercount")
+      }
+    }
+  }
 }
