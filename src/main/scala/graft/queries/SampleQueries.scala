@@ -232,6 +232,42 @@ object SampleQueries {
         .orderBy("source")
     }),
 
+    // Cross-split LM quality scoring (r9c) — the CCNet loop: train a
+    // unigram LM on the TRAIN split only, score every TEST doc by
+    // average negative log-likelihood (nats/token) — the
+    // perplexity-bucket signal a quality gate reads. The split is the
+    // SAME leakage-safe splitCol every sampling op uses, so the model
+    // provably never saw the docs it scores (the property
+    // text_unigram_logprob — whole-corpus self-scoring — cannot
+    // claim). Add-1 smoothing over the train vocab + one OOV bucket:
+    // p(tok) = (cnt + 1)/(ntr + vsz + 1), so unseen test tokens score
+    // finitely. V and N come from plain counts over the bounded model
+    // frame (never a keys=[] count_distinct — the r6d PlanGuard rule).
+    // Scale shape: one keyed count builds the model; the test side
+    // joins it on the token (planner broadcasts at fixture scale,
+    // shuffles on the token key at corpus scale — no hint pins it) and
+    // one keyed rollup lands doc grain. ln sums per doc ⇒ round 3 (the
+    // geomean rule); lpFormula is the ONE scoring string (query +
+    // oracle).
+    "text_perplexity_split" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("split", splitCol(col("doc_id")))
+        .select(col("doc_id"), col("split"),
+          explode(split(col("text"), " ")).as("tok"))
+      val model = toks.where(col("split") === "train")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val stats = model.agg(count(lit(1)).as("vsz"), sum("cnt").as("ntr"))
+      toks.where(col("split") === "test")
+        .join(model, Seq("tok"), "left")
+        .crossJoin(broadcast(stats))
+        .selectExpr("doc_id", s"$lpFormula AS lp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("lp").as("sll"))
+        .selectExpr("doc_id", "n_tok",
+          s"${r3Sql("-sll / CAST(n_tok AS DOUBLE)")} AS avg_nll")
+        .orderBy("doc_id")
+    }),
+
     // Token-budget data mixing: each source contributes docs, in salted-
     // hash order, until its token budget (B=800) is spent — the "sample
     // this domain down to N tokens" primitive of training-mix assembly
@@ -526,6 +562,15 @@ object SampleQueries {
     * the doc-grain and census oracles — never forked (the pqChainSql
     * rule). A def, not a val: the textually-later init would leave it
     * null inside the oracle Map (the ts_decompose lesson). */
+  /** Add-1-smoothed unigram log-likelihood per token — the ONE scoring
+    * string for text_perplexity_split (query + oracle): cnt from the
+    * left-joined train model (NULL ⇒ unseen ⇒ the OOV bucket), ntr/vsz
+    * from the crossed model-stats row; `ln` is natural log in BOTH
+    * dialects (never `log` — DuckDB's is base 10). A def (init-order
+    * rule). */
+  private def lpFormula: String =
+    "ln(CAST(COALESCE(cnt, 0) + 1 AS DOUBLE) / CAST(ntr + vsz + 1 AS DOUBLE))"
+
   private def decontCtesSql: String =
     "d AS (SELECT doc_id, source, string_split(text, ' ') AS tk, " +
       phashSql("doc_id", "split:") + " % 100 AS bk FROM documents), " +
@@ -577,6 +622,22 @@ object SampleQueries {
       (s"WITH $decontCtesSql " +
        "SELECT tr.doc_id, COUNT(DISTINCT tr.sh) AS n_contaminated " +
        "FROM tr JOIN te USING (sh) GROUP BY 1 ORDER BY 1"),
+    "text_perplexity_split" ->
+      // identical split bucket, identical add-1 model, the shared
+      // lpFormula verbatim; -SUM/COUNT in the same fixed op order
+      ("WITH dd AS (SELECT doc_id, text, " +
+       phashSql("doc_id", "split:") + " % 100 AS bk FROM documents), " +
+       "tk AS (SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'valid' " +
+       "ELSE 'test' END AS split, unnest(string_split(text, ' ')) AS tok FROM dd), " +
+       "m AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk " +
+       "WHERE split = 'train' GROUP BY 1), " +
+       "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz, CAST(SUM(cnt) AS BIGINT) AS ntr FROM m), " +
+       s"sc AS (SELECT doc_id, $lpFormula AS lp FROM " +
+       "(SELECT doc_id, tok FROM tk WHERE split = 'test') te " +
+       "LEFT JOIN m USING (tok) CROSS JOIN st) " +
+       "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
+       s"${r3Sql("-SUM(lp) / CAST(COUNT(*) AS DOUBLE)")} AS avg_nll " +
+       "FROM sc GROUP BY 1 ORDER BY doc_id"),
     "text_contamination_census" ->
       // the same shared CTE prefix; COALESCE-zero left join off the
       // per-source train base (bk < 80 == splitCol 'train'); COUNT

@@ -283,6 +283,12 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "text_perplexity_split" ->
+      ("the LM is one keyed count over the train split; the scoring join is deliberately " +
+       "UNHINTED — the planner broadcasts the fixture-scale vocab and falls back to a " +
+       "token-key shuffle when the vocab outgrows memory (the contamination-census rule) — " +
+       "and the doc rollup partial-aggregates, so scoring 100 TB of test docs is one " +
+       "scan + one bounded-model join."),
     "text_cms_sketch" ->
       ("the sketch grid is ONE partial-aggregable groupBy bounded by depth×width (256 " +
        "cells, never the corpus) and is broadcast to the probe join — map-side partials " +

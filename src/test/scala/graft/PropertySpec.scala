@@ -590,6 +590,40 @@ class PropertySpec extends SparkSpec {
       "fixture checksums should be pairwise distinct")
   }
 
+  test("text_perplexity_split: independent cross-split LM recompute; leakage-safe scoring") {
+    def hash60(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def splitOf(id: Long): String = {
+      val b = hash60("split:" + id) % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val model = docs.filter(d => splitOf(d._1) == "train").flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (vsz, ntr) = (model.size.toLong, model.values.sum)
+    val expected = docs.filter(d => splitOf(d._1) == "test").map { case (id, tk) =>
+      val nll = -tk.map(t =>
+        math.log((model.getOrElse(t, 0L) + 1).toDouble / (ntr + vsz + 1).toDouble)).sum /
+        tk.length.toDouble
+      id -> (tk.length.toLong, nll)
+    }.toMap
+    val rows = SparkEntry.queries("text_perplexity_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet === expected.keySet,
+      "scored docs must be exactly the test split")
+    rows.foreach { case (id, nTok, nll) =>
+      assert(nTok === expected(id)._1, s"doc $id token count")
+      // rounding grid (5e-4) + FP sum-order drift headroom
+      assert(math.abs(nll - expected(id)._2) < 6e-4, s"doc $id nll")
+      // finite even for OOV-heavy docs (add-1 bounds every term)
+      assert(nll > 0.0 && nll <= math.log((ntr + vsz + 1).toDouble), s"doc $id bound")
+    }
+  }
+
   test("agg_dp_counts: independent noise recompute from the key hash; mechanism invariants") {
     def hash60(s0: String): Long = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
