@@ -37,6 +37,39 @@ object JoinQueries {
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")),
 
+    // Runtime Bloom-filter join (r9c) — the row-level sibling of
+    // source_dpp_join's partition-level pruning: a selective predicate
+    // on the dim side makes Catalyst's InjectRuntimeFilter build a
+    // Bloom filter over the surviving join keys (bloom_filter_agg
+    // scalar subquery) and push might_contain(xxhash64(l_orderkey))
+    // into the FACT SCAN — at 100 TB the shuffle writes only rows that
+    // can possibly match (~urgent-order fraction of the fact table)
+    // instead of everything, which is THE lever when neither side
+    // broadcasts. Config scoping: the thresholds are deployment knobs
+    // (applicationSideScanSizeThreshold defaults to 10 GB — a real
+    // fact scan qualifies on its own; the fixture scan must be let in
+    // explicitly), so the query runs in a NEWSESSION CLONE (isolated
+    // SQLConf over the shared context) — nothing leaks to the rest of
+    // the catalog. Broadcast is disabled in the clone so the SMJ path
+    // the filter exists for is actually exercised (the bucketed-join
+    // precedent). Bloom is semantics-free: the oracle is the plain
+    // join; SourcesSpec pins might_contain in the fact scan AND its
+    // absence without the selective predicate (the source_dpp_join
+    // rule: a planner-feature claim gets its plan-shape test the same
+    // day or it rots).
+    "join_bloom_filtered" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sumMoneyD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+    }),
+
     // Outer join keeping customers with zero orders (orphan detection).
     "join_left_outer" -> ((s, d) =>
       Tables.customer(s, d)
@@ -376,6 +409,13 @@ object JoinQueries {
        "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1,2 ORDER BY 1,2"),
+    "join_bloom_filtered" ->
+      // the Bloom filter is semantics-free — the oracle is the plain
+      // filtered join with the shared DERIVED-money spelling
+      ("SELECT l_returnflag, CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) " +
+       "AS DECIMAL(18,0))*CAST(0.01 AS DECIMAL(3,2))) AS DOUBLE) AS revenue, " +
+       "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
     "join_left_outer" ->
       ("SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders FROM customer " +
        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1,2 ORDER BY 1"),

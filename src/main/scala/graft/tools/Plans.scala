@@ -283,6 +283,12 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "join_bloom_filtered" ->
+      ("InjectRuntimeFilter pushes might_contain(xxhash64(key)) into the fact scan off a " +
+       "bloom_filter_agg subquery over the selectively-filtered dim — the shuffle then " +
+       "writes only possibly-matching fact rows (the row-level sibling of DPP's partition " +
+       "pruning); conf thresholds are scoped in a newSession clone so nothing leaks, and " +
+       "SourcesSpec pins both the injection and its absence without the selective filter."),
     "text_perplexity_split" ->
       ("the LM is one keyed count over the train split; the scoring join is deliberately " +
        "UNHINTED — the planner broadcasts the fixture-scale vocab and falls back to a " +

@@ -133,6 +133,37 @@ class SourcesSpec extends SparkSpec {
         unpruned.mkString("; "))
   }
 
+  test("join_bloom_filtered: might_contain lands in the fact scan; absent without the dim filter") {
+    // The one thing the query exists to demonstrate (the source_dpp_join
+    // rule): the selective dim predicate makes InjectRuntimeFilter build
+    // a bloom_filter_agg scalar subquery and push
+    // might_contain(xxhash64(l_orderkey)) into the fact side — and
+    // WITHOUT the selective predicate no runtime filter plans at all.
+    // Same conf scoping as the declared query (newSession clone).
+    val declared = SparkEntry.queries("join_bloom_filtered")(spark, sf)
+    val plan = declared.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("might_contain"),
+      "the declared query must plan a runtime bloom filter on the fact side")
+    assert(plan.contains("bloom_filter_agg"),
+      "the creation-side bloom aggregate subquery must be in the plan")
+    assert(plan.contains("sortmergejoin") || plan.contains("shuffledhashjoin"),
+      "the bloom filter must guard a shuffle join, not a broadcast")
+    // counter-case in an identically-configured clone: no selective
+    // predicate on the dim side => InjectRuntimeFilter declines
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val noFilter = Tables.lineitem(s2, sf)
+      .join(Tables.orders(s2, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_items"))
+    assert(!noFilter.queryExecution.executedPlan.toString.toLowerCase.contains("might_contain"),
+      "without a selective dim predicate no bloom filter should plan")
+    // scoping: the spec session's own conf is untouched by the clones
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold") != "0",
+      "the newSession conf must not leak into the parent session")
+  }
+
   test("source_schema_merge: legacy bucket covers exactly the old generation") {
     val src = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderpriority").collect()
