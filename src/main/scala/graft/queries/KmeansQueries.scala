@@ -561,7 +561,41 @@ object KmeansQueries {
     // ORDER BY — the r6b bit-exact pair). sqrt is correctly rounded
     // both engines, so round 6 holds throughout.
     "dq_embed_drift" -> ((s, d) =>
-      embedDrift(Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))))
+      embedDrift(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))),
+
+    // Participation ratio (r9c) — the one-number effective
+    // dimensionality of the embedding space: PR = (Σ_d v_d)² / Σ_d v_d²
+    // over the per-dim variances (PR = 64 when variance spreads evenly,
+    // → 1 when one dimension carries everything — the cheap
+    // eigenvalue-free cousin of a PCA spectrum, and the capacity gauge
+    // next to embed_isotropy's direction-concentration view). Exact
+    // machinery end to end: per-dim (Σq, Σq², n) as micro-unit
+    // DECIMAL(38,0)/HUGEINT sums in ONE posexplode scan (order-free),
+    // variances in the SAME fixed IEEE order as pcaTop's covariance
+    // diagonal (varFormula — one definition), and both corpus folds
+    // (Σv, Σv²) dim-ascending via the collect_list+sort left fold ==
+    // list_sum ORDER BY (the r6b bit-exact pair). keys=[] partials
+    // only — PlanGuard-safe; round 6 (sqrt-free, division chains in
+    // fixed order).
+    "embed_participation_ratio" -> ((s, d) => {
+      val mom = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("p0", "x")))
+        .select((col("p0") + 1).cast(IntegerType).as("dim"),
+          floor(col("x").cast(DoubleType) * 1000000.0 + 0.5).cast("long").as("q"))
+        .groupBy("dim")
+        .agg(sum(col("q").cast(DecimalType(38, 0))).as("s1"),
+          sum((col("q") * col("q")).cast(DecimalType(38, 0))).as("s2"),
+          count(lit(1)).as("n"))
+      mom.selectExpr("dim", "n", s"($varFormula) AS v_raw")
+        .agg(max("n").as("n_vecs"),
+          expr("aggregate(transform(array_sort(collect_list(struct(dim, v_raw))), " +
+            "x -> x.v_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("sv"),
+          expr("aggregate(transform(array_sort(collect_list(struct(dim, v_raw))), " +
+            "x -> x.v_raw * x.v_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("svv"))
+        .selectExpr("n_vecs", s"${r6Sql("sv")} AS trace_var",
+          s"${r6Sql("(sv * sv) / svv")} AS pr",
+          s"${r6Sql("((sv * sv) / svv) / " + dims + ".0")} AS pr_frac")
+    })
   )
 
   /** Fused exact micro-unit moment sums in ONE corpus scan (r7 verdict
@@ -1342,6 +1376,29 @@ object KmeansQueries {
       .orderBy("dim")
   }
 
+  /** Per-dim variance off the exact micro-unit moments (s1 = Σq,
+    * s2 = Σq², n) — the SAME fixed IEEE op order as pcaTop's covariance
+    * diagonal ((sij − si·sj/n)/(n−1)/1e12 at i = j), shared verbatim by
+    * embed_participation_ratio's query and oracle. A def (init-order
+    * rule). */
+  private def varFormula: String =
+    "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) - 1.0) / 1.0e12"
+
+  private def participationSql: String =
+    "WITH q AS (SELECT list_transform(embedding, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qs FROM embeddings), " +
+      "m AS (SELECT CAST(i AS INT) AS dim, " +
+      "SUM(CAST(qs[i] AS HUGEINT)) AS s1, " +
+      "SUM(CAST(qs[i] AS HUGEINT) * qs[i]) AS s2, " +
+      "CAST(COUNT(*) AS BIGINT) AS n " +
+      s"FROM q CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) ii GROUP BY 1), " +
+      s"v AS (SELECT dim, n, ($varFormula) AS v_raw FROM m), " +
+      "f AS (SELECT MAX(n) AS n_vecs, list_sum(list(v_raw ORDER BY dim)) AS sv, " +
+      "list_sum(list(v_raw * v_raw ORDER BY dim)) AS svv FROM v) " +
+      s"SELECT n_vecs, ${r6Sql("sv")} AS trace_var, ${r6Sql("(sv * sv) / svv")} AS pr, " +
+      s"${r6Sql(s"((sv * sv) / svv) / $dims.0")} AS pr_frac FROM f"
+
   private def embedDriftSql: String =
     "WITH b AS (SELECT MIN(vec_id) AS mn, MAX(vec_id) AS mx FROM embeddings), " +
       "ck AS (SELECT CASE WHEN vec_id <= mn + (mx - mn) // 2 THEN 0 ELSE 1 END AS cohort, " +
@@ -1383,6 +1440,7 @@ object KmeansQueries {
   val oracle: Map[String, String] = Map(
     "dedup_embed_kmeans" -> semdedupSql,
     "dq_embed_drift" -> embedDriftSql,
+    "embed_participation_ratio" -> participationSql,
     "embed_isotropy" -> isotropySql,
     "sim_mrl_sweep" -> mrlSweepSql,
     "embed_kmeans" -> kmeansSql,

@@ -283,6 +283,10 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "embed_participation_ratio" ->
+      ("one posexplode scan feeds a 64-key partial-aggregable moment groupBy; everything " +
+       "after is bounded (64-row variance frame, two keys=[] partial folds) — the corpus " +
+       "is touched exactly once and the emission is one row at any scale."),
     "join_bloom_filtered" ->
       ("InjectRuntimeFilter pushes might_contain(xxhash64(key)) into the fact scan off a " +
        "bloom_filter_agg subquery over the selectively-filtered dim — the shuffle then " +

@@ -580,4 +580,31 @@ class KmeansSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.keySet.map(_._1).size > 1, "pairs must span multiple clusters")
   }
+
+  test("embed_participation_ratio equals an exact in-memory replay; bounds hold") {
+    // exact replay of the identical arithmetic: micro-unit integers,
+    // order-free moment sums, the pcaTop-diagonal variance op order,
+    // dim-ascending left folds — integer+fixed-IEEE leaves no tolerance.
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = vecs.length
+    val dims = vecs.head.length
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong))
+    val vRaw = (0 until dims).map { d =>
+      val s1 = q.map(r => BigInt(r(d))).sum
+      val s2 = q.map(r => BigInt(r(d)) * BigInt(r(d))).sum
+      (s2.toDouble - s1.toDouble * s1.toDouble / n.toDouble) / (n.toDouble - 1.0) / 1.0e12
+    }
+    val sv = vRaw.foldLeft(0.0)(_ + _)
+    val svv = vRaw.foldLeft(0.0)((a, x) => a + x * x)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val row = SparkEntry.queries("embed_participation_ratio")(spark, sf).head()
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getDouble(1) === r6(sv), "trace")
+    assert(row.getDouble(2) === r6(sv * sv / svv), "pr")
+    assert(row.getDouble(3) === r6(sv * sv / svv / dims.toDouble), "pr_frac")
+    // Cauchy-Schwarz bounds: 1 <= PR <= dims (strictly inside on any
+    // non-degenerate corpus)
+    assert(row.getDouble(2) >= 1.0 && row.getDouble(2) <= dims.toDouble)
+  }
 }
