@@ -67,11 +67,16 @@ object SampleQueries {
   private def decontShingled(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val tk = split(col("text"), " ")
+    // shingles ride with their 1-based start position (r9c: the
+    // scrubber needs WHERE a leak sits, not just that one exists; the
+    // census/list consumers simply drop the column)
     val sh5 = transform(sequence(lit(1), greatest(size(tk) - 4, lit(0))),
-      i => concat_ws(" ", slice(tk, i, lit(5))))
+      i => struct(i.as("pos"), concat_ws(" ", slice(tk, i, lit(5))).as("sh")))
     Tables.documents(s, d)
       .withColumn("split", splitCol(col("doc_id")))
-      .select(col("doc_id"), col("source"), col("split"), explode(sh5).as("sh"))
+      .select(col("doc_id"), col("source"), col("split"), explode(sh5).as("u"))
+      .select(col("doc_id"), col("source"), col("split"),
+        col("u.pos").as("pos"), col("u.sh").as("sh"))
       .where(length(col("sh")) > 0)
   }
 
@@ -230,6 +235,41 @@ object SampleQueries {
         .na.fill(0L, Seq("n_flagged", "n_hit_grams"))
         .select("source", "n_train", "n_flagged", "n_hit_grams")
         .orderBy("source")
+    }),
+
+    // Contamination SCRUBBER (r9c) — the consumer the decontamination
+    // family exists to drive: text_decontaminate lists leaky train
+    // docs, text_contamination_census rolls them up per source; this
+    // op actually REMOVES the leaked spans. Every train-doc token
+    // covered by any 5-gram shingle that also appears in the held-out
+    // test split is masked (position i leaks ⇒ tokens i..i+4 go), and
+    // the emission proves the scrub: token counts before/after-mask +
+    // the sha-256 of the cleaned text — the artifact a re-training run
+    // would consume. Same shared decontShingled frame (now carrying
+    // shingle start positions) — the leak DEFINITION cannot drift
+    // between list, census, and scrubber. Scale shape: the inverted-
+    // index shingle join again (never doc pairs), one keyed
+    // collect_list of leak positions per FLAGGED doc (bounded by doc
+    // length), then row-local HOF masking — map-side after the join.
+    "text_scrub_contaminated" -> ((s, d) => {
+      val shingled = decontShingled(s, d)
+      val test = shingled.where(col("split") === "test")
+        .select("sh").distinct()
+      val hits = shingled.where(col("split") === "train")
+        .join(test, "sh")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("fl"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .join(hits, "doc_id")
+        .selectExpr("doc_id",
+          "CAST(size(tk) AS BIGINT) AS n_tok",
+          "CAST(size(fl) AS BIGINT) AS n_hits",
+          "CAST(size(filter(sequence(1, size(tk)), " +
+            "j -> exists(fl, i -> j >= i AND i + 4 >= j))) AS BIGINT) AS n_masked",
+          "sha2(concat_ws(' ', transform(filter(sequence(1, size(tk)), " +
+            "j -> NOT exists(fl, i -> j >= i AND i + 4 >= j)), " +
+            "j -> element_at(tk, j))), 256) AS clean_hash")
+        .orderBy("doc_id")
     }),
 
     // Cross-split LM quality scoring (r9c) — the CCNet loop: train a
@@ -574,10 +614,13 @@ object SampleQueries {
   private def decontCtesSql: String =
     "d AS (SELECT doc_id, source, string_split(text, ' ') AS tk, " +
       phashSql("doc_id", "split:") + " % 100 AS bk FROM documents), " +
+      // shingles carry their 1-based start position (struct unnest —
+      // the census/list consumers drop it; the scrubber reads it)
       "s AS (SELECT doc_id, source, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'valid' " +
-      "ELSE 'test' END AS split, " +
+      "ELSE 'test' END AS split, u.pos AS pos, u.sh AS sh FROM " +
+      "(SELECT doc_id, source, bk, " +
       "unnest(list_transform(generate_series(1, GREATEST(len(tk) - 4, 0)), " +
-      "i -> array_to_string(tk[i:i+4], ' '))) AS sh FROM d), " +
+      "i -> {'pos': i, 'sh': array_to_string(tk[i:i+4], ' ')})) AS u FROM d) t0), " +
       "tr AS (SELECT DISTINCT doc_id, source, sh FROM s WHERE split = 'train' AND length(sh) > 0), " +
       "te AS (SELECT DISTINCT sh FROM s WHERE split = 'test' AND length(sh) > 0)"
 
@@ -622,6 +665,24 @@ object SampleQueries {
       (s"WITH $decontCtesSql " +
        "SELECT tr.doc_id, COUNT(DISTINCT tr.sh) AS n_contaminated " +
        "FROM tr JOIN te USING (sh) GROUP BY 1 ORDER BY 1"),
+    "text_scrub_contaminated" ->
+      // the shared decont CTE prefix (positions now ride the s CTE);
+      // per-occurrence hits (train side NOT distinct — every leaked
+      // start position masks), list_sort == sort_array, the identical
+      // coverage predicate j >= i AND i + 4 >= j on both engines
+      (s"WITH $decontCtesSql, " +
+       "hits AS (SELECT s.doc_id, s.pos FROM s JOIN te USING (sh) WHERE s.split = 'train'), " +
+       "fl AS (SELECT doc_id, list_sort(list(pos)) AS fl FROM hits GROUP BY 1) " +
+       "SELECT f.doc_id, CAST(len(tk) AS BIGINT) AS n_tok, " +
+       "CAST(len(fl) AS BIGINT) AS n_hits, " +
+       "CAST(len(list_filter(range(1, len(tk) + 1), " +
+       "j -> len(list_filter(fl, i -> j >= i AND i + 4 >= j)) > 0)) AS BIGINT) AS n_masked, " +
+       // COALESCE: a fully-masked doc keeps zero tokens and DuckDB's
+       // array_to_string([]) is NULL where Spark's concat_ws is ''
+       "sha256(COALESCE(array_to_string(list_transform(list_filter(range(1, len(tk) + 1), " +
+       "j -> NOT (len(list_filter(fl, i -> j >= i AND i + 4 >= j)) > 0)), " +
+       "j -> tk[j]), ' '), '')) AS clean_hash " +
+       "FROM fl f JOIN d USING (doc_id) ORDER BY doc_id"),
     "text_perplexity_split" ->
       // identical split bucket, identical add-1 model, the shared
       // lpFormula verbatim; -SUM/COUNT in the same fixed op order

@@ -283,6 +283,12 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "text_scrub_contaminated" ->
+      ("the leak set comes from the same inverted-index shingle join as the census (never " +
+       "train×test doc pairs); after one keyed collect of leak positions per FLAGGED doc " +
+       "(bounded by doc length) the masking is pure row-local HOF work — at 100 TB the " +
+       "scrub costs one shingle-keyed shuffle plus a map pass, and clean docs never " +
+       "leave their partitions."),
     "embed_participation_ratio" ->
       ("one posexplode scan feeds a 64-key partial-aggregable moment groupBy; everything " +
        "after is bounded (64-row variance frame, two keys=[] partial folds) — the corpus " +

@@ -371,4 +371,48 @@ class SampleSpec extends SparkSpec {
     val allSrc = srcOf.values.toSet
     assert(census.keySet === allSrc, "one census row per source")
   }
+
+  test("text_scrub_contaminated: in-memory mask recompute; reconciles with the leak list") {
+    import graft.queries.SampleQueries
+    def hash60(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def splitOf(id: Long): String = {
+      val b = hash60("split:" + id) % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    def sha(s0: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    def shingles(tk: Seq[String]): Seq[(Int, String)] =
+      (1 to math.max(tk.length - 4, 0)).map(i => i -> tk.slice(i - 1, i + 4).mkString(" "))
+        .filter(_._2.nonEmpty)
+    val testSh = docs.filter(d => splitOf(d._1) == "test").flatMap(d => shingles(d._2))
+      .map(_._2).toSet
+    val expected = docs.filter(d => splitOf(d._1) == "train").flatMap { case (id, tk) =>
+      val fl = shingles(tk).collect { case (i, sh) if testSh(sh) => i }
+      if (fl.isEmpty) None
+      else {
+        def covered(j: Int) = fl.exists(i => j >= i && j <= i + 4)
+        val kept = (1 to tk.length).filterNot(covered).map(j => tk(j - 1))
+        Some(id -> (tk.length.toLong, fl.length.toLong,
+          (1 to tk.length).count(covered).toLong, sha(kept.mkString(" "))))
+      }
+    }.toMap
+    val rows = SampleQueries.queries("text_scrub_contaminated")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(rows === expected, "scrub must equal the in-memory mask recompute")
+    // the scrubber's doc set IS the decontaminate list (shared frame)
+    val listed = SampleQueries.queries("text_decontaminate")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.keySet === listed, "flagged docs must match the leak list")
+    // masking really removes content wherever a hit exists
+    rows.foreach { case (id, (nTok, nHits, nMasked, _)) =>
+      assert(nHits >= 1L && nMasked >= 5L && nMasked <= nTok, s"doc $id mask bounds")
+    }
+  }
 }
