@@ -235,6 +235,11 @@ object Text2Queries {
     // bpeTrain for the closed-form greedy-merge parity argument.
     "text_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
 
+    // BPE encoder (r9c) — see bpeApply: re-derives the same 3-round
+    // merge chain and emits the encoded dictionary with per-form
+    // compression.
+    "text_bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
+
     // Inverted-index construction (r9) — the IR primitive under BM25 /
     // tf-idf (both consume postings implicitly; this DECLARES the index
     // build): per term, document frequency, collection frequency, and a
@@ -993,8 +998,11 @@ object Text2Queries {
       s"COALESCE(list_max(list_filter(range(1, GREATEST(($ix), 1)), j -> syms[j] <> wa)), 0) END)) % 2 = 0))"
 
   /** One oracle BPE round: pair counts p_r from w_r, ranked top-10 t_r,
-    * winner v_r, and (when not last) the merged dictionary w_{r+1}. */
-  private def bpeRoundCtes(r: Int, last: Boolean): String = {
+    * winner v_r, and (when not last) the merged dictionary w_{r+1}.
+    * `carry` threads extra dictionary columns (e.g. "tok, ") through
+    * the merged CTE — the apply oracle extends this, never forks it
+    * (the pqChainSql rule). */
+  private def bpeRoundCtes(r: Int, last: Boolean, carry: String = ""): String = {
     val base =
       s"p$r AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cf) AS BIGINT) AS cnt " +
         s"FROM (SELECT syms, cf, unnest(range(1, len(syms))) AS i FROM w$r WHERE len(syms) >= 2) GROUP BY 1, 2), " +
@@ -1004,12 +1012,69 @@ object Text2Queries {
     if (last) base
     else base + ", " +
       s"v$r AS (SELECT a AS wa, b AS wb FROM p$r ORDER BY cnt DESC, a, b LIMIT 1), " +
-      s"w${r + 1} AS (SELECT flatten(list_transform(range(1, len(syms) + 1), i -> " +
+      s"w${r + 1} AS (SELECT ${carry}flatten(list_transform(range(1, len(syms) + 1), i -> " +
       s"CASE WHEN ${bpeMergedSql("i")} THEN [wa || wb] " +
       s"WHEN i > 1 AND ${bpeMergedSql("i - 1")} THEN CAST([] AS VARCHAR[]) " +
       s"ELSE [syms[LEAST(GREATEST(i, 1), len(syms))]] END)) AS syms, cf " +
       s"FROM w$r CROSS JOIN v$r)"
   }
+
+  /** BPE ENCODER (text_bpe_apply, r9c) — the consumer text_bpe_train
+    * exists to feed: re-derive the 3-round merge chain (the SAME
+    * winner rule — count DESC, pair ASC — over the same dictionary
+    * frames, so trainer and encoder can never disagree), apply ALL
+    * three winners (bpeTrain applies only rounds 1..n−1; the encoder
+    * applies the last round's merge too), and emit the encoded
+    * dictionary: per word form, its frequency, char count, post-merge
+    * symbol count, and the '|'-joined encoding — the tokenizer debug
+    * table plus the compression census Σcf·n_syms / Σcf·n_chars reads
+    * off it. Dictionary grain throughout (the fn_fuzzy_match lesson):
+    * the corpus feeds one word-count aggregate, everything after is
+    * dictionary-sized. */
+  private[graft] def bpeApply(corpus: org.apache.spark.sql.DataFrame,
+      rounds: Int = 3): org.apache.spark.sql.DataFrame = {
+    var w = corpus
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+      .select(col("tok"), col("cf"),
+        expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
+          .as("syms"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val win = bpePairCounts(w).orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).select(col("a").as("wa"), col("b").as("wb"))
+      val syms = col("syms")
+      w = w.crossJoin(broadcast(win))
+        .withColumn("syms", flatten(transform(sequence(lit(1), size(syms)), i =>
+          when(bpeMergedAt(syms, col("wa"), col("wb"), i),
+            array(concat(col("wa"), col("wb"))))
+            .when(i > 1 && bpeMergedAt(syms, col("wa"), col("wb"), i - 1),
+              array().cast(ArrayType(StringType)))
+            .otherwise(array(element_at(syms,
+              least(i, size(syms)).cast(IntegerType)))))))
+        .drop("wa", "wb")
+        .localCheckpoint(true)
+    }
+    w.selectExpr("tok", "cf",
+      "CAST(length(tok) AS INT) AS n_chars",
+      "CAST(size(syms) AS INT) AS n_syms",
+      "concat_ws('|', syms) AS encoded")
+      .orderBy("tok")
+  }
+
+  private def bpeApplySql: String =
+    "WITH w1 AS (SELECT tok, list_transform(generate_series(1, length(tok)), " +
+      "i -> substring(tok, CAST(i AS INT), 1)) AS syms, cf FROM " +
+      "(SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "WHERE length(tok) >= 2 GROUP BY 1)), " +
+      s"${bpeRoundCtes(1, last = false, carry = "tok, ")}, " +
+      s"${bpeRoundCtes(2, last = false, carry = "tok, ")}, " +
+      s"${bpeRoundCtes(3, last = false, carry = "tok, ")} " +
+      "SELECT tok, cf, CAST(length(tok) AS INT) AS n_chars, " +
+      "CAST(len(syms) AS INT) AS n_syms, array_to_string(syms, '|') AS encoded " +
+      "FROM w4 ORDER BY tok"
 
   private def bpeTrainSql: String =
     "WITH w1 AS (SELECT list_transform(generate_series(1, length(tok)), " +
@@ -1256,6 +1321,10 @@ object Text2Queries {
          "top AS (SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20) " +
          "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank, " +
          "pair, cnt FROM top ORDER BY rank"),
+      "text_bpe_apply" ->
+        // the shared round CTEs with tok carried through the merge
+        // chain; ALL three winners applied; same clamped parity test
+        bpeApplySql,
       "text_bpe_train" ->
         // 3 chained merge rounds: winner CTE per round, greedy merge
         // via the same clamped closed-form parity test (bpeMergedSql)

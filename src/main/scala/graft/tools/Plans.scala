@@ -283,6 +283,11 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "text_bpe_apply" ->
+      ("everything after the one corpus word-count aggregate runs at DICTIONARY grain — " +
+       "three merge rounds of bounded pair counts + one broadcast winner row each, the " +
+       "dictionary checkpointed per round (multi-round consumer rule) — so encoding cost " +
+       "scales with vocabulary, not corpus size."),
     "text_scrub_contaminated" ->
       ("the leak set comes from the same inverted-index shingle join as the census (never " +
        "train×test doc pairs); after one keyed collect of leak positions per FLAGGED doc " +

@@ -1384,6 +1384,37 @@ class PropertySpec extends SparkSpec {
     assert(r3(("low", "e")) === 2L && r3(("e", "r")) === 2L)
   }
 
+  test("text_bpe_apply: classic corpus encodes through the known merge chain") {
+    import spark.implicits._
+    import graft.queries.Text2Queries
+    // same toy dictionary; after merges (l,o) -> (lo,w) -> (d,e):
+    // low = [low], lower = [low, e, r], widest = [w, i, de, s, t],
+    // aaa = [a, a, a] (untouched — no winner ever matches it)
+    val docs = Seq(
+      (1L, "low low low lower widest"),
+      (2L, "low low lower widest widest"),
+      (3L, "aaa")).toDF("doc_id", "text")
+    val got = Text2Queries.bpeApply(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toMap
+    assert(got === Map(
+      "low" -> (5L, 3, 1, "low"),
+      "lower" -> (2L, 5, 3, "low|e|r"),
+      "widest" -> (3L, 6, 5, "w|i|de|s|t"),
+      "aaa" -> (1L, 3, 3, "a|a|a")))
+    // structural invariants on the real fixture: the encoding is a
+    // partition of the word (strip separators == word) and merges only
+    // ever shrink
+    val fx = Text2Queries.bpeApply(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(fx.nonEmpty)
+    fx.foreach { case (tok, nc, ns, enc) =>
+      assert(enc.replace("|", "") === tok, s"$tok partition")
+      assert(ns <= nc && ns >= 1, s"$tok shrink bounds")
+    }
+    assert(fx.exists(f => f._3 < f._2), "at least one fixture form must compress")
+  }
+
   test("text_bpe_train: a=b merges are greedy left-to-right non-overlapping") {
     import spark.implicits._
     import graft.queries.Text2Queries
