@@ -143,18 +143,28 @@ object GraphQueries {
         .localCheckpoint(true)
       var hub = e.select(col("sk")).distinct().withColumn("h", lit(1000000L))
       var auth: DataFrame = null
+      // UNLIKE the pagerank loop (whose rounds chain lazily into one
+      // job), each HITS round's scalar max is BROADCAST back — the
+      // broadcast evaluates the round's chain separately from the next
+      // round's main plan, so an uncheckpointed chain re-runs every
+      // prior round O(rounds²) times (measured ~1.5 s of the query's
+      // ~10 s smoke at sf0.1; grows with rounds). Per-round localCheckpoint
+      // (the Scale.connectedComponents pattern) materializes each
+      // node-sized frame exactly once; it also serves the last-round
+      // authority frame's two consumers.
       for (k <- 1 to iters) {
         val ar = e.join(hub, "sk").groupBy("ck").agg(sum("h").as("ar"))
         val ma = ar.agg(max("ar").as("m"))
         auth = ar.crossJoin(broadcast(ma))
           .select(col("ck"),
             expr("CAST((CAST(ar AS DECIMAL(38,0)) * 1000000) DIV m AS BIGINT)").as("a"))
-        if (k == iters) auth = auth.localCheckpoint(true)
+          .localCheckpoint(true)
         val hr = e.join(auth, "ck").groupBy("sk").agg(sum("a").as("hr"))
         val mh = hr.agg(max("hr").as("m"))
         hub = hr.crossJoin(broadcast(mh))
           .select(col("sk"),
             expr("CAST((CAST(hr AS DECIMAL(38,0)) * 1000000) DIV m AS BIGINT)").as("h"))
+          .localCheckpoint(true)
       }
       hub.orderBy(col("h").desc, col("sk")).limit(12)
         .select(lit("hub").as("kind"), col("sk").as("entity_key"), col("h").as("score"))
