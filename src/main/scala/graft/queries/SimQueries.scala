@@ -149,6 +149,58 @@ object SimQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Cross-split SEMANTIC contamination (r9c) — the embedding-space
+    // member of the decontamination family (text_decontaminate finds
+    // literal 5-gram leaks; this finds test items whose MEANING is
+    // already in train — near-identical embeddings across the split,
+    // the memorization check an eval pipeline runs when paraphrase
+    // leakage would slip a string matcher). Split = the SAME shared
+    // splitCol hash every sampling op uses (applied to vec_id), so
+    // text-split and embedding-split semantics agree by construction.
+    // Candidates come from the banded hyperplane-LSH buckets
+    // (packedSig — the embedBandPairs machinery with the split as the
+    // cross key: test×train bucket agreement on any band), only
+    // candidates pay the exact-cosine re-check, and the emission is
+    // the per-test-vector census: match count, nearest train vector
+    // ((-cos, id) min-struct argmax), max cosine. 100 TB shape:
+    // equality join on (band, bits) — never test×train all-pairs —
+    // then two id-keyed join-backs; banding recall bounds are pinned
+    // in SimSpec against a brute-force reference.
+    "dq_embed_contamination" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          normD(col("embedding")).as("nrm"),
+          SampleQueries.splitCol(col("vec_id")).as("split"))
+      val bandCols = (0 until embedBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * embedRows)
+            .bitwiseAND(lit((1L << embedRows) - 1)).cast("int").as("bits")))
+      val buckets = e
+        .withColumn("sig", packedSig(col("embedding")))
+        .select(col("vec_id"), col("split"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("vec_id"), col("split"),
+          col("bb.band").as("band"), col("bb.bits").as("bits"))
+      val cand = buckets.where(col("split") === "test").as("x")
+        .join(buckets.where(col("split") === "train").as("y"),
+          col("x.band") === col("y.band") && col("x.bits") === col("y.bits"))
+        .select(col("x.vec_id").as("t_id"), col("y.vec_id").as("tr_id"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+          col("nrm").as("t_nrm")), "t_id")
+        .join(e.select(col("vec_id").as("tr_id"), col("embedding").as("tr_emb"),
+          col("nrm").as("tr_nrm")), "tr_id")
+        .withColumn("cos",
+          dotD(col("t_emb"), col("tr_emb")) / (col("t_nrm") * col("tr_nrm")))
+        .where(col("cos") >= 0.35)
+        .groupBy("t_id")
+        .agg(count(lit(1)).as("n_train_matches"),
+          min(struct((-col("cos")).as("nc"), col("tr_id").as("ti"))).as("m"))
+        .select(col("t_id").as("test_vec"), col("n_train_matches"),
+          col("m.ti").as("nearest_train"), r6(-col("m.nc")).as("max_cos"))
+        .orderBy("test_vec")
+    }),
+
     // Top-10 neighbors of vec_id=0 by cosine (exact, brute force; the
     // single query vector is broadcast so the scan stays shuffle-free).
     // The cosine here is the NATIVE CosineSim expression (doGenCode fused
@@ -850,6 +902,35 @@ object SimQueries {
       "g AS (SELECT label, vec_a, vec_b, cos FROM p2 WHERE NOT isnan(cos) AND cos >= 0.35)"
   }
 
+  /** DuckDB mirror of the cross-split semantic-contamination census:
+    * same split hash, same 64 planes / 16×4-bit banding, candidates
+    * from test×train bucket agreement, same exact-cosine re-check
+    * (NOT isnan guard per cosinePairsCteSql), same (-cos, id)
+    * min-struct argmax. */
+  private def embedContamSql: String = {
+    val splitCase =
+      s"CASE WHEN ${hash60Sql("'split:' || CAST(vec_id AS VARCHAR)")} % 100 < 80 THEN 'train' " +
+        s"WHEN ${hash60Sql("'split:' || CAST(vec_id AS VARCHAR)")} % 100 < 90 THEN 'valid' " +
+        "ELSE 'test' END"
+    val bandSelects = (0 until embedBands).map(b =>
+      s"SELECT vec_id, split, $b AS band, ${bandBitsSql(b)} AS bits FROM sp")
+      .mkString(" UNION ALL ")
+    s"WITH sp AS (SELECT vec_id, embedding, $splitCase AS split FROM embeddings), " +
+      s"n AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm " +
+      "FROM embeddings), " +
+      s"bk AS ($bandSelects), " +
+      "cand AS (SELECT DISTINCT x.vec_id AS t_id, y.vec_id AS tr_id FROM bk x JOIN bk y " +
+      "ON x.band = y.band AND x.bits = y.bits AND x.split = 'test' AND y.split = 'train'), " +
+      "p2 AS (SELECT t_id, tr_id, " +
+      s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos " +
+      "FROM cand JOIN n a ON a.vec_id = cand.t_id JOIN n b ON b.vec_id = cand.tr_id), " +
+      "g AS (SELECT t_id, tr_id, cos FROM p2 WHERE NOT isnan(cos) AND cos >= 0.35), " +
+      "agg AS (SELECT t_id, CAST(COUNT(*) AS BIGINT) AS n_train_matches, " +
+      "MIN(struct_pack(nc := -cos, ti := tr_id)) AS m FROM g GROUP BY 1) " +
+      "SELECT t_id AS test_vec, n_train_matches, (m).ti AS nearest_train, " +
+      s"${r6Sql("-((m).nc)")} AS max_cos FROM agg ORDER BY test_vec"
+  }
+
   /** DuckDB mirror of the full hyperplane-LSH pipeline: same integral-
     * thousandths planes (identical IEEE doubles after the /1000.0), same
     * left-fold dot products, same Hamming<=5 gate and exact re-rank. */
@@ -942,6 +1023,7 @@ object SimQueries {
     "sim_search_lsh_batch" -> lshBatchOracleSql,
     "sim_search_lsh" -> lshOracleSql,
     "sim_search_mmr" -> mmrSql,
+    "dq_embed_contamination" -> embedContamSql,
     "sim_search_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
        s"s AS (SELECT vec_id, ${dotSql("embedding", "qv")} AS dp, " +

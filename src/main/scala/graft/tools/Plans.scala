@@ -283,6 +283,12 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "dq_embed_contamination" ->
+      ("the cross-split census never joins test×train all-pairs: candidates come from an " +
+       "equality join on (band, bits) of the packed hyperplane signatures (one 64-dot HOF " +
+       "pass per vector, 16 bucket rows), only candidates pay the exact re-check via two " +
+       "id-keyed join-backs, and the argmax is a keyed min-struct aggregate — at 100 TB the " +
+       "bucket join is the same shape that makes dedup_embed_lsh scale."),
     "text_bpe_apply" ->
       ("everything after the one corpus word-count aggregate runs at DICTIONARY grain — " +
        "three merge rounds of bounded pair counts + one broadcast winner row each, the " +

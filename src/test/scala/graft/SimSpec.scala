@@ -220,6 +220,53 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("dq_embed_contamination: subset of + consistent with a brute-force cross-split reference") {
+    def hash60(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def splitOf(id: Long): String = {
+      val b = hash60("split:" + id) % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nrm = all.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vecs = all.toMap
+    val train = all.map(_._1).filter(splitOf(_) == "train")
+    val test = all.map(_._1).filter(splitOf(_) == "test")
+    // brute force: EVERY test×train pair (the reference the banding
+    // approximates)
+    val brute = test.map { t =>
+      val ms = train.map(tr => tr -> dot(vecs(t), vecs(tr)) / (nrm(t) * nrm(tr)))
+        .filter(p => !p._2.isNaN && p._2 >= 0.35)
+      t -> ms
+    }.filter(_._2.nonEmpty).toMap
+    val rows = SparkEntry.queries("dq_embed_contamination")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "the fixture must surface cross-split semantic overlap")
+    rows.foreach { case (t, n, nt, mc) =>
+      val ms = brute.getOrElse(t, fail(s"test vec $t not in the brute reference"))
+      // banding only ever MISSES pairs — never invents them
+      assert(n <= ms.length.toLong, s"vec $t match count exceeds brute force")
+      val nearestCos = ms.toMap.getOrElse(nt, fail(s"vec $t nearest $nt not a brute pair"))
+      assert(math.abs(mc - nearestCos) < 1e-5, s"vec $t nearest cosine value")
+      // +1e-6: the r6 display rounding can land up to 5e-7 above raw
+      assert(mc <= ms.map(_._2).max + 1e-6, s"vec $t max_cos bound")
+    }
+    // banding recall on flagged test vectors (measured ~0.9+ at this
+    // threshold — the r5 S-curve geometry): at least 80% of truly-
+    // contaminated test vecs are surfaced
+    assert(rows.length.toDouble >= 0.8 * brute.size,
+      s"recall too low: ${rows.length} of ${brute.size} flagged")
+  }
+
   test("sim_search_mmr: greedy optimality at every rank; seed = exact top-1") {
     // independent check of the GREEDY CONTRACT: recompute the candidate
     // pool and micro-unit scores, then verify each emitted pick strictly
