@@ -336,8 +336,11 @@ object Plans {
        "is two shuffle joins + two partial-aggregable groupBys over the ONCE-checkpointed " +
        "directed edge set, plus two BOUNDED keys=[] max aggregates broadcast back (the " +
        "PlanGuard-blessed scalar shape) — the normalization cross-multiplication runs in " +
-       "DECIMAL(38,0) so no degree scale overflows it, and the last-round authority frame " +
-       "is checkpointed once for its two consumers."),
+       "DECIMAL(38,0) so no degree scale overflows it. UNLIKE pagerank, every round's " +
+       "hub/authority frame is checkpointed: the scalar-max broadcasts evaluate each " +
+       "round's chain separately, so uncheckpointed rounds re-run all prior rounds " +
+       "O(rounds²) (measured 4.4 → 2.8 s adaptive at sf0.1 from this fix); the final plan " +
+       "is two TakeOrdereds over the materialized frames."),
     "sim_search_mmr" ->
       ("stage 1 is the shuffle-free broadcast-query CosineSim scan + TakeOrderedAndProject " +
        "(the sim_search_topk shape); the greedy MMR loop then runs on a BOUNDED 12-candidate " +
