@@ -178,6 +178,48 @@ object TextQueries {
     "text_minhash_lsh" -> ((s, d) =>
       minhashPairs(s, d).orderBy("doc_a", "doc_b")),
 
+    // INCREMENTAL dedup (r9c) — the shape a production pipeline runs
+    // daily: nobody re-dedups 100 TB per ingest; the NEW batch (the
+    // delta — here the top fifth of the doc_id span, off one bounded
+    // bounds row) is checked against everything EARLIER (the base
+    // corpus plus lower-id delta docs — the arrival order within the
+    // batch, the DedupProcessor contract batch-side). Candidates come
+    // from the SAME minhashBuckets frame every batch dedup query uses
+    // (one bucket definition — the incremental verdicts provably
+    // reconcile with the full-batch text_minhash_lsh pair set, pinned
+    // in PipelineSpec), joined delta×earlier on (source, band, bh) —
+    // at scale the base side is the persisted bucket INDEX (the
+    // LshIndexProcessor state, materialized) and the join touches only
+    // delta-bucket rows. Emission: per delta doc, match counts split
+    // base/prior-delta and the keep verdict (no earlier near-dup).
+    "text_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      val wmExpr = "mn + ((mx - mn) * 4) DIV 5"
+      val buckets = minhashBuckets(docs)
+        .crossJoin(broadcast(bounds))
+        .withColumn("is_delta", col("doc_id") > expr(wmExpr))
+        .select("doc_id", "source", "band", "bh", "is_delta")
+      val pairs = buckets.where(col("is_delta")).as("x")
+        .join(buckets.as("y"),
+          col("x.source") === col("y.source") && col("x.band") === col("y.band") &&
+          col("x.bh") === col("y.bh") && col("y.doc_id") < col("x.doc_id"))
+        .select(col("x.doc_id").as("doc_id"),
+          col("y.doc_id").as("m_id"), col("y.is_delta").as("m_delta"))
+        .distinct()
+      val per = pairs.groupBy("doc_id")
+        .agg(sum(when(!col("m_delta"), 1L).otherwise(0L)).as("n_base_matches"),
+          sum(when(col("m_delta"), 1L).otherwise(0L)).as("n_prior_delta_matches"))
+      docs.crossJoin(broadcast(bounds))
+        .where(col("doc_id") > expr(wmExpr))
+        .select(col("doc_id"), col("source"))
+        .join(per, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_base_matches", "n_prior_delta_matches"))
+        .withColumn("keep",
+          col("n_base_matches") + col("n_prior_delta_matches") === 0L)
+        .orderBy("doc_id")
+    }),
+
     // Near-dup CLUSTERS from the MinHash pair graph: connected components
     // via distributed min-label propagation (Scale.connectedComponents).
     // Pairs alone can't drive dedup — keeping "one of each pair" drops a
@@ -658,6 +700,29 @@ object TextQueries {
     },
     "dedup_semantic_union" -> unionSurvivorOracleSql,
     "text_minhash_lsh" -> (minhashPairsSql + " ORDER BY doc_a, doc_b"),
+    "text_dedup_incremental" ->
+      // the shared bucket CTEs, the same watermark split off one
+      // bounds row, the same delta×earlier bucket join (// == DIV on
+      // nonnegative ids; SUM/COALESCE cast per the r6d rule)
+      (s"WITH $minhashBucketCtesSql, " +
+       "bd AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents), " +
+       "bw AS (SELECT b.doc_id, b.source, b.band, b.bh, " +
+       "b.doc_id > mn + ((mx - mn) * 4) // 5 AS is_delta FROM buckets b CROSS JOIN bd), " +
+       "prs AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS m_id, y.is_delta AS m_delta " +
+       "FROM bw x JOIN bw y ON x.source = y.source AND x.band = y.band AND x.bh = y.bh " +
+       "AND y.doc_id < x.doc_id WHERE x.is_delta), " +
+       "per AS (SELECT doc_id, " +
+       "CAST(SUM(CASE WHEN NOT m_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base_matches, " +
+       "CAST(SUM(CASE WHEN m_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_prior_delta_matches " +
+       "FROM prs GROUP BY 1), " +
+       "dd AS (SELECT doc_id, source FROM documents CROSS JOIN bd " +
+       "WHERE doc_id > mn + ((mx - mn) * 4) // 5) " +
+       "SELECT dd.doc_id, dd.source, " +
+       "COALESCE(n_base_matches, CAST(0 AS BIGINT)) AS n_base_matches, " +
+       "COALESCE(n_prior_delta_matches, CAST(0 AS BIGINT)) AS n_prior_delta_matches, " +
+       "COALESCE(n_base_matches, CAST(0 AS BIGINT)) + " +
+       "COALESCE(n_prior_delta_matches, CAST(0 AS BIGINT)) = 0 AS keep " +
+       "FROM dd LEFT JOIN per USING (doc_id) ORDER BY doc_id"),
     "text_dedup_by_source" ->
       (s"WITH pairs AS ($minhashPairsSql), " +
        "b AS (SELECT source, COUNT(*) AS n_docs, " +

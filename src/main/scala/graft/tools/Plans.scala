@@ -283,6 +283,12 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "text_dedup_incremental" ->
+      ("the delta side of the bucket join is the only corpus-proportional input — the base " +
+       "side is, at scale, a persisted bucket index (the LshIndexProcessor state " +
+       "materialized), so a daily ingest pays delta-bucket-rows × bucket-collisions, " +
+       "never a re-dedup of the full corpus; the watermark split costs one bounded " +
+       "keys=[] bounds row broadcast back."),
     "dq_embed_contamination" ->
       ("the cross-split census never joins test×train all-pairs: candidates come from an " +
        "equality join on (band, bits) of the packed hyperplane signatures (one 64-dot HOF " +

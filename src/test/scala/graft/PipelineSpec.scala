@@ -213,4 +213,31 @@ class PipelineSpec extends SparkSpec {
     assert(landed.where(col("valid_to").isNotNull &&
       col("valid_from") >= col("valid_to")).count() === 0)
   }
+
+  test("text_dedup_incremental reconciles exactly with the full-batch pair set") {
+    // the one-bucket-definition proof: because the incremental query and
+    // text_minhash_lsh read the SAME minhashBuckets frame, a delta doc's
+    // verdict must be derivable from the full-batch pairs — for a delta
+    // doc x, its earlier partners are exactly {a : (a, x) ∈ pairs}
+    // (doc_a < doc_b always), split base/prior-delta by the watermark.
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val (mn, mx) = (ids.min, ids.max)
+    val wm = mn + ((mx - mn) * 4) / 5
+    val pairs = SparkEntry.queries("text_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDelta = pairs.filter(_._2 > wm).groupBy(_._2)
+    val rows = SparkEntry.queries("text_dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.map(_._1).toSet === ids.filter(_ > wm).toSet,
+      "one verdict row per delta doc")
+    rows.foreach { case (x, nb, npd, keep) =>
+      val partners = byDelta.getOrElse(x, Array.empty).map(_._1)
+      assert(nb === partners.count(_ <= wm).toLong, s"doc $x base matches")
+      assert(npd === partners.count(_ > wm).toLong, s"doc $x prior-delta matches")
+      assert(keep === partners.isEmpty, s"doc $x verdict")
+    }
+    // the fixture delta must exercise both outcomes at sf0.01+ (sf0.001
+    // has no near-dups in the top fifth — all-keep is the assertion there)
+    assert(rows.nonEmpty && rows.exists(_._4), "some delta doc must keep")
+  }
 }
