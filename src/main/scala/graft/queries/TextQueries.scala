@@ -459,6 +459,10 @@ object TextQueries {
   private[graft] def cmsBucket(tok: org.apache.spark.sql.Column, r: Int) =
     pmod(hash60(concat(lit(s"cms$r:"), tok)), lit(cmsWidth)).cast(IntegerType)
 
+  /** Sweep widths for text_cms_sweep — mod-w of the SAME hash stream,
+    * so the 64 column is bit-identical to the cmsBucket grid. */
+  private[graft] val cmsSweepWidths = Seq(16L, 64L, 256L)
+
   private[graft] def minhashBuckets(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val sigs = minhashSigs(docs)
@@ -537,6 +541,40 @@ object TextQueries {
         .select(col("tok"), col("n_true"), col("n_est"),
           (col("n_est") - col("n_true")).as("overcount"))
         .orderBy("tok")
+    }),
+
+    // CMS width sweep (r9c) — the sizing matrix the sketch deployment
+    // decision reads (the sim_probe_sweep/sim_mrl_sweep convention
+    // applied to the frequency sketch): the SAME salted hash at widths
+    // 16/64/256 (mod-w of one hash stream — the w=64 column is
+    // BIT-IDENTICAL to text_cms_sketch's grid, pinned in ApproxSpec),
+    // per-width per-term min-over-rows estimates, rolled up to the
+    // error profile per width: exact-term count, total and max
+    // overcount. ONE corpus pass emits all (w, r, b) cells (the grid
+    // is bounded by Σw×depth = 1344 cells); the probe join is
+    // broadcast; the emission is 3 rows.
+    "text_cms_sweep" -> ((s, d) => {
+      val tok = toks(s, d).select("tok")
+      def rbw(t: org.apache.spark.sql.Column) =
+        explode(array((for { w <- cmsSweepWidths; r <- 0 until cmsDepth } yield
+          struct(lit(w).as("w"), lit(r).as("r"),
+            pmod(hash60(concat(lit(s"cms$r:"), t)), lit(w)).cast(IntegerType).as("b"))): _*))
+          .as("rb")
+      val cells = tok.select(rbw(col("tok")))
+        .groupBy(col("rb.w").as("w"), col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n_true"))
+      vocab.select(col("tok"), col("n_true"), rbw(col("tok")))
+        .join(broadcast(cells),
+          col("rb.w") === col("w") && col("rb.r") === col("r") && col("rb.b") === col("b"))
+        .groupBy(col("tok"), col("n_true"), col("w"))
+        .agg(min("cnt").as("n_est"))
+        .groupBy(col("w").as("width"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(when(col("n_est") === col("n_true"), 1L).otherwise(0L)).as("n_exact"),
+          sum(col("n_est") - col("n_true")).as("total_overcount"),
+          max(col("n_est") - col("n_true")).as("max_overcount"))
+        .orderBy("width")
     }),
 
     // Top-20 bigrams via zip_with over shifted slices (pure HOFs, no UDF).
@@ -656,6 +694,27 @@ object TextQueries {
        "e AS (SELECT pr.tok, pr.n_true, MIN(c.cnt) AS n_est FROM pr " +
        "JOIN cells c ON pr.r = c.r AND pr.b = c.b GROUP BY 1, 2) " +
        "SELECT tok, n_true, n_est, n_est - n_true AS overcount FROM e ORDER BY tok"),
+    "text_cms_sweep" ->
+      // same hash stream at each width (the grid via a widths×rows
+      // CROSS JOIN), same min-probe, per-width error rollup
+      ("WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "wg AS (SELECT unnest([16, 64, 256]) AS w), " +
+       "rg AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
+       "rb AS (SELECT tok, w, r, " +
+       s"CAST(${hash60Sql("'cms' || CAST(r AS VARCHAR) || ':' || tok")} % w AS INT) AS b " +
+       "FROM tk CROSS JOIN wg CROSS JOIN rg), " +
+       "cells AS (SELECT w, r, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM rb GROUP BY 1, 2, 3), " +
+       "vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_true FROM tk GROUP BY 1), " +
+       "pr AS (SELECT v.tok, v.n_true, gw.w AS w, gr.r AS r, " +
+       s"CAST(${hash60Sql("'cms' || CAST(gr.r AS VARCHAR) || ':' || v.tok")} % gw.w AS INT) AS b " +
+       "FROM vocab v CROSS JOIN wg gw CROSS JOIN rg gr), " +
+       "e AS (SELECT pr.tok, pr.n_true, pr.w, MIN(c.cnt) AS n_est FROM pr " +
+       "JOIN cells c ON pr.w = c.w AND pr.r = c.r AND pr.b = c.b GROUP BY 1, 2, 3) " +
+       "SELECT CAST(w AS BIGINT) AS width, CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+       "CAST(SUM(CASE WHEN n_est = n_true THEN 1 ELSE 0 END) AS BIGINT) AS n_exact, " +
+       "CAST(SUM(n_est - n_true) AS BIGINT) AS total_overcount, " +
+       "MAX(n_est - n_true) AS max_overcount " +
+       "FROM e GROUP BY 1 ORDER BY width"),
     "text_cross_source_dup" ->
       // the shared bucket prefix, the identical <= 50 stop-bucket
       // filter, then the source-free join

@@ -283,6 +283,10 @@ object Plans {
        "aggregate, the zero-filled contingency grid is checkpointed once for its four " +
        "consumers, and the MI total folds over the bounded cell space — a second dependence " +
        "gauge costs zero new scan structure."),
+    "text_cms_sweep" ->
+      ("the whole three-width sizing matrix costs ONE corpus pass — every (w, r, b) cell " +
+       "is a map-side partial of one bounded groupBy (Σw×depth = 1344 cells) broadcast to " +
+       "the probe join, so evaluating sketch sizes never multiplies the scan."),
     "text_dedup_incremental" ->
       ("the delta side of the bucket join is the only corpus-proportional input — the base " +
        "side is, at scale, a persisted bucket index (the LshIndexProcessor state " +

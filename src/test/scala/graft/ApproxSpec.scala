@@ -95,4 +95,40 @@ class ApproxSpec extends SparkSpec {
       assert(cand.forall { case (a, b) => a < b })
     }
   }
+
+  test("text_cms_sweep: w=64 reconciles with text_cms_sketch; hash-free width recompute") {
+    // the one-hash-stream proof: the sweep's 64 column must aggregate to
+    // exactly the error profile of the standalone sketch query
+    val sketch = SparkEntry.queries("text_cms_sketch")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = SparkEntry.queries("text_cms_sweep")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet === Set(16L, 64L, 256L))
+    assert(rows(64L) === ((sketch.length.toLong,
+      sketch.count { case (_, t, e) => e == t }.toLong,
+      sketch.map { case (_, t, e) => e - t }.sum,
+      sketch.map { case (_, t, e) => e - t }.max)))
+    // independent full recompute per width (MessageDigest hash60, no Spark)
+    def hash60(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val vocab = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    Seq(16L, 64L, 256L).foreach { w =>
+      val cells = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+      toks.foreach { t =>
+        (0 until 4).foreach(r => cells((r, hash60(s"cms$r:" + t) % w)) += 1L)
+      }
+      val errs = vocab.map { case (t, n) =>
+        (0 until 4).map(r => cells((r, hash60(s"cms$r:" + t) % w))).min - n
+      }
+      assert(rows(w) === ((vocab.size.toLong, errs.count(_ == 0L).toLong,
+        errs.sum, errs.max)), s"width $w profile")
+      errs.foreach(e => assert(e >= 0L, s"width $w must never undercount"))
+    }
+  }
 }
