@@ -65,14 +65,29 @@ object SampleQueries {
     * degenerates). The two queries join/aggregate this one frame, so
     * "which shingle leaks" can never drift between them. */
   private def decontShingled(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    decontShingledOf(Tables.documents(s, d))
+
+  /** Frame-parameterized core (private[graft] so PropertySpec can feed
+    * a planted short-doc corpus — the sequence(1, 0) guard below is
+    * unreachable on the fixtures). */
+  private[graft] def decontShingledOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tk = split(col("text"), " ")
     // shingles ride with their 1-based start position (r9c: the
     // scrubber needs WHERE a leak sits, not just that one exists; the
-    // census/list consumers simply drop the column)
-    val sh5 = transform(sequence(lit(1), greatest(size(tk) - 4, lit(0))),
+    // census/list consumers simply drop the column).
+    // Short-doc guard (r9c review): Spark sequence(1, 0) is the
+    // DESCENDING [1, 0] (default step -1), so a <= 4-token doc would
+    // evaluate slice(tk, 0, 5) and THROW — the ascending-or-empty
+    // domain is sequence(1, max(bound, 1)) filtered back to <= bound
+    // (empty for short docs, matching DuckDB's empty
+    // generate_series(1, 0)).
+    val shBound = size(tk) - 4
+    val sh5 = transform(
+      filter(sequence(lit(1), greatest(shBound, lit(1))), i => i <= shBound),
       i => struct(i.as("pos"), concat_ws(" ", slice(tk, i, lit(5))).as("sh")))
-    Tables.documents(s, d)
+    docs
       .withColumn("split", splitCol(col("doc_id")))
       .select(col("doc_id"), col("source"), col("split"), explode(sh5).as("u"))
       .select(col("doc_id"), col("source"), col("split"),
@@ -294,8 +309,17 @@ object SampleQueries {
         .withColumn("split", splitCol(col("doc_id")))
         .select(col("doc_id"), col("split"),
           explode(split(col("text"), " ")).as("tok"))
+      // cache, not localCheckpoint (r9c review): the model feeds TWO
+      // consumers (the stats aggregate and the scoring join), so the
+      // train-token scan + groupBy would run twice uncached — but a
+      // checkpoint would strip the catalyst stats the deliberately
+      // UNHINTED join below relies on (broadcast at fixture scale,
+      // token-key shuffle when the vocab outgrows memory). cache()
+      // deduplicates execution while planning still sees the stats —
+      // the one cached frame in the catalog, and why.
       val model = toks.where(col("split") === "train")
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .cache()
       val stats = model.agg(count(lit(1)).as("vsz"), sum("cnt").as("ntr"))
       toks.where(col("split") === "test")
         .join(model, Seq("tok"), "left")

@@ -196,10 +196,16 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       val wmExpr = "mn + ((mx - mn) * 4) DIV 5"
+      // checkpoint ONCE (r9c review): the frame feeds both join sides
+      // (with differing filters, so ReuseExchange cannot deduplicate
+      // them) AND the delta base below — uncheckpointed, the documents
+      // scan + 32 affine signatures + band explode would run three
+      // times (the r5b multi-consumer rule)
       val buckets = minhashBuckets(docs)
         .crossJoin(broadcast(bounds))
         .withColumn("is_delta", col("doc_id") > expr(wmExpr))
         .select("doc_id", "source", "band", "bh", "is_delta")
+        .localCheckpoint(true)
       val pairs = buckets.where(col("is_delta")).as("x")
         .join(buckets.as("y"),
           col("x.source") === col("y.source") && col("x.band") === col("y.band") &&
@@ -210,9 +216,10 @@ object TextQueries {
       val per = pairs.groupBy("doc_id")
         .agg(sum(when(!col("m_delta"), 1L).otherwise(0L)).as("n_base_matches"),
           sum(when(col("m_delta"), 1L).otherwise(0L)).as("n_prior_delta_matches"))
-      docs.crossJoin(broadcast(bounds))
-        .where(col("doc_id") > expr(wmExpr))
-        .select(col("doc_id"), col("source"))
+      // delta base from the checkpointed buckets (every doc has 8
+      // band rows — distinct recovers doc grain with no third scan)
+      buckets.where(col("is_delta"))
+        .select(col("doc_id"), col("source")).distinct()
         .join(per, Seq("doc_id"), "left")
         .na.fill(0L, Seq("n_base_matches", "n_prior_delta_matches"))
         .withColumn("keep",
@@ -555,18 +562,28 @@ object TextQueries {
     // broadcast; the emission is 3 rows.
     "text_cms_sweep" -> ((s, d) => {
       val tok = toks(s, d).select("tok")
-      def rbw(t: org.apache.spark.sql.Column) =
-        explode(array((for { w <- cmsSweepWidths; r <- 0 until cmsDepth } yield
-          struct(lit(w).as("w"), lit(r).as("r"),
-            pmod(hash60(concat(lit(s"cms$r:"), t)), lit(w)).cast(IntegerType).as("b"))): _*))
-          .as("rb")
-      val cells = tok.select(rbw(col("tok")))
-        .groupBy(col("rb.w").as("w"), col("rb.r").as("r"), col("rb.b").as("b"))
+      // hash ONCE per (tok, depth-row) — 4 sha-256 per token, not 12:
+      // the row-hash lands as an attribute behind the FIRST explode, so
+      // the width explode and mod derivations reference the materialized
+      // column instead of re-evaluating the hash per width (r9c review)
+      def rhCol(t: org.apache.spark.sql.Column) =
+        explode(array((0 until cmsDepth).map(r =>
+          struct(lit(r).as("r"),
+            hash60(concat(lit(s"cms$r:"), t)).as("h"))): _*)).as("rh")
+      val wCol = explode(typedlit(cmsSweepWidths)).as("w")
+      val cells = tok.select(rhCol(col("tok")))
+        .select(col("rh.r").as("r"), col("rh.h").as("h"), wCol)
+        .groupBy(col("w"), col("r"),
+          pmod(col("h"), col("w")).cast(IntegerType).as("b"))
         .agg(count(lit(1)).as("cnt"))
       val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n_true"))
-      vocab.select(col("tok"), col("n_true"), rbw(col("tok")))
+      vocab.select(col("tok"), col("n_true"), rhCol(col("tok")))
+        .select(col("tok"), col("n_true"), col("rh.r").as("pr"), col("rh.h").as("h"), wCol)
+        .withColumn("pw", col("w")).withColumn("pb",
+          pmod(col("h"), col("w")).cast(IntegerType))
+        .drop("w")
         .join(broadcast(cells),
-          col("rb.w") === col("w") && col("rb.r") === col("r") && col("rb.b") === col("b"))
+          col("pw") === col("w") && col("pr") === col("r") && col("pb") === col("b"))
         .groupBy(col("tok"), col("n_true"), col("w"))
         .agg(min("cnt").as("n_est"))
         .groupBy(col("w").as("width"))

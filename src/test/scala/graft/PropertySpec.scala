@@ -590,6 +590,25 @@ class PropertySpec extends SparkSpec {
       "fixture checksums should be pairwise distinct")
   }
 
+  test("decontShingled: short docs shingle to empty, never throw (sequence(1,0) guard)") {
+    import spark.implicits._
+    // <= 4 tokens => zero shingles (Spark sequence(1, 0) is the
+    // DESCENDING [1, 0] — unguarded this evaluated slice(tk, 0, 5) and
+    // threw); 5 tokens => exactly one shingle at pos 1; 7 => three
+    val docs = Seq(
+      (1L, "only three words", "s"),
+      (2L, "a b c d", "s"),
+      (3L, "one two three four five", "s"),
+      (4L, "a b c d e f g", "s")).toDF("doc_id", "text", "source")
+    val sh = graft.queries.SampleQueries.decontShingledOf(docs)
+      .select("doc_id", "pos", "sh").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(!sh.exists(s => s._1 == 1L || s._1 == 2L), "short docs must shingle empty")
+    assert(sh.filter(_._1 == 3L).toSeq === Seq((3L, 1, "one two three four five")))
+    assert(sh.filter(_._1 == 4L).map(s => (s._2, s._3)).toSeq ===
+      Seq((1, "a b c d e"), (2, "b c d e f"), (3, "c d e f g")))
+  }
+
   test("text_perplexity_split: independent cross-split LM recompute; leakage-safe scoring") {
     def hash60(s0: String): Long = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
