@@ -756,7 +756,12 @@ object TemporalQueries {
     * cross-products so both engines multiply exactly at any count
     * magnitude. */
   private def lttbAreaExpr: String =
-    "abs(CAST(sxp * nn - sxc * np AS DECIMAL(19,0)) * CAST(cnt * np - syp AS DECIMAL(19,0)) - " +
+    // shoelace: the two cross-products SUM (r9 shipped a '-' here —
+    // anchors (0,0)/(4,1), candidate (2,3) gave 14, true 2A is 10;
+    // caught by the r9 advisor. PropertySpec's reference walk now uses
+    // the independent expanded shoelace spelling so a shared sign flip
+    // cannot pass again).
+    "abs(CAST(sxp * nn - sxc * np AS DECIMAL(19,0)) * CAST(cnt * np - syp AS DECIMAL(19,0)) + " +
       "CAST(sxp - day * np AS DECIMAL(19,0)) * CAST(syp * nn - syc * np AS DECIMAL(19,0)))"
 
   val oracle: Map[String, String] = Map(

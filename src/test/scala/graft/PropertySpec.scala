@@ -1627,8 +1627,14 @@ class PropertySpec extends SparkSpec {
           val (sxp, syp, np) = m(b - 1)
           val (sxc, syc, nn) = m(b + 1)
           pts.map { case (x, y) =>
-            val area = ((sxp * nn - sxc * np) * (BigInt(y) * np - syp) -
-              (sxp - BigInt(x) * np) * (syp * nn - syc * np)).abs
+            // independent spelling: expanded shoelace 2A·np·nn =
+            // |xp(y−yc) + x(yc−yp) + xc(yp−y)| cleared of denominators
+            // — deliberately NOT the query's factored form, so a sign
+            // flip in lttbAreaExpr (the r9 bug) cannot match here.
+            // Argmax is scale-invariant: the query's form is np²·nn·2A,
+            // this one np·nn·2A, and np is constant within a bucket.
+            val area = (sxp * nn * y - sxp * syc + BigInt(x) * np * syc -
+              BigInt(x) * nn * syp + sxc * syp - sxc * np * y).abs
             ((-area, x), (x, y))
           }.minBy(_._1)._2
         }
