@@ -10,8 +10,8 @@ import graft.queries.{SampleQueries, SimQueries, TextQueries}
   * composed entirely from the declared operators, so every stage's
   * semantics are already oracle-checked in isolation:
   *
-  *   near-dup candidate pairs  (TextQueries.minhashPairs — banded LSH,
-  *                              equality joins, never all-pairs)
+  *   near-dup candidate edges  (TextQueries.minhashStarEdges — banded LSH
+  *                              star reduction, linear in bucket size)
   *     -> components           (Scale.connectedComponents — the dedup unit)
   *     -> one survivor/cluster (best shared-quality score, min-struct
   *                              argmax aggregate)
@@ -42,7 +42,12 @@ object Corpus {
     * PipelineSpec proves against an independent recompute. */
   def assemble(spark: SparkSession, sfDir: String,
       semantic: Boolean = false): DataFrame = {
-    val textPairs = TextQueries.minhashPairs(spark, sfDir)
+    // star-edge reduction (r10): connectivity-only consumer, so the
+    // minhash half feeds Σ|b| star edges, not Σ|b|²/2 pairs — identical
+    // components (minhashStarEdges scaladoc). The embed half keeps its
+    // pair emission: the exact-cosine re-check is per-edge, star
+    // transitivity does not hold there.
+    val textPairs = TextQueries.minhashStarEdges(spark, sfDir)
     val pairGraph = if (!semantic) textPairs else textPairs.union(
       SimQueries.embedBandPairs(spark, sfDir)
         .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))

@@ -46,8 +46,12 @@ object ScanQueries {
     fs.listStatus(new org.apache.hadoop.fs.Path(out))
       .filter(_.isDirectory).foreach { st =>
         val nm = st.getPath.getName
-        if (nm.startsWith("o_year=") && nm.drop(7).toInt < keepFrom)
-          fs.delete(st.getPath, true)
+        // non-numeric suffixes (e.g. o_year=__HIVE_DEFAULT_PARTITION__
+        // from a null partition value) are skipped, never crash the
+        // vacuum (r9 advice)
+        val yr = if (nm.startsWith("o_year="))
+          scala.util.Try(nm.drop(7).toInt).toOption else None
+        if (yr.exists(_ < keepFrom)) fs.delete(st.getPath, true)
       }
   }
 

@@ -235,11 +235,14 @@ object TextQueries {
     // so the whole assignment is deterministic and oracle-checked against
     // a DuckDB transitive-closure recursive CTE. Singletons cluster as
     // themselves (csize 1). 100 TB shape: edges come from the banded-LSH
-    // equality join (never all-pairs) and every propagation round is a
-    // shuffle-on-node-id join; rounds ~ diameter (near-clique LSH
-    // components converge in 2-3).
+    // equality join via STAR reduction (min-doc -> member per bucket —
+    // Σ|b| edges, never the Σ|b|²/2 all-pairs emission; components are
+    // provably identical, see minhashStarEdges) and every propagation
+    // round is a shuffle-on-node-id join; rounds ~ diameter (star-edge
+    // LSH components converge in 2-3 — every member is one hop from the
+    // bucket center).
     "dedup_cluster_cc" -> ((s, d) => {
-      val pairs = minhashPairs(s, d)
+      val pairs = minhashStarEdges(s, d)
       val cc = graft.operators.Scale.connectedComponents(
         Tables.documents(s, d).select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -277,8 +280,10 @@ object TextQueries {
     // WHERE (the decision a curation run actually takes is "drop or
     // down-weight source X"). Per source: docs, exact-unique mass
     // (shared contentHash), exact-dup overhang, and docs involved in
-    // near-dup candidate pairs (shared minhashPairs — pairs are blocked
-    // within source, so membership rolls up cleanly). KEYED
+    // near-dup candidate pairs (star edges — a doc is a pair MEMBER iff
+    // it sits in a ≥2-doc bucket, and the star graph touches exactly
+    // that set: centers as doc_a, the rest as doc_b — so the member set
+    // is identical to the all-pairs one at Σ|b| cost). KEYED
     // count_distinct (the keys=[] PlanGuard rule does not apply); the
     // pair side is the banded generator, never all-pairs.
     "text_dedup_by_source" -> ((s, d) => {
@@ -286,7 +291,7 @@ object TextQueries {
       val base = docs.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         countDistinct(contentHash(col("text"))).as("n_unique"))
-      val members = minhashPairs(s, d)
+      val members = minhashStarEdges(s, d)
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
       val nd = members.join(docs.select("doc_id", "source"), "doc_id")
@@ -303,7 +308,7 @@ object TextQueries {
     // exact-unique mass → candidate pairs → near-dup clusters (size
     // ≥ 2) → docs swallowed by them → docs remaining after one-
     // survivor-per-cluster. Every stage reads the SHARED definitions
-    // (contentHash, minhashPairs, clusterSurvivorsOver), so the funnel
+    // (contentHash, minhashPairsOver/StarEdgesOver, clusterSurvivorsOver), so the funnel
     // can never disagree with the queries it summarizes; the exact-
     // unique count is a keyed distinct THEN a partial-aggregable count
     // (never count_distinct in a keys=[] aggregate — the r6d
@@ -314,9 +319,15 @@ object TextQueries {
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val nUniq = docs.select(contentHash(col("text")).as("h")).distinct()
         .agg(count(lit(1)).as("n_exact_unique"))
-      val pairs = minhashPairs(s, d).localCheckpoint(true)
-      val nPairs = pairs.agg(count(lit(1)).as("n_candidate_pairs"))
-      val surv = clusterSurvivorsOver(s, d, pairs)
+      // ONE checkpointed bucket frame feeds both derived shapes: the
+      // DECLARED n_candidate_pairs count stays the all-pairs emission
+      // (pairs are the reported metric), while the CC stage rides the
+      // star-edge graph — identical components, linear in hot-bucket
+      // size (minhashStarEdges scaladoc; r9 verdict ask #1).
+      val buckets = minhashBuckets(docs).localCheckpoint(true)
+      val nPairs = minhashPairsOver(buckets)
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+      val surv = clusterSurvivorsOver(s, d, minhashStarEdgesOver(buckets))
       val cl = surv.agg(
         sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_multi_clusters"),
         sum(when(col("csize") > 1, col("csize")).otherwise(0L)).as("n_docs_in_multi"),
@@ -387,7 +398,11 @@ object TextQueries {
     * not just each generator — is cell-checked against DuckDB. */
   private val queries3: Map[String, Q] = Map(
     "dedup_semantic_union" -> ((s, d) => {
-      val pairs = minhashPairs(s, d).union(
+      // minhash half rides star edges (connectivity-only; identical
+      // components — closure(star ∪ embed) == closure(pairs ∪ embed)
+      // because the two halves' closures compose); the embed half keeps
+      // pair emission (exact-cosine re-check breaks star transitivity).
+      val pairs = minhashStarEdges(s, d).union(
         SimQueries.embedBandPairs(s, d)
           .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
       clusterSurvivorsOver(s, d, pairs)
@@ -405,7 +420,9 @@ object TextQueries {
     * against it. */
   private[graft] def clusterSurvivors(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    clusterSurvivorsOver(s, d, minhashPairs(s, d))
+    // connectivity-only consumer -> star edges (identical components,
+    // linear in hot-bucket size; minhashStarEdges scaladoc)
+    clusterSurvivorsOver(s, d, minhashStarEdges(s, d))
 
   /** clusterSurvivors over an ARBITRARY candidate-pair graph (doc_a,
     * doc_b) — the component/survivor step is generator-agnostic (MinHash
@@ -484,16 +501,46 @@ object TextQueries {
   }
 
   private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    minhashPairsOver(minhashBuckets(Tables.documents(s, d)))
+
+  private[graft] def minhashPairsOver(
+      buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       // Candidates are blocked by (source, band, hash) — same scope as the
       // exact Jaccard op, and the shard-blocked join shape that keeps the
       // pair explosion bounded on a self-similar corpus at 100 TB.
-      val buckets = minhashBuckets(Tables.documents(s, d))
       buckets.as("x").join(buckets.as("y"),
           col("x.source") === col("y.source") &&
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+
+  /** Star-edge candidate graph over the SAME minhash buckets: per
+    * (source, band, bh) bucket emit (min doc_id -> each other member)
+    * instead of all pairs. The transitive closure is IDENTICAL — within a
+    * bucket every member reaches every other through the center — so any
+    * consumer that only needs CONNECTIVITY (the CC-family cluster queries)
+    * gets the same components from Σ|b| edges instead of Σ|b|²/2: at 100 TB
+    * a 10⁶-doc boilerplate bucket is 10⁶ star edges, not 10¹² pairs (r9
+    * verdict ask #1; PropertySpec plants a 200-doc hot bucket and pins
+    * 199 vs 19,900 with identical clusters). Pair-SET queries
+    * (text_minhash_lsh, dedup_minhash_est) keep minhashPairsOver — pairs
+    * ARE their output — and exact-re-checked generators (embedBandPairs)
+    * must NOT use this: star transitivity fails once a per-edge predicate
+    * filters candidates after bucket agreement. One keyed window min (no
+    * orderBy -> no sort), one shuffle on the bucket key. */
+  private[graft] def minhashStarEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    minhashStarEdgesOver(minhashBuckets(Tables.documents(s, d)))
+
+  private[graft] def minhashStarEdgesOver(
+      buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy("source", "band", "bh")
+      buckets
+        .withColumn("ctr", min("doc_id").over(w))
+        .where(col("doc_id") =!= col("ctr"))
+        .select(col("ctr").as("doc_a"), col("doc_id").as("doc_b"))
         .distinct()
   }
 

@@ -24,7 +24,10 @@ import org.apache.spark.sql.streaming.ValueState
   * same integers. Measurements arrive as pre-scaled BIGINTs (counts,
   * cents — scale UPSTREAM with the shared column def per the
   * ReservoirProcessor rule); x*x partials overflow only past ~3e9 in a
-  * single measurement (the dq_anomaly_zscore bound, documented there).
+  * single measurement (the dq_anomaly_zscore bound, documented there),
+  * and the fold uses Math.addExact/multiplyExact so crossing that bound
+  * THROWS — the same loud failure mode as the ANSI batch twin — instead
+  * of wrapping silently.
   *
   * Scale posture: state is three longs per series — bounded by the key
   * space, not the event count — hash-partitioned by series like any
@@ -45,7 +48,12 @@ class MomentsProcessor
     var seen = false
     rows.foreach { e =>
       seen = true
-      m = Mom(key, m.n + 1L, m.s + e.x, m.ss + e.x * e.x)
+      // exact-arith adds (r9 advice): the batch twin runs under ANSI and
+      // fails LOUDLY on overflow; plain Long + / * would wrap silently
+      // past the documented ~3e9 per-measurement bound and diverge
+      // quietly instead. Math.*Exact throws the same class of error.
+      m = Mom(key, Math.addExact(m.n, 1L), Math.addExact(m.s, e.x),
+        Math.addExact(m.ss, Math.multiplyExact(e.x, e.x)))
     }
     if (!seen) Iterator.empty
     else { st.update(m); Iterator.single(m) }

@@ -53,8 +53,12 @@ object Plans {
     "dedup_embed_cosine" ->
       "same salted SortMergeJoin pair enumeration — no unbounded broadcast build side.",
     "dedup_cluster_cc" ->
-      ("clusters from the MinHash pair graph via min-label propagation. The plan shown is the FINAL " +
-       "pass (checkpointed label table joined to cluster sizes): each propagation round is a " +
+      ("clusters from the MinHash STAR-EDGE graph (r10): per (source, band, bh) bucket the " +
+       "candidate emission is min-doc -> each other member — Σ|b| edges with a provably identical " +
+       "transitive closure, where the all-pairs emission is Σ|b|²/2 (a 10⁶-doc boilerplate bucket " +
+       "at 100 TB is 10⁶ star edges, not 10¹² pairs). The star center is one keyed window min over " +
+       "the bucket key — one shuffle, no sort, no join-back. The plan shown is the FINAL pass " +
+       "(checkpointed label table joined to cluster sizes): each propagation round is a " +
        "shuffle-on-node-id join + groupBy whose lineage is deliberately truncated by a per-round " +
        "localCheckpoint — that truncation point, not one big plan, is the scale control."),
     "cdc_merge_upsert" ->
@@ -170,8 +174,10 @@ object Plans {
        "edge side stationary by BUCKETING it on src at land time. All-integer rank arithmetic; " +
        "zero driver-side data movement."),
     "dedup_semantic_union" ->
-      ("the composed dedup: MinHash band pairs UNION hyperplane band pairs — both bucketed " +
-       "equality-join generators — feed ONE checkpoint-truncated CC loop and one min-struct argmax " +
+      ("the composed dedup: MinHash STAR edges (linear in hot-bucket size — connectivity-only " +
+       "consumer, identical closure) UNION hyperplane band PAIRS (the exact-cosine re-check is " +
+       "per-edge, so star transitivity does not hold there) — both bucketed equality-join " +
+       "generators — feed ONE checkpoint-truncated CC loop and one min-struct argmax " +
        "survivor aggregate. Proves the generator-agnostic clustering contract as a hash-checked " +
        "plan, not just a spec cross-check."),
     "text_containment" ->

@@ -1645,4 +1645,37 @@ class PropertySpec extends SparkSpec {
     assert(got === expected, "selected points must match the reference walk exactly")
     assert(got.head._2 === mn && got.last._2 === mx, "endpoints pinned to first/last day")
   }
+
+  test("minhash star edges: identical components at linear hot-bucket cost") {
+    // r10 (r9 verdict ask #1): plant a 200-doc boilerplate hot bucket —
+    // the degenerate LSH cell a 100 TB crawl always contains — plus a
+    // second 10-doc clique and a singleton. The all-pairs emission is
+    // quadratic in the hot bucket (C(200,2) = 19,900); the star
+    // reduction is linear (199) and must yield IDENTICAL components.
+    import spark.implicits._
+    import graft.queries.TextQueries
+    val docs = (
+      (1L to 200L).map(i => (i, "s0", "shared boilerplate banner text row")) ++
+      (201L to 210L).map(i => (i, "s0", "second smaller clique of near dups")) ++
+      Seq((211L, "s0", "a genuinely unique document with its own tokens"))
+    ).toDF("doc_id", "source", "text")
+    val buckets = TextQueries.minhashBuckets(docs).localCheckpoint(true)
+    val pairs = TextQueries.minhashPairsOver(buckets)
+    val star = TextQueries.minhashStarEdgesOver(buckets)
+    val starEdges = star.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.count() === 19900L + 45L, "all-pairs emission: C(200,2) + C(10,2)")
+    assert(starEdges.length === 199 + 9, "star emission: (|b|-1) per clique")
+    assert(starEdges.forall(e => e._1 == 1L || e._1 == 201L),
+      "every star edge leaves the bucket's min doc_id")
+    val nodes = docs.select(col("doc_id").as("id"))
+    def components(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Scale.connectedComponents(nodes,
+          edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaPairs = components(pairs)
+    val viaStar = components(star)
+    assert(viaStar === viaPairs, "star graph must yield identical components")
+    assert(viaStar(5L) === 1L && viaStar(205L) === 201L && viaStar(211L) === 211L,
+      "two cliques + the singleton resolve to their min ids")
+  }
 }
