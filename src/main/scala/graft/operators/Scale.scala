@@ -31,6 +31,50 @@ object Scale {
     saltedLarge.join(saltedSmall, Seq(key, "__salt"), "inner").drop("__salt")
   }
 
+  /** The ONE lane assignment shared by lanedBucketJoin and its
+    * PropertySpec per-cell bound recompute (the minhashBuckets
+    * shared-def rule: a test that re-derives lanes with a different
+    * hash proves nothing). */
+  private[graft] def laneCol(id: Column, lanes: Int): Column =
+    pmod(xxhash64(id), lit(lanes)).cast("int")
+
+  /** Hot-bucket-safe PAIR-GENERATING bucket join (r10, r9 verdict ask
+    * #2): equality-join `left` and `right` on `keys`, with each side's
+    * residents lane-decomposed so no single task owns a degenerate
+    * bucket's quadratic pair emission.
+    *
+    * A plain self/bipartite join on a bucket key sends every resident
+    * of a bucket to ONE reducer, which then emits |b|_L × |b|_R pairs —
+    * at 100 TB a 10⁶-doc boilerplate LSH cell is a 10¹²-pair single
+    * task. Decomposition: row x joins in lane cell (lane(x), j) for
+    * every j, row y in cell (i, lane(y)) for every i; a pair (x, y)
+    * meets in EXACTLY the cell (lane(x), lane(y)), so the output is
+    * row-identical to the plain join (goldens unchanged) while each of
+    * the lanes² cells is its own join key carrying ~|b|/lanes residents
+    * per side — per-task fan-in drops lanes²-fold at a lanes-fold row
+    * replication cost. This bounds the PAIR-GENERATION hot spot; the
+    * output volume itself is the consumer's contract (CC-family
+    * consumers avoid it via TextQueries.minhashStarEdges instead —
+    * this helper is for the RE-CHECKED generators whose per-edge
+    * predicate breaks star transitivity).
+    *
+    * Returns the join with sides aliased "x" and "y" (callers add
+    * their own `x.id < y.id` / emission select); the lane columns are
+    * internal ("__lx"/"__ly" carry the cell id). */
+  def lanedBucketJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftId: String, rightId: String,
+      lanes: Int = 8): DataFrame = {
+    val l = left
+      .withColumn("__lx", laneCol(col(leftId), lanes))
+      .withColumn("__ly", explode(array((0 until lanes).map(lit): _*)))
+    val r = right
+      .withColumn("__lx", explode(array((0 until lanes).map(lit): _*)))
+      .withColumn("__ly", laneCol(col(rightId), lanes))
+    l.as("x").join(r.as("y"),
+      keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+        col("x.__lx") === col("y.__lx") && col("x.__ly") === col("y.__ly"))
+  }
+
   /** Co-located join via bucketing: both sides pre-bucketed by the join
     * key into `buckets` files — Catalyst sees the matching output
     * partitioning and plans the join with NO Exchange on either side.

@@ -190,15 +190,20 @@ object GraphQueries {
     // it censuses the co-purchase graph's component structure): nodes =
     // all basketed parts (singletons count), edges = the SHARED
     // supportedPairs frame (one pair/threshold definition with affinity
-    // and triangles), components via Scale.connectedComponents (the
-    // distributed min-label loop, per-round checkpoint truncation), then
-    // the component-SIZE histogram — the number that says whether the
-    // graph is one giant component or fragments. Oracle: the same
+    // and triangles). Components via Scale.connectedComponentsStar (r10,
+    // r9 verdict ask #4): the Kiveris large-star/small-star alternation
+    // that converges in O(log n) rounds on ANY topology — a co-purchase
+    // graph, unlike the near-clique LSH graphs the min-label loop is
+    // tuned for, has no diameter guarantee, so this is exactly where the
+    // adversarial-topology path belongs; cluster = component min on both
+    // paths, so the declared output (the component-SIZE histogram — the
+    // number that says whether the graph is one giant component or
+    // fragments) is identical, ScaleSpec-proven. Oracle: the same
     // recursive-closure shape as dedup_cluster_cc over the mirrored
     // basketCteSql pair set.
     "graph_components" -> ((s, d) => {
       val p = basketItems(s, d)
-      val cc = graft.operators.Scale.connectedComponents(
+      val cc = graft.operators.Scale.connectedComponentsStar(
         p.select(col("pk").as("id")).distinct(),
         supportedPairs(p).select(col("p1").as("src"), col("p2").as("dst")))
       cc.groupBy("cluster").agg(count(lit(1)).as("csize"))

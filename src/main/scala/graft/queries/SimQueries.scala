@@ -144,9 +144,14 @@ object SimQueries {
     // multi-use of a non-cheap expression, so CollapseProject keeps the
     // boundary and the 64-dot pass runs once per row
     val buckets = sigBuckets(e, "label")
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
-        col("x.bits") === col("y.bits") && col("x.vec_id") < col("y.vec_id"))
+    // lane-decomposed bucket join (r10): row-identical to the plain
+    // (label, band, bits) self-join, but a degenerate bucket's pair
+    // emission spreads over lanes² cells instead of one task
+    // (Scale.lanedBucketJoin scaladoc; the star-edge shortcut does NOT
+    // apply here — the exact-cosine re-check is per-edge)
+    val cand = graft.operators.Scale.lanedBucketJoin(
+        buckets, buckets, Seq("label", "band", "bits"), "vec_id", "vec_id")
+      .where(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.label").as("label"), col("x.vec_id").as("a_id"),
         col("y.vec_id").as("b_id"))
       .distinct()
@@ -184,9 +189,12 @@ object SimQueries {
           normD(col("embedding")).as("nrm"),
           SampleQueries.splitCol(col("vec_id")).as("split"))
       val buckets = sigBuckets(e.select(col("vec_id"), col("embedding"), col("split")), "split")
-      val cand = buckets.where(col("split") === "test").as("x")
-        .join(buckets.where(col("split") === "train").as("y"),
-          col("x.band") === col("y.band") && col("x.bits") === col("y.bits"))
+      // laned test×train bucket join (r10): same rows as the plain
+      // (band, bits) join, hot buckets spread over lanes² cells
+      val cand = graft.operators.Scale.lanedBucketJoin(
+          buckets.where(col("split") === "test"),
+          buckets.where(col("split") === "train"),
+          Seq("band", "bits"), "vec_id", "vec_id")
         .select(col("x.vec_id").as("t_id"), col("y.vec_id").as("tr_id"))
         .distinct()
       cand

@@ -206,10 +206,14 @@ object TextQueries {
         .withColumn("is_delta", col("doc_id") > expr(wmExpr))
         .select("doc_id", "source", "band", "bh", "is_delta")
         .localCheckpoint(true)
-      val pairs = buckets.where(col("is_delta")).as("x")
-        .join(buckets.as("y"),
-          col("x.source") === col("y.source") && col("x.band") === col("y.band") &&
-          col("x.bh") === col("y.bh") && col("y.doc_id") < col("x.doc_id"))
+      // laned delta×earlier bucket join (r10): row-identical to the
+      // plain (source, band, bh) join; a boilerplate bucket's
+      // candidate emission spreads over lanes² cells instead of one
+      // task (Scale.lanedBucketJoin)
+      val pairs = graft.operators.Scale.lanedBucketJoin(
+          buckets.where(col("is_delta")), buckets,
+          Seq("source", "band", "bh"), "doc_id", "doc_id")
+        .where(col("y.doc_id") < col("x.doc_id"))
         .select(col("x.doc_id").as("doc_id"),
           col("y.doc_id").as("m_id"), col("y.is_delta").as("m_delta"))
         .distinct()

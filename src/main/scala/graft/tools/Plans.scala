@@ -118,7 +118,11 @@ object Plans {
       ("banded hyperplane-LSH pair generation: 64 plane dots computed in the scan-stage projection, " +
        "candidates from an EQUALITY join on (label, band, bits) — never an all-pairs join; only " +
        "candidates pay the exact-cosine re-check, via join-back on vec_id so the 16x band explode " +
-       "never carries the embedding payload. The bucket join shows as broadcast purely by SIZE at " +
+       "never carries the embedding payload. The bucket join is LANE-DECOMPOSED (r10, " +
+       "Scale.lanedBucketJoin): each side's residents split over 8 hash lanes and the join key " +
+       "carries the (lane,lane) cell, so a degenerate bucket's B²/2 pair emission spreads over 64 " +
+       "per-task cells instead of one reducer — row-identical output, lanes-fold row replication. " +
+       "The bucket join shows as broadcast purely by SIZE at " +
        "fixture scale (no hint) — past the threshold AQE plans the same equality join as SMJ, " +
        "exactly like text_minhash_lsh's buckets."),
     "dedup_cluster_embed_lsh" ->
@@ -298,13 +302,16 @@ object Plans {
        "side is, at scale, a persisted bucket index (the LshIndexProcessor state " +
        "materialized), so a daily ingest pays delta-bucket-rows × bucket-collisions, " +
        "never a re-dedup of the full corpus; the watermark split costs one bounded " +
-       "keys=[] bounds row broadcast back."),
+       "keys=[] bounds row broadcast back. The delta×earlier join is lane-decomposed " +
+       "(Scale.lanedBucketJoin, r10): a boilerplate bucket's candidate emission spreads " +
+       "over 64 lane cells instead of one task, row-identical output."),
     "dq_embed_contamination" ->
       ("the cross-split census never joins test×train all-pairs: candidates come from an " +
        "equality join on (band, bits) of the packed hyperplane signatures (one 64-dot HOF " +
        "pass per vector, 16 bucket rows), only candidates pay the exact re-check via two " +
        "id-keyed join-backs, and the argmax is a keyed min-struct aggregate — at 100 TB the " +
-       "bucket join is the same shape that makes dedup_embed_lsh scale."),
+       "bucket join is the same LANE-DECOMPOSED shape that makes dedup_embed_lsh scale " +
+       "(Scale.lanedBucketJoin: a hot test×train bucket spreads over 64 lane cells)."),
     "text_bpe_apply" ->
       ("everything after the one corpus word-count aggregate runs at DICTIONARY grain — " +
        "three merge rounds of bounded pair counts + one broadcast winner row each, the " +
@@ -368,10 +375,14 @@ object Plans {
        "corpus-sized posting list never funnels through a single reducer and never rides a " +
        "collect_list; df/cf are plain partial-aggregable keyed counts."),
     "graph_components" ->
-      ("component discovery is the distributed min-label join+groupBy loop with per-round " +
-       "localCheckpoint truncation (the dedup_cluster_cc operator on a graph-family graph) — " +
-       "never a driver-side traversal; the emission is two keyed aggregates over the " +
-       "bounded component space."),
+      ("component discovery is Scale.connectedComponentsStar (r10): the Kiveris large-star/" +
+       "small-star edge-rewriting alternation — O(log n) rounds on ANY topology vs min-label's " +
+       "O(diameter), the right default for a graph with no diameter guarantee. Every round is " +
+       "groupBy-on-node-id aggregates + joins with per-round localCheckpoint truncation (the " +
+       "plan shown is the final star-union label join); convergence is a bounded (count, " +
+       "xor-of-hashes) edge-set fingerprint scalar — never a driver-side traversal. The emission " +
+       "is two keyed aggregates over the bounded component space. The near-clique LSH dedup " +
+       "queries keep min-label propagation, where 2-3 rounds beat the star constant factor."),
     "ts_downsample_lttb" ->
       ("the scan ends at the per-day count; every downstream frame is grid-bounded — the " +
        "bucketed day frame checkpoints once for its three consumers, the 10-row mean frame " +

@@ -48,6 +48,23 @@ class CatalogSpec extends SparkSpec {
       s"queries missing from the SURVEY.md census: ${missing.toSeq.sorted}")
   }
 
+  test("SURVEY §2.12 header counts match the shipped catalog (r9 verdict: header drift)") {
+    // r9 shipped a census header two passes stale ("229 declared ...
+    // round 8" against a 262-key catalog) — membership was structural
+    // (test above) but the bold COUNTS were prose. Parse them.
+    val survey = java.nio.file.Files.readString(java.nio.file.Path.of("SURVEY.md"))
+    val m = java.util.regex.Pattern
+      .compile("\\*\\*(\\d+) declared `queries` keys, (\\d+) with DuckDB oracles\\*\\*")
+      .matcher(survey)
+    assert(m.find(), "SURVEY §2.12 bold header count line not found")
+    val declared = m.group(1).toInt
+    val oracled = m.group(2).toInt
+    assert(declared === SparkEntry.queries.size,
+      s"§2.12 header says $declared declared keys; catalog has ${SparkEntry.queries.size}")
+    assert(oracled === SparkEntry.oracleSql.size,
+      s"§2.12 header says $oracled oracled keys; catalog has ${SparkEntry.oracleSql.size}")
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

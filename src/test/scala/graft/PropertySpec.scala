@@ -1678,4 +1678,41 @@ class PropertySpec extends SparkSpec {
     assert(viaStar(5L) === 1L && viaStar(205L) === 201L && viaStar(211L) === 211L,
       "two cliques + the singleton resolve to their min ids")
   }
+
+  test("lanedBucketJoin: row-identical to the plain bucket join; hot bucket spreads over lane cells") {
+    // r10 (r9 verdict ask #2): the guard for RE-CHECKED pair generators
+    // (embedBandPairs, dq_embed_contamination, text_dedup_incremental)
+    // where the output really is B²/2 pairs and only the per-TASK hot
+    // spot can be bounded. Plant a 160-row hot bucket + an 8-row bucket
+    // + a singleton; the laned join must emit exactly the plain join's
+    // rows, each pair exactly once, with the hot bucket's pairs spread
+    // across the 8×8 lane cells (each cell = one join key = one task).
+    import spark.implicits._
+    import graft.operators.Scale
+    val rows = (1L to 160L).map(i => (i, "b0")) ++
+      (200L to 207L).map(i => (i, "b1")) ++ Seq((300L, "b2"))
+    val df = rows.toDF("id", "bk")
+    val plain = df.as("x").join(df.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.size === 160 * 159 / 2 + 8 * 7 / 2, "planted pair mass")
+    val got = Scale.lanedBucketJoin(df, df, Seq("bk"), "id", "id", 8)
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size,
+      "a pair meets in exactly ONE lane cell — no double emission")
+    assert(got.toSet === plain, "laned join must be row-identical to the plain join")
+    // per-task bound: one join-key cell = (bk, lane(a), lane(b)),
+    // recomputed with the SHARED laneCol definition
+    val laneOf = df.select(col("id"), Scale.laneCol(col("id"), 8).as("ln"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val hotCells = got.filter(_._1 <= 160L)
+      .groupBy(p => (laneOf(p._1), laneOf(p._2))).view.mapValues(_.length)
+    val hotTotal = 160 * 159 / 2
+    assert(hotCells.size > 56, "the 8×8 cell grid is actually populated")
+    assert(hotCells.values.max <= hotTotal / 8,
+      s"no cell owns the bucket: max ${hotCells.values.max} of $hotTotal pairs")
+  }
 }
