@@ -138,6 +138,23 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("re-checked LSH pair generators keep their lane decomposition") {
+    // r10 (the r7 DPP lesson: a planner-property claim without a
+    // plan-shape test rots invisibly): the three re-checked generators
+    // route their bucket joins through Scale.lanedBucketJoin — the lane
+    // columns must appear in the executed plan's join keys. A silent
+    // revert to the plain bucket join would pass every oracle (the
+    // laned join is row-identical) while reinstating the one-task
+    // hot-bucket quadratic at 100×.
+    for (q <- Seq("dedup_embed_lsh", "dq_embed_contamination",
+        "text_dedup_incremental")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("__lx") && plan.contains("__ly"),
+        s"$q bucket join lost its lane decomposition:\n$plan")
+    }
+  }
+
   test("topk_global plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("topk_global")(spark, sf)
       .queryExecution.executedPlan.toString
