@@ -274,6 +274,60 @@ object Scale {
       .select(nodes("id"), coalesce(col("__root"), nodes("id")).as("cluster"))
   }
 
+  /** Incremental connected components by COMPONENT CONTRACTION (r10):
+    * given yesterday's graph (baseNodes, baseEdges) and today's delta —
+    * every edge with at least one NEW endpoint — recompute components
+    * WITHOUT re-clustering the base graph. Stage 1 labels the base graph
+    * alone; stage 2 contracts each base component to its label, maps the
+    * delta edges through the labels (new nodes map to themselves), and
+    * runs CC on the CONTRACTED graph — whose size is (base components +
+    * delta nodes), not the corpus. Expansion joins every node back
+    * through its stage-1 label.
+    *
+    * Correctness (the cdc_incremental_agg IVM argument, for graphs):
+    * closure(base ∪ delta) = closure(closure(base) ∪ delta), and
+    * contracting a closed subgraph preserves the closure of anything
+    * unioned onto it — so the result is IDENTICAL to a full rescan,
+    * which is exactly how callers oracle it (ScaleSpec pins equality on
+    * seeded random graphs, including base–base bridges that exist only
+    * THROUGH a delta node; dedup_cluster_incremental's DuckDB oracle is
+    * the full-rescan closure). `deltaEdges` must contain EVERY edge of
+    * the full graph with ≥1 endpoint outside baseNodes; edges between
+    * two base nodes may appear in either set (they are absorbed by
+    * stage 1's closure either way — callers using star-edge generators
+    * get this for free, because a full-bucket star edge between two
+    * base members also exists in the base-only bucket's star).
+    *
+    * Labels are component minima at every stage, so the final cluster
+    * ids equal the full-rescan ids (min of mins = global min). At 100 TB
+    * the daily win is the whole point: stage 1 is yesterday's persisted
+    * label table (recompute here for a one-plan declared query), and the
+    * only corpus-scale work left is one label join. */
+  def incrementalComponents(allNodes: DataFrame, baseNodes: DataFrame,
+      baseEdges: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val ccBase = connectedComponentsStar(baseNodes, baseEdges)
+      .localCheckpoint(true)
+    val mapped = deltaEdges
+      .join(ccBase.select(col("id").as("src"), col("cluster").as("ls")),
+        Seq("src"), "left")
+      .join(ccBase.select(col("id").as("dst"), col("cluster").as("ld")),
+        Seq("dst"), "left")
+      .select(coalesce(col("ls"), col("src")).as("src"),
+        coalesce(col("ld"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val contracted = ccBase.select(col("cluster").as("id")).distinct()
+      .union(allNodes.join(baseNodes.withColumnRenamed("id", "__b"),
+          allNodes("id") === col("__b"), "left_anti")
+        .select(col("id")))
+      .distinct()
+    val cc2 = connectedComponentsStar(contracted, mapped).localCheckpoint(true)
+    allNodes
+      .join(ccBase.select(col("id"), col("cluster").as("l1")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("l1"), col("id")).as("l1"))
+      .join(cc2.select(col("id").as("l1"), col("cluster")), "l1")
+      .select(col("id"), col("cluster"))
+  }
+
   /** Small-file compaction: rewrite a landed directory into
     * ceil(rows/rowsPerFile) files. Incremental appends (per Airflow tick)
     * accrete small files until scans are metadata-bound; periodic

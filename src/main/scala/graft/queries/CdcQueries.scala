@@ -292,7 +292,54 @@ object CdcQueries {
       "t AS (SELECT CAST(SUM(base_cnt) AS BIGINT) AS n_base, " +
       "CAST(SUM(cur_cnt) AS BIGINT) AS n_cur FROM f)"
 
+  /** Per-day sequence-completeness census over an (event_id, ts) frame —
+    * ONE definition shared by the declared dq_sequence_gaps query and
+    * PropertySpec's planted-lossy-extract test (the join_anti planted-
+    * frame precedent: the fixture sequence is dense and in-order, so all
+    * gap/dup/overlap columns legitimately read zero there — the planted
+    * frame proves the detector actually fires on losses, replays, and
+    * out-of-order day ranges). All-integer; the bounded day grid
+    * checkpoints once (multi-consumer) and the non-equi overlap
+    * self-join carries the explicit broadcast the LogicalRDD rule
+    * requires (r6f). */
+  private[graft] def sequenceGapCensus(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val daily = ev
+      .selectExpr("unix_micros(ts) DIV 86400000000 AS day", "event_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .localCheckpoint(true)
+    val overlaps = daily.as("a")
+      .join(broadcast(daily.as("b")),
+        col("b.day") < col("a.day") && col("b.max_id") >= col("a.min_id"))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n_overlapping_prior_days"))
+    daily.join(overlaps, Seq("day"), "left")
+      .na.fill(0L, Seq("n_overlapping_prior_days"))
+      .selectExpr("day", "n_rows", "n_ids", "min_id", "max_id",
+        "max_id - min_id + 1 - n_ids AS n_missing",
+        "n_rows - n_ids AS n_dup_rows",
+        "n_overlapping_prior_days")
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    // CDC-extraction completeness census (r10) — the validation a
+    // migration runs against a supposedly gap-free, monotonically-id'd
+    // change feed (the cdc_watermark_ticks companion): per extraction
+    // day, row/distinct-id counts, the id range, ids MISSING inside the
+    // range (dropped changes), duplicate rows (replays), and how many
+    // PRIOR days' ranges this day's range overlaps (out-of-order
+    // extraction — ranges should advance strictly). On the fixture the
+    // feed is dense and ordered, so the defect columns read zero BY
+    // MEASUREMENT (that is the check passing, not vacuity — the planted
+    // lossy-extract PropertySpec proves every detector fires); the
+    // per-day ranges/counts carry the hash signal.
+    "dq_sequence_gaps" -> ((s, d) =>
+      sequenceGapCensus(Tables.events(s, d).select("event_id", "ts"))),
+
     // Core of object-migration sync: full-outer join of previous vs current
     // snapshot, classify I/U/D by null pattern. "current" simulates deletes
     // (key % 97 dropped) and updates (key % 13 repriced).
@@ -1125,6 +1172,20 @@ object CdcQueries {
     "CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)")
 
   val oracle: Map[String, String] = Map(
+    "dq_sequence_gaps" ->
+      // same day grid, integer span arithmetic, and the non-equi prior-
+      // range overlap join; COUNT casts per the BIGINT rule
+      ("WITH dd AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids, " +
+       "MIN(event_id) AS min_id, MAX(event_id) AS max_id FROM events GROUP BY 1), " +
+       "o AS (SELECT a.day AS day, CAST(COUNT(*) AS BIGINT) AS nov " +
+       "FROM dd a JOIN dd b ON b.day < a.day AND b.max_id >= a.min_id GROUP BY 1) " +
+       "SELECT dd.day, n_rows, n_ids, min_id, max_id, " +
+       "max_id - min_id + 1 - n_ids AS n_missing, " +
+       "n_rows - n_ids AS n_dup_rows, " +
+       "COALESCE(o.nov, CAST(0 AS BIGINT)) AS n_overlapping_prior_days " +
+       "FROM dd LEFT JOIN o ON dd.day = o.day ORDER BY dd.day"),
     "dq_skew_census" ->
       // per domain: keyed count subquery, the (-cnt, key) min-struct
       // argmax, SUM/COUNT casts per the HUGEINT rule, and the shared

@@ -231,6 +231,53 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental near-dup CLUSTER maintenance (r10) — the daily-ingest
+    // twin of dedup_cluster_cc, the way cdc_incremental_agg is the IVM
+    // twin of a full re-aggregate: split the corpus at the same doc_id
+    // watermark as text_dedup_incremental (top fifth = today's delta),
+    // label the BASE graph alone (at deployment: yesterday's persisted
+    // label table), then merge the delta via COMPONENT CONTRACTION
+    // (Scale.incrementalComponents — base clusters shrink to their
+    // labels, delta-involving star edges map through them, and the
+    // second CC runs on the contracted graph, sized by clusters + delta
+    // docs, not the corpus). The ORACLE is the full-rescan recursive
+    // closure (clusterOracleSql — identical to dedup_cluster_cc's), so
+    // a green row PROVES incremental == full rescan cell-for-cell; the
+    // contraction theorem itself is ScaleSpec-pinned on random graphs
+    // with base–base bridges that exist only through delta nodes. Both
+    // candidate stages ride star edges (connectivity-only consumers).
+    "dedup_cluster_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      val wmExpr = "mn + ((mx - mn) * 4) DIV 5"
+      val buckets = minhashBuckets(docs)
+        .crossJoin(broadcast(bounds))
+        .withColumn("is_delta", col("doc_id") > expr(wmExpr))
+        .select("doc_id", "source", "band", "bh", "is_delta")
+        .localCheckpoint(true)
+      val flags = buckets.select(col("doc_id"), col("is_delta")).distinct()
+        .localCheckpoint(true)
+      val baseEdges = minhashStarEdgesOver(buckets.where(!col("is_delta")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      // every FULL-graph star edge with >= 1 delta endpoint — a full-
+      // bucket star edge between two base members also exists in the
+      // base-only bucket's star, so base connectivity loses nothing
+      // (the incrementalComponents caller contract)
+      val deltaEdges = minhashStarEdgesOver(buckets)
+        .join(flags.select(col("doc_id").as("doc_a"), col("is_delta").as("da")), "doc_a")
+        .join(flags.select(col("doc_id").as("doc_b"), col("is_delta").as("db")), "doc_b")
+        .where(col("da") || col("db"))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val cc = graft.operators.Scale.incrementalComponents(
+        flags.select(col("doc_id").as("id")),
+        flags.where(!col("is_delta")).select(col("doc_id").as("id")),
+        baseEdges, deltaEdges)
+      val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      cc.join(sizes, "cluster")
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("csize"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup CLUSTERS from the MinHash pair graph: connected components
     // via distributed min-label propagation (Scale.connectedComponents).
     // Pairs alone can't drive dedup — keeping "one of each pair" drops a
@@ -864,6 +911,9 @@ object TextQueries {
        "COALESCE(n_neardup_docs, CAST(0 AS BIGINT)) AS n_neardup_docs " +
        "FROM b LEFT JOIN nd ON b.source = nd.source ORDER BY b.source"),
     "dedup_cluster_cc" -> clusterOracleSql,
+    // the SAME full-rescan closure: a green row proves the incremental
+    // contraction path reproduces the full recompute cell-for-cell
+    "dedup_cluster_incremental" -> clusterOracleSql,
     "text_dedup_cluster_survivor" -> survivorOracleSql,
     "text_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +

@@ -297,6 +297,20 @@ object Plans {
       ("the whole three-width sizing matrix costs ONE corpus pass — every (w, r, b) cell " +
        "is a map-side partial of one bounded groupBy (Σw×depth = 1344 cells) broadcast to " +
        "the probe join, so evaluating sketch sizes never multiplies the scan."),
+    "dedup_cluster_incremental" ->
+      ("incremental cluster maintenance by COMPONENT CONTRACTION (Scale.incrementalComponents): " +
+       "the base graph is labeled alone (at deployment: yesterday's persisted label table — the " +
+       "plan's first CC chain), base clusters contract to their min-labels, delta-involving star " +
+       "edges map through the labels, and the second CC runs on the CONTRACTED graph — sized by " +
+       "(clusters + delta docs), not the corpus. The oracle is the full-rescan closure, so every " +
+       "green run re-proves incremental == full recompute. At 100 TB the only corpus-scale work " +
+       "is one label join; both candidate stages are star-edge generators (linear in hot-bucket " +
+       "size)."),
+    "dq_sequence_gaps" ->
+      ("the event scan ends at one keyed day aggregate; everything after (overlap self-join, " +
+       "span arithmetic) runs on the bounded checkpointed day grid — the non-equi prior-range " +
+       "join carries an explicit broadcast (LogicalRDDs have no stats; the r6f rule). " +
+       "Completeness checking costs one aggregation at any feed size."),
     "text_dedup_incremental" ->
       ("the delta side of the bucket join is the only corpus-proportional input — the base " +
        "side is, at scale, a persisted bucket index (the LshIndexProcessor state " +

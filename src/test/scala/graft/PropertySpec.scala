@@ -1679,6 +1679,32 @@ class PropertySpec extends SparkSpec {
       "two cliques + the singleton resolve to their min ids")
   }
 
+  test("dq_sequence_gaps detectors fire on a planted lossy extract") {
+    // r10: the fixture change feed is dense and in-order, so the defect
+    // columns read zero there BY MEASUREMENT — the planted frame proves
+    // each detector actually fires (the join_anti planted-frame rule):
+    // day 1 drops ids 13/17 (gaps) and replays 15 (dup); day 2's range
+    // starts below day 1's max (out-of-order extraction).
+    import spark.implicits._
+    def rows(day: Long, ids: Seq[Long]) = ids.map(i => (i, day * 86400L))
+    val planted = (rows(0, 0L to 9L) ++
+      rows(1, Seq(10L, 11L, 12L, 14L, 15L, 15L, 16L, 18L, 19L)) ++
+      rows(2, 18L to 25L))
+      .toDF("event_id", "secs")
+      .select(col("event_id"), timestamp_seconds(col("secs")).as("ts"))
+    val got = graft.queries.CdcQueries.sequenceGapCensus(planted).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.length === 3)
+    assert(got(0) === ((10L, 10L, 0L, 9L, 0L, 0L, 0L)), "clean day reads clean")
+    assert(got(1) === ((9L, 8L, 10L, 19L, 2L, 1L, 0L)), "gaps + replay detected")
+    assert(got(2) === ((8L, 8L, 18L, 25L, 0L, 0L, 1L)), "out-of-order range detected")
+    val fix = SparkEntry.queries("dq_sequence_gaps")(spark, sf).collect()
+    assert(fix.nonEmpty && fix.forall(r =>
+      r.getLong(5) == 0L && r.getLong(6) == 0L && r.getLong(7) == 0L),
+      "fixture feed must measure dense and ordered")
+  }
+
   test("lanedBucketJoin: row-identical to the plain bucket join; hot bucket spreads over lane cells") {
     // r10 (r9 verdict ask #2): the guard for RE-CHECKED pair generators
     // (embedBandPairs, dq_embed_contamination, text_dedup_incremental)

@@ -202,6 +202,32 @@ class ScaleSpec extends SparkSpec {
     assert(got.where(col("cluster") === 1L).count() === n.toLong)
   }
 
+  test("incrementalComponents equals a full rescan (seeded random graph, delta split)") {
+    // r10: the contraction theorem behind dedup_cluster_incremental —
+    // base components contracted to labels + delta-involving edges must
+    // reproduce the FULL graph's components exactly. The seeded random
+    // graph contains the subtle case by construction: base–base pairs
+    // whose only path runs THROUGH a delta node (stage 1 cannot see
+    // them; only the contracted stage can merge their clusters).
+    val n = 500
+    val nodes = spark.range(n).select(col("id"))
+    val edges = spark.range(800).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
+      pmod(xxhash64(col("id"), lit(2)), lit(n)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    // delta = the top fifth of the id space (the watermark-split shape)
+    val baseNodes = nodes.where(col("id") < 400)
+    val baseEdges = edges.where(col("src") < 400 && col("dst") < 400)
+    val deltaEdges = edges.where(col("src") >= 400 || col("dst") >= 400)
+    // sanity: the planted graph really exercises the through-delta case
+    assert(deltaEdges.count() > 0 && baseEdges.count() > 0)
+    val full = Scale.connectedComponentsStar(nodes, edges)
+    val inc = Scale.incrementalComponents(nodes, baseNodes, baseEdges, deltaEdges)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "incremental (contract + delta) must equal the full rescan exactly")
+  }
+
   test("sortedRepartition yields range-disjoint sorted partitions") {
     val df = Scale.sortedRepartition(
       Tables.orders(spark, sf).select("o_orderkey"), 4, col("o_orderkey"))
