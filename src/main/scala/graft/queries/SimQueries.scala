@@ -143,7 +143,12 @@ object SimQueries {
     // sig lands in its own projection; the 16 nibble extractions below are
     // multi-use of a non-cheap expression, so CollapseProject keeps the
     // boundary and the 64-dot pass runs once per row
-    val buckets = sigBuckets(e, "label")
+    // checkpoint ONCE: the laned join's two sides are no longer
+    // identical subtrees (lane vs explode columns differ), so
+    // ReuseExchange cannot deduplicate them the way it did the plain
+    // self-join — uncheckpointed, the 64-dot signature pass would run
+    // twice (the r9c differing-filters rule; measured +0.8 s at sf0.1)
+    val buckets = sigBuckets(e, "label").localCheckpoint(true)
     // lane-decomposed bucket join (r10): row-identical to the plain
     // (label, band, bits) self-join, but a degenerate bucket's pair
     // emission spreads over lanes² cells instead of one task
@@ -188,7 +193,11 @@ object SimQueries {
         .select(col("vec_id"), col("embedding"),
           normD(col("embedding")).as("nrm"),
           SampleQueries.splitCol(col("vec_id")).as("split"))
+      // checkpoint ONCE: the frame feeds both join sides with differing
+      // filters (test/train) — ReuseExchange cannot deduplicate them,
+      // so uncheckpointed the 64-dot signature pass runs twice (r9c rule)
       val buckets = sigBuckets(e.select(col("vec_id"), col("embedding"), col("split")), "split")
+        .localCheckpoint(true)
       // laned test×train bucket join (r10): same rows as the plain
       // (band, bits) join, hot buckets spread over lanes² cells
       val cand = graft.operators.Scale.lanedBucketJoin(
