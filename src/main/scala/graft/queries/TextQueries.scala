@@ -195,7 +195,7 @@ object TextQueries {
     "text_dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      val wmExpr = "mn + ((mx - mn) * 4) DIV 5"
+      val wmExpr = deltaWatermarkExpr
       // checkpoint ONCE (r9c review): the frame feeds both join sides
       // (with differing filters, so ReuseExchange cannot deduplicate
       // them) AND the delta base below — uncheckpointed, the documents
@@ -249,7 +249,7 @@ object TextQueries {
     "dedup_cluster_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      val wmExpr = "mn + ((mx - mn) * 4) DIV 5"
+      val wmExpr = deltaWatermarkExpr
       val buckets = minhashBuckets(docs)
         .crossJoin(broadcast(bounds))
         .withColumn("is_delta", col("doc_id") > expr(wmExpr))
@@ -550,6 +550,14 @@ object TextQueries {
         .select(col("doc_id"), col("source"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("source"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
+
+  /** The ONE delta-watermark split (top fifth of the doc_id span) —
+    * shared by text_dedup_incremental, dedup_cluster_incremental, and
+    * their oracles (defs: the oracle Map init-order rule; the DuckDB
+    * twin differs only in the division spelling, // == DIV on
+    * nonnegative ids). */
+  private[graft] def deltaWatermarkExpr: String = "mn + ((mx - mn) * 4) DIV 5"
+  private def deltaWatermarkSql: String = "mn + ((mx - mn) * 4) // 5"
 
   private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
@@ -881,7 +889,7 @@ object TextQueries {
       (s"WITH $minhashBucketCtesSql, " +
        "bd AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents), " +
        "bw AS (SELECT b.doc_id, b.source, b.band, b.bh, " +
-       "b.doc_id > mn + ((mx - mn) * 4) // 5 AS is_delta FROM buckets b CROSS JOIN bd), " +
+       s"b.doc_id > $deltaWatermarkSql AS is_delta FROM buckets b CROSS JOIN bd), " +
        "prs AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS m_id, y.is_delta AS m_delta " +
        "FROM bw x JOIN bw y ON x.source = y.source AND x.band = y.band AND x.bh = y.bh " +
        "AND y.doc_id < x.doc_id WHERE x.is_delta), " +
@@ -890,7 +898,7 @@ object TextQueries {
        "CAST(SUM(CASE WHEN m_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_prior_delta_matches " +
        "FROM prs GROUP BY 1), " +
        "dd AS (SELECT doc_id, source FROM documents CROSS JOIN bd " +
-       "WHERE doc_id > mn + ((mx - mn) * 4) // 5) " +
+       s"WHERE doc_id > $deltaWatermarkSql) " +
        "SELECT dd.doc_id, dd.source, " +
        "COALESCE(n_base_matches, CAST(0 AS BIGINT)) AS n_base_matches, " +
        "COALESCE(n_prior_delta_matches, CAST(0 AS BIGINT)) AS n_prior_delta_matches, " +

@@ -240,4 +240,18 @@ class PipelineSpec extends SparkSpec {
     // has no near-dups in the top fifth — all-keep is the assertion there)
     assert(rows.nonEmpty && rows.exists(_._4), "some delta doc must keep")
   }
+
+  test("dedup_cluster_incremental equals dedup_cluster_cc row-for-row") {
+    // r10: both queries oracle against the SAME full-rescan closure, but
+    // the DuckDB oracle only runs in driver rounds — this same-JVM pin
+    // catches contraction-path drift in every sbt test run. ScaleSpec
+    // proves the theorem on adversarial random graphs; this proves the
+    // WIRING (watermark split, star-edge stages, expansion) on the
+    // fixture.
+    val full = SparkEntry.queries("dedup_cluster_cc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inc = SparkEntry.queries("dedup_cluster_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc === full, "incremental contraction must equal the full recompute")
+  }
 }
