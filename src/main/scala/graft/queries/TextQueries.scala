@@ -700,6 +700,54 @@ object TextQueries {
         .orderBy("width")
     }),
 
+    // LSH banding-geometry sweep (r10) — the sweep-family member for the
+    // FIRST knob a MinHash-LSH deployment tunes (bands × rows sets the
+    // recall/precision S-curve; threshold/probe/width/MRL sweeps already
+    // exist): regroup the SAME 32 signatures (one checkpointed
+    // minhashSigs pass) as 16×2 / 8×4 (the shipped banding — its
+    // candidate set IS text_minhash_lsh's, CatalogSpec-pinned) / 4×8,
+    // generate each config's within-source candidates by the same
+    // bucketed equality join, and score against the EXACT Jaccard ≥ 0.6
+    // truth (the declared text_near_dup_jaccard generator, reused
+    // whole). Candidate sets NEST: a 4-row band agreement implies both
+    // 2-row halves agree, so counts/recall are provably monotone in
+    // rows_per_band (pinned structurally). All counts exact; the two
+    // ratios guard 0-denominators with integer predicates. 100 TB
+    // shape: one sig pass + three bucketed joins + the exact-verify
+    // truth join — each stage is the shipped generators' shape.
+    "text_lsh_band_sweep" -> ((s, d) => {
+      val sigs = minhashSigs(Tables.documents(s, d)).localCheckpoint(true)
+      val truth = bitmaskJaccardPairs(
+          toks(s, d).select(col("doc_id"), col("source"), col("tok").as("item"))
+            .distinct(), threshold = 0.6)
+        .select("doc_a", "doc_b").localCheckpoint(true)
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      def candidates(nb: Int, r: Int) = {
+        val bandCols = (0 until nb).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (b * r until b * r + r).map(i => col(s"h$i")): _*).as("bh")))
+        val bk = sigs
+          .select(col("doc_id"), col("source"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("source"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        bk.as("x").join(bk.as("y"),
+            col("x.source") === col("y.source") && col("x.band") === col("y.band") &&
+            col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+      }
+      Seq((16, 2), (8, 4), (4, 8)).map { case (nb, r) =>
+        val cand = candidates(nb, r).localCheckpoint(true)
+        val nc = cand.agg(count(lit(1)).as("n_candidates"))
+        val nh = cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hit"))
+        nc.crossJoin(broadcast(nh)).crossJoin(broadcast(nTrue))
+          .selectExpr(s"$nb AS n_bands", s"$r AS rows_per_band",
+            "n_candidates", "n_true", "n_hit",
+            s"CASE WHEN n_true > 0 THEN ${r6Sql("CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)")} END AS recall",
+            s"CASE WHEN n_candidates > 0 THEN ${r6Sql("CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE)")} END AS prec")
+      }.reduce(_ union _).orderBy("rows_per_band")
+    }),
+
     // Top-20 bigrams via zip_with over shifted slices (pure HOFs, no UDF).
     "text_ngrams" -> ((s, d) => {
       Tables.documents(s, d)
@@ -723,21 +771,31 @@ object TextQueries {
     * shared by the within-source cpairs below AND the cross-source
     * contamination oracle (text_cross_source_dup), which joins the SAME
     * buckets without the source key. */
-  private def minhashBucketCtesSql: String = {
+  /** The base→sigs prefix alone — shared by minhashBucketCtesSql (the
+    * shipped 8×4 banding) and the band-geometry sweep oracle, which
+    * regroups the SAME 32 signatures into other (bands, rows) shapes. */
+  private def minhashSigCtesSql: String = {
     val sigExprs = (0 until 32).map { i =>
       val (a, b) = minhashAB(i)
       s"list_min(list_transform(hs, h -> ((h % $minhashP) * $a + $b) % $minhashP)) AS h$i"
     }.mkString(", ")
-    val bucketSelects = (0 until 8).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(", ")
-      s"SELECT doc_id, source, $b AS band, concat_ws(',', $cols) AS bh FROM sigs"
-    }.mkString(" UNION ALL ")
     "base AS (SELECT doc_id, source, " +
       "list_transform(list_distinct(string_split(text, ' ')), " +
       s"t -> ${hash60Sql("t")}) AS hs FROM documents), " +
-      s"sigs AS (SELECT doc_id, source, $sigExprs FROM base), " +
-      s"buckets AS ($bucketSelects)"
+      s"sigs AS (SELECT doc_id, source, $sigExprs FROM base)"
   }
+
+  /** One (nb × r) banding of the 32-signature frame as a UNION ALL
+    * bucket select — nb·r must be ≤ 32. nb=8, r=4 generates the byte-
+    * identical text the shipped oracles always interpolated. */
+  private def bandBucketsSql(nb: Int, r: Int): String =
+    (0 until nb).map { b =>
+      val cols = (b * r until b * r + r).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, source, $b AS band, concat_ws(',', $cols) AS bh FROM sigs"
+    }.mkString(" UNION ALL ")
+
+  private def minhashBucketCtesSql: String =
+    s"$minhashSigCtesSql, buckets AS (${bandBucketsSql(8, 4)})"
 
   private def minhashCtesSql: String =
     s"$minhashBucketCtesSql, " +
@@ -882,6 +940,38 @@ object TextQueries {
     },
     "dedup_semantic_union" -> unionSurvivorOracleSql,
     "text_minhash_lsh" -> (minhashPairsSql + " ORDER BY doc_a, doc_b"),
+    "text_lsh_band_sweep" -> {
+      // the same sig prefix regrouped per config (bandBucketsSql — the
+      // 8×4 text is byte-identical to the shipped buckets CTE), the
+      // text_near_dup_jaccard truth SQL verbatim, scalar count CTEs
+      val configs = Seq(("a", 16, 2), ("b", 8, 4), ("c", 4, 8))
+      val candCtes = configs.map { case (tg, nb, r) =>
+        s"bk$tg AS (${bandBucketsSql(nb, r)}), " +
+          s"c$tg AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk$tg x " +
+          s"JOIN bk$tg y ON x.source = y.source AND x.band = y.band AND x.bh = y.bh " +
+          "AND x.doc_id < y.doc_id), " +
+          s"s$tg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM c$tg), " +
+          s"h$tg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM c$tg JOIN tr USING (doc_a, doc_b))"
+      }.mkString(", ")
+      val rows = configs.map { case (tg, nb, r) =>
+        s"SELECT $nb AS n_bands, $r AS rows_per_band, n_candidates, n_true, n_hit FROM s$tg, tn, h$tg"
+      }.mkString(" UNION ALL ")
+      s"WITH $minhashSigCtesSql, " +
+        "t AS (SELECT DISTINCT doc_id, source, tok FROM " +
+        "(SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+        "tsz AS (SELECT doc_id, COUNT(*) AS nt FROM t GROUP BY 1), " +
+        "ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM t a " +
+        "JOIN t b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1,2), " +
+        "tr AS (SELECT doc_a, doc_b FROM ip JOIN tsz sa ON sa.doc_id = doc_a " +
+        "JOIN tsz sb ON sb.doc_id = doc_b " +
+        "WHERE CAST(inter AS DOUBLE)/(sa.nt + sb.nt - inter) >= 0.6), " +
+        "tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tr), " +
+        candCtes + " " +
+        "SELECT n_bands, rows_per_band, n_candidates, n_true, n_hit, " +
+        s"CASE WHEN n_true > 0 THEN ${Qutil.r6Sql("CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)")} END AS recall, " +
+        s"CASE WHEN n_candidates > 0 THEN ${Qutil.r6Sql("CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE)")} END AS prec " +
+        s"FROM ($rows) ORDER BY rows_per_band"
+    },
     "text_dedup_incremental" ->
       // the shared bucket CTEs, the same watermark split off one
       // bounds row, the same delta×earlier bucket join (// == DIV on

@@ -297,6 +297,14 @@ object Plans {
       ("the whole three-width sizing matrix costs ONE corpus pass — every (w, r, b) cell " +
        "is a map-side partial of one bounded groupBy (Σw×depth = 1344 cells) broadcast to " +
        "the probe join, so evaluating sketch sizes never multiplies the scan."),
+    "text_lsh_band_sweep" ->
+      ("the banding-geometry tuning table from ONE signature pass: the checkpointed 32-sig " +
+       "frame feeds three band regroupings (16×2 / 8×4 / 4×8), each a bucketed equality join — " +
+       "never all-pairs — and the exact-Jaccard truth set is computed once (the " +
+       "text_near_dup_jaccard bitmask generator) and joined to each candidate set on the pair " +
+       "key. Every emission count is a keys=[] partial-aggregable scalar; at 100 TB you run " +
+       "this on a sample shard to pick (bands, rows) BEFORE the corpus-wide dedup pays for a " +
+       "bad S-curve point."),
     "dedup_cluster_incremental" ->
       ("incremental cluster maintenance by COMPONENT CONTRACTION (Scale.incrementalComponents): " +
        "the base graph is labeled alone (at deployment: yesterday's persisted label table — the " +

@@ -69,6 +69,26 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("text_lsh_band_sweep: shipped-config identity and banding monotonicity") {
+    // r10: the (8,4) row IS the shipped banding — its candidate count
+    // must equal text_minhash_lsh's pair set exactly (one signature
+    // family, one bucketing rule). And candidate sets NEST: a 4-row
+    // band agreement implies both 2-row halves agree, so candidates,
+    // hits, and recall are monotone non-increasing in rows_per_band.
+    val sweep = SparkEntry.queries("text_lsh_band_sweep")(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1).toSeq === Seq(2, 4, 8))
+    val nPairs = SparkEntry.queries("text_minhash_lsh")(spark, sf).count()
+    assert(sweep(1)._2 === nPairs, "the (8,4) row must be the shipped pair set")
+    assert(sweep.map(_._3).distinct.length === 1, "n_true is config-independent")
+    assert(sweep(0)._2 >= sweep(1)._2 && sweep(1)._2 >= sweep(2)._2,
+      "candidates monotone in rows_per_band (band nesting)")
+    assert(sweep(0)._4 >= sweep(1)._4 && sweep(1)._4 >= sweep(2)._4,
+      "hits monotone in rows_per_band (band nesting)")
+    assert(sweep.forall(r => r._4 <= r._2 && r._4 <= r._3), "hits bounded by both sets")
+  }
+
   test("join_cross is exactly |region| x |nation| = 125") {
     assert(SparkEntry.queries("join_cross")(spark, sf).count() === 125)
   }
