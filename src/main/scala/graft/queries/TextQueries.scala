@@ -434,8 +434,61 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), agree.cast(IntegerType).as("n_agree"))
         .withColumn("est_jaccard", col("n_agree").cast(DoubleType) / 32.0)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Sketch CALIBRATION table (r10) — the measurement that says whether
+    // dedup_minhash_est can replace exact verification at 100 TB: per
+    // signature-agreement level (n_agree of 32), candidate-pair count,
+    // the MEAN exact Jaccard, and the mean |est − exact| calibration
+    // error. Truth is computed ONLY for the banded candidates (the
+    // re-check shape: cand → token join on (doc, tok) — never all-pairs);
+    // each pair's exact Jaccard is ONE division (identical bits both
+    // engines) quantized to micro-unit BIGINTs (floor exact on equal
+    // bits — the embed_isotropy rule), est lands exactly as
+    // n_agree·31250 µ-units, so every per-bucket mean is an order-free
+    // integer sum with one final division (shared calMeanF string,
+    // round 6). A banded pair CAN share zero tokens (min-VALUE collision
+    // across disjoint sets) — left join + zero-fill, not inner.
+    "dedup_est_calibration" -> ((s, d) => {
+      val sigs = minhashSigs(Tables.documents(s, d))
+      val cand = minhashPairs(s, d).localCheckpoint(true)
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until 32).map(i => col(s"h$i").as(s"a$i")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until 32).map(i => col(s"h$i").as(s"b$i")): _*)
+      val agree = (0 until 32)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), agree.cast(IntegerType).as("n_agree"))
+      val t = toks(s, d).select(col("doc_id"), col("tok")).distinct()
+      val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val inter = cand
+        .join(t.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      val jq = cand.join(inter, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("nt").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("nt").as("nb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "CAST(floor((CAST(inter AS DOUBLE) / (na + nb - inter)) * 1e6 + 0.5) AS BIGINT) AS jq")
+      est.join(jq, Seq("doc_a", "doc_b"))
+        .selectExpr("n_agree", "jq", "abs(n_agree * 31250 - jq) AS errq")
+        .groupBy("n_agree")
+        .agg(count(lit(1)).as("n_pairs"), sum("jq").as("sjq"), sum("errq").as("serr"))
+        .selectExpr("n_agree", "CAST(n_agree AS DOUBLE) / 32.0 AS est_jaccard",
+          "n_pairs", s"${calMeanF("sjq")} AS mean_jaccard",
+          s"${calMeanF("serr")} AS mean_abs_err")
+        .orderBy("n_agree")
     })
   )
+
+  /** Micro-unit bucket mean — shared by the dedup_est_calibration
+    * emission and its oracle (def: the Map init-order rule): integer
+    * µ-unit sum → one fixed-order division chain → round 6. */
+  private def calMeanF(sumc: String): String =
+    Qutil.r6Sql(s"(CAST($sumc AS DOUBLE) / CAST(n_pairs AS DOUBLE)) / 1e6")
 
   /** The COMPOSED dedup a production curation run deploys: a doc pair
     * dedups if it is a TEXTUAL near-dup (shared MinHash band) OR a
@@ -939,6 +992,35 @@ object TextQueries {
         "JOIN sigs b ON b.doc_id = p.doc_b) ORDER BY doc_a, doc_b"
     },
     "dedup_semantic_union" -> unionSurvivorOracleSql,
+    "dedup_est_calibration" -> {
+      // same cpairs + sig join-back agreement, truth restricted to the
+      // candidate set (LEFT join — zero-shared-token candidates exist in
+      // principle), µ-unit quantization, SUM cast back from HUGEINT
+      // (the r4 rule), the shared calMeanF emission
+      val agreeSql = (0 until 32)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH $minhashCtesSql, " +
+        "t2 AS (SELECT DISTINCT doc_id, tok FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+        "sz AS (SELECT doc_id, COUNT(*) AS nt FROM t2 GROUP BY 1), " +
+        "iv AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter FROM cpairs p " +
+        "JOIN t2 a ON a.doc_id = p.doc_a JOIN t2 b ON b.doc_id = p.doc_b AND b.tok = a.tok " +
+        "GROUP BY 1, 2), " +
+        "jj AS (SELECT p.doc_a, p.doc_b, " +
+        "CAST(FLOOR((CAST(COALESCE(inter, 0) AS DOUBLE) / " +
+        "(sa.nt + sb.nt - COALESCE(inter, 0))) * 1e6 + 0.5) AS BIGINT) AS jq " +
+        "FROM cpairs p LEFT JOIN iv ON iv.doc_a = p.doc_a AND iv.doc_b = p.doc_b " +
+        "JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b), " +
+        s"ag AS (SELECT p.doc_a, p.doc_b, CAST($agreeSql AS INT) AS n_agree " +
+        "FROM cpairs p JOIN sigs a ON a.doc_id = p.doc_a JOIN sigs b ON b.doc_id = p.doc_b), " +
+        "m AS (SELECT n_agree, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(jq) AS BIGINT) AS sjq, " +
+        "CAST(SUM(abs(n_agree * 31250 - jq)) AS BIGINT) AS serr " +
+        "FROM ag JOIN jj USING (doc_a, doc_b) GROUP BY 1) " +
+        "SELECT n_agree, CAST(n_agree AS DOUBLE) / 32.0 AS est_jaccard, n_pairs, " +
+        s"${calMeanF("sjq")} AS mean_jaccard, ${calMeanF("serr")} AS mean_abs_err " +
+        "FROM m ORDER BY n_agree"
+    },
     "text_minhash_lsh" -> (minhashPairsSql + " ORDER BY doc_a, doc_b"),
     "text_lsh_band_sweep" -> {
       // the same sig prefix regrouped per config (bandBucketsSql — the

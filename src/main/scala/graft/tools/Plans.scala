@@ -297,6 +297,13 @@ object Plans {
       ("the whole three-width sizing matrix costs ONE corpus pass — every (w, r, b) cell " +
        "is a map-side partial of one bounded groupBy (Σw×depth = 1344 cells) broadcast to " +
        "the probe join, so evaluating sketch sizes never multiplies the scan."),
+    "dedup_est_calibration" ->
+      ("truth restricted to the candidate set: exact Jaccard is computed by joining the banded " +
+       "pairs to the token frame on (doc, tok) — the verification cost is candidates × doc " +
+       "length, never the all-pairs corpus product. Per-pair divisions quantize to µ-unit " +
+       "integers so the bucket means are order-free integer sums; the emission is one keyed " +
+       "aggregate over ≤33 agreement levels. At 100 TB this is the table that decides whether " +
+       "the sketch estimate replaces exact re-verification entirely."),
     "text_lsh_band_sweep" ->
       ("the banding-geometry tuning table from ONE signature pass: the checkpointed 32-sig " +
        "frame feeds three band regroupings (16×2 / 8×4 / 4×8), each a bucketed equality join — " +

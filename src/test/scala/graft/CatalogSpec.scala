@@ -69,6 +69,26 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("dedup_est_calibration reconciles with dedup_minhash_est; sketch is calibrated") {
+    // r10: same pair set, same 32-signature agreement — the calibration
+    // buckets must partition dedup_minhash_est's rows exactly, and on
+    // populated buckets the sketch must actually BE calibrated
+    // (E[agree/32] = J; observed mean |est − exact| ≈ 0.06 — assert a
+    // generous 0.15 so fixture drift, not noise, trips it).
+    val est = SparkEntry.queries("dedup_minhash_est")(spark, sf).collect()
+      .map(_.getInt(2))
+    val byAgree = est.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cal = SparkEntry.queries("dedup_est_calibration")(spark, sf).collect()
+    assert(cal.map(_.getLong(2)).sum === est.length.toLong,
+      "every candidate pair lands in exactly one agreement bucket")
+    cal.foreach { r =>
+      val (na, np, mj, me) = (r.getInt(0), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(np === byAgree(na), s"bucket $na count")
+      assert(mj >= 0.0 && mj <= 1.0, s"bucket $na mean jaccard in range")
+      if (np >= 20) assert(me <= 0.15, s"sketch badly calibrated at n_agree=$na: $me")
+    }
+  }
+
   test("text_lsh_band_sweep: shipped-config identity and banding monotonicity") {
     // r10: the (8,4) row IS the shipped banding — its candidate count
     // must equal text_minhash_lsh's pair set exactly (one signature
