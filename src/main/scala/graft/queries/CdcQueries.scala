@@ -311,9 +311,13 @@ object CdcQueries {
         countDistinct(col("event_id")).as("n_ids"),
         min("event_id").as("min_id"), max("event_id").as("max_id"))
       .localCheckpoint(true)
+    // TRUE interval overlap (r11, r10 ADVICE): both inequalities — the
+    // one-sided predicate also counted a prior day lying entirely ABOVE
+    // the current range (a range regression, not an overlap)
     val overlaps = daily.as("a")
       .join(broadcast(daily.as("b")),
-        col("b.day") < col("a.day") && col("b.max_id") >= col("a.min_id"))
+        col("b.day") < col("a.day") && col("b.max_id") >= col("a.min_id") &&
+          col("b.min_id") <= col("a.max_id"))
       .groupBy(col("a.day").as("day"))
       .agg(count(lit(1)).as("n_overlapping_prior_days"))
     daily.join(overlaps, Seq("day"), "left")
@@ -1180,7 +1184,8 @@ object CdcQueries {
        "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids, " +
        "MIN(event_id) AS min_id, MAX(event_id) AS max_id FROM events GROUP BY 1), " +
        "o AS (SELECT a.day AS day, CAST(COUNT(*) AS BIGINT) AS nov " +
-       "FROM dd a JOIN dd b ON b.day < a.day AND b.max_id >= a.min_id GROUP BY 1) " +
+       "FROM dd a JOIN dd b ON b.day < a.day AND b.max_id >= a.min_id " +
+       "AND b.min_id <= a.max_id GROUP BY 1) " +
        "SELECT dd.day, n_rows, n_ids, min_id, max_id, " +
        "max_id - min_id + 1 - n_ids AS n_missing, " +
        "n_rows - n_ids AS n_dup_rows, " +

@@ -24,8 +24,10 @@ object Plans {
     "win_topk_per_group" ->
       "WindowGroupLimit prunes each nation's rows to 3 before the full Window.",
     "text_minhash_lsh" ->
-      ("signatures in one projection pass; candidates from equality join on (source, band, hash) buckets. " +
-       "NOTE: the bucket self-join shows as BroadcastHashJoin here purely by SIZE (no hint in code) — " +
+      ("signatures in one projection pass; candidates from equality join on (source, band, hash) buckets, " +
+       "LANED since r11 (Scale.lanedBucketJoin — the whole minhashPairsOver family): even though pairs ARE " +
+       "the output, a degenerate bucket's |b|²/2 emission spreads over 64 lane cells instead of one task. " +
+       "NOTE: the bucket self-join may show as BroadcastHashJoin here purely by SIZE (no hint in code) — " +
        "at 100 TB neither side fits the broadcast threshold and AQE plans the same equality join as SMJ."),
     "win_ntile_pctrank" ->
       ("two-pass distributed rank: range Exchange + Window partitioned by __pid — NO single-partition " +
@@ -306,8 +308,10 @@ object Plans {
        "the sketch estimate replaces exact re-verification entirely."),
     "text_lsh_band_sweep" ->
       ("the banding-geometry tuning table from ONE signature pass: the checkpointed 32-sig " +
-       "frame feeds three band regroupings (16×2 / 8×4 / 4×8), each a bucketed equality join — " +
-       "never all-pairs — and the exact-Jaccard truth set is computed once (the " +
+       "frame feeds three band regroupings (16×2 / 8×4 / 4×8), each a LANED bucketed equality " +
+       "join (r11 — the 16×2 config is the catalog's loosest banding, so its buckets are the " +
+       "hottest; Scale.lanedBucketJoin bounds the per-task pair emission) — never all-pairs — " +
+       "and the exact-Jaccard truth set is computed once (the " +
        "text_near_dup_jaccard bitmask generator) and joined to each candidate set on the pair " +
        "key. Every emission count is a keys=[] partial-aggregable scalar; at 100 TB you run " +
        "this on a sample shard to pick (bands, rows) BEFORE the corpus-wide dedup pays for a " +

@@ -146,12 +146,37 @@ class PlanGuardSpec extends SparkSpec {
     // revert to the plain bucket join would pass every oracle (the
     // laned join is row-identical) while reinstating the one-task
     // hot-bucket quadratic at 100×.
+    // r11: the pair-set family (minhashPairsOver) and the band sweep's
+    // three regroupings are laned too — pairs/counts are row-identical,
+    // so only this plan pin catches a silent revert.
     for (q <- Seq("dedup_embed_lsh", "dq_embed_contamination",
-        "text_dedup_incremental")) {
+        "text_dedup_incremental", "text_minhash_lsh", "dedup_minhash_est",
+        "text_dedup_funnel")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("__lx") && plan.contains("__ly"),
         s"$q bucket join lost its lane decomposition:\n$plan")
+    }
+    // dedup_est_calibration and text_lsh_band_sweep localCheckpoint their
+    // candidate frames — the checkpoint swaps the subtree for a LogicalRDD
+    // and ERASES the lane columns from the final executed plan, so the pin
+    // must read the GENERATOR frames those queries consume (the shared
+    // defs: minhashPairs for the calibration, bandCandidates per config
+    // for the sweep).
+    {
+      val docs = graft.Tables.documents(spark, sf)
+      val sigs = graft.queries.TextQueries.minhashSigs(docs)
+      val gens =
+        ("minhashPairs" -> graft.queries.TextQueries.minhashPairs(spark, sf)) +:
+        Seq((16, 2), (8, 4), (4, 8)).map { case (nb, r) =>
+          s"bandCandidates($nb,$r)" ->
+            graft.queries.TextQueries.bandCandidates(sigs, nb, r)
+        }
+      for ((nm, df) <- gens) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("__lx") && plan.contains("__ly"),
+          s"$nm lost its lane decomposition:\n$plan")
+      }
     }
   }
 
