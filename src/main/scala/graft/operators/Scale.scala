@@ -304,25 +304,40 @@ object Scale {
     * label table (recompute here for a one-plan declared query), and the
     * only corpus-scale work left is one label join. */
   def incrementalComponents(allNodes: DataFrame, baseNodes: DataFrame,
-      baseEdges: DataFrame, deltaEdges: DataFrame): DataFrame = {
-    val ccBase = connectedComponentsStar(baseNodes, baseEdges)
-      .localCheckpoint(true)
+      baseEdges: DataFrame, deltaEdges: DataFrame): DataFrame =
+    incrementalFromLabels(allNodes,
+      connectedComponentsStar(baseNodes, baseEdges).localCheckpoint(true),
+      deltaEdges)
+
+  /** The contraction + delta-CC stage of [[incrementalComponents]] alone,
+    * taking yesterday's PERSISTED label table (`baseLabels`: columns
+    * `id`, `cluster` — component minima) instead of recomputing the base
+    * CC — the shape a daily 100 TB deployment actually runs (r11, the r10
+    * verdict's "missing #1"): the only corpus-scale work left is the
+    * label join; both CC loops here run on the CONTRACTED graph, sized by
+    * (base clusters + delta nodes). Same `deltaEdges` superset contract
+    * as the wrapper (every full-graph edge with ≥1 non-base endpoint);
+    * `baseLabels` must cover exactly the base nodes, with cluster =
+    * base-component min, or the min-of-mins identity with a full rescan
+    * breaks. */
+  def incrementalFromLabels(allNodes: DataFrame, baseLabels: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
     val mapped = deltaEdges
-      .join(ccBase.select(col("id").as("src"), col("cluster").as("ls")),
+      .join(baseLabels.select(col("id").as("src"), col("cluster").as("ls")),
         Seq("src"), "left")
-      .join(ccBase.select(col("id").as("dst"), col("cluster").as("ld")),
+      .join(baseLabels.select(col("id").as("dst"), col("cluster").as("ld")),
         Seq("dst"), "left")
       .select(coalesce(col("ls"), col("src")).as("src"),
         coalesce(col("ld"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
-    val contracted = ccBase.select(col("cluster").as("id")).distinct()
-      .union(allNodes.join(baseNodes.withColumnRenamed("id", "__b"),
+    val contracted = baseLabels.select(col("cluster").as("id")).distinct()
+      .union(allNodes.join(baseLabels.select(col("id").as("__b")),
           allNodes("id") === col("__b"), "left_anti")
         .select(col("id")))
       .distinct()
     val cc2 = connectedComponentsStar(contracted, mapped).localCheckpoint(true)
     allNodes
-      .join(ccBase.select(col("id"), col("cluster").as("l1")), Seq("id"), "left")
+      .join(baseLabels.select(col("id"), col("cluster").as("l1")), Seq("id"), "left")
       .select(col("id"), coalesce(col("l1"), col("id")).as("l1"))
       .join(cc2.select(col("id").as("l1"), col("cluster")), "l1")
       .select(col("id"), col("cluster"))

@@ -316,6 +316,13 @@ object Plans {
        "key. Every emission count is a keys=[] partial-aggregable scalar; at 100 TB you run " +
        "this on a sample shard to pick (bands, rows) BEFORE the corpus-wide dedup pays for a " +
        "bad S-curve point."),
+    "dedup_cluster_persisted" ->
+      ("the DEPLOYMENT shape of incremental clustering (r11): yesterday's (id, cluster) label " +
+       "table lands as parquet at construction, and the RETURNED plan reads it back and runs " +
+       "only Scale.incrementalFromLabels — one label join + a CC sized by (clusters + delta " +
+       "docs). Zero base-graph CC rounds in the plan (SourcesSpec pins the label-table scan); " +
+       "the oracle is the full-rescan closure, so the green row proves the resume exact. At " +
+       "100 TB the corpus-scale clustering cost is amortized into yesterday's run."),
     "dedup_cluster_incremental" ->
       ("incremental cluster maintenance by COMPONENT CONTRACTION (Scale.incrementalComponents): " +
        "the base graph is labeled alone (at deployment: yesterday's persisted label table — the " +

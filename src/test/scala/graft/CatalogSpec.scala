@@ -89,6 +89,18 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cluster_persisted equals dedup_cluster_incremental cell-for-cell") {
+    // r11: the persisted-label resume (label table landed + read back +
+    // contraction-only) must produce the EXACT clustering of the
+    // in-plan incremental query — same watermark, same star edges, same
+    // min-label identity; both already oracle against the full-rescan
+    // closure, so this pin closes the triangle (persisted == in-plan ==
+    // full rescan).
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows("dedup_cluster_persisted") === rows("dedup_cluster_incremental"))
+  }
+
   test("text_lsh_band_sweep: shipped-config identity and banding monotonicity") {
     // r10: the (8,4) row IS the shipped banding — its candidate count
     // must equal text_minhash_lsh's pair set exactly (one signature
