@@ -460,6 +460,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming star-edge index resolves to the batch star set under reversed batching") {
+    // r11 (r10 verdict ask #5): the incremental face of the star-edge
+    // candidate graph the CC-family cluster queries consume. The
+    // processor emits (bucket, member, center) UPSERT rows — re-pointing
+    // residents when a smaller center arrives — and the consumer's
+    // commutative min(center) fold resolves the FINAL star set, so edge
+    // SET parity with the batch minhashStarEdgesOver holds under any
+    // order (fed reversed + uneven here, the LshIndexProcessor class).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // reversed order: every bucket's true center arrives LAST, forcing
+      // the re-emission path in (almost) every bucket
+      val shuffled = docs.sortBy(-_._1)
+      val batches = Seq(shuffled.take(50), shuffled.slice(50, 300), shuffled.drop(300))
+      val input = MemoryStream[(Long, String, String)](spark)
+      val stream = graft.streaming.StarEdgeProcessor.assignStream(
+        input.toDF().toDF("doc_id", "source", "text"))
+      val q = stream.writeStream.format("memory").queryName("star_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = graft.streaming.StarEdgeProcessor
+        .resolveEdges(spark.table("star_incr")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchDocs = Tables.documents(spark, sf)
+      val expected = graft.queries.TextQueries.minhashStarEdgesOver(
+          graft.queries.TextQueries.minhashBuckets(batchDocs)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected,
+        s"resolved star set != batch: extra=${got.diff(expected).take(5)} " +
+          s"missing=${expected.diff(got).take(5)}")
+      // and the delta-involving subset — what dedup_cluster_incremental's
+      // second stage consumes — matches the same shared-watermark filter
+      // applied to the batch generator (the edges feeding the contraction)
+      val bounds = batchDocs.agg(min("doc_id"), max("doc_id")).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val wm = mn + ((mx - mn) * 4) / 5
+      val gotDelta = got.filter(e => e._1 > wm || e._2 > wm)
+      val expDelta = expected.filter(e => e._1 > wm || e._2 > wm)
+      assert(gotDelta === expDelta && gotDelta.nonEmpty,
+        "delta-stage edge subset must match (and be exercised)")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("split assignment on a stream equals the batch split (land-time curation)") {
     // The sampling dialect is stateless and row-local, so split/sample
     // decisions can be stamped at land time on each incremental batch —
