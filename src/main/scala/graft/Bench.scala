@@ -49,7 +49,21 @@ object Bench {
     // Construction-time work (sink landings) re-runs per evaluation;
     // every sink query overwrites its scratch landing, so re-runs are
     // clean (r6c).
+    // r11 (r10 verdict ask #3): the >3 s rule alone let SUB-3 s queries
+    // carry one-shot noise into the driver map (seven untouched queries
+    // "doubled" in r10 purely from it). bench_ref.json (checked in —
+    // last round's per-query values) bounds them: any query whose first
+    // run exceeds 2x its recorded reference ALSO gets the min-of-two
+    // re-time. The extra set is noise-sized by construction; a missing
+    // ref file or key degrades to the plain 3 s rule.
     val repsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt.max(1))
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      sys.props("user.dir") + "/bench_ref.json")
+    val ref: Map[String, Double] = try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(refPath))
+      """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -63,7 +77,12 @@ object Bench {
           val sorted = Seq.fill(n - 1)(once()).sorted
           if (sorted.size % 2 == 1) sorted(sorted.size / 2)
           else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-        case None => if (t1 > 3.0) math.min(t1, once()) else t1
+        case None =>
+          // re-time on the absolute tail OR on a 2x departure from the
+          // recorded reference (0.2 s floor keeps micro-jitter out)
+          val spiked = t1 > 3.0 ||
+            (t1 > 0.2 && ref.get(name).exists(r => t1 > 2.0 * r))
+          if (spiked) math.min(t1, once()) else t1
       }
       name -> value
     }
