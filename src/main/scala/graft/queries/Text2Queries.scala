@@ -240,6 +240,34 @@ object Text2Queries {
     // compression.
     "text_bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
 
+    // Tokenizer FERTILITY census (r11) — the sizing metric a training
+    // pipeline reads before fixing a tokenizer: pieces-per-word
+    // (fertility) and chars-per-piece (compression) per SOURCE, over
+    // the SAME 3-round BPE chain text_bpe_train/apply declare (bpeApply
+    // is the one encoder def — trainer, encoder, and this census can
+    // never disagree on the merges). Dictionary grain throughout (the
+    // fn_fuzzy_match lesson): the corpus feeds one (source, tok) count
+    // aggregate; the encoded dictionary joins in at tok grain; words
+    // the length>=2 dictionary excludes (single chars) are 1 piece by
+    // definition (COALESCE both engines). Sums are exact BIGINT; the
+    // two ratios are shared fixed-order formula strings at r6. 100 TB
+    // shape: one keyed aggregate + one dictionary-sized equality join.
+    "text_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dict = bpeApply(docs).select(col("tok"), col("n_syms"))
+      val wc = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      wc.join(dict, Seq("tok"), "left")
+        .groupBy("source")
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * coalesce(col("n_syms").cast("long"), lit(1L))).as("n_pieces"),
+          sum(col("n") * length(col("tok")).cast("long")).as("n_chars"))
+        .selectExpr("source", "n_words", "n_pieces", "n_chars",
+          s"$fertilityF AS fertility", s"$charsPerPieceF AS chars_per_piece")
+        .orderBy("source")
+    }),
+
     // Inverted-index construction (r9) — the IR primitive under BM25 /
     // tf-idf (both consume postings implicitly; this DECLARES the index
     // build): per term, document frequency, collection frequency, and a
@@ -1063,18 +1091,34 @@ object Text2Queries {
       .orderBy("tok")
   }
 
-  private def bpeApplySql: String =
-    "WITH w1 AS (SELECT tok, list_transform(generate_series(1, length(tok)), " +
+  /** The encoder CTE chain (w1 → w4, tok carried through every merge
+    * round) alone — shared by bpeApplySql and the tokenizer-fertility
+    * oracle (the pqChainSql rule: extend the one chain, never fork it).
+    * bpeApplySql interpolation is byte-identical to the pre-factor
+    * text. */
+  private def bpeApplyCtes: String =
+    "w1 AS (SELECT tok, list_transform(generate_series(1, length(tok)), " +
       "i -> substring(tok, CAST(i AS INT), 1)) AS syms, cf FROM " +
       "(SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM " +
       "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
       "WHERE length(tok) >= 2 GROUP BY 1)), " +
       s"${bpeRoundCtes(1, last = false, carry = "tok, ")}, " +
       s"${bpeRoundCtes(2, last = false, carry = "tok, ")}, " +
-      s"${bpeRoundCtes(3, last = false, carry = "tok, ")} " +
+      s"${bpeRoundCtes(3, last = false, carry = "tok, ")}"
+
+  private def bpeApplySql: String =
+    s"WITH $bpeApplyCtes " +
       "SELECT tok, cf, CAST(length(tok) AS INT) AS n_chars, " +
       "CAST(len(syms) AS INT) AS n_syms, array_to_string(syms, '|') AS encoded " +
       "FROM w4 ORDER BY tok"
+
+  /** Fertility ratios — ONE fixed-order formula string each (defs, the
+    * ts_decompose init-order rule), shared by the Spark emission and
+    * the oracle. */
+  private def fertilityF: String =
+    Qutil.r6Sql("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)")
+  private def charsPerPieceF: String =
+    Qutil.r6Sql("CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)")
 
   private def bpeTrainSql: String =
     "WITH w1 AS (SELECT list_transform(generate_series(1, length(tok)), " +
@@ -1329,6 +1373,21 @@ object Text2Queries {
         // 3 chained merge rounds: winner CTE per round, greedy merge
         // via the same clamped closed-form parity test (bpeMergedSql)
         bpeTrainSql,
+      "text_tokenizer_fertility" ->
+        // the SAME encoder chain (bpeApplyCtes), dictionary left-joined
+        // to per-source word counts; single-char words COALESCE to one
+        // piece; SUM casts per the HUGEINT rule; shared ratio formulas
+        ("WITH " + bpeApplyCtes + ", " +
+         "dict AS (SELECT tok, CAST(len(syms) AS BIGINT) AS n_syms FROM w4), " +
+         "wc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n FROM " +
+         "(SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+         "GROUP BY 1, 2), " +
+         "a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_words, " +
+         "CAST(SUM(n * COALESCE(d.n_syms, 1)) AS BIGINT) AS n_pieces, " +
+         "CAST(SUM(n * length(tok)) AS BIGINT) AS n_chars " +
+         "FROM wc LEFT JOIN dict d USING (tok) GROUP BY 1) " +
+         s"SELECT source, n_words, n_pieces, n_chars, $fertilityF AS fertility, " +
+         s"$charsPerPieceF AS chars_per_piece FROM a ORDER BY source"),
       "text_postings" ->
         // same rank-before-aggregate shape; list_sort on <= 5 BIGINTs
         // == Spark's array_sort(collect_list), numeric order (never

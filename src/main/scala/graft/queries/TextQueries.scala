@@ -193,19 +193,12 @@ object TextQueries {
     // delta-bucket rows. Emission: per delta doc, match counts split
     // base/prior-delta and the keep verdict (no earlier near-dup).
     "text_dedup_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      val wmExpr = deltaWatermarkExpr
-      // checkpoint ONCE (r9c review): the frame feeds both join sides
-      // (with differing filters, so ReuseExchange cannot deduplicate
-      // them) AND the delta base below — uncheckpointed, the documents
-      // scan + 32 affine signatures + band explode would run three
-      // times (the r5b multi-consumer rule)
-      val buckets = minhashBuckets(docs)
-        .crossJoin(broadcast(bounds))
-        .withColumn("is_delta", col("doc_id") > expr(wmExpr))
-        .select("doc_id", "source", "band", "bh", "is_delta")
-        .localCheckpoint(true)
+      // checkpointed ONCE inside deltaBuckets (r9c review): the frame
+      // feeds both join sides (with differing filters, so ReuseExchange
+      // cannot deduplicate them) AND the delta base below —
+      // uncheckpointed, the documents scan + 32 affine signatures + band
+      // explode would run three times (the r5b multi-consumer rule)
+      val buckets = deltaBuckets(s, d)
       // laned delta×earlier bucket join (r10): row-identical to the
       // plain (source, band, bh) join; a boilerplate bucket's
       // candidate emission spreads over lanes² cells instead of one
@@ -247,42 +240,14 @@ object TextQueries {
     // with base–base bridges that exist only through delta nodes. Both
     // candidate stages ride star edges (connectivity-only consumers).
     "dedup_cluster_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      val wmExpr = deltaWatermarkExpr
-      val buckets = minhashBuckets(docs)
-        .crossJoin(broadcast(bounds))
-        .withColumn("is_delta", col("doc_id") > expr(wmExpr))
-        .select("doc_id", "source", "band", "bh", "is_delta")
-        .localCheckpoint(true)
-      // node set from Tables.documents, like dedup_cluster_cc and the
-      // shared full-rescan oracle (r11, r10 ADVICE): deriving it from the
-      // bucket frame would silently drop any doc a future minhashBuckets
-      // change stops emitting rows for
-      val flags = docs.select("doc_id")
-        .crossJoin(broadcast(bounds))
-        .withColumn("is_delta", col("doc_id") > expr(wmExpr))
-        .select("doc_id", "is_delta")
-        .localCheckpoint(true)
+      val (buckets, flags) = deltaSplitFrames(s, d)
       val baseEdges = minhashStarEdgesOver(buckets.where(!col("is_delta")))
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      // every FULL-graph star edge with >= 1 delta endpoint — a full-
-      // bucket star edge between two base members also exists in the
-      // base-only bucket's star, so base connectivity loses nothing
-      // (the incrementalComponents caller contract)
-      val deltaEdges = minhashStarEdgesOver(buckets)
-        .join(flags.select(col("doc_id").as("doc_a"), col("is_delta").as("da")), "doc_a")
-        .join(flags.select(col("doc_id").as("doc_b"), col("is_delta").as("db")), "doc_b")
-        .where(col("da") || col("db"))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val cc = graft.operators.Scale.incrementalComponents(
         flags.select(col("doc_id").as("id")),
         flags.where(!col("is_delta")).select(col("doc_id").as("id")),
-        baseEdges, deltaEdges)
-      val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
-      cc.join(sizes, "cluster")
-        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("csize"))
-        .orderBy("doc_id")
+        baseEdges, deltaStarEdges(buckets, flags))
+      clusterEmit(cc)
     }),
 
     // PERSISTED-LABEL incremental cluster maintenance (r11, the r10
@@ -301,19 +266,7 @@ object TextQueries {
     // corpus-scale base CC is amortized into yesterday's run; today pays
     // one label join + a CC sized by (clusters + delta docs).
     "dedup_cluster_persisted" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      val wmExpr = deltaWatermarkExpr
-      val buckets = minhashBuckets(docs)
-        .crossJoin(broadcast(bounds))
-        .withColumn("is_delta", col("doc_id") > expr(wmExpr))
-        .select("doc_id", "source", "band", "bh", "is_delta")
-        .localCheckpoint(true)
-      val flags = docs.select("doc_id")
-        .crossJoin(broadcast(bounds))
-        .withColumn("is_delta", col("doc_id") > expr(wmExpr))
-        .select("doc_id", "is_delta")
-        .localCheckpoint(true)
+      val (buckets, flags) = deltaSplitFrames(s, d)
       // "yesterday": label the base graph and PERSIST the label table
       val labelPath = ScanQueries.scratch("cluster_labels", d)
       graft.operators.Scale.connectedComponentsStar(
@@ -322,18 +275,10 @@ object TextQueries {
             .select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .write.mode("overwrite").parquet(labelPath)
       // "today": read the persisted labels back and resume from them
-      val baseLabels = s.read.parquet(labelPath)
-      val deltaEdges = minhashStarEdgesOver(buckets)
-        .join(flags.select(col("doc_id").as("doc_a"), col("is_delta").as("da")), "doc_a")
-        .join(flags.select(col("doc_id").as("doc_b"), col("is_delta").as("db")), "doc_b")
-        .where(col("da") || col("db"))
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val cc = graft.operators.Scale.incrementalFromLabels(
-        flags.select(col("doc_id").as("id")), baseLabels, deltaEdges)
-      val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
-      cc.join(sizes, "cluster")
-        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("csize"))
-        .orderBy("doc_id")
+        flags.select(col("doc_id").as("id")),
+        s.read.parquet(labelPath), deltaStarEdges(buckets, flags))
+      clusterEmit(cc)
     }),
 
     // Near-dup CLUSTERS from the MinHash pair graph: connected components
@@ -355,10 +300,7 @@ object TextQueries {
       val cc = graft.operators.Scale.connectedComponents(
         Tables.documents(s, d).select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
-      cc.join(sizes, "cluster")
-        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("csize"))
-        .orderBy("doc_id")
+      clusterEmit(cc)
     }),
 
     // The end-to-end near-dup dedup a training pipeline actually runs:
@@ -669,6 +611,59 @@ object TextQueries {
     * nonnegative ids). */
   private[graft] def deltaWatermarkExpr: String = "mn + ((mx - mn) * 4) DIV 5"
   private def deltaWatermarkSql: String = "mn + ((mx - mn) * 4) // 5"
+
+  /** The ONE delta-split bucket frame (r11, extracted from three inline
+    * copies): minhashBuckets + is_delta at the shared watermark,
+    * checkpointed (multi-consumer — the r5b rule). Consumers:
+    * text_dedup_incremental, and deltaSplitFrames below. */
+  private[graft] def deltaBuckets(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    minhashBuckets(Tables.documents(s, d))
+      .crossJoin(broadcast(
+        Tables.documents(s, d).agg(min("doc_id").as("mn"), max("doc_id").as("mx"))))
+      .withColumn("is_delta", col("doc_id") > expr(deltaWatermarkExpr))
+      .select("doc_id", "source", "band", "bh", "is_delta")
+      .localCheckpoint(true)
+
+  /** deltaBuckets plus the doc-grain (doc_id, is_delta) node frame the
+    * CC-family consumers need — derived from Tables.documents, NOT from
+    * the bucket frame (the r10 ADVICE rule: a future minhashBuckets
+    * change that drops token-less docs must not shrink the node set).
+    * Consumers: dedup_cluster_incremental, dedup_cluster_persisted. */
+  private[graft] def deltaSplitFrames(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val flags = docs.select("doc_id")
+      .crossJoin(broadcast(bounds))
+      .withColumn("is_delta", col("doc_id") > expr(deltaWatermarkExpr))
+      .select("doc_id", "is_delta")
+      .localCheckpoint(true)
+    (deltaBuckets(s, d), flags)
+  }
+
+  /** Every full-graph star edge with >= 1 delta endpoint — the
+    * incrementalComponents caller contract (a full-bucket star edge
+    * between two base members also exists in the base-only bucket's
+    * star, so base connectivity loses nothing). Shared by
+    * dedup_cluster_incremental and dedup_cluster_persisted. */
+  private def deltaStarEdges(buckets: org.apache.spark.sql.DataFrame,
+      flags: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    minhashStarEdgesOver(buckets)
+      .join(flags.select(col("doc_id").as("doc_a"), col("is_delta").as("da")), "doc_a")
+      .join(flags.select(col("doc_id").as("doc_b"), col("is_delta").as("db")), "doc_b")
+      .where(col("da") || col("db"))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+
+  /** (doc_id, cluster_id, csize) emission shared by the three CC-family
+    * cluster queries — one place for the size join + ordering. */
+  private def clusterEmit(
+      cc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    cc.join(sizes, "cluster")
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("csize"))
+      .orderBy("doc_id")
+  }
 
   private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =

@@ -89,6 +89,32 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("text_tokenizer_fertility reconciles with text_bpe_apply's dictionary") {
+    // r11: independent path — fold the ENCODER's emitted dictionary and
+    // raw (source, tok) counts in plain Scala (the query goes through a
+    // join-aggregate instead); every integer cell must match, and the
+    // structural ordering words <= pieces <= chars must hold.
+    val dict = SparkEntry.queries("text_bpe_apply")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getInt(3).toLong).toMap
+    val wc = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val exp = wc.groupBy(_._1).view.mapValues { rows =>
+      (rows.map(_._3).sum,
+        rows.map(r => r._3 * dict.getOrElse(r._2, 1L)).sum,
+        rows.map(r => r._3 * r._2.length).sum)
+    }.toMap
+    val got = SparkEntry.queries("text_tokenizer_fertility")(spark, sf).collect()
+    assert(got.length === exp.size)
+    got.foreach { r =>
+      val (w, p, c) = exp(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((w, p, c)),
+        s"source ${r.getString(0)} census mismatch")
+      assert(w <= p && p <= c, "words <= pieces <= chars")
+    }
+  }
+
   test("dedup_cluster_persisted equals dedup_cluster_incremental cell-for-cell") {
     // r11: the persisted-label resume (label table landed + read back +
     // contraction-only) must produce the EXACT clustering of the
