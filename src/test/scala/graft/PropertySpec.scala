@@ -1663,6 +1663,12 @@ class PropertySpec extends SparkSpec {
     val pairs = TextQueries.minhashPairsOver(buckets)
     val star = TextQueries.minhashStarEdgesOver(buckets)
     val starEdges = star.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // r11: the pair-set def is LANED — this planted 200-doc hot bucket
+    // must still emit the exact all-pairs mass (laning is row-identical)
+    // AND the plan must actually carry the lane columns
+    val pairsPlan = pairs.queryExecution.executedPlan.toString
+    assert(pairsPlan.contains("__lx") && pairsPlan.contains("__ly"),
+      "minhashPairsOver lost its lane decomposition")
     assert(pairs.count() === 19900L + 45L, "all-pairs emission: C(200,2) + C(10,2)")
     assert(starEdges.length === 199 + 9, "star emission: (|b|-1) per clique")
     assert(starEdges.forall(e => e._1 == 1L || e._1 == 201L),
