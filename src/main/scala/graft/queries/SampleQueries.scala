@@ -118,6 +118,37 @@ object SampleQueries {
   private val nBoot = 8
 
   val queries: Map[String, Q] = Map(
+    // Curriculum schedule (r11) — the quality-ordered training phases a
+    // curriculum-learning run feeds in order (easy/high-quality first):
+    // every doc gets the SHARED composite quality score
+    // (Text2Queries.qualityCols — the one scoring definition survivor
+    // dedup and text_quality already rank with), a global DESCENDING
+    // rank via Scale.globalRank on the unique (-q, doc_id) order (the
+    // agg_pareto shape — distributed two-pass, never a partitionless
+    // window), and phase = ((rnk−1)·3) DIV n (integer both engines, the
+    // agg_percentile_disc position rule). Emission per phase: doc count,
+    // token mass (exact BIGINT), and the quality range at r6 — the
+    // schedule table plus the boundary qualities a phase switch
+    // triggers on. Cross-engine ordering is safe because the score is
+    // fixed-order IEEE over exact integer ratios (bit-identical both
+    // engines — the established survivor-argmax precedent).
+    "sample_curriculum" -> ((s, d) => {
+      val (nTok, _, _, _, _, score) = Text2Queries.qualityCols(col("text"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), nTok.cast(LongType).as("n_tokens"), score.as("q"))
+        .withColumn("negq", -col("q"))
+      val ranked = graft.operators.Scale.globalRank(
+        scored, 8, "rnk", "nn", col("negq"), col("doc_id"))
+      ranked
+        .selectExpr("CAST(((rnk - 1) * 3) DIV nn AS INT) AS phase", "n_tokens", "q")
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          min("q").as("mn_q"), max("q").as("mx_q"))
+        .selectExpr("phase", "n_docs", "n_tokens",
+          s"${r6Sql("mn_q")} AS min_quality", s"${r6Sql("mx_q")} AS max_quality")
+        .orderBy("phase")
+    }),
+
     // Poisson bootstrap CI (r6f) — the SCALABLE bootstrap: instead of
     // materializing B resamples, each row draws a Poisson(1)
     // multiplicity per replicate from the salted hash of (replicate,
@@ -652,6 +683,18 @@ object SampleQueries {
     "((CASE WHEN isnan((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0)) OR abs((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0)) >= 9e12 THEN CAST((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0) AS DOUBLE) ELSE CAST(floor((CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   val oracle: Map[String, String] = Map(
+    "sample_curriculum" ->
+      // same shared quality formula, row_number over the identical
+      // (q DESC, doc_id) unique order, same integer phase arithmetic
+      ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+       s"m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, (${Text2Queries.qualityScoreSql}) AS q FROM b), " +
+       "r AS (SELECT n_tokens, q, CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS rnk, " +
+       "(SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS nn FROM m), " +
+       "p AS (SELECT CAST(((rnk - 1) * 3) // nn AS INT) AS phase, n_tokens, q FROM r), " +
+       "a AS (SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, MIN(q) AS mn_q, MAX(q) AS mx_q FROM p GROUP BY 1) " +
+       s"SELECT phase, n_docs, n_tokens, ${r6Sql("mn_q")} AS min_quality, " +
+       s"${r6Sql("mx_q")} AS max_quality FROM a ORDER BY phase"),
     "sample_bootstrap_ci" ->
       ("WITH r AS (SELECT o_orderkey AS key, " +
        "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders), " +

@@ -316,6 +316,12 @@ object Plans {
        "key. Every emission count is a keys=[] partial-aggregable scalar; at 100 TB you run " +
        "this on a sample shard to pick (bands, rows) BEFORE the corpus-wide dedup pays for a " +
        "bad S-curve point."),
+    "sample_curriculum" ->
+      ("quality-ordered curriculum phases without a global window: the shared composite score " +
+       "ranks via Scale.globalRank's two-pass shape (range Exchange + partitioned local ranks + " +
+       "literal-map offsets from a bounded per-partition count collect), phase assignment is " +
+       "integer rank arithmetic, and the emission is one 3-row keyed aggregate. At 100 TB the " +
+       "rank pass is the same machinery agg_pareto/agg_gini already run."),
     "dedup_cluster_persisted" ->
       ("the DEPLOYMENT shape of incremental clustering (r11): yesterday's (id, cluster) label " +
        "table lands as parquet at construction, and the RETURNED plan reads it back and runs " +

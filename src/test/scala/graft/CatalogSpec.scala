@@ -89,6 +89,27 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("sample_curriculum phases partition the corpus with ordered quality ranges") {
+    // r11: the three phases must (a) partition the doc count with sizes
+    // within 1 of each other (the integer position rule's guarantee),
+    // (b) carry token mass equal to the corpus total, and (c) be
+    // quality-ordered: phase p's minimum quality >= phase p+1's maximum
+    // (DESC ordering; equality allowed at a tie boundary).
+    val got = SparkEntry.queries("sample_curriculum")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(got.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    val docs = Tables.documents(spark, sf)
+    assert(got.map(_.getLong(1)).sum === docs.count(), "phases partition docs")
+    val sizes = got.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1L, s"phase sizes within 1: ${sizes.toSeq}")
+    val tot = docs.selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(got.map(_.getLong(2)).sum === tot, "phases carry the corpus token mass")
+    for (p <- 0 until 2)
+      assert(got(p).getDouble(3) >= got(p + 1).getDouble(4),
+        s"phase $p min quality must be >= phase ${p + 1} max quality")
+  }
+
   test("text_tokenizer_fertility reconciles with text_bpe_apply's dictionary") {
     // r11: independent path — fold the ENCODER's emitted dictionary and
     // raw (source, tok) counts in plain Scala (the query goes through a

@@ -460,6 +460,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sequence-gap monitor equals the batch census under reversed batching") {
+    // r11 (18th processor): exact per-day distinct via 63-bit bucket
+    // bitmaps — OR is commutative AND idempotent, min/max folds too, so
+    // the resolved census is order-free. Fed the SAME planted lossy
+    // frame PropertySpec proves the batch detectors on (gaps, an
+    // intra-batch replay row, an out-of-order day range), REVERSED and
+    // split unevenly; parity against the batch sequenceGapCensus'
+    // per-day facts, with the cross-day overlap column derived
+    // consumer-side from the resolved ranges exactly as batch does.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def rows(day: Long, ids: Seq[Long]) = ids.map(i => (i, day * 86400L))
+      val planted = (rows(0, 0L to 9L) ++
+        rows(1, Seq(10L, 11L, 12L, 14L, 15L, 15L, 16L, 18L, 19L)) ++
+        rows(2, 18L to 25L))
+      val shuffled = planted.reverse
+      val batches = Seq(shuffled.take(7), shuffled.slice(7, 20), shuffled.drop(20))
+      val input = MemoryStream[(Long, Long)](spark)
+      val stream = graft.streaming.SeqGapProcessor.cellStream(
+        input.toDF().toDF("event_id", "secs")
+          .select(col("event_id"), timestamp_seconds(col("secs")).as("ts")))
+      val q = stream.writeStream.format("memory").queryName("seqgap_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val resolved = graft.streaming.SeqGapProcessor
+        .resolveDaily(spark.table("seqgap_incr")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))))
+      val batchDf = graft.queries.CdcQueries.sequenceGapCensus(
+        planted.toDF("event_id", "secs")
+          .select(col("event_id"), timestamp_seconds(col("secs")).as("ts")))
+      val expected = batchDf.collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))))
+      assert(resolved.toMap === expected.toMap,
+        "resolved per-day census must equal the batch census facts")
+      // consumer-side overlap derivation from the resolved ranges ==
+      // the batch column (the cross-day join is the consumer's job)
+      val ranges = resolved.map { case (d, f) => (d, f._3, f._4) }
+      val expOverl = batchDf.collect().map(r => r.getLong(0) -> r.getLong(7)).toMap
+      val gotOverl = ranges.map { case (d, mn, mx) =>
+        d -> ranges.count { case (d2, mn2, mx2) => d2 < d && mx2 >= mn && mn2 <= mx }.toLong
+      }.toMap
+      assert(gotOverl === expOverl, "derived overlap column must match batch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming star-edge index resolves to the batch star set under reversed batching") {
     // r11 (r10 verdict ask #5): the incremental face of the star-edge
     // candidate graph the CC-family cluster queries consume. The
