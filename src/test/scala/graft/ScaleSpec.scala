@@ -228,6 +228,33 @@ class ScaleSpec extends SparkSpec {
       "incremental (contract + delta) must equal the full rescan exactly")
   }
 
+  test("incrementalFromLabels resumes from a PLAIN persisted-style label table") {
+    // r11: the deployment entry point — the label table arrives as an
+    // ordinary DataFrame (here: base star-CC labels collected and
+    // re-parallelized, exactly what a parquet read-back looks like, with
+    // no lineage back to the base edges), and the contraction + delta CC
+    // must still equal the full rescan. Direct unit coverage of the
+    // operator dedup_cluster_persisted wraps.
+    import spark.implicits._
+    val n = 500
+    val nodes = spark.range(n).select(col("id"))
+    val edges = spark.range(800).select(
+      pmod(xxhash64(col("id"), lit(3)), lit(n)).as("src"),
+      pmod(xxhash64(col("id"), lit(4)), lit(n)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val baseNodes = nodes.where(col("id") < 400)
+    val baseEdges = edges.where(col("src") < 400 && col("dst") < 400)
+    val deltaEdges = edges.where(col("src") >= 400 || col("dst") >= 400)
+    val persisted = Scale.connectedComponentsStar(baseNodes, baseEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("id", "cluster")
+    val full = Scale.connectedComponentsStar(nodes, edges)
+    val inc = Scale.incrementalFromLabels(nodes, persisted, deltaEdges)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "persisted-label resume must equal the full rescan exactly")
+  }
+
   test("sortedRepartition yields range-disjoint sorted partitions") {
     val df = Scale.sortedRepartition(
       Tables.orders(spark, sf).select("o_orderkey"), 4, col("o_orderkey"))
