@@ -173,6 +173,38 @@ object GraphQueries {
         .orderBy(col("kind"), col("score").desc, col("entity_key"))
     }),
 
+    // Katz centrality (r11) — the WALK-COUNTING centrality next to
+    // pagerank's random-surfer one: k(v) = Σ_h α^h · (#walks of length h
+    // ending at v), computed by the fixed-point k' = 1 + α·Σ_{u→v} k(u).
+    // Unlike pagerank there is NO degree normalization — a hub's full
+    // score propagates, so Katz rewards being near high-degree nodes
+    // while pagerank splits a node's vote. Fully integer like pagerank:
+    // scores in micro-units, attenuation α = 1/8 exact (integer DIV 8,
+    // Spark DIV == DuckDB // on nonneg), seed 1e6. Per-round sums run in
+    // DECIMAL(38,0) (HUGEINT in the oracle — the ks/emd rule) so the
+    // aggregation cannot overflow; the BIGINT cast-back of the per-round
+    // score is safe through max-degree ~1e5 (k3 <= 1e6·(D/8)^3 ~ 2e18)
+    // and ANSI-loud beyond, never silent. Scale shape: the pagerank loop
+    // exactly — checkpointed edge set, each round one shuffle join + one
+    // partial-aggregable groupBy, three rounds chained lazily into one
+    // job, top-20 TakeOrdered emission.
+    "graph_katz" -> ((s, d) => {
+      val e = edges(s, d)
+      var k = e.select(col("src").as("id")).distinct()
+        .withColumn("k", lit(1000000L))
+      for (_ <- 1 to iters) {
+        k = e.join(k, e("src") === k("id"))
+          .groupBy(col("dst"))
+          .agg(expr("1000000 + SUM(CAST(k AS DECIMAL(38,0))) DIV 8").as("k"))
+          .select(col("dst").as("id"), col("k"))
+      }
+      k.orderBy(col("k").desc, col("id")).limit(20)
+        .select(col("id").as("node"),
+          when(col("id") % 2 === 0, lit("supplier")).otherwise(lit("customer")).as("kind"),
+          expr("id DIV 2").as("entity_key"), col("k").as("katz"))
+        .orderBy(col("katz").desc, col("node"))
+    }),
+
     // Degree distribution of the same graph, split by entity kind — the
     // skew diagnostic you run BEFORE choosing a join/partition strategy
     // (a heavy-tailed histogram is the signal to salt or bucket). Two
@@ -488,6 +520,14 @@ object GraphQueries {
       s"150000 + (17 * CAST(SUM(r // dg) AS BIGINT)) // 20 AS r " +
       s"FROM ed JOIN r${it - 1} ON ed.src = r${it - 1}.id GROUP BY dst)"
 
+  /** Katz round mirror: the HUGEINT sum is the oracle twin of the query's
+    * DECIMAL(38,0) sum; `//` on nonnegative == Spark DIV; the BIGINT cast
+    * mirrors IntegralDivide's return type. */
+  private def katzRoundSql(it: Int): String =
+    s"k$it AS (SELECT dst AS id, " +
+      s"1000000 + CAST(SUM(CAST(k AS HUGEINT)) // 8 AS BIGINT) AS k " +
+      s"FROM e JOIN k${it - 1} ON e.src = k${it - 1}.id GROUP BY dst)"
+
   /** Modularity emission formula off the exact integer moments (m2 = M
     * directed edges, see = Σ intra, sdd = Σ d_c²) — shared verbatim by
     * query and oracle; every product stays under 2^53 so the doubles
@@ -598,6 +638,14 @@ object GraphQueries {
        s"t AS (SELECT id, r FROM r$iters ORDER BY r DESC, id LIMIT 20) " +
        "SELECT id AS node, CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind, " +
        "id // 2 AS entity_key, r AS pr FROM t ORDER BY pr DESC, node"),
+    "graph_katz" ->
+      (s"WITH $edgesCteSql, " +
+       "nodes AS (SELECT DISTINCT src AS id FROM e), " +
+       "k0 AS (SELECT id, CAST(1000000 AS BIGINT) AS k FROM nodes), " +
+       (1 to iters).map(katzRoundSql).mkString(", ") + ", " +
+       s"t AS (SELECT id, k FROM k$iters ORDER BY k DESC, id LIMIT 20) " +
+       "SELECT id AS node, CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind, " +
+       "id // 2 AS entity_key, k AS katz FROM t ORDER BY katz DESC, node"),
     "graph_hits" ->
       // directed bipartite edge CTE, three unrolled hub/authority rounds
       // with the identical integer max-normalization, top-12 per side

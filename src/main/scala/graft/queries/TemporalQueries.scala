@@ -654,6 +654,49 @@ object TemporalQueries {
         .orderBy("day")
     }),
 
+    // Mann-Kendall trend test (r11) — the NONPARAMETRIC trend gauge next
+    // to ts_changepoint's regime-shift CUSUM: per event type over the
+    // zero-filled daily grid, S = Σ_{i<j} sign(y_j − y_i) counts
+    // concordant minus discordant day pairs (monotone-trend evidence
+    // with NO distributional assumption — robust where Holt/regression
+    // chase outliers). EXACT INTEGER throughout: S from a sign CASE over
+    // the bounded (type × day-pair) grid self-join, the tie-corrected
+    // variance numerator vn = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) from
+    // per-value tie counts, and the z statistic is the ONE FP step —
+    // (S∓1)/sqrt(vn/18) in a shared fixed-order formula (sqrt is
+    // correctly rounded on both engines, so r6 display rounding holds).
+    // Scale shape: the scan ends at the per-(type, day) count; the grid
+    // is BOUNDED (types × days, data-size independent), checkpointed
+    // once for its two consumers, and the pair join carries the
+    // explicit broadcast the LogicalRDD stats-free rule requires.
+    "ts_mk_trend" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day")
+      val cnts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val bounds = cnts.agg(min("day").as("mind"), max("day").as("maxd"))
+      val grid = cnts.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("mind"), col("maxd"))).as("day"))
+      val filled = grid.join(cnts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .localCheckpoint(true)
+      val sgn = filled.as("a").join(broadcast(filled.as("b")),
+          col("a.event_type") === col("b.event_type") && col("b.day") < col("a.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(when(col("a.cnt") > col("b.cnt"), 1L)
+          .when(col("a.cnt") < col("b.cnt"), -1L).otherwise(0L)).as("s_mk"))
+      val ties = filled.groupBy("event_type", "cnt").agg(count(lit(1)).as("tg"))
+        .groupBy("event_type")
+        .agg(sum(expr("tg * (tg - 1) * (2 * tg + 5)")).as("tie_term"),
+          sum(col("tg")).as("n_days"))
+      sgn.join(ties, "event_type")
+        .selectExpr("event_type", "n_days", "s_mk",
+          "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS vn")
+        .selectExpr("event_type", "n_days", "s_mk", "vn",
+          s"${Qutil.r6Sql(mkZFormula)} AS z_mk", s"$mkTrendFormula AS trend")
+        .orderBy("event_type")
+    }),
+
     // LTTB downsampling (r9) — the dashboard-grade series reducer
     // (Steinarsson's Largest-Triangle-Three-Buckets, mean-anchor
     // variant): pick ONE visually-dominant point per bucket — the one
@@ -1113,6 +1156,30 @@ object TemporalQueries {
        "FROM cpm CROSS JOIN t) " +
        "SELECT day, cnt, k, cum, cusum, cp_day, cp_stat " +
        "FROM sc CROSS JOIN cp ORDER BY day"),
+    "ts_mk_trend" ->
+      // identical integer grid (epoch_us // mirrors unix_micros DIV,
+      // the per-type zero-fill), the same bounded pair self-join, tie
+      // counts per (type, value), shared z/trend formulas; HUGEINT sums
+      // cast back to BIGINT (the agg_mode rule)
+      ("WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events), " +
+       "c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2), " +
+       "b AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM c), " +
+       "ty AS (SELECT DISTINCT event_type FROM c), " +
+       "g AS (SELECT event_type, mind + unnest(range(0, maxd - mind + 1)) AS day " +
+       "FROM ty CROSS JOIN b), " +
+       "f AS (SELECT g.event_type, g.day, CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt " +
+       "FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.day = c.day), " +
+       "sg AS (SELECT a.event_type, CAST(SUM(CASE WHEN a.cnt > b2.cnt THEN 1 " +
+       "WHEN a.cnt < b2.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_mk " +
+       "FROM f a JOIN f b2 ON a.event_type = b2.event_type AND b2.day < a.day GROUP BY 1), " +
+       "tg AS (SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS tg FROM f GROUP BY 1, 2), " +
+       "ti AS (SELECT event_type, CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_term, " +
+       "CAST(SUM(tg) AS BIGINT) AS n_days FROM tg GROUP BY 1), " +
+       "j AS (SELECT sg.event_type, n_days, s_mk, " +
+       "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS vn " +
+       "FROM sg JOIN ti ON sg.event_type = ti.event_type) " +
+       s"SELECT event_type, n_days, s_mk, vn, ${Qutil.r6Sql(mkZFormula)} AS z_mk, " +
+       s"$mkTrendFormula AS trend FROM j ORDER BY event_type"),
     "ts_dedup_latest" ->
       ("SELECT user_id, event_type, event_id, ts, value FROM " +
        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn " +
@@ -1123,6 +1190,23 @@ object TemporalQueries {
     * exact n*total product, one division (shared-formula rule). */
   private def cusumStatFormula: String =
     "CAST(cp_snum AS DOUBLE) / (CAST(n_days AS DOUBLE) * CAST(total AS DOUBLE))"
+
+  /** Mann-Kendall z off the exact integer (s_mk, vn): continuity
+    * correction S∓1 by integer sign CASE (never signum — return types
+    * differ per engine), then division and sqrt in ONE fixed op order
+    * (both correctly rounded IEEE, so bits match cross-engine). */
+  private def mkZFormula: String =
+    "(CASE WHEN vn <= 0 OR s_mk = 0 THEN CAST(0 AS DOUBLE) " +
+      "WHEN s_mk > 0 THEN CAST(s_mk - 1 AS DOUBLE) / sqrt(CAST(vn AS DOUBLE) / CAST(18 AS DOUBLE)) " +
+      "ELSE CAST(s_mk + 1 AS DOUBLE) / sqrt(CAST(vn AS DOUBLE) / CAST(18 AS DOUBLE)) END)"
+
+  /** Trend label at the two-sided 5% level — the 1.96 threshold enters
+    * as the exact division 196/100 (identical double bits both engines;
+    * the raw z bits already match, so the compare cannot straddle). */
+  private def mkTrendFormula: String =
+    s"(CASE WHEN ($mkZFormula) > CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE) THEN 'increasing' " +
+      s"WHEN ($mkZFormula) < CAST(-196 AS DOUBLE) / CAST(100 AS DOUBLE) THEN 'decreasing' " +
+      "ELSE 'none' END)"
 
   /** ts_decompose emission formulas over the exact integer columns
     * w_sum / det24 / s24 / n_hod — each term is exact-int -> one fixed

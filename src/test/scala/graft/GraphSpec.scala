@@ -64,6 +64,29 @@ class GraphSpec extends SparkSpec {
     assert(got.filter(_._1 == "authority").map(_._3).max === 1000000L)
   }
 
+  test("graph_katz equals an in-memory integer reference (sf0.001)") {
+    // same undirected edge set as pagerank's reference; BigInt sums
+    // mirror the query's DECIMAL(38,0) aggregation; k' = 1e6 + Σk(u) / 8
+    val e0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    var katz = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val s = scala.collection.mutable.Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+      edges.foreach { case (u, v) => s(v) += katz(u) }
+      katz = s.map { case (v, t) => v -> (1000000L + (t / 8).toLong) }.toMap
+    }
+    val expTop = katz.toSeq.sortBy { case (id, k) => (-k, id) }.take(20)
+    val got = SparkEntry.queries("graph_katz")(spark, sf)
+      .select("node", "katz").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === expTop, "distributed Katz scores diverge from the reference")
+    // Katz floor: every score carries the +1e6 seed of its last round
+    assert(katz.values.forall(_ >= 1000000L))
+  }
+
   test("graph_label_prop equals an in-memory synchronous LPA reference (sf0.001)") {
     val e0 = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),

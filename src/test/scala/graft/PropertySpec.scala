@@ -998,6 +998,38 @@ class PropertySpec extends SparkSpec {
     assert(scored.last._5 === 0L)
   }
 
+  test("ts_mk_trend: independent recompute; S, ties, variance and z agree") {
+    // independent spelling (the LTTB lesson): S via an explicit O(n²)
+    // pair loop with Integer.compare, not the query's sign CASE
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val (minD, maxD) = (raw.map(_._2).min, raw.map(_._2).max)
+    val rows = SparkEntry.queries("ts_mk_trend")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === raw.map(_._1).toSet)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val cm = raw.filter(_._1 == et).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val ys = (minD to maxD).map(d => cm.getOrElse(d, 0L))
+      val n = ys.length.toLong
+      var sref = 0L
+      for (i <- ys.indices; j <- 0 until i)
+        sref += java.lang.Long.compare(ys(i), ys(j))
+      val tie = ys.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val vn = n * (n - 1) * (2 * n + 5) - tie
+      assert(r.getLong(1) === n, s"$et n_days")
+      assert(r.getLong(2) === sref, s"$et S")
+      assert(r.getLong(3) === vn, s"$et vn")
+      assert(math.abs(sref) <= n * (n - 1) / 2, "S bound")
+      val z = if (vn <= 0 || sref == 0) 0.0
+        else (sref - (if (sref > 0) 1L else -1L)).toDouble / math.sqrt(vn.toDouble / 18.0)
+      assert(math.abs(r.getDouble(4) - math.rint(z * 1e6) / 1e6) < 1.1e-6, s"$et z")
+      val lbl = if (z > 1.96) "increasing" else if (z < -1.96) "decreasing" else "none"
+      assert(r.getString(5) === lbl, s"$et trend")
+    }
+  }
+
   test("dq_ks_drift: independent recompute; CDF gaps and max agree exactly") {
     val raw = Tables.events(spark, sf)
       .selectExpr("unix_micros(ts) AS us", "value").collect()
