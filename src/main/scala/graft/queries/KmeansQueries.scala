@@ -595,6 +595,44 @@ object KmeansQueries {
         .selectExpr("n_vecs", s"${r6Sql("sv")} AS trace_var",
           s"${r6Sql("(sv * sv) / svv")} AS pr",
           s"${r6Sql("((sv * sv) / svv) / " + dims + ".0")} AS pr_frac")
+    }),
+
+    // Per-dim z-standardization (r11) — the whitening-lite preprocessing
+    // step of every embedding pipeline (ANN distance calibration, outlier
+    // scoring, isotropy repair): z_ij = (x_ij − μ_j)/σ_j with μ/σ from
+    // the SAME exact micro-unit per-dim moments as
+    // embed_participation_ratio (varFormula — one definition; σ = sqrt,
+    // correctly rounded both engines, so every z is bit-identical
+    // cross-engine: exact-integer-derived doubles through one fixed op
+    // chain). Per vector the emission is the standardized squared norm
+    // (dim-ascending left fold == list_sum mirror, r6 — for a perfectly
+    // standardized corpus E[zn2] = 64) and the count of |z| > 3 extreme
+    // dims (an integer predicate on bit-identical doubles — the whitened
+    // outlier signal). The μ/σ arrays ride ONE bounded 1-row broadcast
+    // (the embed_quantize_perdim stats-gather recipe: collect_list +
+    // array_sort + getField); zero-variance dims emit z = 0 on both
+    // engines (guard shared with the oracle). One corpus scan for the
+    // moments, one for the emission — nothing vector-pairwise anywhere.
+    "embed_standardize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val mom = e.select(posexplode(col("embedding")).as(Seq("p0", "x")))
+        .select((col("p0") + 1).cast(IntegerType).as("dim"),
+          floor(col("x").cast(DoubleType) * 1000000.0 + 0.5).cast("long").as("q"))
+        .groupBy("dim")
+        .agg(sum(col("q").cast(DecimalType(38, 0))).as("s1"),
+          sum((col("q") * col("q")).cast(DecimalType(38, 0))).as("s2"),
+          count(lit(1)).as("n"))
+      val stats = mom
+        .selectExpr("dim", s"$stdMuFormula AS mu", s"$stdSdFormula AS sd")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, mu))), x -> x.mu)").as("mus"),
+          expr("transform(array_sort(collect_list(struct(dim, sd))), x -> x.sd)").as("sds"))
+      e.crossJoin(broadcast(stats))
+        .selectExpr("vec_id", "label",
+          s"transform(sequence(1, $dims), i -> $stdZFormula) AS zs")
+        .selectExpr("vec_id", "label",
+          s"${r6Sql("aggregate(zs, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")} AS zn2",
+          "CAST(size(filter(zs, x -> abs(x) > CAST(3 AS DOUBLE))) AS BIGINT) AS n_extreme")
+        .orderBy("vec_id")
     })
   )
 
@@ -1385,6 +1423,27 @@ object KmeansQueries {
     "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) - 1.0) / 1.0e12"
 
+  /** embed_standardize shared strings (query + oracle, defs by the
+    * init-order rule): per-dim mean in original units (the
+    * embed_outlier_dist centroid spelling) and σ = sqrt(varFormula)
+    * with a zero-variance guard are shared VERBATIM; the per-element z
+    * cannot be one string (DuckDB element_at is map-only, Spark lacks
+    * []-indexing), so it is a TWIN spelling — identical op chain
+    * (guarded compare, cast, subtract, divide), element access the only
+    * difference; a degenerate dim standardizes to 0 on both engines. */
+  private def stdMuFormula: String =
+    "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6"
+  private def stdSdFormula: String =
+    s"(CASE WHEN ($varFormula) > 0.0 THEN sqrt($varFormula) ELSE CAST(0 AS DOUBLE) END)"
+  private def stdZFormula: String =
+    "(CASE WHEN element_at(sds, i) > 0.0 THEN " +
+      "(CAST(element_at(embedding, i) AS DOUBLE) - element_at(mus, i)) / element_at(sds, i) " +
+      "ELSE CAST(0 AS DOUBLE) END)"
+  private def stdZFormulaDuck: String =
+    "(CASE WHEN sds[i] > 0.0 THEN " +
+      "(CAST(embedding[i] AS DOUBLE) - mus[i]) / sds[i] " +
+      "ELSE CAST(0 AS DOUBLE) END)"
+
   private def participationSql: String =
     "WITH q AS (SELECT list_transform(embedding, x -> " +
       "CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qs FROM embeddings), " +
@@ -1441,6 +1500,24 @@ object KmeansQueries {
     "dedup_embed_kmeans" -> semdedupSql,
     "dq_embed_drift" -> embedDriftSql,
     "embed_participation_ratio" -> participationSql,
+    "embed_standardize" ->
+      // the participation-ratio moment CTEs, shared mu/sd formulas, the
+      // twin z spelling, list(... ORDER BY dim) == collect_list+sort,
+      // list_sum(list_transform) == the dim-ascending left fold
+      ("WITH q AS (SELECT vec_id, label, embedding, list_transform(embedding, x -> " +
+       "CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qs FROM embeddings), " +
+       "m AS (SELECT CAST(i AS INT) AS dim, " +
+       "SUM(CAST(qs[i] AS HUGEINT)) AS s1, " +
+       "SUM(CAST(qs[i] AS HUGEINT) * qs[i]) AS s2, " +
+       "CAST(COUNT(*) AS BIGINT) AS n " +
+       s"FROM q CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) ii GROUP BY 1), " +
+       s"st AS (SELECT list(mu ORDER BY dim) AS mus, list(sd ORDER BY dim) AS sds FROM " +
+       s"(SELECT dim, $stdMuFormula AS mu, $stdSdFormula AS sd FROM m) t0), " +
+       s"z AS (SELECT vec_id, label, list_transform(range(1, ${dims + 1}), i -> " +
+       s"$stdZFormulaDuck) AS zs FROM q CROSS JOIN st) " +
+       s"SELECT vec_id, label, ${r6Sql("list_sum(list_transform(zs, x -> x * x))")} AS zn2, " +
+       "CAST(len(list_filter(zs, x -> abs(x) > CAST(3 AS DOUBLE))) AS BIGINT) AS n_extreme " +
+       "FROM z ORDER BY vec_id"),
     "embed_isotropy" -> isotropySql,
     "sim_mrl_sweep" -> mrlSweepSql,
     "embed_kmeans" -> kmeansSql,

@@ -363,6 +363,50 @@ object SampleQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights (r11) — Data Selection via Importance
+    // Resampling (Xie et al. 2023), the principled "make the corpus look
+    // like the target domain" selection signal: per doc, the log
+    // importance ratio Σ_features [ln p_target(f) − ln p_raw(f)] under
+    // two add-1-smoothed BIGRAM models — target = the min(source) domain
+    // (a deterministic bounded 1-row scalar), raw = the whole corpus.
+    // Downstream, resampling ∝ exp(w) reshapes the mix; the weights
+    // table IS the deliverable (selection itself stays integer-quota
+    // ops like sample_target_mix — ranking on a libm-ln-derived double
+    // is NOT cross-engine-safe, so no rank/flag is emitted here; the
+    // r3-rounded per-doc sums follow the perplexity_split precedent).
+    // Bigrams via the guarded ascending-or-empty sequence spelling (the
+    // r9c sequence(1,0) lesson); the exploded feature frame, raw model
+    // and target model each localCheckpoint once (multi-consumer rule —
+    // at 100 TB the feature frame persists to a shuffle-backed store
+    // instead, same dedupe-execution intent). Scoring is one equi-join
+    // per model on the feature key (shuffles on the key at corpus
+    // scale; every scalar stat rides a bounded broadcast) + one keyed
+    // doc rollup; zero-bigram docs re-enter via the doc-grain left
+    // join with w = 0 (empty product).
+    "sample_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bg = docs.withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          explode(expr("transform(filter(sequence(1, greatest(size(tk) - 1, 1)), " +
+            "i -> i <= size(tk) - 1), i -> concat_ws(' ', slice(tk, i, 2)))")).as("bg"))
+        .localCheckpoint(true)
+      val rm = bg.groupBy("bg").agg(count(lit(1)).as("cr")).localCheckpoint(true)
+      val rs = rm.agg(count(lit(1)).as("v"), sum("cr").as("nr"))
+      val tgt = docs.agg(min("source").as("tsrc"))
+      val tm = bg.crossJoin(broadcast(tgt)).where(col("source") === col("tsrc"))
+        .groupBy("bg").agg(count(lit(1)).as("ct")).localCheckpoint(true)
+      val tstat = tm.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+      val sc = bg.join(rm, "bg").join(tm, Seq("bg"), "left")
+        .crossJoin(broadcast(rs)).crossJoin(broadcast(tstat))
+        .selectExpr("doc_id", s"$dsirTermFormula AS term")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_feat"), sum("term").as("w"))
+      docs.select("doc_id", "source").join(sc, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "source",
+          "CAST(COALESCE(n_feat, 0) AS BIGINT) AS n_feat",
+          s"${r3Sql("COALESCE(w, CAST(0 AS DOUBLE))")} AS w_dsir")
+        .orderBy("doc_id")
+    }),
+
     // Token-budget data mixing: each source contributes docs, in salted-
     // hash order, until its token budget (B=800) is spent — the "sample
     // this domain down to N tokens" primitive of training-mix assembly
@@ -666,6 +710,16 @@ object SampleQueries {
   private def lpFormula: String =
     "ln(CAST(COALESCE(cnt, 0) + 1 AS DOUBLE) / CAST(ntr + vsz + 1 AS DOUBLE))"
 
+  /** DSIR per-feature log importance ratio — the ONE scoring string for
+    * sample_dsir_weights (query + oracle): ct from the left-joined
+    * target model (NULL ⇒ unseen in target), cr from the raw model
+    * (always present — raw spans the corpus), nt/nr/v from the crossed
+    * bounded stat rows; two lpFormula-class add-1 terms, `ln` natural
+    * log in both dialects. A def (init-order rule). */
+  private def dsirTermFormula: String =
+    "(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + v + 1 AS DOUBLE)) - " +
+      "ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v + 1 AS DOUBLE)))"
+
   private def decontCtesSql: String =
     "d AS (SELECT doc_id, source, string_split(text, ' ') AS tk, " +
       phashSql("doc_id", "split:") + " % 100 AS bk FROM documents), " +
@@ -728,6 +782,27 @@ object SampleQueries {
        "array_to_string(tk[st+1:st+8], ' ') AS chunk FROM s) " +
        "SELECT doc_id, chunk_id, chunk FROM c WHERE length(chunk) > 0 " +
        "ORDER BY doc_id, chunk_id"),
+    "sample_dsir_weights" ->
+      // generate_series(1, len-1) is [] when len < 2 (the Spark side
+      // carries the explicit ascending-or-empty guard); HUGEINT sums
+      // cast back; dsirTermFormula verbatim; zero-bigram docs re-enter
+      // via the doc-grain left join with w = 0
+      ("WITH dd AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
+       "bg AS (SELECT doc_id, source, array_to_string(tk[i:i+1], ' ') AS bg FROM " +
+       "(SELECT doc_id, source, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM dd) t0), " +
+       "rm AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cr FROM bg GROUP BY 1), " +
+       "rs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(cr) AS BIGINT) AS nr FROM rm), " +
+       "tgt AS (SELECT MIN(source) AS tsrc FROM documents), " +
+       "tm AS (SELECT bg.bg AS bg, CAST(COUNT(*) AS BIGINT) AS ct " +
+       "FROM bg CROSS JOIN tgt WHERE bg.source = tsrc GROUP BY 1), " +
+       "tstat AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM tm), " +
+       s"sc AS (SELECT doc_id, $dsirTermFormula AS term " +
+       "FROM bg JOIN rm ON bg.bg = rm.bg LEFT JOIN tm ON bg.bg = tm.bg " +
+       "CROSS JOIN rs CROSS JOIN tstat), " +
+       "ds AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat, SUM(term) AS w FROM sc GROUP BY 1) " +
+       "SELECT dd.doc_id, dd.source, CAST(COALESCE(n_feat, 0) AS BIGINT) AS n_feat, " +
+       s"${r3Sql("COALESCE(w, CAST(0 AS DOUBLE))")} AS w_dsir " +
+       "FROM dd LEFT JOIN ds ON dd.doc_id = ds.doc_id ORDER BY dd.doc_id"),
     "text_decontaminate" ->
       (s"WITH $decontCtesSql " +
        "SELECT tr.doc_id, COUNT(DISTINCT tr.sh) AS n_contaminated " +

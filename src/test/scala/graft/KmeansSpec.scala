@@ -607,4 +607,41 @@ class KmeansSpec extends SparkSpec {
     // non-degenerate corpus)
     assert(row.getDouble(2) >= 1.0 && row.getDouble(2) <= dims.toDouble)
   }
+
+  test("embed_standardize equals an exact in-memory replay; variance identity holds") {
+    // exact replay: micro-unit integer moments -> fixed-order mu/sd ->
+    // per-element z -> dim-ascending zn2 fold; integer+fixed-IEEE
+    // (sqrt correctly rounded) leaves no tolerance on the replay.
+    val rows0 = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val n = rows0.length
+    val dims = rows0.head._2.length
+    val q = rows0.map(_._2.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong))
+    val mu = new Array[Double](dims)
+    val sd = new Array[Double](dims)
+    for (d <- 0 until dims) {
+      val s1 = q.map(r => BigInt(r(d))).sum
+      val s2 = q.map(r => BigInt(r(d)) * BigInt(r(d))).sum
+      mu(d) = s1.toDouble / n.toDouble / 1.0e6
+      val v = (s2.toDouble - s1.toDouble * s1.toDouble / n.toDouble) / (n.toDouble - 1.0) / 1.0e12
+      sd(d) = if (v > 0.0) math.sqrt(v) else 0.0
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = rows0.map { case (id, emb) =>
+      val zs = (0 until dims).map(d =>
+        if (sd(d) > 0.0) (emb(d).toDouble - mu(d)) / sd(d) else 0.0)
+      id -> (zs.foldLeft(0.0)((a, z) => a + z * z), zs.count(z => math.abs(z) > 3.0).toLong)
+    }.toMap
+    val got = SparkEntry.queries("embed_standardize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(got.length === n)
+    got.foreach { case (id, zn2, nx) =>
+      assert(zn2 === r6(expected(id)._1), s"vec $id zn2")
+      assert(nx === expected(id)._2, s"vec $id n_extreme")
+    }
+    // standardization identity: Σ_vecs zn2 = dims·(n−1) exactly in real
+    // arithmetic (each dim's z² sums to n−1 under the n−1 variance)
+    val tot = expected.values.map(_._1).sum
+    assert(math.abs(tot - dims.toDouble * (n - 1)) < 1e-4 * tot, "variance identity")
+  }
 }

@@ -643,6 +643,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sample_dsir_weights: independent bigram-model recompute; target-domain separation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    def bigrams(tk: Seq[String]): Seq[String] =
+      if (tk.length < 2) Seq.empty else tk.sliding(2).map(_.mkString(" ")).toSeq
+    val raw = docs.flatMap(d => bigrams(d._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (v, nr) = (raw.size.toLong, raw.values.sum)
+    val tsrc = docs.map(_._2).min
+    val tgt = docs.filter(_._2 == tsrc).flatMap(d => bigrams(d._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = tgt.values.sum
+    val expected = docs.map { case (id, src, tk) =>
+      val bs = bigrams(tk)
+      val w = bs.map(b =>
+        math.log((tgt.getOrElse(b, 0L) + 1).toDouble / (nt + v + 1).toDouble) -
+          math.log((raw(b) + 1).toDouble / (nr + v + 1).toDouble)).sum
+      id -> (src, bs.length.toLong, w)
+    }.toMap
+    val rows = SparkEntry.queries("sample_dsir_weights")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet === expected.keySet, "doc-grain emission is total")
+    rows.foreach { case (id, src, nFeat, w) =>
+      val (esrc, en, ew) = expected(id)
+      assert(src === esrc && nFeat === en, s"doc $id grain")
+      // r3 grid (5e-4) + FP sum-order drift headroom
+      assert(math.abs(w - ew) < 6e-4, s"doc $id weight")
+    }
+    // the DSIR point: target-domain docs score above every other domain
+    val bySrc = rows.groupBy(_._2).view.mapValues(g => g.map(_._4).sum / g.length).toMap
+    assert(bySrc(tsrc) > 0.0, "target-domain mean importance must be positive")
+    bySrc.foreach { case (s0, m) =>
+      if (s0 != tsrc) assert(m < bySrc(tsrc), s"$s0 mean must sit below the target's")
+    }
+  }
+
   test("agg_dp_counts: independent noise recompute from the key hash; mechanism invariants") {
     def hash60(s0: String): Long = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
