@@ -203,7 +203,63 @@ object MmQueries {
           max(col("doc_id")).as("last_doc"),
           sha2(concat_ws(",", array_sort(collect_list(col("h")))), 256)
             .as("manifest_hash"))
-        .orderBy("source", "shard_seq"))
+        .orderBy("source", "shard_seq")),
+
+    // Perceptual-hash near-dup (r11) — the image-dedup flow beyond
+    // mm_dedup_binary's exact-bytes pass: fingerprint each asset with a
+    // 64-bit pHash-style signature (sign of each byte against the
+    // asset's integer mean — the aHash recipe; the DCT step of a real
+    // pHash is the decode-side stub, the Spark-side banding/verify
+    // plumbing is the real deliverable), band it 4×16 for LSH
+    // candidates, and verify candidates by EXACT Hamming ≤ 8 — the
+    // band→bucket-join→re-check shape of every dedup_* family member.
+    // Payloads here are VARIANT-keyed by construction (base bytes from
+    // doc_id DIV 8, one low-bit byte tweak at a per-member position —
+    // the "same image, re-encoded" shape), so families of ≤8 are
+    // near-dups at Hamming 0-2 while cross-family signatures sit near
+    // 32: the banding provably finds every family pair and the
+    // re-check kills random band collisions. All integer end to end
+    // (byte mean via DIV, bit packing via literal power-of-two weights
+    // — HOF lambdas cannot variable-shift, the simhash rule). The
+    // fingerprint frame checkpoints ONCE (it feeds the band explode
+    // AND both re-check sides — differing-filter self-join defeats
+    // ReuseExchange otherwise); the candidate join is laned
+    // (re-checked pair generator — the catalog's hot-bucket standard).
+    "mm_near_dup_phash" -> ((s, d) => {
+      val fp = Tables.documents(s, d)
+        .selectExpr("doc_id",
+          "CAST((doc_id % 8) * 8 AS INT) AS p",
+          "upper(concat(sha2(CAST(doc_id DIV 8 AS STRING), 256), " +
+            "sha2(sha2(CAST(doc_id DIV 8 AS STRING), 256), 256))) AS hx0")
+        .selectExpr("doc_id",
+          "transform(sequence(0, 63), k -> CASE WHEN k = p " +
+            "THEN CAST(conv(substring(hx0, k*2 + 1, 2), 16, 10) AS INT) ^ 1 " +
+            "ELSE CAST(conv(substring(hx0, k*2 + 1, 2), 16, 10) AS INT) END) AS bt")
+        .selectExpr("doc_id", "bt",
+          "aggregate(bt, 0, (a, x) -> a + x) DIV 64 AS m")
+        .selectExpr("doc_id",
+          "transform(bt, x -> CASE WHEN x >= m THEN 1 ELSE 0 END) AS bits")
+        .localCheckpoint(true)
+      val w16 = (0 until 16).map(i => 1 << i).mkString("array(", ", ", ")")
+      val bands = fp.selectExpr("doc_id",
+          s"explode(transform(sequence(0, 3), j -> struct(j AS band, " +
+            s"aggregate(zip_with(slice(bits, j*16 + 1, 16), $w16, " +
+            "(b, w) -> b * w), 0, (a, x) -> a + x) AS bv))) AS t")
+        .selectExpr("doc_id", "t.band AS band", "t.bv AS bv")
+      val cand = graft.operators.Scale.lanedBucketJoin(
+          bands, bands, Seq("band", "bv"), "doc_id", "doc_id")
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(fp.select(col("doc_id").as("doc_a"), col("bits").as("ba")), "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("bits").as("bb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "CAST(aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), 0, " +
+            "(a, x) -> a + x) AS BIGINT) AS hamming")
+        .where(col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -286,6 +342,28 @@ object MmQueries {
         "CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes, " +
         "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc, " +
         "sha256(string_agg(h, ',' ORDER BY h)) AS manifest_hash " +
-        "FROM c GROUP BY 1, 2 ORDER BY source, shard_seq")
+        "FROM c GROUP BY 1, 2 ORDER BY source, shard_seq"),
+    "mm_near_dup_phash" ->
+      // identical integer chain: '0x'||substr CAST == conv(_,16,10),
+      // xor() == ^, list_sum(list_transform) mirrors the literal-weight
+      // zip fold (DuckDB lambdas CAN variable-shift: 1 << (i-1)), // ==
+      // DIV; DISTINCT candidates off the same banded self-join
+      ("WITH f0 AS (SELECT doc_id, CAST((doc_id % 8) * 8 AS INT) AS p, " +
+       "upper(sha256(CAST(doc_id // 8 AS VARCHAR)) || " +
+       "sha256(sha256(CAST(doc_id // 8 AS VARCHAR)))) AS hx0 FROM documents), " +
+       "f1 AS (SELECT doc_id, list_transform(range(0, 64), k -> CASE WHEN k = p " +
+       "THEN xor(CAST('0x' || substring(hx0, k*2 + 1, 2) AS INT), 1) " +
+       "ELSE CAST('0x' || substring(hx0, k*2 + 1, 2) AS INT) END) AS bt FROM f0), " +
+       "f2 AS (SELECT doc_id, bt, CAST(list_sum(bt) AS BIGINT) // 64 AS m FROM f1), " +
+       "fp AS (SELECT doc_id, list_transform(bt, x -> CASE WHEN x >= m THEN 1 ELSE 0 END) AS bits FROM f2), " +
+       "bd AS (SELECT doc_id, j AS band, CAST(list_sum(list_transform(range(1, 17), " +
+       "i -> bits[j*16 + i] * (1 << (i - 1)))) AS BIGINT) AS bv " +
+       "FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jj), " +
+       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+       "FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id), " +
+       "hc AS (SELECT doc_a, doc_b, CAST(list_sum(list_transform(range(1, 65), " +
+       "i -> abs(x.bits[i] - y.bits[i]))) AS BIGINT) AS hamming " +
+       "FROM cand JOIN fp x ON cand.doc_a = x.doc_id JOIN fp y ON cand.doc_b = y.doc_id) " +
+       "SELECT doc_a, doc_b, hamming FROM hc WHERE hamming <= 8 ORDER BY doc_a, doc_b")
   )
 }

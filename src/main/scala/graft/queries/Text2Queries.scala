@@ -28,6 +28,26 @@ object Text2Queries {
   private val stopwords = Seq("the", "and", "of", "to", "is", "in", "a", "on",
     "for", "with", "by", "at", "or", "key", "order")
 
+  /** THE marker-overlap language prediction frame (doc_id, lang,
+    * pred_lang, matches) — shared by text_langid and text_langid_eval
+    * (extracted r11) so the declared prediction and its evaluation can
+    * never diverge; the quality gate's oracle mirrors the same
+    * marker/pred SQL strings. */
+  private def langidPred(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dtoks = array_distinct(split(col("text"), " "))
+    val scored = Tables.documents(s, d)
+      .withColumn("dt", dtoks)
+      .select(Seq(col("doc_id"), col("lang")) ++ markers.map { case (l, ws) =>
+        size(array_intersect(col("dt"), array(ws.map(lit): _*))).as(s"s_$l")
+      }: _*)
+    val mx = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = markers.foldLeft(when(mx === 0, "und")) { case (acc, (l, _)) =>
+      acc.when(col(s"s_$l") === mx, l)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"), mx.as("matches"))
+  }
+
   /** The quality-score formula, defined ONCE for both the Spark side and
     * the oracle SQL (text_quality and text_dedup_keep_best must rank with
     * the identical score or dedup survivors silently drift). Returns the
@@ -57,20 +77,30 @@ object Text2Queries {
   val queries: Map[String, Q] = Map(
     // n-gram/marker-overlap language ID: argmax of distinct-token overlap
     // with per-language marker lists, alphabetical tie-break, 'und' if none.
-    "text_langid" -> ((s, d) => {
-      val dtoks = array_distinct(split(col("text"), " "))
-      val scored = Tables.documents(s, d)
-        .withColumn("dt", dtoks)
-        .select(Seq(col("doc_id"), col("lang")) ++ markers.map { case (l, ws) =>
-          size(array_intersect(col("dt"), array(ws.map(lit): _*))).as(s"s_$l")
-        }: _*)
-      val mx = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
-      val pred = markers.foldLeft(when(mx === 0, "und")) { case (acc, (l, _)) =>
-        acc.when(col(s"s_$l") === mx, l)
-      }
-      scored
-        .select(col("doc_id"), col("lang"), pred.as("pred_lang"), mx.as("matches"))
-        .orderBy("doc_id")
+    "text_langid" -> ((s, d) => langidPred(s, d).orderBy("doc_id")),
+
+    // Language-ID EVALUATION table (r11) — the confusion matrix of the
+    // marker heuristic against the labeled lang column (the fixture
+    // ships ground truth; a real pipeline runs this on its labeled eval
+    // slice): one corpus scan lands the BOUNDED (actual × predicted)
+    // grid, which checkpoints once (three consumers — the grid itself
+    // and both marginals; the chi2 multi-consumer rule) and everything
+    // downstream is grid-sized: marginals by re-aggregating the GRID
+    // (never a second corpus scan), broadcast joins, per-cell recall/
+    // precision shares as one fixed division each (exact integer
+    // counts → r6 holds). The shared langidPred frame is the ONE
+    // prediction definition — gate, langid and this eval can never
+    // disagree on what the heuristic says.
+    "text_langid_eval" -> ((s, d) => {
+      val conf = langidPred(s, d).groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n")).localCheckpoint(true)
+      val byLang = conf.groupBy("lang").agg(sum("n").as("n_lang"))
+      val byPred = conf.groupBy("pred_lang").agg(sum("n").as("n_pred"))
+      conf.join(broadcast(byLang), "lang").join(broadcast(byPred), "pred_lang")
+        .selectExpr("lang", "pred_lang", "n", "n_lang", "n_pred",
+          s"${r6Sql("CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE)")} AS recall_share",
+          s"${r6Sql("CAST(n AS DOUBLE) / CAST(n_pred AS DOUBLE)")} AS precision_share")
+        .orderBy("lang", "pred_lang")
     }),
 
     // Quality scoring: token counts, uniqueness ratio, avg token length,
@@ -1311,6 +1341,19 @@ object Text2Queries {
          // GREATEST over INTs comes back BIGINT from DuckDB; Spark's side is
          // int32 — pin the width so the driver's dtype-sensitive hash agrees.
          s"SELECT doc_id, lang, $predSql AS pred_lang, CAST($mxSql AS INT) AS matches FROM sc ORDER BY doc_id"),
+      "text_langid_eval" ->
+        // the same marker/pred strings; marginals re-aggregate the grid
+        // CTE exactly as the query re-aggregates the checkpointed grid
+        (s"WITH sc AS (SELECT doc_id, lang, $markerSql FROM documents), " +
+         s"pl AS (SELECT lang, $predSql AS pred_lang FROM sc), " +
+         "cf AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM pl GROUP BY 1, 2), " +
+         "bl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cf GROUP BY 1), " +
+         "bp AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS n_pred FROM cf GROUP BY 1) " +
+         "SELECT cf.lang, cf.pred_lang, n, n_lang, n_pred, " +
+         s"${r6Sql("CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE)")} AS recall_share, " +
+         s"${r6Sql("CAST(n AS DOUBLE) / CAST(n_pred AS DOUBLE)")} AS precision_share " +
+         "FROM cf JOIN bl ON cf.lang = bl.lang JOIN bp ON cf.pred_lang = bp.pred_lang " +
+         "ORDER BY cf.lang, cf.pred_lang"),
       "text_quality" ->
         ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) " +
          "SELECT doc_id, CAST(len(tk) AS INT) AS n_tok, CAST(len(list_distinct(tk)) AS INT) AS n_uniq, " +

@@ -659,6 +659,29 @@ class CatalogSpec extends SparkSpec {
       "except must surface exactly the supplier-less customer nation")
   }
 
+  test("text_langid_eval reconciles exactly with text_langid's row-level output") {
+    val rows = SparkEntry.queries("text_langid")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val conf = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byLang = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byPred = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = SparkEntry.queries("text_langid_eval")(spark, sf).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet === conf.keySet)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === conf(k) && r.getLong(3) === byLang(k._1) &&
+        r.getLong(4) === byPred(k._2), s"$k counts")
+      assert(r.getDouble(5) === r6(conf(k).toDouble / byLang(k._1).toDouble), s"$k recall")
+      assert(r.getDouble(6) === r6(conf(k).toDouble / byPred(k._2).toDouble), s"$k precision")
+    }
+    // shares close per margin: each actual lang's recall shares sum to 1
+    byLang.keys.foreach { l =>
+      val tot = got.filter(_.getString(0) == l).map(_.getDouble(5)).sum
+      assert(math.abs(tot - 1.0) < 1e-5, s"$l recall closure")
+    }
+  }
+
   test("join_asof_nearest picks the closer side, ties backward, same-ts is gap 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_planted_asof")

@@ -170,6 +170,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_near_dup_phash: pair set equals a JVM fingerprint/band/verify recompute") {
+    // independent spelling: MessageDigest sha chain, explicit byte math,
+    // explicit band agreement — not the query's conv/HOF strings
+    def sha(s0: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val bits = ids.map { id =>
+      val hx = (sha((id / 8).toString) + sha(sha((id / 8).toString))).toUpperCase
+      val p = ((id % 8) * 8).toInt
+      val bt = (0 until 64).map { k =>
+        val b = Integer.parseInt(hx.substring(k * 2, k * 2 + 2), 16)
+        if (k == p) b ^ 1 else b
+      }
+      val m = bt.sum / 64
+      id -> bt.map(b => if (b >= m) 1 else 0).toArray
+    }.toMap
+    def bandVals(bs: Array[Int]): Seq[Int] =
+      (0 until 4).map(j => (0 until 16).map(i => bs(j * 16 + i) << i).sum)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if bandVals(bits(a)).zip(bandVals(bits(b))).exists { case (x, y) => x == y }
+      ham = bits(a).zip(bits(b)).map { case (x, y) => math.abs(x - y) }.sum
+      if ham <= 8
+    } yield (a, b, ham.toLong)).toSet
+    val got = SparkEntry.queries("mm_near_dup_phash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected, "banded+verified pair set diverges from the reference")
+    // the planted variant structure: every same-family pair survives
+    // (low-bit tweaks barely move the mean, so family Hamming stays tiny)
+    val fams = ids.groupBy(_ / 8).values.filter(_.length > 1)
+    fams.foreach(f => for (a <- f; b <- f if a < b)
+      assert(got.exists(t => t._1 == a && t._2 == b), s"family pair ($a,$b) missing"))
+    // and near-dup pairs are overwhelmingly intra-family (random 64-bit
+    // signatures sit near Hamming 32, far above the 8 threshold)
+    val cross = got.count(t => t._1 / 8 != t._2 / 8)
+    assert(cross <= got.size / 10, s"cross-family pairs should be rare, got $cross/${got.size}")
+  }
+
   test("mm_dedup_binary: census equals an in-memory normalized-content grouping") {
     // independent reference: group docs per source by the SAME content
     // normalization rule (lowercase, strip non-[a-z0-9 ]) with no Spark

@@ -149,9 +149,12 @@ class PlanGuardSpec extends SparkSpec {
     // r11: the pair-set family (minhashPairsOver) and the band sweep's
     // three regroupings are laned too — pairs/counts are row-identical,
     // so only this plan pin catches a silent revert.
+    // r11b: mm_near_dup_phash's banded candidate join is laned AFTER its
+    // checkpointed fingerprint frame, so its lanes survive into the
+    // final executed plan — pin it with the direct queries.
     for (q <- Seq("dedup_embed_lsh", "dq_embed_contamination",
         "text_dedup_incremental", "text_minhash_lsh", "dedup_minhash_est",
-        "text_dedup_funnel")) {
+        "text_dedup_funnel", "mm_near_dup_phash")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("__lx") && plan.contains("__ly"),
