@@ -654,6 +654,50 @@ object TemporalQueries {
         .orderBy("day")
     }),
 
+    // Generalized-ESD outlier peeling (r11) — the iterative twin of
+    // ts_changepoint's one-shot CUSUM: three Rosner rounds, each
+    // computing mean/sd over the REMAINING days (exact integer moments
+    // → fixed-order doubles; sqrt correctly rounded), flagging the
+    // max-|deviation| day (ties to the earlier day) and removing it —
+    // the masked-outlier detector a single z-pass cannot be (one huge
+    // spike inflates sd and hides the second). The t-based critical
+    // values are the consumer's table lookup; the engine emits the R_r
+    // statistics. Runs DRIVER-SIDE over the bounded one-row-per-day
+    // grid (the kmeans/pca/mmr driver-math class: deterministic Scala
+    // on a bounded collect == SQL — BigInt sums mirror HUGEINT, minBy
+    // on (-absdev, day) mirrors the min-struct argmax), because an
+    // in-plan version would chain a per-round scalar broadcast (the
+    // graph_hits O(rounds²) trap) for a 3-row emission. Oracle = three
+    // unrolled CTE rounds with the identical op chain.
+    "ts_esd_outliers" -> ((s, d) => {
+      import s.implicits._
+      val grid = Tables.events(s, d)
+        .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+      val bounds = grid.agg(min("day").as("mn"), max("day").as("mx"))
+      val filled = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
+        .join(grid, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      var rem = filled.collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Double)]
+      for (r <- 1 to 3) {
+        val n = rem.length
+        val s1 = rem.map(t => BigInt(t._2)).sum
+        val s2 = rem.map(t => BigInt(t._2) * BigInt(t._2)).sum
+        val mean = s1.toDouble / n.toDouble
+        val sd = math.sqrt(
+          (s2.toDouble - s1.toDouble * s1.toDouble / n.toDouble) / (n.toDouble - 1.0))
+        val pick = rem.minBy { case (dd, c) => (-math.abs(c.toDouble - mean), dd) }
+        val rstat = if (sd == 0.0) 0.0 else math.abs(pick._2.toDouble - mean) / sd
+        out += ((r, pick._1, pick._2, n.toLong, rstat))
+        rem = rem.filterNot(_._1 == pick._1)
+      }
+      out.toSeq.toDF("round", "day", "cnt", "n_remaining", "r_raw")
+        .selectExpr("CAST(round AS INT) AS round", "day", "cnt", "n_remaining",
+          s"${Qutil.r6Sql("r_raw")} AS r_stat")
+        .orderBy("round")
+    }),
+
     // Mann-Kendall trend test (r11) — the NONPARAMETRIC trend gauge next
     // to ts_changepoint's regime-shift CUSUM: per event type over the
     // zero-filled daily grid, S = Σ_{i<j} sign(y_j − y_i) counts
@@ -1156,6 +1200,20 @@ object TemporalQueries {
        "FROM cpm CROSS JOIN t) " +
        "SELECT day, cnt, k, cum, cusum, cp_day, cp_stat " +
        "FROM sc CROSS JOIN cp ORDER BY day"),
+    "ts_esd_outliers" ->
+      // the changepoint grid CTEs, then three unrolled esdRoundSql
+      // rounds; r6 at emission only
+      ("WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events), " +
+       "c AS (SELECT day, COUNT(*) AS cnt FROM ev GROUP BY 1), " +
+       "b AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM c), " +
+       "g0 AS (SELECT mind + unnest(range(0, maxd - mind + 1)) AS day FROM b), " +
+       "f0 AS (SELECT g0.day, CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt " +
+       "FROM g0 LEFT JOIN c ON g0.day = c.day), " +
+       (1 to 3).map(esdRoundSql).mkString(", ") + " " +
+       "SELECT CAST(round AS INT) AS round, day, cnt, n_remaining, " +
+       s"${Qutil.r6Sql("r_raw")} AS r_stat FROM " +
+       "(SELECT * FROM r1row UNION ALL SELECT * FROM r2row UNION ALL SELECT * FROM r3row) " +
+       "ORDER BY round"),
     "ts_mk_trend" ->
       // identical integer grid (epoch_us // mirrors unix_micros DIV,
       // the per-type zero-fill), the same bounded pair self-join, tie
@@ -1190,6 +1248,26 @@ object TemporalQueries {
     * exact n*total product, one division (shared-formula rule). */
   private def cusumStatFormula: String =
     "CAST(cp_snum AS DOUBLE) / (CAST(n_days AS DOUBLE) * CAST(total AS DOUBLE))"
+
+  /** One unrolled ESD round over the remaining-day CTE f{k-1}: exact
+    * HUGEINT moments → the identical fixed-order mean/sd, min-struct
+    * argmax on (-absdev, day) mirroring the driver's minBy, the same
+    * sd = 0 guard, then f{k} drops the picked day. */
+  private def esdRoundSql(k: Int): String = {
+    val f = s"f${k - 1}"
+    s"m$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(cnt AS HUGEINT)) AS s1, " +
+      s"SUM(CAST(cnt AS HUGEINT) * cnt) AS s2 FROM $f), " +
+      s"st$k AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, " +
+      "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+      s"(CAST(n AS DOUBLE) - 1.0)) AS sd FROM m$k), " +
+      s"pk$k AS (SELECT MIN(struct_pack(nd := -abs(CAST(cnt AS DOUBLE) - mean), " +
+      "d := day, c := cnt)) AS m, MAX(n) AS n, MAX(mean) AS mean, MAX(sd) AS sd " +
+      s"FROM $f CROSS JOIN st$k), " +
+      s"r$k" + "row AS (SELECT " + k + " AS round, (m).d AS day, (m).c AS cnt, " +
+      "n AS n_remaining, CASE WHEN sd = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      s"abs(CAST((m).c AS DOUBLE) - mean) / sd END AS r_raw FROM pk$k), " +
+      s"f$k AS (SELECT day, cnt FROM $f WHERE day <> (SELECT day FROM r$k" + "row))"
+  }
 
   /** Mann-Kendall z off the exact integer (s_mk, vn): continuity
     * correction S∓1 by integer sign CASE (never signum — return types

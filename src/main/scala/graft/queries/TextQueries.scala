@@ -103,6 +103,15 @@ object TextQueries {
   private[graft] def contentHash(c: org.apache.spark.sql.Column) =
     sha2(regexp_replace(lower(c), "[^a-z0-9 ]", ""), 256)
 
+  /** Bag-of-words key (r11): the contentHash normalization with the
+    * token ORDER erased — sha over the SORTED token list. Bag groups
+    * are a coarsening of exact groups (sorting is deterministic), so
+    * bag_unique <= exact_unique always; the gap counts reorder-only
+    * near-dups. Shared by text_dedup_bag and its planted spec. */
+  private[graft] def bagKey(c: org.apache.spark.sql.Column) =
+    sha2(concat_ws(" ",
+      array_sort(split(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " "))), 256)
+
   private val queries1: Map[String, Q] = Map(
     // Corpus stats per language.
     "text_stats" -> ((s, d) =>
@@ -125,6 +134,31 @@ object TextQueries {
         .select("doc_id", "lang", "h")
         .orderBy("doc_id")
     }),
+
+    // Bag-of-words dedup census (r11) — the zero-cost middle rung between
+    // exact dedup (order-sensitive) and shingle LSH (order-robust but a
+    // candidate-join family): erase token ORDER from the contentHash key
+    // (sha over the sorted token list — bagKey, the one definition) and
+    // census how many "unique" docs are really reorders. Bag groups
+    // COARSEN exact groups (sort is deterministic), so n_bag_unique <=
+    // n_exact_unique structurally, and the gap is the reorder-only
+    // near-dup count — zero on the fixtures (no planted reorders; the
+    // dq_sequence_gaps precedent: zeros ARE the check passing, the
+    // planted PropertySpec proves the detector fires). ONE row-local
+    // projection + one keyed aggregate — a single map pass at any
+    // scale, the text_quality_gate plan class.
+    "text_dedup_bag" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), contentHash(col("text")).as("eh"),
+          bagKey(col("text")).as("bh"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("eh").as("n_exact_unique"),
+          countDistinct("bh").as("n_bag_unique"))
+        .selectExpr("source", "n_docs", "n_exact_unique", "n_bag_unique",
+          "n_docs - n_exact_unique AS n_exact_dup_rows",
+          "n_exact_unique - n_bag_unique AS n_reorder_only")
+        .orderBy("source")),
 
     // Near-dup candidate pairs within a source: token-set Jaccard >= 0.6.
     // Relational formulation: distinct (doc, tok) -> self-join on token ->
@@ -1177,6 +1211,21 @@ object TextQueries {
        "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents) " +
        "SELECT doc_id, lang, h FROM n WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY h) " +
        "ORDER BY doc_id"),
+    "text_dedup_bag" ->
+      // list_sort == array_sort on ASCII-only normalized tokens (binary
+      // order both engines); array_to_string == concat_ws (no NULLs can
+      // occur, empties kept by both); COUNT(DISTINCT) BIGINT-cast
+      ("WITH b AS (SELECT source, " +
+       "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS eh, " +
+       "sha256(array_to_string(list_sort(string_split(" +
+       "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' ')), ' ')) AS bh " +
+       "FROM documents) " +
+       "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(COUNT(DISTINCT eh) AS BIGINT) AS n_exact_unique, " +
+       "CAST(COUNT(DISTINCT bh) AS BIGINT) AS n_bag_unique, " +
+       "CAST(COUNT(*) - COUNT(DISTINCT eh) AS BIGINT) AS n_exact_dup_rows, " +
+       "CAST(COUNT(DISTINCT eh) - COUNT(DISTINCT bh) AS BIGINT) AS n_reorder_only " +
+       "FROM b GROUP BY 1 ORDER BY source"),
     "text_near_dup_jaccard" ->
       ("WITH t AS (SELECT DISTINCT doc_id, source, tok FROM " +
        "(SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)), " +

@@ -1034,6 +1034,76 @@ class PropertySpec extends SparkSpec {
     assert(scored.last._5 === 0L)
   }
 
+  test("text_dedup_bag: planted reorder merges under bagKey; census reconciles") {
+    import spark.implicits._
+    // planted: a reorder pair, an exact dup pair, and a distinct doc —
+    // bagKey merges the reorder, contentHash does not
+    val planted = Seq("alpha beta gamma", "gamma beta alpha",
+      "same text here", "same text here", "other words").toDF("text")
+      .select(graft.queries.TextQueries.contentHash(col("text")).as("eh"),
+        graft.queries.TextQueries.bagKey(col("text")).as("bh"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(planted.map(_._1).distinct.length === 4, "exact keys: reorder stays split")
+    assert(planted.map(_._2).distinct.length === 3, "bag keys: reorder merges")
+    assert(planted(0)._2 === planted(1)._2)
+    assert(planted(0)._1 !== planted(1)._1)
+    // fixture census reconciles with an independent MessageDigest recompute
+    def sha(s0: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val norm = (t: String) => t.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+    val exp = docs.groupBy(_._1).view.mapValues { g =>
+      val ehs = g.map(t => sha(norm(t._2)))
+      val bhs = g.map(t => sha(norm(t._2).split(" ", -1).sorted.mkString(" ")))
+      (g.length.toLong, ehs.distinct.length.toLong, bhs.distinct.length.toLong)
+    }.toMap
+    val got = SparkEntry.queries("text_dedup_bag")(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet === exp.keySet)
+    got.foreach { r =>
+      val (n, eu, bu) = exp(r.getString(0))
+      assert(r.getLong(1) === n && r.getLong(2) === eu && r.getLong(3) === bu,
+        s"${r.getString(0)} counts")
+      assert(r.getLong(4) === n - eu && r.getLong(5) === eu - bu)
+      // structural: bag groups coarsen exact groups
+      assert(bu <= eu && eu <= n)
+    }
+  }
+
+  test("ts_esd_outliers: independent peel recompute; rounds remove distinct days") {
+    // independent argmax spelling: maxBy on (absdev, -day), not the
+    // query's minBy on (-absdev, day)
+    val days = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) DIV 86400000000 AS day").collect()
+      .map(_.getLong(0))
+    val (minD, maxD) = (days.min, days.max)
+    val cm = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var rem = (minD to maxD).map(d => (d, cm.getOrElse(d, 0L))).toVector
+    val rows = SparkEntry.queries("ts_esd_outliers")(spark, sf).collect()
+    assert(rows.length === 3)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    for (k <- 0 until 3) {
+      val n = rem.length
+      val s1 = rem.map(t => BigInt(t._2)).sum
+      val s2 = rem.map(t => BigInt(t._2) * BigInt(t._2)).sum
+      val mean = s1.toDouble / n.toDouble
+      val sd = math.sqrt(
+        (s2.toDouble - s1.toDouble * s1.toDouble / n.toDouble) / (n.toDouble - 1.0))
+      val pick = rem.maxBy { case (dd, c) => (math.abs(c.toDouble - mean), -dd) }
+      val r = rows(k)
+      assert(r.getInt(0) === k + 1 && r.getLong(1) === pick._1 &&
+        r.getLong(2) === pick._2 && r.getLong(3) === n.toLong, s"round ${k + 1}")
+      val rstat = if (sd == 0.0) 0.0 else math.abs(pick._2.toDouble - mean) / sd
+      assert(r.getDouble(4) === r6(rstat), s"round ${k + 1} R")
+      assert(rstat >= 0.0)
+      rem = rem.filterNot(_._1 == pick._1)
+    }
+    // three DISTINCT days peeled, n_remaining strictly decreasing by 1
+    assert(rows.map(_.getLong(1)).distinct.length === 3)
+    assert(rows.map(_.getLong(3)).toSeq === Seq(rows(0).getLong(3),
+      rows(0).getLong(3) - 1, rows(0).getLong(3) - 2))
+  }
+
   test("ts_mk_trend: independent recompute; S, ties, variance and z agree") {
     // independent spelling (the LTTB lesson): S via an explicit O(n²)
     // pair loop with Integer.compare, not the query's sign CASE
