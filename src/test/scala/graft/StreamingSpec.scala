@@ -950,6 +950,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming top-k per nation equals win_topk_per_group under any order and replay") {
+    // top-k under the total order (c_acctbal DESC, c_custkey ASC) is a
+    // commutative, idempotent max-k fold — reversed uneven batches plus
+    // a replay of the last batch must resolve to the batch window
+    // query's rows exactly (same JVM: the double order key compares
+    // identically on both paths).
+    withRocksDB {
+      val custs = Tables.customer(spark, sf)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(_._2)
+      val batches0 = custs.grouped((custs.length + 3) / 4).toSeq.reverse
+      val batches = batches0 :+ batches0.last
+      val input = MemoryStream[(Int, Long, String, Double)](spark)
+      val stream = graft.streaming.TopKProcessor.topkStream(
+        input.toDF().toDF("c_nationkey", "c_custkey", "c_name", "c_acctbal"), 3)
+      val q = stream.writeStream.format("memory").queryName("topk_incr")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val all = spark.table("topk_incr").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3),
+          r.getDouble(4), r.getLong(5)))
+      val got = all.groupBy(_._1).view.mapValues { rs =>
+        val nMax = rs.map(_._6).max
+        rs.filter(_._6 == nMax).sortBy(_._2).map(t => (t._2, t._3, t._4, t._5)).toSeq
+      }.toMap
+      val expected = SparkEntry.queries("win_topk_per_group")(spark, sf).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)
+          .map(t => (t._2, t._3, t._4, t._5)).toSeq).toMap
+      assert(got === expected,
+        "stream top-k snapshot must equal the batch window query row-for-row")
+      // n_seen audits the replay while the kept sets still matched
+      val fedPerNation = (custs ++ batches0.last).groupBy(_._1)
+        .view.mapValues(_.length.toLong).toMap
+      all.groupBy(_._1).foreach { case (nk, rs) =>
+        assert(rs.map(_._6).max === fedPerNation(nk), s"n_seen for nation $nk")
+      }
+    }
+  }
+
   test("streaming hash reservoir equals the batch bottom-k under any order and replay") {
     // min-k by (shared salted hash, doc_id) is commutative AND
     // idempotent — reversed uneven batches plus a full replay of the
