@@ -51,6 +51,20 @@ object AggQueries {
     * shared verbatim by query and oracle; each DECIMAL(38,0)/HUGEINT sum
     * casts to DOUBLE exactly once (the agg_skew_kurt rule: the cast is
     * correctly rounded on both engines even past 2^53). */
+  /** Theil shared strings (defs, init-order rule) — parse in BOTH
+    * dialects: μ_g off the exact group sums, share off the exact
+    * totals, per-order term (x/μ_g)·ln(x/μ_g) with a nonpositive guard
+    * (order cents are positive on TPC-H data; the guard keeps the
+    * formula total). */
+  private def theilMuFormula: String =
+    "CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)"
+  private def theilShareFormula: String =
+    "CAST(sg AS DOUBLE) / CAST(st AS DOUBLE)"
+  private def theilTermFormula: String =
+    s"(CASE WHEN cents <= 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      s"(CAST(cents AS DOUBLE) / ($theilMuFormula)) * " +
+      s"ln(CAST(cents AS DOUBLE) / ($theilMuFormula)) END)"
+
   private def giniSql: String =
     "((CASE WHEN isnan(((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))) OR abs(((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
@@ -59,6 +73,60 @@ object AggQueries {
       "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e6 + 0.5) AS DOUBLE) / 1e6 END))"
 
   val queries: Map[String, Q] = Map(
+    // Theil-T inequality with within/between decomposition (r11) — the
+    // DECOMPOSABLE inequality gauge next to agg_gini (gini ranks, Theil
+    // splits: how much order-value concentration lives INSIDE nations
+    // vs BETWEEN them — the additive property gini lacks). Exact
+    // machinery: per-nation (n_g, Σcents) as DECIMAL(38,0)/HUGEINT
+    // sums; every mean is one fixed-order division off exact integers;
+    // per-order terms (x/μ_g)·ln(x/μ_g) sum per nation (corpus ln sums
+    // ⇒ round 3, the geomean rule), the between/total folds run
+    // nation-ascending over the BOUNDED group frame (collect_list+sort
+    // == list ORDER BY — the r6b pair). Scale shape: one join-annotated
+    // scan for the terms (group frame broadcast), one keyed term
+    // rollup; the 25-row group frame checkpoints once (multi-consumer);
+    // scalar t_between/t_total ride one bounded crossJoin back.
+    // PropertySpec pins the decomposition identity T = Σ s_g·T_g + T_b
+    // against an independent recompute.
+    "agg_theil" -> ((s, d) => {
+      // the narrow (nk, cents) frame feeds the group aggregate AND the
+      // term scan — checkpoint or the orders⋈customer join runs twice
+      val x = Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .selectExpr("c_nationkey AS nk",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+        .localCheckpoint(true)
+      val g = x.groupBy("nk").agg(count(lit(1)).as("ng"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("sg"))
+      val tot = g.agg(sum("ng").as("n"),
+        sum(col("sg").cast(DecimalType(38, 0))).as("st"))
+      val tw = x.join(broadcast(g), "nk")
+        .selectExpr("nk", s"$theilTermFormula AS term")
+        .groupBy("nk").agg(sum("term").as("tsum"))
+      val per = g.join(tw, "nk").crossJoin(broadcast(tot))
+        .selectExpr("nk", "ng", "sg", "n", "st",
+          "tsum / CAST(ng AS DOUBLE) AS t_w_raw",
+          s"$theilShareFormula AS share_raw",
+          s"$theilMuFormula AS mug_raw")
+        .selectExpr("nk", "ng", "share_raw", "mug_raw", "t_w_raw",
+          s"share_raw * ln(mug_raw / (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS tb_term",
+          "share_raw * t_w_raw AS tt_term")
+        .localCheckpoint(true)
+      val scal = per.agg(
+        expr("aggregate(transform(array_sort(collect_list(struct(nk, tb_term))), " +
+          "x -> x.tb_term), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("t_between_raw"),
+        expr("aggregate(transform(array_sort(collect_list(struct(nk, tt_term))), " +
+          "x -> x.tt_term), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("t_in_raw"))
+      per.crossJoin(broadcast(scal))
+        .selectExpr("nk AS nationkey", "ng AS n_orders",
+          s"${r6Sql("share_raw")} AS share",
+          s"${r6Sql("mug_raw / 100.0")} AS mean_price",
+          s"${r3Sql("t_w_raw")} AS t_within",
+          s"${r3Sql("t_between_raw")} AS t_between",
+          s"${r3Sql("t_between_raw + t_in_raw")} AS t_total")
+        .orderBy("nationkey")
+    }),
+
     // Gini concentration of order value (r6f) — the inequality gauge a
     // migration/curation pipeline runs to answer "is the value massed in
     // a few records?" (0 = uniform, ->1 = one record is everything).
@@ -721,6 +789,33 @@ object AggQueries {
        "UNION ALL SELECT 'OTHER', n_customers, cents FROM oth) " +
        s"SELECT label, n_customers, cents, ${shareF("cents")} AS share " +
        "FROM u CROSS JOIN t ORDER BY label"),
+    "agg_theil" ->
+      // shared mu/share/term formulas verbatim; list(... ORDER BY nk) ==
+      // the nation-ascending collect_list+sort folds; HUGEINT mirrors
+      // DECIMAL(38,0); r3 on every ln-derived emission
+      ("WITH x AS (SELECT c_nationkey AS nk, " +
+       "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+       "g AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS ng, " +
+       "SUM(CAST(cents AS HUGEINT)) AS sg FROM x GROUP BY 1), " +
+       "tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(CAST(sg AS HUGEINT)) AS st FROM g), " +
+       s"tw AS (SELECT x.nk, SUM($theilTermFormula) AS tsum " +
+       "FROM x JOIN g ON x.nk = g.nk GROUP BY 1), " +
+       "p1 AS (SELECT g.nk AS nk, ng, n, st, tsum / CAST(ng AS DOUBLE) AS t_w_raw, " +
+       s"$theilShareFormula AS share_raw, $theilMuFormula AS mug_raw " +
+       "FROM g JOIN tw ON g.nk = tw.nk CROSS JOIN tot), " +
+       "p2 AS (SELECT nk, ng, share_raw, mug_raw, t_w_raw, " +
+       "share_raw * ln(mug_raw / (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS tb_term, " +
+       "share_raw * t_w_raw AS tt_term FROM p1), " +
+       "sc AS (SELECT list_sum(list(tb_term ORDER BY nk)) AS t_between_raw, " +
+       "list_sum(list(tt_term ORDER BY nk)) AS t_in_raw FROM p2) " +
+       "SELECT nk AS nationkey, ng AS n_orders, " +
+       s"${r6Sql("share_raw")} AS share, " +
+       s"${r6Sql("mug_raw / 100.0")} AS mean_price, " +
+       s"${r3Sql("t_w_raw")} AS t_within, " +
+       s"${r3Sql("t_between_raw")} AS t_between, " +
+       s"${r3Sql("t_between_raw + t_in_raw")} AS t_total " +
+       "FROM p2 CROSS JOIN sc ORDER BY nationkey"),
     "agg_gini" ->
       // row_number over the identical unique (cents, key) order stands in
       // for globalRank; HUGEINT moment sums mirror the DECIMAL(38,0)s

@@ -103,6 +103,13 @@ object TextQueries {
   private[graft] def contentHash(c: org.apache.spark.sql.Column) =
     sha2(regexp_replace(lower(c), "[^a-z0-9 ]", ""), 256)
 
+  /** Novelty share off the coalesced counts (nt_c/nv_c — non-colliding
+    * names per the lateral-alias rule); trigram-less docs score 0. A
+    * def (init-order rule); parses in both dialects. */
+  private def noveltyFormula: String =
+    "(CASE WHEN nt_c = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      "CAST(nv_c AS DOUBLE) / CAST(nt_c AS DOUBLE) END)"
+
   /** Bag-of-words key (r11): the contentHash normalization with the
     * token ORDER erased — sha over the SORTED token list. Bag groups
     * are a coarsening of exact groups (sorting is deterministic), so
@@ -159,6 +166,41 @@ object TextQueries {
           "n_docs - n_exact_unique AS n_exact_dup_rows",
           "n_exact_unique - n_bag_unique AS n_reorder_only")
         .orderBy("source")),
+
+    // First-occurrence n-gram novelty (r11) — the memorization/novelty
+    // curation signal: per doc, what fraction of its trigram instances
+    // is INTRODUCED by this doc (the shingle's corpus-min doc_id is this
+    // doc) vs already seen earlier in id order. Low-novelty late docs
+    // are boilerplate/recombination candidates; the per-doc share feeds
+    // mixing weights the way quality scores do. Exact integer end to
+    // end: first-introducer = one keyed min over the SHARED trigramsOf
+    // shingles (the text_repetition/quality_gate definition), novelty =
+    // one fixed division (r6). Scale shape: the exploded shingle frame
+    // checkpoints once (it feeds the min-aggregate AND the join-back —
+    // the differing-consumer rule), the join shuffles on the shingle
+    // key, the rollup lands doc grain; trigram-less docs re-enter via
+    // the doc-grain left join with novelty = 0 (the dsir re-entry rule).
+    "text_ngram_novelty" -> ((s, d) => {
+      val tri = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(trigramsOf(split(col("text"), " "))).as("sh"))
+        .localCheckpoint(true)
+      val first = tri.groupBy("sh").agg(min("doc_id").as("fd"))
+      val agg = tri.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      Tables.documents(s, d).select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        // coalesce FIRST under non-colliding names (the r6 lateral-alias
+        // shadowing rule), emit second
+        .selectExpr("doc_id",
+          "CAST(COALESCE(n_tri, 0) AS BIGINT) AS nt_c",
+          "CAST(COALESCE(n_novel, 0) AS BIGINT) AS nv_c")
+        .selectExpr("doc_id", "nt_c AS n_tri", "nv_c AS n_novel",
+          s"${r6Sql(noveltyFormula)} AS novelty")
+        .orderBy("doc_id")
+    }),
 
     // Near-dup candidate pairs within a source: token-set Jaccard >= 0.6.
     // Relational formulation: distinct (doc, tok) -> self-join on token ->
@@ -1211,6 +1253,20 @@ object TextQueries {
        "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents) " +
        "SELECT doc_id, lang, h FROM n WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY h) " +
        "ORDER BY doc_id"),
+    "text_ngram_novelty" ->
+      // shared trigram mirror, keyed MIN first-introducer, instance-
+      // grain join-back, doc-grain left-join re-entry, shared formula
+      ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+       s"t AS (SELECT doc_id, unnest(${Qutil.trigramsSqlOf("tk")}) AS sh FROM b), " +
+       "f AS (SELECT sh, MIN(doc_id) AS fd FROM t GROUP BY 1), " +
+       "a AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri, " +
+       "CAST(SUM(CASE WHEN fd = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel " +
+       "FROM t JOIN f USING (sh) GROUP BY 1), " +
+       "c AS (SELECT d.doc_id, CAST(COALESCE(n_tri, 0) AS BIGINT) AS nt_c, " +
+       "CAST(COALESCE(n_novel, 0) AS BIGINT) AS nv_c " +
+       "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id) " +
+       "SELECT doc_id, nt_c AS n_tri, nv_c AS n_novel, " +
+       s"${r6Sql(noveltyFormula)} AS novelty FROM c ORDER BY doc_id"),
     "text_dedup_bag" ->
       // list_sort == array_sort on ASCII-only normalized tokens (binary
       // order both engines); array_to_string == concat_ws (no NULLs can

@@ -1034,6 +1034,67 @@ class PropertySpec extends SparkSpec {
     assert(scored.last._5 === 0L)
   }
 
+  test("agg_theil: independent recompute; decomposition identity and bounds hold") {
+    val rows0 = Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_nationkey", "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byNk = rows0.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = rows0.length.toDouble
+    val st = rows0.map(t => BigInt(t._2)).sum.toDouble
+    val mu = st / n
+    def r3(x: Double): Double = math.floor(x * 1e3 + 0.5) / 1e3
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = SparkEntry.queries("agg_theil")(spark, sf).collect()
+    assert(got.map(_.getInt(0)).toSet === byNk.keySet)
+    var tb = 0.0; var sumWithin = 0.0; var shareSum = 0.0
+    got.sortBy(_.getInt(0)).foreach { r =>
+      val xs = byNk(r.getInt(0))
+      val ng = xs.length.toDouble
+      val sg = xs.map(BigInt(_)).sum.toDouble
+      val mug = sg / ng
+      val tW = xs.map(x => (x.toDouble / mug) * math.log(x.toDouble / mug)).sum / ng
+      val share = sg / st
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - r6(share)) < 1.1e-6, "share")
+      assert(math.abs(r.getDouble(4) - tW) < 6e-4, s"nation ${r.getInt(0)} t_within")
+      assert(r.getDouble(4) >= -5e-4, "Theil within is nonnegative (Jensen)")
+      tb += share * math.log(mug / mu); sumWithin += share * tW; shareSum += share
+    }
+    assert(math.abs(shareSum - 1.0) < 1e-9, "shares close")
+    assert(math.abs(got.head.getDouble(5) - tb) < 6e-4, "t_between")
+    // the decomposition identity: the emitted total IS between + Σ s·T_g
+    val tDirect = rows0.map { case (_, x) =>
+      (x.toDouble / mu) * math.log(x.toDouble / mu) }.sum / n
+    assert(math.abs(got.head.getDouble(6) - tDirect) < 2e-3,
+      "T_total must equal the direct ungrouped Theil (decomposition identity)")
+  }
+
+  test("text_ngram_novelty: independent first-introducer recompute; first doc scores 1") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    def tris(tk: Seq[String]): Seq[String] =
+      if (tk.length < 3) Seq.empty else tk.sliding(3).map(_.mkString(" ")).toSeq
+    val intro = docs.flatMap { case (id, tk) => tris(tk).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = SparkEntry.queries("text_ngram_novelty")(spark, sf).collect()
+    assert(got.length === docs.length, "doc-grain emission is total")
+    val exp = docs.map { case (id, tk) =>
+      val ts = tris(tk)
+      id -> (ts.length.toLong, ts.count(t => intro(t) == id).toLong)
+    }.toMap
+    got.foreach { r =>
+      val (nt, nv) = exp(r.getLong(0))
+      assert(r.getLong(1) === nt && r.getLong(2) === nv, s"doc ${r.getLong(0)}")
+      val share = if (nt == 0) 0.0 else nv.toDouble / nt.toDouble
+      assert(r.getDouble(3) === r6(share))
+    }
+    // the earliest doc with any trigram introduces everything it has
+    val firstDoc = docs.filter(d => tris(d._2).nonEmpty).map(_._1).min
+    assert(exp(firstDoc)._1 === exp(firstDoc)._2, "first doc is fully novel")
+  }
+
   test("text_dedup_bag: planted reorder merges under bagKey; census reconciles") {
     import spark.implicits._
     // planted: a reorder pair, an exact dup pair, and a distinct doc —
