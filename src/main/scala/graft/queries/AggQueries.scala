@@ -96,8 +96,12 @@ object AggQueries {
         .selectExpr("c_nationkey AS nk",
           "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
         .localCheckpoint(true)
+      // the bounded 25-row group frame has THREE consumers (totals, the
+      // term join, the per-nation join) — checkpoint or its aggregate
+      // over x re-runs per consumer (the chi2 multi-consumer rule)
       val g = x.groupBy("nk").agg(count(lit(1)).as("ng"),
           sum(col("cents").cast(DecimalType(38, 0))).as("sg"))
+        .localCheckpoint(true)
       val tot = g.agg(sum("ng").as("n"),
         sum(col("sg").cast(DecimalType(38, 0))).as("st"))
       val tw = x.join(broadcast(g), "nk")
