@@ -304,10 +304,36 @@ object Scale {
     * label table (recompute here for a one-plan declared query), and the
     * only corpus-scale work left is one label join. */
   def incrementalComponents(allNodes: DataFrame, baseNodes: DataFrame,
-      baseEdges: DataFrame, deltaEdges: DataFrame): DataFrame =
+      baseEdges: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    if (contractChecksEnabled) {
+      // The deltaEdges-superset contract, checked from this function's
+      // view of the graph: an edge with a non-base endpoint that the
+      // caller routed into baseEdges is exactly the mis-split the
+      // scaladoc forbids (stage 1 would close over nodes it must not
+      // label). Cost: one distinct over baseEdges endpoints + one
+      // anti-join against baseNodes — node-set bounded, debug-only.
+      val stray = baseEdges
+        .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+        .join(baseNodes.select(col("id")), Seq("id"), "left_anti")
+        .count()
+      require(stray == 0L,
+        s"incrementalComponents caller contract violated: $stray baseEdges " +
+          "endpoint(s) outside baseNodes — every edge with a non-base " +
+          "endpoint belongs in deltaEdges")
+    }
     incrementalFromLabels(allNodes,
       connectedComponentsStar(baseNodes, baseEdges).localCheckpoint(true),
       deltaEdges)
+  }
+
+  /** Debug gate for caller-contract assertions (r12, the r10 ADVICE #3
+    * enforcement): off by default so production plans carry zero extra
+    * jobs; enabled via -Dgraft.debug.contracts=1 (or the matching env
+    * var) in CI / while developing a new caller. */
+  private[graft] def contractChecksEnabled: Boolean =
+    sys.props.get("graft.debug.contracts")
+      .orElse(sys.env.get("GRAFT_DEBUG_CONTRACTS"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
   /** The contraction + delta-CC stage of [[incrementalComponents]] alone,
     * taking yesterday's PERSISTED label table (`baseLabels`: columns

@@ -674,6 +674,7 @@ object TemporalQueries {
       val grid = Tables.events(s, d)
         .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
         .groupBy("day").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // two consumers (bounds + filled join): one events scan
       val bounds = grid.agg(min("day").as("mn"), max("day").as("mx"))
       val filled = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
         .join(grid, Seq("day"), "left")
@@ -717,6 +718,7 @@ object TemporalQueries {
       val ev = Tables.events(s, d)
         .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day")
       val cnts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // three consumers (bounds, distinct types, filled join): one events scan
       val bounds = cnts.agg(min("day").as("mind"), max("day").as("maxd"))
       val grid = cnts.select("event_type").distinct()
         .crossJoin(broadcast(bounds))

@@ -9,13 +9,17 @@ import org.apache.spark.sql.streaming.ValueState
   * win_topk_per_group (top-3 customers per nation by (c_acctbal DESC,
   * c_custkey ASC)): per nation, keep the k best (acctbal, custkey)
   * rows seen so far. A bounded top-k under a TOTAL order is a pure
-  * max-k fold — COMMUTATIVE and idempotent per element (a re-delivered
-  * custkey carries identical fields, so `distinct` makes replay a
-  * no-op) — the ReservoirProcessor contract with the order key flipped
-  * from bottom-k-by-hash to top-k-by-value. StreamingSpec feeds
-  * REVERSED uneven batches plus a full replay and pins the resolved
-  * snapshot EQUAL to the batch window query row-for-row (same JVM, so
-  * the double order key compares identically on both paths).
+  * max-k fold — COMMUTATIVE, and the KEPT SET is idempotent under
+  * replay: rows are deduped per custkey keeping the max (bal, name)
+  * record, so a re-delivered row (identical or updated) leaves exactly
+  * one version in state. n_seen is NOT idempotent by design — it
+  * counts PROCESSED rows (replays included), an at-least-once
+  * delivery audit, not a distinct-row count. This is the
+  * ReservoirProcessor contract with the order key flipped from
+  * bottom-k-by-hash to top-k-by-value. StreamingSpec feeds REVERSED
+  * uneven batches plus a full replay and pins the resolved snapshot
+  * EQUAL to the batch window query row-for-row (same JVM, so the
+  * double order key compares identically on both paths).
   *
   * Scale posture: state is <= k rows per group key — bounded by
   * key-space x k, never stream length; emission after each batch is
@@ -36,7 +40,8 @@ class TopKProcessor(k: Int)
     val prev: Top = if (st.exists()) st.get() else Top(Seq.empty, 0L)
     var nSeen = prev.n
     val incoming = rows.map { r => nSeen += 1; Item(r.c_acctbal, r.c_custkey, r.c_name) }.toSeq
-    val kept = (prev.items ++ incoming).distinct
+    val kept = (prev.items ++ incoming)
+      .groupBy(_.ck).valuesIterator.map(_.maxBy(e => (e.bal, e.name))).toSeq
       .sortBy(e => (-e.bal, e.ck)).take(k)
     st.update(Top(kept, nSeen))
     kept.iterator.zipWithIndex.map { case (e, i) =>

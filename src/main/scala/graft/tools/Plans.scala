@@ -678,7 +678,31 @@ object Plans {
     "mm_binary_features" ->
       ("pure row-local byte work (octet census, sha-256, hex frame grid) — zero shuffles " +
        "before the final presentation sort; the multimodal ingest pre-decode pass scales " +
-       "embarrassingly because nothing leaves its input partition."))
+       "embarrassingly because nothing leaves its input partition."),
+    "agg_theil" ->
+      ("BOTH bounded frames checkpoint once (the exact-cents corpus reduction and the " +
+       "25-row per-nation group frame — three consumers each; the r11b post-close lesson: " +
+       "a bounded frame still re-runs its whole upstream per consumer), so the lineitem " +
+       "scan runs once and every Theil stage reads LogicalRDDs."),
+    "ts_mk_trend" ->
+      ("the scan ends at the per-(type, day) count; `cnts` checkpoints once for its THREE " +
+       "consumers (bounds, distinct types, filled join — r12, the r11 ADVICE fix), the " +
+       "grid is bounded (types x days, data-size independent), and the day-pair self-join " +
+       "carries the explicit broadcast the stats-free LogicalRDD rule requires."),
+    "graph_katz" ->
+      ("checkpointed distinct edge set feeds three chained integer walk rounds (join + " +
+       "partial-aggregable groupBy each — no per-round broadcast scalar, so no " +
+       "graph_hits-class O(rounds^2) re-evaluation), TakeOrdered emission."),
+    "mm_near_dup_phash" ->
+      ("the fingerprint frame checkpoints once (multi-consumer rule) and the 4x16-band " +
+       "candidate join routes through Scale.lanedBucketJoin with the __lx/__ly lanes " +
+       "SURVIVING into the final executed plan (PlanGuardSpec direct list — unlike the " +
+       "checkpointed-generator queries, whose lanes a LogicalRDD erases)."),
+    "text_ngram_novelty" ->
+      ("the exploded trigram-shingle frame checkpoints once before feeding both the " +
+       "first-introducer keyed MIN and the join-back (the differing-consumer rule); " +
+       "novelty is one partial-aggregable groupBy over the join — no window, no " +
+       "all-pairs anything."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -228,6 +228,43 @@ class ScaleSpec extends SparkSpec {
       "incremental (contract + delta) must equal the full rescan exactly")
   }
 
+  test("incrementalComponents contract check catches a mis-split caller (debug-gated)") {
+    // r12 (r10 ADVICE #3): with -Dgraft.debug.contracts on, a caller
+    // that routes a delta-involving edge into baseEdges must be caught
+    // loudly; a correctly-split caller must still pass under the same
+    // flag; and with the flag off the violating call must NOT throw
+    // (zero extra jobs in production plans).
+    import spark.implicits._
+    val nodes = spark.range(20).select(col("id"))
+    val baseNodes = nodes.where(col("id") < 15)
+    val goodBase = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    // edge (10, 17): endpoint 17 is NOT a base node — belongs in delta
+    val badBase = goodBase.union(Seq((10L, 17L)).toDF("src", "dst"))
+    val delta = Seq((15L, 16L)).toDF("src", "dst")
+    val prev = sys.props.get("graft.debug.contracts")
+    try {
+      sys.props("graft.debug.contracts") = "1"
+      assert(Scale.contractChecksEnabled)
+      val err = intercept[IllegalArgumentException] {
+        Scale.incrementalComponents(nodes, baseNodes, badBase, delta).collect()
+      }
+      assert(err.getMessage.contains("caller contract violated"))
+      // the correctly-split caller stays green under the flag
+      Scale.incrementalComponents(nodes, baseNodes, goodBase, delta).collect()
+      sys.props.remove("graft.debug.contracts")
+      assert(!Scale.contractChecksEnabled)
+      // flag off: the violating call runs without the check (and the
+      // mis-split is genuinely wrong — this documents WHY the check
+      // exists rather than asserting a correct result)
+      Scale.incrementalComponents(nodes, baseNodes, badBase, delta).collect()
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.debug.contracts") = v
+        case None => sys.props.remove("graft.debug.contracts")
+      }
+    }
+  }
+
   test("incrementalFromLabels resumes from a PLAIN persisted-style label table") {
     // r11: the deployment entry point — the label table arrives as an
     // ordinary DataFrame (here: base star-CC labels collected and
