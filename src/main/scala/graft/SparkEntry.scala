@@ -17,7 +17,7 @@ object SparkEntry {
     FnQueries.queries, TemporalQueries.queries, CdcQueries.queries,
     TextQueries.queries, Text2Queries.queries, SimQueries.queries,
     SampleQueries.queries, KmeansQueries.queries, GraphQueries.queries,
-    RankQueries.queries, MmQueries.queries)
+    RankQueries.queries, MmQueries.queries, StreamQueries.queries)
 
   private val oracles = Seq(
     ScanQueries.oracle, FilterQueries.oracle, JoinQueries.oracle,
@@ -25,7 +25,7 @@ object SparkEntry {
     FnQueries.oracle, TemporalQueries.oracle, CdcQueries.oracle,
     TextQueries.oracle, Text2Queries.oracle, SimQueries.oracle,
     SampleQueries.oracle, KmeansQueries.oracle, GraphQueries.oracle,
-    RankQueries.oracle, MmQueries.oracle)
+    RankQueries.oracle, MmQueries.oracle, StreamQueries.oracle)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

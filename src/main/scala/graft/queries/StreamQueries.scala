@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import Qutil._
+
+/** SURVEY §2.8 streaming surface, DECLARED (r12 — the r11 verdict's
+  * "Next round" #2): until this round every streaming face lived in
+  * StreamingSpec only (19 transformWithState processors, parity-tested
+  * but outside the CORRECTNESS contract). `stream_file_ingest` puts a
+  * real Structured Streaming execution into the oracled catalog:
+  *
+  *   land an events shard (parquet, ONE file) → `readStream` file
+  *   source → watermark + 1-day tumbling window aggregate →
+  *   `writeStream` parquet sink under `Trigger.AvailableNow()` →
+  *   read the sink back and emit it.
+  *
+  * Determinism (why this is plain-SQL oracleable): AvailableNow drains
+  * the source then stops, and the shard is ONE file, so every row
+  * arrives in batch 0 while the watermark is still unset — nothing is
+  * ever late-dropped. After the data batch the watermark advances to
+  * max(ts) − 0s, and the trailing no-data microbatch (Spark runs one
+  * under AvailableNow precisely so final state flushes) emits every
+  * window with end <= watermark to the append sink. The fixture's
+  * max(ts) is never day-aligned (measured at all three SFs), so the
+  * emitted set is exactly the windows strictly before the last partial
+  * day — a pure function of the data that DuckDB mirrors with a
+  * max(ts) cross join. StreamingSpec additionally pins the read-back
+  * equal to the same aggregate run as a BATCH DataFrame (the
+  * batch-equality contract of Structured Streaming).
+  *
+  * Scale shape: the streaming aggregate is a keyed partial-aggregable
+  * groupBy over (type, window) — map-side combined per microbatch,
+  * state bounded by (types × open windows), never stream length; the
+  * sink is an ordinary partition-parallel parquet append. At 100 TB/day
+  * the same plan runs continuously with a real trigger; AvailableNow is
+  * the backfill/catch-up invocation of that identical query.
+  */
+object StreamQueries {
+
+  val queries: Map[String, Q] = Map(
+    "stream_file_ingest" -> ((s, d) => {
+      val src = ScanQueries.scratch("stream_src", d)
+      val ckp = ScanQueries.scratch("stream_ckp", d)
+      val out = ScanQueries.scratch("stream_out", d)
+      // fresh checkpoint + sink per invocation: the append sink would
+      // otherwise see a drained checkpoint and emit nothing on re-run
+      // (Bench/Golden re-run queries in one JVM)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Seq(ckp, out).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      // ONE file ⇒ one data batch ⇒ watermark still unset while every
+      // row aggregates (zero late drops, order-free)
+      Tables.events(s, d).select("event_id", "event_type", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(src)
+      val sch = s.read.parquet(src).schema
+      val q = s.readStream.schema(sch).parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .selectExpr("event_type",
+          "unix_micros(w.start) DIV 86400000000 AS day", "cnt")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckp).option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("event_type"), col("day"), col("cnt"))
+        .orderBy("event_type", "day")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // the emitted set = windows with end <= final watermark (= max ts):
+    // (day + 1) · 86 400 000 000 µs <= epoch_us(max(ts))
+    "stream_file_ingest" ->
+      """WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events),
+         g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events)
+         SELECT event_type, day, count(*) AS cnt
+         FROM g, mx
+         WHERE (day + 1) * 86400000000 <= m
+         GROUP BY event_type, day
+         ORDER BY event_type, day""")
+}

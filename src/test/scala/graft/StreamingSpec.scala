@@ -35,6 +35,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("stream_file_ingest (declared) equals the batch tumbling aggregate") {
+    // r12: the declared streaming query's read-back must equal the same
+    // aggregate computed as a BATCH frame under the withheld-window rule
+    // (windows with end <= max ts emit; the last partial day never
+    // does). Independent spelling: day derived from ts directly, not
+    // from window.start, and the cutoff applied as a literal.
+    val got = SparkEntry.queries("stream_file_ingest")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day",
+        "unix_micros(ts) AS us")
+    val mx = ev.agg(max("us")).head.getLong(0)
+    val expected = ev.where(expr(s"(day + 1) * 86400000000 <= ${mx}L"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got === expected)
+    // prove a real MicroBatchExecution ran (the returned frame is the
+    // sink READ-BACK, so its own plan is a parquet scan — the streaming
+    // evidence is the checkpoint's commit log): >= 2 committed batches
+    // (the data batch + the no-data watermark-flush batch).
+    val ckp = graft.queries.ScanQueries.scratch("stream_ckp", sf)
+    val commits = new java.io.File(s"$ckp/commits").list()
+    assert(commits != null && commits.count(!_.endsWith(".crc")) >= 2,
+      "checkpoint commit log must record the data batch and the no-data flush batch")
+  }
+
   test("watermark drops late rows beyond the delay (append mode)") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val df = input.toDF().toDF("ts", "event_type")
