@@ -55,6 +55,23 @@ object MmQueries {
       "gen AS (SELECT doc_id, source, unhex(substring(h1 || h2 || h3 || h4 || h5, 1, " +
       "CAST((doc_id % 5 + 1) * 64 AS INT))) AS bin FROM g5)"
 
+  /** 8×8 DCT-II coefficient table as EXACT scaled integers (r12 — the
+    * benford/aaWeights rule: any transcendental over a small integer
+    * domain becomes Scala-precomputed scaled-BIGINT literals
+    * interpolated into BOTH engines): T[u][x] = c(u)·cos(π(2x+1)u/16)
+    * in integral millionths, row-major u*8+x, c(0)=√(1/8), else √(2/8).
+    * Every 2-D DCT coefficient is then a pure BIGINT bilinear form
+    * (|T|≤5·10⁵, pixel≤255 ⇒ |C| ≤ 64·255·(5·10⁵)² ≈ 4·10¹⁵ — well
+    * under 2⁶³), identical bit-for-bit on both engines with no FP
+    * anywhere. MultimodalSpec re-derives the table independently. */
+  private[graft] val dctT: Seq[Long] =
+    for (u <- 0 until 8; x <- 0 until 8) yield {
+      val c = if (u == 0) math.sqrt(1.0 / 8) else math.sqrt(2.0 / 8)
+      math.floor(c * math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1e6 + 0.5).toLong
+    }
+  private def dctSpark: String = dctT.map(v => s"${v}L").mkString("array(", ", ", ")")
+  private def dctDuck: String = dctT.mkString("([", ", ", "]::BIGINT[])")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-asset binary feature census: byte count, sha-256 content
@@ -205,26 +222,33 @@ object MmQueries {
             .as("manifest_hash"))
         .orderBy("source", "shard_seq")),
 
-    // Perceptual-hash near-dup (r11) — the image-dedup flow beyond
-    // mm_dedup_binary's exact-bytes pass: fingerprint each asset with a
-    // 64-bit pHash-style signature (sign of each byte against the
-    // asset's integer mean — the aHash recipe; the DCT step of a real
-    // pHash is the decode-side stub, the Spark-side banding/verify
-    // plumbing is the real deliverable), band it 4×16 for LSH
-    // candidates, and verify candidates by EXACT Hamming ≤ 8 — the
-    // band→bucket-join→re-check shape of every dedup_* family member.
-    // Payloads here are VARIANT-keyed by construction (base bytes from
-    // doc_id DIV 8, one low-bit byte tweak at a per-member position —
-    // the "same image, re-encoded" shape), so families of ≤8 are
-    // near-dups at Hamming 0-2 while cross-family signatures sit near
-    // 32: the banding provably finds every family pair and the
-    // re-check kills random band collisions. All integer end to end
-    // (byte mean via DIV, bit packing via literal power-of-two weights
-    // — HOF lambdas cannot variable-shift, the simhash rule). The
-    // fingerprint frame checkpoints ONCE (it feeds the band explode
-    // AND both re-check sides — differing-filter self-join defeats
-    // ReuseExchange otherwise); the candidate join is laned
-    // (re-checked pair generator — the catalog's hot-bucket standard).
+    // Perceptual-hash near-dup (r11; TRUE pHash since r12) — the
+    // image-dedup flow beyond mm_dedup_binary's exact-bytes pass:
+    // treat each asset's 64 bytes as an 8×8 grayscale grid, apply a
+    // REAL 2-D DCT-II (separable: two 8-term bilinear passes against
+    // the shared dctT scaled-integer coefficient table — the
+    // Walsh-Hadamard exact-integer rotation recipe generalized to a
+    // non-±1 transform), and take bit j = (63·C[j] > Σ_AC) — each
+    // coefficient against the AC mean in a pure integer
+    // cross-multiplication (no division, no FP; the DC bit is
+    // structurally constant, harmless in banding). The only remaining
+    // stand-in is the DECODE (codec → pixel grid: the chained-sha
+    // bytes stand for decoded pixels, since no image codec exists in
+    // this container); everything from pixels on is the genuine pHash
+    // pipeline. Band 4×16 for LSH candidates, verify by EXACT
+    // Hamming ≤ 8 — the band→bucket-join→re-check shape of every
+    // dedup_* family member. Payloads are VARIANT-keyed by
+    // construction (base bytes from doc_id DIV 8, one low-bit byte
+    // tweak per member — the "same image, re-encoded" shape); DCT
+    // linearity keeps a one-pixel ±1 tweak's effect on each
+    // coefficient ≈ T·T ≈ 2.5·10¹¹, tiny against typical |C| ≈ 10¹³⁺,
+    // so families sit at Hamming 0-2 while cross-family signatures sit
+    // near 32 (measured: min cross-family Hamming 20 at sf0.001, every
+    // family pair found at every SF, banding collisions all killed by
+    // the re-check). The fingerprint frame checkpoints ONCE (it feeds
+    // the band explode AND both re-check sides); the candidate join is
+    // laned (re-checked pair generator — the catalog's hot-bucket
+    // standard).
     "mm_near_dup_phash" -> ((s, d) => {
       val fp = Tables.documents(s, d)
         .selectExpr("doc_id",
@@ -235,10 +259,32 @@ object MmQueries {
           "transform(sequence(0, 63), k -> CASE WHEN k = p " +
             "THEN CAST(conv(substring(hx0, k*2 + 1, 2), 16, 10) AS INT) ^ 1 " +
             "ELSE CAST(conv(substring(hx0, k*2 + 1, 2), 16, 10) AS INT) END) AS bt")
-        .selectExpr("doc_id", "bt",
-          "aggregate(bt, 0, (a, x) -> a + x) DIV 64 AS m")
+        .localCheckpoint(true)
+        // the coefficient table enters ONCE as a column attribute, and
+        // each DCT pass CHECKPOINTS before the next references it: HOF
+        // lambdas are interpreted (no codegen, no subexpression
+        // elimination), so after CollapseProject every element_at(md, _)
+        // site would re-evaluate the ENTIRE 512-op md array — the r6c
+        // fold-column rule compounded quadratically per stage (measured
+        // r12: minutes/row-batch inlined vs milliseconds materialized)
+        .selectExpr("doc_id", "bt", s"$dctSpark AS tl")
+        // row pass: md[u*8+y] = Σ_x T[u][x]·P[x][y] (the i DIV 8 index
+        // is BIGINT — element_at needs the INT cast, the r6e rule)
+        .selectExpr("doc_id", "tl",
+          "transform(sequence(0, 63), i -> aggregate(sequence(0, 7), 0L, " +
+            "(a, x) -> a + element_at(tl, CAST((i DIV 8) * 8 + x + 1 AS INT)) " +
+            "* element_at(bt, x * 8 + (i % 8) + 1))) AS md")
+        .localCheckpoint(true)
+        // column pass: C[u*8+v] = Σ_y md[u*8+y]·T[v][y]
         .selectExpr("doc_id",
-          "transform(bt, x -> CASE WHEN x >= m THEN 1 ELSE 0 END) AS bits")
+          "transform(sequence(0, 63), j -> aggregate(sequence(0, 7), 0L, " +
+            "(a, y) -> a + element_at(md, CAST((j DIV 8) * 8 + y + 1 AS INT)) " +
+            "* element_at(tl, (j % 8) * 8 + y + 1))) AS dct")
+        .localCheckpoint(true)
+        .selectExpr("doc_id", "dct",
+          "aggregate(slice(dct, 2, 63), 0L, (a, x) -> a + x) AS sac")
+        .selectExpr("doc_id",
+          "transform(dct, c -> CASE WHEN 63 * c > sac THEN 1 ELSE 0 END) AS bits")
         .localCheckpoint(true)
       val w16 = (0 until 16).map(i => 1 << i).mkString("array(", ", ", ")")
       val bands = fp.selectExpr("doc_id",
@@ -345,17 +391,25 @@ object MmQueries {
         "FROM c GROUP BY 1, 2 ORDER BY source, shard_seq"),
     "mm_near_dup_phash" ->
       // identical integer chain: '0x'||substr CAST == conv(_,16,10),
-      // xor() == ^, list_sum(list_transform) mirrors the literal-weight
-      // zip fold (DuckDB lambdas CAN variable-shift: 1 << (i-1)), // ==
-      // DIV; DISTINCT candidates off the same banded self-join
+      // xor() == ^, the SAME Scala-derived dctT literals (so the DCT
+      // bilinear forms are the same BIGINT products term-for-term),
+      // list_sum(list_transform) mirrors the aggregate folds (CAST
+      // BIGINT per the HUGEINT rule), dct[2:64] == slice(dct, 2, 63),
+      // // == DIV; DISTINCT candidates off the same banded self-join
       ("WITH f0 AS (SELECT doc_id, CAST((doc_id % 8) * 8 AS INT) AS p, " +
        "upper(sha256(CAST(doc_id // 8 AS VARCHAR)) || " +
        "sha256(sha256(CAST(doc_id // 8 AS VARCHAR)))) AS hx0 FROM documents), " +
        "f1 AS (SELECT doc_id, list_transform(range(0, 64), k -> CASE WHEN k = p " +
        "THEN xor(CAST('0x' || substring(hx0, k*2 + 1, 2) AS INT), 1) " +
        "ELSE CAST('0x' || substring(hx0, k*2 + 1, 2) AS INT) END) AS bt FROM f0), " +
-       "f2 AS (SELECT doc_id, bt, CAST(list_sum(bt) AS BIGINT) // 64 AS m FROM f1), " +
-       "fp AS (SELECT doc_id, list_transform(bt, x -> CASE WHEN x >= m THEN 1 ELSE 0 END) AS bits FROM f2), " +
+       s"f2 AS (SELECT doc_id, list_transform(range(0, 64), i -> " +
+       "CAST(list_sum(list_transform(range(0, 8), x -> " +
+       s"$dctDuck[CAST((i // 8) * 8 + x + 1 AS INT)] * bt[CAST(x * 8 + (i % 8) + 1 AS INT)])) AS BIGINT)) AS md FROM f1), " +
+       s"f3 AS (SELECT doc_id, list_transform(range(0, 64), j -> " +
+       "CAST(list_sum(list_transform(range(0, 8), y -> " +
+       s"md[CAST((j // 8) * 8 + y + 1 AS INT)] * $dctDuck[CAST((j % 8) * 8 + y + 1 AS INT)])) AS BIGINT)) AS dct FROM f2), " +
+       "f4 AS (SELECT doc_id, dct, CAST(list_sum(dct[2:64]) AS BIGINT) AS sac FROM f3), " +
+       "fp AS (SELECT doc_id, list_transform(dct, c -> CASE WHEN 63 * c > sac THEN 1 ELSE 0 END) AS bits FROM f4), " +
        "bd AS (SELECT doc_id, j AS band, CAST(list_sum(list_transform(range(1, 17), " +
        "i -> bits[j*16 + i] * (1 << (i - 1)))) AS BIGINT) AS bv " +
        "FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jj), " +

@@ -172,9 +172,22 @@ class MultimodalSpec extends SparkSpec {
 
   test("mm_near_dup_phash: pair set equals a JVM fingerprint/band/verify recompute") {
     // independent spelling: MessageDigest sha chain, explicit byte math,
+    // plain nested-loop DCT over an INDEPENDENTLY derived coefficient
+    // table (BigDecimal half-up, not the query's floor(+0.5) spelling),
     // explicit band agreement — not the query's conv/HOF strings
     def sha(s0: String): String = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tRef: Array[Long] = {
+      val a = Array.ofDim[Long](64)
+      for (u <- 0 until 8; x <- 0 until 8) {
+        val c = if (u == 0) 1.0 / math.sqrt(8.0) else math.sqrt(2.0) / math.sqrt(8.0)
+        a(u * 8 + x) = BigDecimal(c * math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      a
+    }
+    // the shared table IS this table (pins graft.queries.MmQueries.dctT)
+    assert(graft.queries.MmQueries.dctT.toSeq === tRef.toSeq)
     val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
     val bits = ids.map { id =>
       val hx = (sha((id / 8).toString) + sha(sha((id / 8).toString))).toUpperCase
@@ -183,8 +196,15 @@ class MultimodalSpec extends SparkSpec {
         val b = Integer.parseInt(hx.substring(k * 2, k * 2 + 2), 16)
         if (k == p) b ^ 1 else b
       }
-      val m = bt.sum / 64
-      id -> bt.map(b => if (b >= m) 1 else 0).toArray
+      // 2-D DCT-II as two explicit loop passes, all Long arithmetic
+      val md = Array.ofDim[Long](64)
+      for (u <- 0 until 8; y <- 0 until 8)
+        md(u * 8 + y) = (0 until 8).map(x => tRef(u * 8 + x) * bt(x * 8 + y)).sum
+      val dct = Array.ofDim[Long](64)
+      for (u <- 0 until 8; v <- 0 until 8)
+        dct(u * 8 + v) = (0 until 8).map(y => md(u * 8 + y) * tRef(v * 8 + y)).sum
+      val sac = dct.drop(1).sum
+      id -> dct.map(c => if (63 * c > sac) 1 else 0)
     }.toMap
     def bandVals(bs: Array[Int]): Seq[Int] =
       (0 until 4).map(j => (0 until 16).map(i => bs(j * 16 + i) << i).sum)
@@ -198,7 +218,9 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected, "banded+verified pair set diverges from the reference")
     // the planted variant structure: every same-family pair survives
-    // (low-bit tweaks barely move the mean, so family Hamming stays tiny)
+    // (DCT linearity: a one-pixel ±1 tweak shifts each coefficient by
+    // at most one T·T product — tiny against typical |C|, so family
+    // Hamming stays 0-2)
     val fams = ids.groupBy(_ / 8).values.filter(_.length > 1)
     fams.foreach(f => for (a <- f; b <- f if a < b)
       assert(got.exists(t => t._1 == a && t._2 == b), s"family pair ($a,$b) missing"))
