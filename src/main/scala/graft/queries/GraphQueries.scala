@@ -205,6 +205,48 @@ object GraphQueries {
         .orderBy(col("katz").desc, col("node"))
     }),
 
+    // Personalized PageRank (r12) — the SEEDED member of the centrality
+    // family: teleport mass returns only to a seed set (every 7th node
+    // id — the graph_bfs_dist convention: scale-proportional, non-empty
+    // at all SFs), so scores measure proximity to the seeds rather than
+    // global importance — the "expand from these known-good records"
+    // primitive (seed-set expansion for curation: start from trusted
+    // docs/accounts, rank the rest by random-walk reachability).
+    // Identical integer recipe to graph_pagerank (micro-units,
+    // contribution r DIV dg, damping 17/20) with the teleport term
+    // seed-gated: r' = 150000·1{seed} + (17·Σ) DIV 20; non-seed nodes
+    // far from any seed decay to 0 and are filtered (r > 0 keeps the
+    // reachable frontier, making the top-20 a real proximity ranking).
+    // Scale shape: the pagerank loop — checkpointed degree-annotated
+    // edges, each round ONE shuffle join + ONE partial-aggregable
+    // groupBy + the node-frame left join (the full node set must
+    // re-enter each round or zero-contribution seeds vanish), rounds
+    // chained lazily into one job, TakeOrdered emission.
+    "graph_ppr" -> ((s, d) => {
+      val e = edges(s, d)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      val ed = e.join(deg, "src").localCheckpoint(true)
+      // symmetric edge set ⇒ every node appears as src
+      val nodes = e.select(col("src").as("id")).distinct().localCheckpoint(true)
+      var rank = nodes.selectExpr("id",
+        "CAST(CASE WHEN id % 7 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r")
+      for (_ <- 1 to iters) {
+        val cs = ed.join(rank, ed("src") === rank("id"))
+          .select(col("dst"), expr("r DIV dg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("cs"))
+        rank = nodes.as("n").join(cs.as("c"), col("n.id") === col("c.dst"), "left")
+          .selectExpr("n.id AS id",
+            "CAST(CASE WHEN n.id % 7 = 0 THEN 150000 ELSE 0 END " +
+              "+ (17 * coalesce(c.cs, 0L)) DIV 20 AS BIGINT) AS r")
+      }
+      rank.where(col("r") > 0).orderBy(col("r").desc, col("id")).limit(20)
+        .select(col("id").as("node"),
+          when(col("id") % 2 === 0, lit("supplier")).otherwise(lit("customer")).as("kind"),
+          expr("id DIV 2").as("entity_key"),
+          (col("id") % 7 === 0).as("is_seed"), col("r").as("ppr"))
+        .orderBy(col("ppr").desc, col("node"))
+    }),
+
     // Degree distribution of the same graph, split by entity kind — the
     // skew diagnostic you run BEFORE choosing a join/partition strategy
     // (a heavy-tailed histogram is the signal to salt or bucket). Two
@@ -520,6 +562,16 @@ object GraphQueries {
       s"150000 + (17 * CAST(SUM(r // dg) AS BIGINT)) // 20 AS r " +
       s"FROM ed JOIN r${it - 1} ON ed.src = r${it - 1}.id GROUP BY dst)"
 
+  /** One DuckDB PPR round: the pagerank round with the teleport term
+    * seed-gated and the full node frame re-entering via LEFT JOIN
+    * (zero-contribution seeds must survive each round). */
+  private def pprRoundSql(it: Int): String =
+    s"pc$it AS (SELECT ed.dst, CAST(SUM(r // dg) AS BIGINT) AS cs " +
+      s"FROM ed JOIN p${it - 1} ON ed.src = p${it - 1}.id GROUP BY 1), " +
+      s"p$it AS (SELECT n.id, CAST(CASE WHEN n.id % 7 = 0 THEN 150000 ELSE 0 END " +
+      s"+ (17 * COALESCE(pc$it.cs, 0)) // 20 AS BIGINT) AS r " +
+      s"FROM n LEFT JOIN pc$it ON n.id = pc$it.dst)"
+
   /** Katz round mirror: the HUGEINT sum is the oracle twin of the query's
     * DECIMAL(38,0) sum; `//` on nonnegative == Spark DIV; the BIGINT cast
     * mirrors IntegralDivide's return type. */
@@ -638,6 +690,18 @@ object GraphQueries {
        s"t AS (SELECT id, r FROM r$iters ORDER BY r DESC, id LIMIT 20) " +
        "SELECT id AS node, CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind, " +
        "id // 2 AS entity_key, r AS pr FROM t ORDER BY pr DESC, node"),
+    "graph_ppr" ->
+      // the pagerank mirror with a seed-gated teleport, a full node
+      // frame (n), and the LEFT-JOIN round shape; // == DIV on nonneg
+      (s"WITH $edgesCteSql, " +
+       "deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1), " +
+       "ed AS (SELECT e.src, e.dst, deg.dg FROM e JOIN deg ON e.src = deg.src), " +
+       "n AS (SELECT DISTINCT src AS id FROM e), " +
+       "p0 AS (SELECT id, CAST(CASE WHEN id % 7 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM n), " +
+       (1 to iters).map(pprRoundSql).mkString(", ") + ", " +
+       s"t AS (SELECT id, r FROM p$iters WHERE r > 0 ORDER BY r DESC, id LIMIT 20) " +
+       "SELECT id AS node, CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind, " +
+       "id // 2 AS entity_key, id % 7 = 0 AS is_seed, r AS ppr FROM t ORDER BY ppr DESC, node"),
     "graph_katz" ->
       (s"WITH $edgesCteSql, " +
        "nodes AS (SELECT DISTINCT src AS id FROM e), " +

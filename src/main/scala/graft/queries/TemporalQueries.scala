@@ -743,6 +743,56 @@ object TemporalQueries {
         .orderBy("event_type")
     }),
 
+    // Cross-correlation lead-lag scan (r12) — WHICH series leads which:
+    // the CCF between every ordered event-type pair at daily lags −3..+3
+    // (ts_autocorr is the within-series twin; this is the cross-series
+    // member that answers "do cart events lead purchases, and by how many
+    // days" — the causal-ordering gauge a pipeline consults before
+    // building lagged features). Same exact-integer formulation: per-type
+    // zero-filled daily grid, deviations scaled through by n (dev = n·c −
+    // S, exact BIGINT), num/den sums in DECIMAL(38,0) (HUGEINT mirror),
+    // and the ONE FP step is the shared ccfF formula — num / (√den_a ·
+    // √den_b), each cast/sqrt/multiply correctly rounded in a fixed
+    // order, round 6; constant series emit NULL via integer predicates.
+    // Scale shape: the scan ends at the per-(type, day) count; the grid
+    // checkpoints once (multi-consumer rule), the signed-lag pairing is
+    // the bounded-grid broadcast self-join with the explicit hint (the
+    // LogicalRDD rule), den joins back twice as bounded broadcasts.
+    "ts_lead_lag" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day")
+      val cnts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val bounds = cnts.agg(min("day").as("mind"), max("day").as("maxd"))
+      val grid = cnts.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("mind"), col("maxd"))).as("day"))
+      val filled = grid.join(cnts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .localCheckpoint(true)
+      val st = filled.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+      val nc = filled.join(broadcast(st), Seq("event_type"))
+        .selectExpr("event_type", "day", "n * cnt - s AS dev")
+        .localCheckpoint(true)
+      val den = nc.groupBy("event_type")
+        .agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("den"))
+      nc.as("a").join(broadcast(nc.as("b")),
+          col("a.event_type") < col("b.event_type") &&
+            (col("b.day") - col("a.day")).between(-3, 3))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          (col("b.day") - col("a.day")).as("lag"))
+        .agg(sum(expr("CAST(a.dev AS DECIMAL(38,0)) * b.dev")).as("num"),
+          count(lit(1)).as("n_overlap"))
+        .join(broadcast(den.selectExpr("event_type AS type_a", "den AS dena")),
+          Seq("type_a"))
+        .join(broadcast(den.selectExpr("event_type AS type_b", "den AS denb")),
+          Seq("type_b"))
+        .selectExpr("type_a", "type_b", "lag", "n_overlap", s"$ccfF AS ccf")
+        .orderBy("type_a", "type_b", "lag")
+    }),
+
     // LTTB downsampling (r9) — the dashboard-grade series reducer
     // (Steinarsson's Largest-Triangle-Three-Buckets, mean-anchor
     // variant): pick ONE visually-dominant point per bucket — the one
@@ -825,6 +875,18 @@ object TemporalQueries {
   private def acfF: String =
     "CASE WHEN den > 0 THEN " +
       "((CASE WHEN isnan((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) OR abs((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) >= 9e12 THEN CAST((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS DOUBLE) ELSE CAST(floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END)) END"
+
+  /** CCF emission off the exact DECIMAL(38,0)/HUGEINT moment sums —
+    * num / (√den_a · √den_b): each decimal→double cast, each sqrt, and
+    * the one multiply/divide are correctly rounded in a fixed order on
+    * both engines (sqrt(x)·sqrt(y), never sqrt(x·y) — the product could
+    * overflow the exact integer domain at scale; the factored form
+    * stays in doubles), round 6; constant series → NULL via the
+    * integer predicate. */
+  private def ccfF: String = {
+    val e = "CAST(num AS DOUBLE) / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE)))"
+    s"CASE WHEN dena > 0 AND denb > 0 THEN ${Qutil.r6Sql(e)} END"
+  }
 
   private def rollCorrSql: String =
     "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN " +
@@ -1216,6 +1278,28 @@ object TemporalQueries {
        s"${Qutil.r6Sql("r_raw")} AS r_stat FROM " +
        "(SELECT * FROM r1row UNION ALL SELECT * FROM r2row UNION ALL SELECT * FROM r3row) " +
        "ORDER BY round"),
+    "ts_lead_lag" ->
+      // the mk_trend grid CTEs + the autocorr HUGEINT moment sums, with
+      // the signed-lag cross-type pairing and the twice-joined den
+      ("WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events), " +
+       "c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2), " +
+       "b AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM c), " +
+       "ty AS (SELECT DISTINCT event_type FROM c), " +
+       "g AS (SELECT event_type, mind + unnest(range(0, maxd - mind + 1)) AS day FROM ty CROSS JOIN b), " +
+       "f AS (SELECT g.event_type, g.day, CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt " +
+       "FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.day = c.day), " +
+       "st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS s FROM f GROUP BY 1), " +
+       "nc AS (SELECT f.event_type, day, n * cnt - s AS dev FROM f JOIN st USING (event_type)), " +
+       "den AS (SELECT event_type, SUM(CAST(dev AS HUGEINT) * dev) AS den FROM nc GROUP BY 1), " +
+       "pr AS (SELECT a.event_type AS type_a, b2.event_type AS type_b, b2.day - a.day AS lag, " +
+       "SUM(CAST(a.dev AS HUGEINT) * b2.dev) AS num, CAST(COUNT(*) AS BIGINT) AS n_overlap " +
+       "FROM nc a JOIN nc b2 ON a.event_type < b2.event_type " +
+       "AND b2.day - a.day BETWEEN -3 AND 3 GROUP BY 1, 2, 3) " +
+       "SELECT type_a, type_b, lag, n_overlap, " +
+       s"$ccfF AS ccf " +
+       "FROM pr JOIN (SELECT event_type AS type_a, den AS dena FROM den) da USING (type_a) " +
+       "JOIN (SELECT event_type AS type_b, den AS denb FROM den) db USING (type_b) " +
+       "ORDER BY type_a, type_b, lag"),
     "ts_mk_trend" ->
       // identical integer grid (epoch_us // mirrors unix_micros DIV,
       // the per-type zero-fill), the same bounded pair self-join, tie

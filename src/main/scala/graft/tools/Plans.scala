@@ -702,7 +702,13 @@ object Plans {
       ("the exploded trigram-shingle frame checkpoints once before feeding both the " +
        "first-introducer keyed MIN and the join-back (the differing-consumer rule); " +
        "novelty is one partial-aggregable groupBy over the join — no window, no " +
-       "all-pairs anything."))
+       "all-pairs anything."),
+    "graph_ppr" ->
+      ("the pagerank loop with a LEFT-JOIN round shape: the checkpointed node frame " +
+       "re-enters every round (zero-contribution seeds must survive), each round one " +
+       "shuffle join + one partial-aggregable groupBy + the node left join, three " +
+       "rounds chained lazily into ONE job (no per-round scalar broadcast — no " +
+       "graph_hits-class O(rounds^2) trap), TakeOrdered emission."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
