@@ -68,6 +68,41 @@ object StreamQueries {
       s.read.parquet(out)
         .select(col("event_type"), col("day"), col("cnt"))
         .orderBy("event_type", "day")
+    }),
+
+    // The CUSTOM-processor streaming ingest (r12) — stream_file_ingest
+    // proves the built-in windowed aggregate in the oracled contract;
+    // this declares a transformWithState execution: the documents shard
+    // streamed through streaming.DedupProcessor (keyed RocksDB state,
+    // first-seen exact dedup — the 19-processor family's flagship) into
+    // a parquet sink, read back. ONE source file ⇒ one micro-batch ⇒
+    // the smallest doc_id per content hash wins (the processor's
+    // in-batch tie-break), which IS the batch
+    // text_normalize_dedup_exact result — the oracle is that query's
+    // SQL verbatim, so the green row is the stream-equals-batch proof.
+    // transformWithState needs the RocksDB state store provider; the
+    // conf is scoped to a newSession clone (runtime confs don't leak —
+    // the join_bloom_filtered precedent).
+    "stream_dedup_ingest" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = ScanQueries.scratch("sdedup_src", d)
+      val ckp = ScanQueries.scratch("sdedup_ckp", d)
+      val out = ScanQueries.scratch("sdedup_out", d)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Seq(ckp, out).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      Tables.documents(s, d).select("doc_id", "lang", "text")
+        .coalesce(1).write.mode("overwrite").parquet(src)
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.DedupProcessor
+        .dedupStream(s.readStream.schema(sch).parquet(src))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckp).option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).select("doc_id", "lang", "h").orderBy("doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -80,5 +115,13 @@ object StreamQueries {
          FROM g, mx
          WHERE (day + 1) * 86400000000 <= m
          GROUP BY event_type, day
-         ORDER BY event_type, day""")
+         ORDER BY event_type, day""",
+    // text_normalize_dedup_exact's oracle VERBATIM — the single-batch
+    // stream through DedupProcessor must reproduce the batch dedup
+    // exactly (min doc_id per normalized content hash)
+    "stream_dedup_ingest" ->
+      ("WITH n AS (SELECT doc_id, lang, " +
+        "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents) " +
+        "SELECT doc_id, lang, h FROM n " +
+        "WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY h) ORDER BY doc_id"))
 }

@@ -62,6 +62,18 @@ class StreamingSpec extends SparkSpec {
       "checkpoint commit log must record the data batch and the no-data flush batch")
   }
 
+  test("stream_dedup_ingest (declared) equals the batch exact-dedup query") {
+    // r12: the declared transformWithState ingest must reproduce the
+    // batch text_normalize_dedup_exact result row-for-row (one source
+    // file ⇒ one micro-batch ⇒ the processor's in-batch min-doc_id
+    // tie-break IS the batch winner rule).
+    val got = SparkEntry.queries("stream_dedup_ingest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val exp = SparkEntry.queries("text_normalize_dedup_exact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got.nonEmpty && got === exp)
+  }
+
   test("watermark drops late rows beyond the delay (append mode)") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val df = input.toDF().toDF("ts", "event_type")
