@@ -65,6 +65,18 @@ object AggQueries {
       s"(CAST(cents AS DOUBLE) / ($theilMuFormula)) * " +
       s"ln(CAST(cents AS DOUBLE) / ($theilMuFormula)) END)"
 
+  /** HHI / effective-N emissions off the exact DECIMAL(38,0)/HUGEINT
+    * sums (r12): one correctly-rounded cast per operand, fixed op order,
+    * round 6; zero denominators guarded by integer predicates. */
+  private def hhiF: String = {
+    val e = "CAST(ssq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))"
+    s"CASE WHEN tot > 0 THEN ${Qutil.r6Sql(e)} END"
+  }
+  private def effNF: String = {
+    val e = "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / CAST(ssq AS DOUBLE)"
+    s"CASE WHEN ssq > 0 THEN ${Qutil.r6Sql(e)} END"
+  }
+
   private def giniSql: String =
     "((CASE WHEN isnan(((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))) OR abs(((2.0 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) / " +
@@ -88,6 +100,36 @@ object AggQueries {
     // scalar t_between/t_total ride one bounded crossJoin back.
     // PropertySpec pins the decomposition identity T = Σ s_g·T_g + T_b
     // against an independent recompute.
+    // Herfindahl–Hirschman concentration index (r12) — the THIRD member
+    // of the concentration family (gini: global inequality; pareto:
+    // decile shares; theil: within/between decomposition; HHI: the
+    // antitrust-standard per-market index Σ share², plus its reciprocal
+    // — the "effective number of customers" — the gauge a curation
+    // pipeline reads as "how many independent contributors does this
+    // source really have"). EXACT integers to the last step: per-customer
+    // revenue in cents (BIGINT), Σcents and Σcents² in DECIMAL(38,0)
+    // (HUGEINT mirror — the skew_kurt rule; cents² ≤ ~1e22 at any
+    // realistic scale), then ONE shared formula each: hhi = ssq/tot²,
+    // eff_n = tot²/ssq — fixed-order correctly-rounded casts, round 6,
+    // zero-guards on integer predicates. Scale shape: two-level keyed
+    // aggregate (customer grain partial-combines map-side, nation grain
+    // bounded), one broadcast-able dim join, no window.
+    "agg_hhi" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .selectExpr("o_custkey",
+          "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+        .groupBy("o_custkey").agg(sum(col("cents")).as("cc"))
+      cust.join(broadcast(Tables.customer(s, d)
+          .selectExpr("c_custkey AS o_custkey", "c_nationkey")), "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(expr("CAST(cc AS DECIMAL(38,0))")).as("tot"),
+          sum(expr("CAST(cc AS DECIMAL(38,0)) * cc")).as("ssq"))
+        .selectExpr("c_nationkey", "n_customers",
+          s"$hhiF AS hhi", s"$effNF AS effective_n")
+        .orderBy("c_nationkey")
+    }),
+
     "agg_theil" -> ((s, d) => {
       // the narrow (nk, cents) frame feeds the group aggregate AND the
       // term scan — checkpoint or the orders⋈customer join runs twice
@@ -820,6 +862,19 @@ object AggQueries {
        s"${r3Sql("t_between_raw")} AS t_between, " +
        s"${r3Sql("t_between_raw + t_in_raw")} AS t_total " +
        "FROM p2 CROSS JOIN sc ORDER BY nationkey"),
+    "agg_hhi" ->
+      // per-customer cents (SUM(BIGINT)→HUGEINT cast back), HUGEINT
+      // Σ/Σ² mirrors of the DECIMAL(38,0)s, shared hhi/eff_n formulas
+      ("WITH cu AS (SELECT o_custkey, " +
+       "CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cc " +
+       "FROM orders GROUP BY 1), " +
+       "j AS (SELECT c_nationkey, cc FROM cu JOIN customer ON o_custkey = c_custkey), " +
+       "a AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+       "SUM(CAST(cc AS HUGEINT)) AS tot, SUM(CAST(cc AS HUGEINT) * cc) AS ssq " +
+       "FROM j GROUP BY 1) " +
+       "SELECT c_nationkey, n_customers, " +
+       s"$hhiF AS hhi, $effNF AS effective_n " +
+       "FROM a ORDER BY c_nationkey"),
     "agg_gini" ->
       // row_number over the identical unique (cents, key) order stands in
       // for globalRank; HUGEINT moment sums mirror the DECIMAL(38,0)s

@@ -743,6 +743,63 @@ object TemporalQueries {
         .orderBy("event_type")
     }),
 
+    // Theil–Sen slope (r12) — the robust TREND MAGNITUDE next to
+    // ts_mk_trend's S-test (MK answers "is there a monotone trend";
+    // Theil–Sen answers "how steep", immune to outliers a least-squares
+    // slope chases): per event type, the median of all day-pair slopes
+    // (c_j − c_i)/(j − i) over the zero-filled grid. EXACT INTEGER
+    // median selection — slopes stay (num, den) rationals and every
+    // comparison is the cross-multiplication num_q·den_p < num_p·den_q
+    // (dens positive), so the k-th order statistic (k = (P+1) DIV 2,
+    // the agg_percentile_disc discrete rule) is found by per-element
+    // less/equal counts with NO floating point anywhere; the ONE FP
+    // step is the final num/den division (correctly rounded both
+    // engines, r6). Multiple (num, den) representatives of the median
+    // ratio all divide to the SAME double (identical real quotient ⇒
+    // identical rounded result), so the min-aggregate emission is
+    // value-stable. Scale shape: the scan ends at the per-(type, day)
+    // count; pairs and the comparison self-join are GRID-bounded
+    // (days², data-size independent), checkpointed once, explicit
+    // broadcasts per the LogicalRDD rule.
+    "ts_theil_sen" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day")
+      val cnts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val bounds = cnts.agg(min("day").as("mind"), max("day").as("maxd"))
+      val grid = cnts.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("mind"), col("maxd"))).as("day"))
+      val filled = grid.join(cnts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .localCheckpoint(true)
+      // multiplicity-compressed slope rationals per type
+      val pr = filled.as("a").join(broadcast(filled.as("b")),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.day") > col("a.day"))
+        .groupBy(col("a.event_type").as("event_type"),
+          (col("b.cnt") - col("a.cnt")).as("num"),
+          (col("b.day") - col("a.day")).as("den"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint(true)
+      val tot = pr.groupBy("event_type").agg(sum("m").as("p_total"))
+      pr.as("p").join(broadcast(pr.as("q")),
+          col("p.event_type") === col("q.event_type"))
+        .groupBy(col("p.event_type").as("event_type"),
+          col("p.num").as("num"), col("p.den").as("den"))
+        .agg(sum(when(expr("q.num * p.den < p.num * q.den"), col("q.m"))
+            .otherwise(0L)).as("less"),
+          sum(when(expr("q.num * p.den = p.num * q.den"), col("q.m"))
+            .otherwise(0L)).as("eq"))
+        .join(broadcast(tot), Seq("event_type"))
+        .where(expr("less < (p_total + 1) DIV 2 AND (p_total + 1) DIV 2 <= less + eq"))
+        .groupBy(col("event_type"))
+        .agg(max("p_total").as("n_pairs"),
+          min(expr(Qutil.r6Sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")))
+            .as("sen_slope"))
+        .orderBy("event_type")
+    }),
+
     // Cross-correlation lead-lag scan (r12) — WHICH series leads which:
     // the CCF between every ordered event-type pair at daily lags −3..+3
     // (ts_autocorr is the within-series twin; this is the cross-series
@@ -1278,6 +1335,31 @@ object TemporalQueries {
        s"${Qutil.r6Sql("r_raw")} AS r_stat FROM " +
        "(SELECT * FROM r1row UNION ALL SELECT * FROM r2row UNION ALL SELECT * FROM r3row) " +
        "ORDER BY round"),
+    "ts_theil_sen" ->
+      // the mk_trend grid CTEs; slope rationals multiplicity-compressed,
+      // cross-multiplied order statistics (all BIGINT — num·den stays
+      // tiny against the day-span bound), the discrete-median position
+      // rule, ONE division at emission
+      ("WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events), " +
+       "c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2), " +
+       "b AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM c), " +
+       "ty AS (SELECT DISTINCT event_type FROM c), " +
+       "g AS (SELECT event_type, mind + unnest(range(0, maxd - mind + 1)) AS day FROM ty CROSS JOIN b), " +
+       "f AS (SELECT g.event_type, g.day, CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt " +
+       "FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.day = c.day), " +
+       "pr AS (SELECT a.event_type, b2.cnt - a.cnt AS num, b2.day - a.day AS den, " +
+       "CAST(COUNT(*) AS BIGINT) AS m FROM f a JOIN f b2 " +
+       "ON a.event_type = b2.event_type AND b2.day > a.day GROUP BY 1, 2, 3), " +
+       "tt AS (SELECT event_type, CAST(SUM(m) AS BIGINT) AS p_total FROM pr GROUP BY 1), " +
+       "cj AS (SELECT p.event_type, p.num, p.den, " +
+       "CAST(SUM(CASE WHEN q.num * p.den < p.num * q.den THEN q.m ELSE 0 END) AS BIGINT) AS less, " +
+       "CAST(SUM(CASE WHEN q.num * p.den = p.num * q.den THEN q.m ELSE 0 END) AS BIGINT) AS eq " +
+       "FROM pr p JOIN pr q ON p.event_type = q.event_type GROUP BY 1, 2, 3) " +
+       "SELECT cj.event_type, MAX(p_total) AS n_pairs, " +
+       s"MIN(${Qutil.r6Sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")}) AS sen_slope " +
+       "FROM cj JOIN tt ON cj.event_type = tt.event_type " +
+       "WHERE less < (p_total + 1) // 2 AND (p_total + 1) // 2 <= less + eq " +
+       "GROUP BY 1 ORDER BY 1"),
     "ts_lead_lag" ->
       // the mk_trend grid CTEs + the autocorr HUGEINT moment sums, with
       // the signed-lag cross-type pairing and the twice-joined den

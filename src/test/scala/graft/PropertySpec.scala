@@ -1197,6 +1197,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ts_theil_sen: median slope equals a sort-based recompute") {
+    // independent spelling: enumerate every pair slope as a DOUBLE, sort,
+    // take the element at position (P+1)/2 — not the query's
+    // cross-multiplied less/eq counting (same value by the order-statistic
+    // definition; equal rationals divide to the same double).
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val (minD, maxD) = (raw.map(_._2).min, raw.map(_._2).max)
+    val rows = SparkEntry.queries("ts_theil_sen")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === raw.map(_._1).toSet)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val cm = raw.filter(_._1 == et).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val ys = (minD to maxD).map(d => cm.getOrElse(d, 0L))
+      val slopes = (for {
+        i <- ys.indices; j <- (i + 1) until ys.length
+      } yield (ys(j) - ys(i)).toDouble / (j - i).toDouble).sorted
+      val p = slopes.length
+      assert(r.getLong(1) === p.toLong, s"$et n_pairs")
+      val med = slopes(((p + 1) / 2) - 1)
+      assert(math.abs(r.getDouble(2) - math.rint(med * 1e6) / 1e6) < 1.1e-6, s"$et slope")
+    }
+  }
+
+  test("agg_hhi: bounds and reciprocal identity hold per nation") {
+    // HHI ∈ [1/n, 1] for n contributors; effective_n ∈ [1, n]; and
+    // eff_n · hhi = 1 up to the two independent r6 roundings.
+    val rows = SparkEntry.queries("agg_hhi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val hhi = r.getDouble(2); val effN = r.getDouble(3)
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-6, s"hhi bounds n=$n hhi=$hhi")
+      assert(effN >= 1.0 - 1e-6 && effN <= n + 1e-6, s"effN bounds n=$n effN=$effN")
+      assert(math.abs(hhi * effN - 1.0) < 1e-4, s"reciprocal identity hhi=$hhi effN=$effN")
+    }
+  }
+
   test("dq_ks_drift: independent recompute; CDF gaps and max agree exactly") {
     val raw = Tables.events(spark, sf)
       .selectExpr("unix_micros(ts) AS us", "value").collect()
