@@ -312,6 +312,11 @@ object Scale {
       // scaladoc forbids (stage 1 would close over nodes it must not
       // label). Cost: one distinct over baseEdges endpoints + one
       // anti-join against baseNodes — node-set bounded, debug-only.
+      // PARTIAL coverage (r12 ADVICE): this catches the mis-ROUTED
+      // edge, not a delta-involving edge DROPPED from both sets — that
+      // violation is invisible from here (the full edge set never
+      // reaches this function); only the caller's generator tests /
+      // the full-rescan oracle can catch an edge that was never fed.
       val stray = baseEdges
         .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
         .join(baseNodes.select(col("id")), Seq("id"), "left_anti")
@@ -319,7 +324,9 @@ object Scale {
       require(stray == 0L,
         s"incrementalComponents caller contract violated: $stray baseEdges " +
           "endpoint(s) outside baseNodes — every edge with a non-base " +
-          "endpoint belongs in deltaEdges")
+          "endpoint belongs in deltaEdges (note: an edge dropped from " +
+          "BOTH sets cannot be detected here — only by the caller's " +
+          "full-rescan oracle)")
     }
     incrementalFromLabels(allNodes,
       connectedComponentsStar(baseNodes, baseEdges).localCheckpoint(true),

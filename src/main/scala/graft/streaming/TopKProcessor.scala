@@ -11,8 +11,11 @@ import org.apache.spark.sql.streaming.ValueState
   * rows seen so far. A bounded top-k under a TOTAL order is a pure
   * max-k fold — COMMUTATIVE, and the KEPT SET is idempotent under
   * replay: rows are deduped per custkey keeping the max (bal, name)
-  * record, so a re-delivered row (identical or updated) leaves exactly
-  * one version in state. n_seen is NOT idempotent by design — it
+  * record ever seen. Note this is a MAX-EVER fold, not latest-wins
+  * upsert: a re-delivered row with a LOWER updated balance is
+  * intentionally absorbed (state retains the highest version) —
+  * latest-wins would break any-order replay parity, which is the
+  * contract the spec pins. n_seen is NOT idempotent by design — it
   * counts PROCESSED rows (replays included), an at-least-once
   * delivery audit, not a distinct-row count. This is the
   * ReservoirProcessor contract with the order key flipped from

@@ -708,7 +708,52 @@ object Plans {
        "re-enters every round (zero-contribution seeds must survive), each round one " +
        "shuffle join + one partial-aggregable groupBy + the node left join, three " +
        "rounds chained lazily into ONE job (no per-round scalar broadcast — no " +
-       "graph_hits-class O(rounds^2) trap), TakeOrdered emission."))
+       "graph_hits-class O(rounds^2) trap), TakeOrdered emission."),
+    "ts_theil_sen" ->
+      ("the event scan ends at the per-(type, day) count aggregate; pair enumeration " +
+       "and the median-slope pick run on the CHECKPOINTED days^2-bounded rational " +
+       "frame with explicit broadcast() hints (stats-free LogicalRDDs — the r6f rule), " +
+       "and the median is an exact integer order statistic over cross-multiplied " +
+       "rationals — zero FP until the one emission division, so post-scan cost is " +
+       "span-bounded at any data size."),
+    "ts_lead_lag" ->
+      ("cross-type CCF off the bounded day grid: the grid checkpoints ONCE for its " +
+       "signed-lag consumers (multi-consumer rule), lag pairing is a broadcast " +
+       "equality self-join over grid rows (never a window over the event stream), " +
+       "and the denominator is FACTORED sqrt(den_a)*sqrt(den_b) — each factor stays " +
+       "inside the exact decimal domain where the product of the two would overflow " +
+       "it at scale."),
+    "stream_file_ingest" ->
+      ("NOTE: the plan below is the SINK READ-BACK (a plain parquet scan + " +
+       "presentation sort) — by design, because writeStream already committed. The " +
+       "streaming execution evidence is StreamingSpec's commit-log assertion (>= 2 " +
+       "committed micro-batches under Trigger.AvailableNow — a real " +
+       "MicroBatchExecution) plus the oracled watermark-gated window emission; the " +
+       "in-flight aggregate is partial-aggregable keyed state bounded by " +
+       "(event types x open windows), data-size independent."),
+    "stream_dedup_ingest" ->
+      ("NOTE: the plan below is the SINK READ-BACK (parquet scan + presentation " +
+       "sort) — the streaming proof is the transformWithState/RocksDB DedupProcessor " +
+       "run whose oracle is the batch dedup SQL VERBATIM (stream == batch), and " +
+       "whose state is one boolean per distinct content hash — the keyed-state " +
+       "shape that holds at any corpus size because state never exceeds the " +
+       "distinct-key cardinality."))
+
+  /** Strip volatile tokens so a fresh regen at an unchanged HEAD diffs
+    * CLEAN (r12 verdict #1 — converts the close checklist's "PLANS.md
+    * regenerated in the same commit" from honor-system to a mechanical
+    * `git diff --exit-code PLANS.md` check). Normalized classes:
+    * expression ids `#123` -> `#N` (also covers exchange `[id=#123]`),
+    * `plan_id=123`, `MapPartitionsRDD[123]`, localCheckpoint callsite
+    * line numbers `at Foo.scala:123` -> `:N`, and scratch-dir
+    * hash+pid suffixes `graft_name_<hash>_<pid>` -> `graft_name_H_P`.
+    * Applied to the explain output ONLY, never the property prose. */
+  private[tools] def normalize(s: String): String =
+    s.replaceAll("#\\d+", "#N")
+      .replaceAll("plan_id=\\d+", "plan_id=N")
+      .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[N]")
+      .replaceAll("(at [A-Za-z0-9_.]+\\.scala):\\d+", "$1:N")
+      .replaceAll("(graft_[a-z_]+)_[0-9a-f]+_\\d+", "$1_H_P")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -725,10 +770,13 @@ object Plans {
     sb.append("Generated by `graft.tools.Plans` at sf0.01 (shuffle.partitions=4).\n")
     sb.append("Each section states the plan property the query is designed around,\n")
     sb.append("then the `explain(\"formatted\")` output proving it.\n")
+    sb.append("Volatile tokens (expression ids, plan_ids, RDD ids, checkpoint\n")
+    sb.append("callsite lines, scratch-path pids) are normalized so a regen at an\n")
+    sb.append("unchanged HEAD diffs clean (`git diff --exit-code PLANS.md`).\n")
     headliners.foreach { case (name, property) =>
       val df = SparkEntry.queries(name)(spark, sf)
       sb.append(s"\n## $name\n\n**Designed-for property:** $property\n\n```\n")
-      sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+      sb.append(normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim))
       sb.append("\n```\n")
     }
     // sink_partitioned's POINT is that o_year prunes downstream reads —
@@ -742,7 +790,7 @@ object Plans {
         "**Designed-for property:** the o_year predicate lands in PartitionFilters " +
         "(directory pruning, zero data read outside 1997) — ScaleSpec asserts " +
         "selectedPartitions = 1 of 7 on the same layout.\n\n```\n")
-      sb.append(pruned.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+      sb.append(normalize(pruned.queryExecution.explainString(ExplainMode.fromString("formatted")).trim))
       sb.append("\n```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)

@@ -173,16 +173,22 @@ class MultimodalSpec extends SparkSpec {
   test("mm_near_dup_phash: pair set equals a JVM fingerprint/band/verify recompute") {
     // independent spelling: MessageDigest sha chain, explicit byte math,
     // plain nested-loop DCT over an INDEPENDENTLY derived coefficient
-    // table (BigDecimal half-up, not the query's floor(+0.5) spelling),
-    // explicit band agreement — not the query's conv/HOF strings
+    // table (exact-BigDecimal floor(x+1/2) — the true half-toward-+inf
+    // twin of the query's floor(x·1e6+0.5); the r12 ADVICE fix: the old
+    // HALF_UP rounds negative exact halves AWAY from zero, agreeing
+    // with the query only because no c·cos value lands on a .5
+    // millionth — a derivation change could have tripped the pin for a
+    // rounding-convention reason), explicit band agreement — not the
+    // query's conv/HOF strings
     def sha(s0: String): String = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tRef: Array[Long] = {
       val a = Array.ofDim[Long](64)
       for (u <- 0 until 8; x <- 0 until 8) {
         val c = if (u == 0) 1.0 / math.sqrt(8.0) else math.sqrt(2.0) / math.sqrt(8.0)
-        a(u * 8 + x) = BigDecimal(c * math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1e6)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        a(u * 8 + x) =
+          (BigDecimal(c * math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1e6) +
+            BigDecimal("0.5")).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
       }
       a
     }
