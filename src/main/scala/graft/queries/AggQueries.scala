@@ -65,6 +65,27 @@ object AggQueries {
       s"(CAST(cents AS DOUBLE) / ($theilMuFormula)) * " +
       s"ln(CAST(cents AS DOUBLE) / ($theilMuFormula)) END)"
 
+  /** r13 (the r12 verdict #3 / r11 ADVICE #4 close): the per-nation term
+    * sum was the catalog's last hash-matched nondeterministic-parity
+    * surface — a plain SUM of libm-ln doubles in partition order. The
+    * fix quantizes each term to an exact pico-unit integer
+    * (floor(t·1e12 + 0.5) — parses identically in both dialects: Spark
+    * floor(double)→BIGINT, DuckDB floor→integral double; |t| ≤ ~30 so
+    * t·1e12 ≤ 3e13, exact in both) and sums in DECIMAL(38,0)/HUGEINT —
+    * ORDER-FREE, so Spark is deterministic run-to-run and the
+    * cross-engine diff collapses from sum-reassociation drift to a few
+    * ±1 pico-units at ln-ulp quantization boundaries (≤1e-9 on the sum,
+    * vs the r3 grid's 5e-4 — six orders of headroom). Chosen over the
+    * suggested collect_list+array_sort keyed fold DELIBERATELY: that
+    * shape would be the catalog's only corpus-sized per-group array
+    * (nation groups are corpus-scale), while this keeps the map-side
+    * partial-aggregable plan at 100 TB. Quantization error on
+    * t_within = tsumq/1e12/ng is ≤ 0.5e-12 — invisible at r3. */
+  private def theilTermQ: String =
+    s"CAST(floor(($theilTermFormula) * 1e12 + 0.5) AS DECIMAL(38,0))"
+  private def theilTwFormula: String =
+    "(CAST(tsumq AS DOUBLE) / 1e12) / CAST(ng AS DOUBLE)"
+
   /** HHI / effective-N emissions off the exact DECIMAL(38,0)/HUGEINT
     * sums (r12): one correctly-rounded cast per operand, fixed op order,
     * round 6; zero denominators guarded by integer predicates. */
@@ -91,10 +112,12 @@ object AggQueries {
     // vs BETWEEN them — the additive property gini lacks). Exact
     // machinery: per-nation (n_g, Σcents) as DECIMAL(38,0)/HUGEINT
     // sums; every mean is one fixed-order division off exact integers;
-    // per-order terms (x/μ_g)·ln(x/μ_g) sum per nation (corpus ln sums
-    // ⇒ round 3, the geomean rule), the between/total folds run
-    // nation-ascending over the BOUNDED group frame (collect_list+sort
-    // == list ORDER BY — the r6b pair). Scale shape: one join-annotated
+    // per-order terms (x/μ_g)·ln(x/μ_g) quantize to pico-unit integers
+    // and sum order-free in DECIMAL(38,0)/HUGEINT (r13 — see theilTermQ;
+    // emissions stay round 3, the geomean rule), the between/total
+    // folds run nation-ascending over the BOUNDED group frame
+    // (collect_list+sort == list ORDER BY — the r6b pair). Scale
+    // shape: one join-annotated
     // scan for the terms (group frame broadcast), one keyed term
     // rollup; the 25-row group frame checkpoints once (multi-consumer);
     // scalar t_between/t_total ride one bounded crossJoin back.
@@ -147,11 +170,11 @@ object AggQueries {
       val tot = g.agg(sum("ng").as("n"),
         sum(col("sg").cast(DecimalType(38, 0))).as("st"))
       val tw = x.join(broadcast(g), "nk")
-        .selectExpr("nk", s"$theilTermFormula AS term")
-        .groupBy("nk").agg(sum("term").as("tsum"))
+        .selectExpr("nk", s"$theilTermQ AS termq")
+        .groupBy("nk").agg(sum("termq").as("tsumq"))
       val per = g.join(tw, "nk").crossJoin(broadcast(tot))
         .selectExpr("nk", "ng", "sg", "n", "st",
-          "tsum / CAST(ng AS DOUBLE) AS t_w_raw",
+          s"$theilTwFormula AS t_w_raw",
           s"$theilShareFormula AS share_raw",
           s"$theilMuFormula AS mug_raw")
         .selectExpr("nk", "ng", "share_raw", "mug_raw", "t_w_raw",
@@ -845,9 +868,9 @@ object AggQueries {
        "g AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS ng, " +
        "SUM(CAST(cents AS HUGEINT)) AS sg FROM x GROUP BY 1), " +
        "tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(CAST(sg AS HUGEINT)) AS st FROM g), " +
-       s"tw AS (SELECT x.nk, SUM($theilTermFormula) AS tsum " +
+       s"tw AS (SELECT x.nk, SUM($theilTermQ) AS tsumq " +
        "FROM x JOIN g ON x.nk = g.nk GROUP BY 1), " +
-       "p1 AS (SELECT g.nk AS nk, ng, n, st, tsum / CAST(ng AS DOUBLE) AS t_w_raw, " +
+       s"p1 AS (SELECT g.nk AS nk, ng, n, st, $theilTwFormula AS t_w_raw, " +
        s"$theilShareFormula AS share_raw, $theilMuFormula AS mug_raw " +
        "FROM g JOIN tw ON g.nk = tw.nk CROSS JOIN tot), " +
        "p2 AS (SELECT nk, ng, share_raw, mug_raw, t_w_raw, " +

@@ -372,8 +372,9 @@ object SampleQueries {
     // Downstream, resampling ∝ exp(w) reshapes the mix; the weights
     // table IS the deliverable (selection itself stays integer-quota
     // ops like sample_target_mix — ranking on a libm-ln-derived double
-    // is NOT cross-engine-safe, so no rank/flag is emitted here; the
-    // r3-rounded per-doc sums follow the perplexity_split precedent).
+    // is NOT cross-engine-safe, so no rank/flag is emitted here; per-doc
+    // sums are pico-unit-quantized order-free integer folds since r13
+    // — see dsirTermQ — with the r3 emission kept as belt-and-braces).
     // Bigrams via the guarded ascending-or-empty sequence spelling (the
     // r9c sequence(1,0) lesson); the exploded feature frame, raw model
     // and target model each localCheckpoint once (multi-consumer rule —
@@ -398,8 +399,9 @@ object SampleQueries {
       val tstat = tm.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
       val sc = bg.join(rm, "bg").join(tm, Seq("bg"), "left")
         .crossJoin(broadcast(rs)).crossJoin(broadcast(tstat))
-        .selectExpr("doc_id", s"$dsirTermFormula AS term")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_feat"), sum("term").as("w"))
+        .selectExpr("doc_id", s"$dsirTermQ AS termq")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_feat"), sum("termq").as("wq"))
+        .selectExpr("doc_id", "n_feat", s"$dsirWFormula AS w")
       docs.select("doc_id", "source").join(sc, Seq("doc_id"), "left")
         .selectExpr("doc_id", "source",
           "CAST(COALESCE(n_feat, 0) AS BIGINT) AS n_feat",
@@ -720,6 +722,19 @@ object SampleQueries {
     "(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + v + 1 AS DOUBLE)) - " +
       "ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v + 1 AS DOUBLE)))"
 
+  /** r13 (the r12 verdict #3 twin of AggQueries.theilTermQ): the per-doc
+    * w sum of libm-ln terms was hash-matched in partition order — now
+    * each term quantizes to an exact pico-unit integer (|term| ≤ ~30 ⇒
+    * term·1e12 ≤ 3e13, exact in both dialects' floor) and sums
+    * order-free in DECIMAL(38,0)/HUGEINT; w re-derives by ONE exact
+    * cast + division, so Spark is deterministic run-to-run and the
+    * cross-engine diff is bounded by ±1 pico-unit boundary flips —
+    * invisible at the r3 emission. Keeps the keyed partial-aggregable
+    * rollup (no per-doc collect_list needed). */
+  private def dsirTermQ: String =
+    s"CAST(floor(($dsirTermFormula) * 1e12 + 0.5) AS DECIMAL(38,0))"
+  private def dsirWFormula: String = "(CAST(wq AS DOUBLE) / 1e12)"
+
   private def decontCtesSql: String =
     "d AS (SELECT doc_id, source, string_split(text, ' ') AS tk, " +
       phashSql("doc_id", "split:") + " % 100 AS bk FROM documents), " +
@@ -796,10 +811,11 @@ object SampleQueries {
        "tm AS (SELECT bg.bg AS bg, CAST(COUNT(*) AS BIGINT) AS ct " +
        "FROM bg CROSS JOIN tgt WHERE bg.source = tsrc GROUP BY 1), " +
        "tstat AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM tm), " +
-       s"sc AS (SELECT doc_id, $dsirTermFormula AS term " +
+       s"sc AS (SELECT doc_id, $dsirTermQ AS termq " +
        "FROM bg JOIN rm ON bg.bg = rm.bg LEFT JOIN tm ON bg.bg = tm.bg " +
        "CROSS JOIN rs CROSS JOIN tstat), " +
-       "ds AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat, SUM(term) AS w FROM sc GROUP BY 1) " +
+       "d1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat, SUM(termq) AS wq FROM sc GROUP BY 1), " +
+       s"ds AS (SELECT doc_id, n_feat, $dsirWFormula AS w FROM d1) " +
        "SELECT dd.doc_id, dd.source, CAST(COALESCE(n_feat, 0) AS BIGINT) AS n_feat, " +
        s"${r3Sql("COALESCE(w, CAST(0 AS DOUBLE))")} AS w_dsir " +
        "FROM dd LEFT JOIN ds ON dd.doc_id = ds.doc_id ORDER BY dd.doc_id"),

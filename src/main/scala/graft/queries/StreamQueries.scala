@@ -39,6 +39,41 @@ import Qutil._
   */
 object StreamQueries {
 
+  /** Land `df` as `n` single-file shards under `src`, split into n
+    * ascending ranges of the BIGINT `key` column, with strictly
+    * ascending mtimes — the deterministic multi-batch file-source
+    * arrangement: the file source lists unread files oldest-mtime-first
+    * (latestFirst defaults false), so under maxFilesPerTrigger=1 the
+    * processing order IS the range order. Shared by both multi-batch
+    * streaming queries (one definition — the shard contract and its
+    * consumers cannot drift). Returns (key min, key max) — one bounded
+    * 1-row collect. */
+  private def landAscendingShards(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, key: String, src: String,
+      n: Int): (Long, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    val b = df.agg(min(col(key)).as("mn"), max(col(key)).as("mx")).head
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = mx - mn + 1
+    val cuts = (0 until n).map(i => mn + (span / n) * i) :+ (mx + 1)
+    val base = System.currentTimeMillis() - 600000L
+    for (i <- 0 until n) {
+      val tmp = new org.apache.hadoop.fs.Path(src + s"_tmp$i")
+      df.where(col(key) >= cuts(i) && col(key) < cuts(i + 1))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      val dest = new org.apache.hadoop.fs.Path(src, s"shard-$i.parquet")
+      fs.rename(part, dest)
+      fs.delete(tmp, true)
+      // the mtime value only needs to ORDER; absolute time is irrelevant
+      fs.setTimes(dest, base + i * 60000L, -1)
+    }
+    (mn, mx)
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_file_ingest" -> ((s, d) => {
       val src = ScanQueries.scratch("stream_src", d)
@@ -54,6 +89,19 @@ object StreamQueries {
       Tables.events(s, d).select("event_id", "event_type", "ts")
         .coalesce(1).write.mode("overwrite").parquet(src)
       val sch = s.read.parquet(src).schema
+      // r12 ADVICE pin: the oracle's strict `(day+1)*864e8 <= m` eviction
+      // test assumes max(ts) is never exactly day-aligned — if a fixture
+      // regen (it happened at r6f) lands a day-aligned max(ts), the last
+      // window sits on the strict-vs-inclusive watermark boundary and the
+      // oracle could silently diverge from Spark's append emission. Fail
+      // LOUDLY at the assumption instead of as an opaque hash mismatch.
+      // (One-row bounded aggregate over the just-landed single file.)
+      val mxUs = s.read.parquet(src)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      require(mxUs % 86400000000L != 0,
+        s"stream_file_ingest fixture assumption broken: max(ts)=$mxUs µs is " +
+          "exactly day-aligned — the watermark eviction boundary is now " +
+          "ambiguous; re-derive the oracle's strict/inclusive window test")
       val q = s.readStream.schema(sch).parquet(src)
         .withWatermark("ts", "0 seconds")
         .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
@@ -103,6 +151,102 @@ object StreamQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(out).select("doc_id", "lang", "h").orderBy("doc_id")
+    }),
+
+    // The CROSS-BATCH streaming ingest (r13 — the r12 verdict's "Next
+    // round" #2): both r12 streaming queries are single-micro-batch by
+    // construction, so cross-batch state lived only in StreamingSpec's
+    // MemoryStream tests. Here the documents shard lands as FOUR
+    // parquet files with ascending, DISJOINT doc_id ranges and strictly
+    // ascending mtimes; the file source reads them under
+    // maxFilesPerTrigger=1 (oldest-mtime-first — latestFirst defaults
+    // false), so Trigger.AvailableNow runs 4 data micro-batches
+    // through DedupProcessor's keyed RocksDB state — a hash seen in
+    // batch 0 suppresses its later re-appearances ACROSS batches.
+    // (No trailing no-data batch commits under TimeMode.None — there
+    // is no watermark state to flush — so the commit log records
+    // exactly one entry per shard; measured at landing.)
+    // Determinism (the DedupProcessor arrival contract): a content
+    // hash's FIRST delivering batch contains its globally-smallest
+    // doc_id (ranges ascend with processing order), and within a batch
+    // the processor keeps the min doc_id — so first-seen-across-batches
+    // == the batch min-doc_id winner and the oracle is the batch dedup
+    // SQL VERBATIM. StreamingSpec pins the commit log's batch count
+    // (the multi-batch proof) and equality with the single-batch
+    // stream_dedup_ingest result.
+    "stream_dedup_multibatch" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = ScanQueries.scratch("smb_src", d)
+      val ckp = ScanQueries.scratch("smb_ckp", d)
+      val out = ScanQueries.scratch("smb_out", d)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Seq(ckp, out).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      landAscendingShards(s, docs, "doc_id", src, 4)
+      val sch = s.read.parquet(src).schema
+      val q = graft.streaming.DedupProcessor
+        .dedupStream(s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(src))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckp).option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).select("doc_id", "lang", "h").orderBy("doc_id")
+    }),
+
+    // WATERMARK ADVANCEMENT across batches in the oracled contract
+    // (r13 — the other half of the r12 verdict's gap (a): cross-batch
+    // STATE is stream_dedup_multibatch; this proves the time-semantics
+    // side). The events shard lands as four single-file shards split by
+    // ascending TS ranges; under maxFilesPerTrigger=1 the watermark
+    // ratchets up after every micro-batch (max ts of batches seen so
+    // far), so 1-day windows emit PROGRESSIVELY as the watermark passes
+    // their ends, and a window that straddles a shard cut accumulates
+    // counts across two batches in state before emitting — the real
+    // continuous-ingest lifecycle, not a single-batch drain. Zero late
+    // drops by construction: every row of shard i+1 has ts strictly
+    // above the watermark (= max ts of shards <= i). The append sink
+    // receives each window exactly once, whenever its end fell behind
+    // the watermark, so the FINAL sink content is windows with
+    // end <= global max ts — the same pure function of the data as
+    // stream_file_ingest, whose oracle this reuses VERBATIM (intermediate
+    // emission timing is invisible in the final set). StreamingSpec pins
+    // >= 5 commit-log batches (4 data + the no-data flush) and a
+    // NONEMPTY intermediate emission (progress proof: some window
+    // committed before the last data batch).
+    "stream_window_multibatch" -> ((s, d) => {
+      val src = ScanQueries.scratch("swm_src", d)
+      val ckp = ScanQueries.scratch("swm_ckp", d)
+      val out = ScanQueries.scratch("swm_out", d)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Seq(ckp, out).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("us"))
+      val (_, mxUs) = landAscendingShards(s, ev, "us", src, 4)
+      // same fixture assumption as stream_file_ingest: a day-aligned
+      // max(ts) would sit on the strict-vs-inclusive eviction boundary
+      require(mxUs % 86400000000L != 0,
+        s"stream_window_multibatch fixture assumption broken: max(ts)=$mxUs µs " +
+          "is exactly day-aligned — re-derive the oracle's window cutoff")
+      val sch = s.read.parquet(src).schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .selectExpr("event_type",
+          "unix_micros(w.start) DIV 86400000000 AS day", "cnt")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckp).option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("event_type"), col("day"), col("cnt"))
+        .orderBy("event_type", "day")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -123,5 +267,22 @@ object StreamQueries {
       ("WITH n AS (SELECT doc_id, lang, " +
         "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents) " +
         "SELECT doc_id, lang, h FROM n " +
-        "WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY h) ORDER BY doc_id"))
+        "WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY h) ORDER BY doc_id"),
+    // identical by the cross-batch argument in the query doc: ascending
+    // disjoint shards + first-seen keyed state == batch min-doc_id dedup
+    "stream_dedup_multibatch" ->
+      ("WITH n AS (SELECT doc_id, lang, " +
+        "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents) " +
+        "SELECT doc_id, lang, h FROM n " +
+        "WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY h) ORDER BY doc_id"),
+    // stream_file_ingest's oracle VERBATIM: progressive multi-batch
+    // emission lands the same final window set (end <= global max ts)
+    "stream_window_multibatch" ->
+      """WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events),
+         g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events)
+         SELECT event_type, day, count(*) AS cnt
+         FROM g, mx
+         WHERE (day + 1) * 86400000000 <= m
+         GROUP BY event_type, day
+         ORDER BY event_type, day""")
 }

@@ -737,7 +737,26 @@ object Plans {
        "run whose oracle is the batch dedup SQL VERBATIM (stream == batch), and " +
        "whose state is one boolean per distinct content hash — the keyed-state " +
        "shape that holds at any corpus size because state never exceeds the " +
-       "distinct-key cardinality."))
+       "distinct-key cardinality."),
+    "stream_dedup_multibatch" ->
+      ("NOTE: the plan below is the SINK READ-BACK — the point of this query is " +
+       "CROSS-BATCH keyed state in the oracled contract (r13): four ascending " +
+       "disjoint doc_id shards drain one file per micro-batch " +
+       "(maxFilesPerTrigger=1, mtime-ordered), so a content hash seen in batch 0 " +
+       "suppresses its later re-appearances from RocksDB state; the oracle stays " +
+       "the batch dedup SQL verbatim because a hash's first delivering batch " +
+       "holds its globally-smallest doc_id. StreamingSpec pins >= 4 commit-log " +
+       "batches plus equality with the single-batch ingest."),
+    "stream_window_multibatch" ->
+      ("NOTE: the plan below is the SINK READ-BACK — the point is WATERMARK " +
+       "ADVANCEMENT across micro-batches in the oracled contract (r13): four " +
+       "ascending ts-range shards drain one per batch, the watermark ratchets " +
+       "after each, windows emit PROGRESSIVELY as it passes their ends (a window " +
+       "straddling a shard cut accumulates across batches in state first), and " +
+       "the final append-sink set is windows with end <= global max ts — " +
+       "stream_file_ingest's oracle verbatim. StreamingSpec pins >= 5 commit-log " +
+       "batches AND >= 2 distinct emitting batches via the sink's per-batch " +
+       "_spark_metadata — evidence a single-batch drain cannot fake."))
 
   /** Strip volatile tokens so a fresh regen at an unchanged HEAD diffs
     * CLEAN (r12 verdict #1 — converts the close checklist's "PLANS.md

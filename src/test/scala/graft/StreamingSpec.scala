@@ -74,6 +74,55 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got === exp)
   }
 
+  test("stream_dedup_multibatch (declared): >= 4 data batches; equals the single-batch ingest") {
+    // r13 (the r12 verdict #2): cross-batch keyed state in the oracled
+    // contract — the multi-batch run must reproduce the single-batch
+    // result EXACTLY (first-seen across ascending shards == in-batch
+    // min-doc_id == batch dedup), and the checkpoint commit log must
+    // prove the source really was drained one file per micro-batch.
+    val got = SparkEntry.queries("stream_dedup_multibatch")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val single = SparkEntry.queries("stream_dedup_ingest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got.nonEmpty && got === single,
+      "cross-batch dedup must equal the single-batch (== batch SQL) result")
+    val ckp = graft.queries.ScanQueries.scratch("smb_ckp", sf)
+    val commits = new java.io.File(s"$ckp/commits").list()
+    val n = if (commits == null) 0 else commits.count(!_.endsWith(".crc"))
+    assert(n >= 4,
+      s"commit log must record >= 4 committed micro-batches (one per shard), got $n")
+  }
+
+  test("stream_window_multibatch (declared): watermark ratchets across batches; final set equals single-batch") {
+    // r13: the time-semantics half of the cross-batch proof — the
+    // 4-shard progressive run must land EXACTLY the single-batch
+    // stream_file_ingest window set (append-mode windows emit once,
+    // whenever the advancing watermark passes their end), the commit
+    // log must show one batch per shard plus the no-data flush, and
+    // the sink's per-batch metadata must show windows were emitted in
+    // at least two DIFFERENT batches (the progressive-emission proof —
+    // a single-batch drain cannot produce that).
+    val got = SparkEntry.queries("stream_window_multibatch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val single = SparkEntry.queries("stream_file_ingest")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got === single,
+      "progressive multi-batch emission must equal the single-batch window set")
+    val ckp = graft.queries.ScanQueries.scratch("swm_ckp", sf)
+    val commits = new java.io.File(s"$ckp/commits").list()
+    val n = if (commits == null) 0 else commits.count(!_.endsWith(".crc"))
+    assert(n >= 5,
+      s"commit log must record >= 5 micro-batches (4 data + no-data flush), got $n")
+    val out = graft.queries.ScanQueries.scratch("swm_out", sf)
+    val meta = new java.io.File(s"$out/_spark_metadata").listFiles()
+    val emittingBatches = meta.filter(f => f.getName.forall(_.isDigit))
+      .count(f => new String(java.nio.file.Files.readAllBytes(f.toPath))
+        .contains("\"path\""))
+    assert(emittingBatches >= 2,
+      s"windows must emit in >= 2 distinct batches (got $emittingBatches) — " +
+        "the watermark-advancement evidence")
+  }
+
   test("watermark drops late rows beyond the delay (append mode)") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val df = input.toDF().toDF("ts", "event_type")
