@@ -196,6 +196,40 @@ object SampleQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic fractional UP-sampling (r13) — the EXECUTION twin of
+    // sample_epoch_plan: the plan reports integer epochs + a remainder
+    // per source, while this emits the actual per-copy rows, with the
+    // fractional epoch realized per-doc by salted hash instead of a
+    // remainder bucket. Every prior sampler only DOWN-selects; a real
+    // training mix also repeats scarce domains (epochs > 1). Per
+    // source a rational epoch factor in basis points (policy CASE —
+    // the sample_stratified tiering INVERTED: the curated head runs one
+    // epoch, the scarce tail 2.5); each doc emits floor(epochs) copies
+    // plus one more iff its salted hash falls under the fractional part
+    // — so per-source totals land within one doc of epochs·n deterministically,
+    // and the SAME doc gets the extra copy on every run/engine (the
+    // portable salted-hash selection rule). Emission is one row per
+    // copy with its copy_id — the frame a sequence-packer consumes.
+    // Scale shape: policy + hash + explode are all row-local (the
+    // explode multiplies rows by <= ceil(epochs), never corpus²); no
+    // shuffle before the presentation sort. copy_id arithmetic is all
+    // integer; nothing to round, nothing to drift.
+    "sample_epoch_repeat" -> ((s, d) => {
+      val srcNum = expr("substring(source, 4)").cast(IntegerType)
+      val epochsBp = when(srcNum < 5, 10000).when(srcNum < 13, 15000)
+        .otherwise(25000)
+      Tables.documents(s, d)
+        .withColumn("epochs_bp", epochsBp)
+        .withColumn("n_copies",
+          expr("CAST(epochs_bp DIV 10000 AS BIGINT)") +
+            when(pmod(phash(col("doc_id"), "epoch:"), lit(10000)) <
+              col("epochs_bp") % 10000, lit(1L)).otherwise(lit(0L)))
+        .select(col("doc_id"), col("source"), col("epochs_bp"),
+          col("n_copies"),
+          explode(expr("sequence(0L, n_copies - 1)")).as("copy_id"))
+        .orderBy("doc_id", "copy_id")
+    }),
+
     // Leakage-safe deterministic split: bucket = hash(doc_id) % 100 with a
     // split-specific salt, 80/10/10. A doc's split NEVER changes as the
     // corpus grows (no row-number dependence) — the invariant that keeps
@@ -784,6 +818,19 @@ object SampleQueries {
        phashSql("doc_id", "mix:") + " AS h FROM documents) " +
        "SELECT doc_id, source, lang, rate_bp FROM b WHERE h % 10000 < rate_bp " +
        "ORDER BY doc_id"),
+    "sample_epoch_repeat" ->
+      // same policy CASE, same salted hash, integer // and CASE for the
+      // fractional copy; unnest(range(0, n)) mirrors sequence(0, n-1)
+      ("WITH b AS (SELECT doc_id, source, " +
+       "CASE WHEN CAST(substring(source, 4) AS INTEGER) < 5 THEN 10000 " +
+       "WHEN CAST(substring(source, 4) AS INTEGER) < 13 THEN 15000 ELSE 25000 END AS epochs_bp, " +
+       phashSql("doc_id", "epoch:") + " % 10000 AS h FROM documents), " +
+       "k AS (SELECT doc_id, source, epochs_bp, " +
+       "CAST(epochs_bp // 10000 AS BIGINT) + CASE WHEN h < epochs_bp % 10000 " +
+       "THEN 1 ELSE 0 END AS n_copies FROM b) " +
+       "SELECT doc_id, source, epochs_bp, n_copies, " +
+       "CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_id FROM k " +
+       "ORDER BY doc_id, copy_id"),
     "split_train_test" ->
       ("WITH b AS (SELECT doc_id, source, " +
        phashSql("doc_id", "split:") + " % 100 AS bk FROM documents) " +

@@ -323,6 +323,50 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("sample_epoch_repeat: per-doc copy counts recompute; per-source mass within the epoch band") {
+    // independent spelling: MessageDigest-based hash, plain Scala policy
+    // CASE, explicit floor/fraction arithmetic — not the query's
+    // Column/CASE strings
+    def hash60(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def epochsBp(src: String): Int = {
+      val n = src.drop(3).toInt
+      if (n < 5) 10000 else if (n < 13) 15000 else 25000
+    }
+    def copies(id: Long, src: String): Long = {
+      val bp = epochsBp(src)
+      bp / 10000 + (if (hash60("epoch:" + id) % 10000 < bp % 10000) 1L else 0L)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = SparkEntry.queries("sample_epoch_repeat")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // every doc appears exactly `copies` times with copy ids 0..k-1
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet === docs.map(_._1).toSet, "emission covers every doc (epochs >= 1)")
+    docs.foreach { case (id, src) =>
+      val k = copies(id, src)
+      val rows = byDoc(id)
+      assert(rows.length.toLong === k, s"doc $id copy count")
+      assert(rows.map(_._5).sorted.toSeq === (0L until k).toSeq, s"doc $id copy ids dense")
+      rows.foreach { case (_, s0, bp, n, _) =>
+        assert(s0 === src && bp === epochsBp(src) && n === k, s"doc $id row fields")
+      }
+    }
+    // per-source realized mass sits inside [floor, ceil] of epochs·n —
+    // the fractional selection can never overshoot either bound
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val n = ds.length.toLong
+      val total = ds.map(d => copies(d._1, d._2)).sum
+      val bp = epochsBp(src).toLong
+      assert(total >= (bp / 10000) * n && total <= ((bp + 9999) / 10000) * n,
+        s"source $src mass $total outside the epoch band for n=$n")
+    }
+  }
+
   test("sample_bootstrap_ci: Poisson thresholds, envelope, and unbiasedness") {
     // the threshold table IS the Poisson(1) CDF scaled to 2^60
     val e1 = math.exp(-1.0)
