@@ -767,7 +767,7 @@ object Plans {
     * line numbers `at Foo.scala:123` -> `:N`, and scratch-dir
     * hash+pid suffixes `graft_name_<hash>_<pid>` -> `graft_name_H_P`.
     * Applied to the explain output ONLY, never the property prose. */
-  private[tools] def normalize(s: String): String =
+  private[graft] def normalize(s: String): String =
     s.replaceAll("#\\d+", "#N")
       .replaceAll("plan_id=\\d+", "plan_id=N")
       .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[N]")
