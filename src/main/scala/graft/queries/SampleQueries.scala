@@ -206,9 +206,12 @@ object SampleQueries {
     // the sample_stratified tiering INVERTED: the curated head runs one
     // epoch, the scarce tail 2.5); each doc emits floor(epochs) copies
     // plus one more iff its salted hash falls under the fractional part
-    // — so per-source totals land within one doc of epochs·n deterministically,
-    // and the SAME doc gets the extra copy on every run/engine (the
-    // portable salted-hash selection rule). Emission is one row per
+    // — so per-source totals land deterministically inside the
+    // [floor(e)·n, ceil(e)·n] band (the hash draw concentrates near
+    // e·n but is NOT guaranteed within one doc of it — SampleSpec pins
+    // exactly the band, nothing tighter), and the SAME doc gets the
+    // extra copy on every run/engine (the portable salted-hash
+    // selection rule). Emission is one row per
     // copy with its copy_id — the frame a sequence-packer consumes.
     // Scale shape: policy + hash + explode are all row-local (the
     // explode multiplies rows by <= ceil(epochs), never corpus²); no

@@ -49,11 +49,15 @@ object StreamQueries {
     * consumers cannot drift). Returns (key min, key max) — one bounded
     * 1-row collect. */
   private def landAscendingShards(s: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame, key: String, src: String,
+      df0: org.apache.spark.sql.DataFrame, key: String, src: String,
       n: Int): (Long, Long) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(src), true)
     fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    // n+1 consumers read this frame (the bounds agg + n shard writes) —
+    // checkpoint or the source scan re-runs per consumer (the r11b
+    // count-consumers rule; the dominant landing cost past fixture SF)
+    val df = df0.localCheckpoint(true)
     val b = df.agg(min(col(key)).as("mn"), max(col(key)).as("mx")).head
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     val span = mx - mn + 1
@@ -66,7 +70,10 @@ object StreamQueries {
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(_.getName.startsWith("part-")).get
       val dest = new org.apache.hadoop.fs.Path(src, s"shard-$i.parquet")
-      fs.rename(part, dest)
+      // fail LOUDLY here (the day-alignment-require rule): a silently
+      // dropped shard would otherwise surface as an opaque oracle hash
+      // mismatch or a commit-count assert far from the cause
+      require(fs.rename(part, dest), s"shard rename failed: $part -> $dest")
       fs.delete(tmp, true)
       // the mtime value only needs to ORDER; absolute time is irrelevant
       fs.setTimes(dest, base + i * 60000L, -1)
@@ -249,40 +256,37 @@ object StreamQueries {
         .orderBy("event_type", "day")
     }))
 
+  /** The emitted window set = windows with end <= final watermark
+    * (= max ts): (day + 1) · 86 400 000 000 µs <= epoch_us(max(ts)).
+    * ONE definition for both the single-batch and the multi-batch
+    * ingest (the multi-batch run's progressive emission lands the same
+    * final set — that identity IS the cross-batch proof). A def: the
+    * one-definition rule (a hand-synced copy that drifts would still
+    * parse and run — the silent-divergence failure the convention
+    * exists to prevent). */
+  private def ingestWindowOracle: String =
+    """WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events),
+       g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events)
+       SELECT event_type, day, count(*) AS cnt
+       FROM g, mx
+       WHERE (day + 1) * 86400000000 <= m
+       GROUP BY event_type, day
+       ORDER BY event_type, day"""
+
+  /** text_normalize_dedup_exact's oracle VERBATIM (min doc_id per
+    * normalized content hash) — ONE definition for both dedup ingests:
+    * single-batch (in-batch min-doc_id tie-break == batch winner) and
+    * multi-batch (ascending disjoint shards + first-seen keyed state
+    * == batch min-doc_id). */
+  private def dedupIngestOracle: String =
+    "WITH n AS (SELECT doc_id, lang, " +
+      "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents) " +
+      "SELECT doc_id, lang, h FROM n " +
+      "WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY h) ORDER BY doc_id"
+
   val oracle: Map[String, String] = Map(
-    // the emitted set = windows with end <= final watermark (= max ts):
-    // (day + 1) · 86 400 000 000 µs <= epoch_us(max(ts))
-    "stream_file_ingest" ->
-      """WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events),
-         g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events)
-         SELECT event_type, day, count(*) AS cnt
-         FROM g, mx
-         WHERE (day + 1) * 86400000000 <= m
-         GROUP BY event_type, day
-         ORDER BY event_type, day""",
-    // text_normalize_dedup_exact's oracle VERBATIM — the single-batch
-    // stream through DedupProcessor must reproduce the batch dedup
-    // exactly (min doc_id per normalized content hash)
-    "stream_dedup_ingest" ->
-      ("WITH n AS (SELECT doc_id, lang, " +
-        "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents) " +
-        "SELECT doc_id, lang, h FROM n " +
-        "WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY h) ORDER BY doc_id"),
-    // identical by the cross-batch argument in the query doc: ascending
-    // disjoint shards + first-seen keyed state == batch min-doc_id dedup
-    "stream_dedup_multibatch" ->
-      ("WITH n AS (SELECT doc_id, lang, " +
-        "sha256(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h FROM documents) " +
-        "SELECT doc_id, lang, h FROM n " +
-        "WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY h) ORDER BY doc_id"),
-    // stream_file_ingest's oracle VERBATIM: progressive multi-batch
-    // emission lands the same final window set (end <= global max ts)
-    "stream_window_multibatch" ->
-      """WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events),
-         g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events)
-         SELECT event_type, day, count(*) AS cnt
-         FROM g, mx
-         WHERE (day + 1) * 86400000000 <= m
-         GROUP BY event_type, day
-         ORDER BY event_type, day""")
+    "stream_file_ingest" -> ingestWindowOracle,
+    "stream_dedup_ingest" -> dedupIngestOracle,
+    "stream_dedup_multibatch" -> dedupIngestOracle,
+    "stream_window_multibatch" -> ingestWindowOracle)
 }

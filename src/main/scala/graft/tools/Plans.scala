@@ -772,7 +772,12 @@ object Plans {
       .replaceAll("plan_id=\\d+", "plan_id=N")
       .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[N]")
       .replaceAll("(at [A-Za-z0-9_.]+\\.scala):\\d+", "$1:N")
-      .replaceAll("(graft_[a-z_]+)_[0-9a-f]+_\\d+", "$1_H_P")
+      // non-greedy name so a digit-bearing scratch name (graft_int8_x_…)
+      // cannot swallow the hash+pid tail and leak the volatile pid; a
+      // hex-looking name SEGMENT over-matching into H is harmless (the
+      // result is still deterministic run-to-run, which is all the
+      // clean-diff check needs)
+      .replaceAll("(graft_[a-z0-9_]+?)_[0-9a-f]+_\\d+", "$1_H_P")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -24,7 +24,8 @@ class CatalogSpec extends SparkSpec {
         |Output [2]: [l_orderkey#1234L, l_extendedprice#56]
         |(4) Exchange [plan_id=789] [id=#321]
         |Scan ExistingRDD MapPartitionsRDD[42] at localCheckpoint at TextQueries.scala:256
-        |Location: InMemoryFileIndex [file:/tmp/graft_zorder_f03e707_20597]""".stripMargin
+        |Location: InMemoryFileIndex [file:/tmp/graft_zorder_f03e707_20597]
+        |Location: InMemoryFileIndex [file:/tmp/graft_int8_cache_0a1b2c3_4242]""".stripMargin
     val n = graft.tools.Plans.normalize(sample)
     assert(!n.contains("#1234") && !n.contains("#56") && !n.contains("#321"),
       "expression/exchange ids must normalize")
@@ -32,6 +33,8 @@ class CatalogSpec extends SparkSpec {
     assert(n.contains("MapPartitionsRDD[N]"), "RDD ids must normalize")
     assert(n.contains("TextQueries.scala:N"), "checkpoint callsite lines must normalize")
     assert(n.contains("graft_zorder_H_P"), "scratch hash+pid suffixes must normalize")
+    assert(n.contains("graft_int8_cache_H_P"),
+      "a DIGIT-bearing scratch name must still normalize (non-greedy name match)")
     val survivor = """#\d|plan_id=\d|RDD\[\d|scala:\d|_[0-9a-f]{6,}_\d""".r.findFirstIn(n)
     assert(survivor.isEmpty, s"volatile token survives normalization: $survivor in\n$n")
   }
