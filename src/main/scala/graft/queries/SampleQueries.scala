@@ -48,6 +48,45 @@ object SampleQueries {
   private[graft] def reservoirKey(docId: org.apache.spark.sql.Column) =
     phash(docId, "reservoir:")
 
+  /** The overlapping token-window chunk frame (size 8, stride 4) —
+    * ONE definition shared by text_chunk (the declared chunker) and
+    * text_boilerplate_census (the cross-doc chunk-frequency census):
+    * window starts run 0..len-(size-stride)-1 so the LAST window is the
+    * minimal one whose tail reaches the final token (stopping at len-1
+    * would emit a trailing chunk fully contained in its predecessor).
+    * Row-local HOFs, unfiltered and unordered — consumers apply their
+    * own length filter / presentation sort. */
+  private def chunkFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val size8 = 8
+    val stride = 4
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0),
+          greatest(size(col("tk")) - (size8 - stride) - 1, lit(0)), lit(stride)),
+        i => struct((i / stride).cast(IntegerType).as("chunk_id"),
+          concat_ws(" ", slice(col("tk"), i + 1, lit(size8))).as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+  }
+
+  /** chunkFrame's DuckDB mirror — the b/s/c CTE chain, ONE definition
+    * for the text_chunk and text_boilerplate_census oracles (range stop
+    * is EXCLUSIVE where Spark sequence is inclusive: bound+1). A def
+    * (init-order rule). */
+  private def chunkCtesSql: String =
+    "b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      "s AS (SELECT doc_id, tk, unnest(range(0, GREATEST(len(tk) - 5, 0) + 1, 4)) AS st FROM b), " +
+      "c AS (SELECT doc_id, CAST(st // 4 AS INT) AS chunk_id, " +
+      "array_to_string(tk[st+1:st+8], ' ') AS chunk FROM s)"
+
+  /** Boilerplate share emission — shared verbatim by the census query
+    * and its oracle (both sides read the possibly-NULL left-join
+    * columns; one division, r6). A def (init-order rule). */
+  private def boilerShareFormula: String =
+    "CASE WHEN COALESCE(n_chunks, 0) > 0 THEN " +
+      Qutil.r6Sql("CAST(n_boiler AS DOUBLE) / CAST(n_chunks AS DOUBLE)") +
+      " ELSE CAST(0 AS DOUBLE) END"
+
   /** The split assignment as a reusable column expression — stateless and
     * row-local, so the SAME dialect runs on a batch table or a readStream
     * (splits get assigned at land time on each Airflow-tick increment;
@@ -248,24 +287,45 @@ object SampleQueries {
     // before encoding. Pure HOFs (sequence -> transform -> slice ->
     // explode), row-local and map-side like the samplers: a doc's chunks
     // never depend on other docs, so it distributes trivially and re-chunks
-    // identically on any engine (fully oracled).
-    "text_chunk" -> ((s, d) => {
-      val size8 = 8
-      val stride = 4
-      // Window starts run 0..len-(size-stride)-1: the LAST window is the
-      // minimal one whose tail reaches the final token — stopping at len-1
-      // would emit a trailing chunk fully contained in its predecessor
-      // (pure redundancy a downstream embedder would double-process).
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0),
-            greatest(size(col("tk")) - (size8 - stride) - 1, lit(0)), lit(stride)),
-          i => struct((i / stride).cast(IntegerType).as("chunk_id"),
-            concat_ws(" ", slice(col("tk"), i + 1, lit(size8))).as("chunk")))).as("c"))
-        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+    // identically on any engine (fully oracled). Body = the shared
+    // chunkFrame (r13 — text_boilerplate_census consumes the SAME
+    // chunker; one definition or the two grains silently drift).
+    "text_chunk" -> ((s, d) =>
+      chunkFrame(s, d)
         .where(length(col("chunk")) > 0)
-        .orderBy("doc_id", "chunk_id")
+        .orderBy("doc_id", "chunk_id")),
+
+    // Cross-doc BOILERPLATE census at CHUNK grain (r13) — the C4-class
+    // curation signal the catalog lacked: a chunk that appears VERBATIM
+    // in >= 2 distinct docs is boilerplate (nav bars, licence blocks,
+    // templated headers) and a trainer drops or downweights it. This is
+    // a different axis from every existing dedup: doc-grain dedup keeps
+    // one copy of a whole doc; text_winnow_dup/shared_span find NEAR-dup
+    // spans between candidate PAIRS; text_repetition is WITHIN-doc; this
+    // is exact sub-doc repetition measured across the WHOLE corpus via
+    // one inverted index on the chunk hash — no pairs anywhere. Shape:
+    // the shared chunkFrame (row-local HOFs), sha-256 per chunk, ONE
+    // keyed distinct+count on the hash (the corpus-wide frequency
+    // index), join-back on the hash, doc-keyed rollup; the chunk-hash
+    // frame checkpoints once (two consumers — the r11b rule). Doc-grain
+    // emission is TOTAL (documents left join, zero-filled) so clean
+    // docs report 0. At 100 TB every stage shuffles on the chunk hash
+    // or the doc key — nothing quadratic, no window, no collect.
+    "text_boilerplate_census" -> ((s, d) => {
+      val cc = chunkFrame(s, d).where(length(col("chunk")) > 0)
+        .select(col("doc_id"), sha2(col("chunk"), 256).as("h"))
+        .localCheckpoint(true)
+      val f = cc.distinct().groupBy("h").agg(count(lit(1)).as("n_docs"))
+      val dcen = cc.join(f, "h").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      Tables.documents(s, d).select("doc_id")
+        .join(dcen, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks",
+          "CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler",
+          s"$boilerShareFormula AS boiler_share")
+        .orderBy("doc_id")
     }),
 
     // Decontamination: train docs sharing any 5-gram shingle with the
@@ -840,13 +900,24 @@ object SampleQueries {
        "SELECT doc_id, source, CASE WHEN bk < 80 THEN 'train' " +
        "WHEN bk < 90 THEN 'valid' ELSE 'test' END AS split FROM b ORDER BY doc_id"),
     "text_chunk" ->
-      ("WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-       // range stop is EXCLUSIVE (Spark sequence is inclusive): bound+1
-       "s AS (SELECT doc_id, tk, unnest(range(0, GREATEST(len(tk) - 5, 0) + 1, 4)) AS st FROM b), " +
-       "c AS (SELECT doc_id, CAST(st // 4 AS INT) AS chunk_id, " +
-       "array_to_string(tk[st+1:st+8], ' ') AS chunk FROM s) " +
+      (s"WITH $chunkCtesSql " +
        "SELECT doc_id, chunk_id, chunk FROM c WHERE length(chunk) > 0 " +
        "ORDER BY doc_id, chunk_id"),
+    "text_boilerplate_census" ->
+      // the shared chunk CTEs verbatim; frequency index = COUNT(DISTINCT
+      // doc) per chunk hash; instance-grain join-back; doc-grain left
+      // join keeps clean docs at zero; shared share formula
+      (s"WITH $chunkCtesSql, " +
+       "cc AS (SELECT doc_id, sha256(chunk) AS h FROM c WHERE length(chunk) > 0), " +
+       "f AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM cc GROUP BY 1), " +
+       "dcen AS (SELECT cc.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+       "CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler " +
+       "FROM cc JOIN f ON cc.h = f.h GROUP BY 1) " +
+       "SELECT d.doc_id AS doc_id, CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks, " +
+       "CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler, " +
+       s"$boilerShareFormula AS boiler_share " +
+       "FROM (SELECT doc_id FROM documents) d LEFT JOIN dcen ON d.doc_id = dcen.doc_id " +
+       "ORDER BY doc_id"),
     "sample_dsir_weights" ->
       // generate_series(1, len-1) is [] when len < 2 (the Spark side
       // carries the explicit ascending-or-empty guard); HUGEINT sums

@@ -367,6 +367,42 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("text_boilerplate_census: exact in-memory chunk-frequency recompute; doc-grain total") {
+    // independent spelling: plain Scala sliding windows + MessageDigest
+    // sha — not the query's HOF/conv strings
+    def sha(s0: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunks(text: String): Seq[String] = {
+      val tk = text.split(" ", -1).toSeq
+      val starts = 0 to math.max(tk.length - 5, 0) by 4
+      starts.map(st => tk.slice(st, st + 8).mkString(" ")).filter(_.nonEmpty)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (id, t) => id -> chunks(t).map(sha) }.toMap
+    val nDocsPerH = perDoc.toSeq.flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = SparkEntry.queries("text_boilerplate_census")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet === docs.map(_._1).toSet, "doc-grain emission is total")
+    got.foreach { case (id, nc, nb, share) =>
+      val hs = perDoc(id)
+      val enb = hs.count(h => nDocsPerH(h) >= 2).toLong
+      assert(nc === hs.length.toLong, s"doc $id n_chunks")
+      assert(nb === enb, s"doc $id n_boiler")
+      val eshare = if (hs.nonEmpty) r6(enb.toDouble / hs.length.toDouble) else 0.0
+      assert(share === eshare, s"doc $id share")
+    }
+    // duplicated docs (sf0.01+ fixtures plant exact doc dups) must read
+    // fully boilerplate; at sf0.001 (no exact dups) the assertion is
+    // vacuous — the exact recompute above is the real pin either way
+    val dupIds = docs.groupBy(_._2).values.filter(_.length >= 2).flatten.map(_._1).toSet
+    got.filter(r => dupIds.contains(r._1) && r._2 > 0).foreach { r =>
+      assert(r._3 === r._2, s"exact-dup doc ${r._1} must be 100% boilerplate")
+    }
+  }
+
   test("sample_bootstrap_ci: Poisson thresholds, envelope, and unbiasedness") {
     // the threshold table IS the Poisson(1) CDF scaled to 2^60
     val e1 = math.exp(-1.0)
