@@ -173,13 +173,20 @@ class MultimodalSpec extends SparkSpec {
   test("mm_near_dup_phash: pair set equals a JVM fingerprint/band/verify recompute") {
     // independent spelling: MessageDigest sha chain, explicit byte math,
     // plain nested-loop DCT over an INDEPENDENTLY derived coefficient
-    // table (exact-BigDecimal floor(x+1/2) — the true half-toward-+inf
-    // twin of the query's floor(x·1e6+0.5); the r12 ADVICE fix: the old
-    // HALF_UP rounds negative exact halves AWAY from zero, agreeing
-    // with the query only because no c·cos value lands on a .5
-    // millionth — a derivation change could have tripped the pin for a
-    // rounding-convention reason), explicit band agreement — not the
-    // query's conv/HOF strings
+    // table (exact-BigDecimal floor(x+1/2) — half-toward-+inf like the
+    // query's floor(x·1e6+0.5); the r12 ADVICE fix: the old HALF_UP
+    // rounds negative exact halves AWAY from zero, agreeing with the
+    // query only because no c·cos value lands on a .5 millionth — a
+    // derivation change could have tripped the pin for a
+    // rounding-convention reason. r13 ADVICE accuracy note: this is
+    // still NOT a literal twin — the query adds 0.5 in DOUBLE
+    // arithmetic, where the add can round across an integer boundary
+    // that the exact BigDecimal sum does not (the r7 ROUND lesson's
+    // residual case); kept deliberately as the INDEPENDENT derivation,
+    // because the table-equality assert below fails LOUDLY at any such
+    // representational boundary rather than silently following the
+    // query's spelling), explicit band agreement — not the query's
+    // conv/HOF strings
     def sha(s0: String): String = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tRef: Array[Long] = {
