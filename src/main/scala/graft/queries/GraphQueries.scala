@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Scale
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Qutil._
@@ -24,7 +25,9 @@ import Qutil._
   * embed_kmeans makes with integer-moment centroids.
   *
   * 100 TB shape: the classic Pregel-as-DataFrame loop. Edges + degrees
-  * are computed once and localCheckpoint'd (reused all rounds; truncated
+  * are computed once and materialized via Scale.materialize — the r14
+  * seam: localCheckpoint locally, RELIABLE checkpoint() under
+  * graft.materialize=reliable on a cluster (reused all rounds; truncated
   * lineage); each round is ONE shuffle join (ranks into edges on src) and
   * ONE partial-aggregable groupBy(dst) — contributions combine map-side.
   * Zero driver-side data movement (no collect anywhere); a fixed round
@@ -50,7 +53,7 @@ object GraphQueries {
       // the lineitem-orders join + distinct (measured at sf0.1: the graph
       // build was ~11 s of the query's ~12 s with that recompute, ~2 s
       // less with it checkpointed; the 3 rank rounds are ~free)
-      .localCheckpoint(true)
+      .transform(Scale.materialize)
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -67,7 +70,7 @@ object GraphQueries {
       // shuffles both join sides on the key; on a real cluster the edge
       // side would be BUCKETED by src at land time to make rounds
       // edge-stationary.
-      val ed = e.join(deg, "src").localCheckpoint(true)
+      val ed = e.join(deg, "src").transform(Scale.materialize)
       var rank = deg.select(col("src").as("id"), lit(1000000L).as("r"))
       // A FIXED small round count needs no per-round checkpoint (unlike
       // Scale.connectedComponents, which runs an action per round): the
@@ -140,7 +143,7 @@ object GraphQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(Scale.materialize)
       var hub = e.select(col("sk")).distinct().withColumn("h", lit(1000000L))
       var auth: DataFrame = null
       // UNLIKE the pagerank loop (whose rounds chain lazily into one
@@ -158,13 +161,13 @@ object GraphQueries {
         auth = ar.crossJoin(broadcast(ma))
           .select(col("ck"),
             expr("CAST((CAST(ar AS DECIMAL(38,0)) * 1000000) DIV m AS BIGINT)").as("a"))
-          .localCheckpoint(true)
+          .transform(Scale.materialize)
         val hr = e.join(auth, "ck").groupBy("sk").agg(sum("a").as("hr"))
         val mh = hr.agg(max("hr").as("m"))
         hub = hr.crossJoin(broadcast(mh))
           .select(col("sk"),
             expr("CAST((CAST(hr AS DECIMAL(38,0)) * 1000000) DIV m AS BIGINT)").as("h"))
-          .localCheckpoint(true)
+          .transform(Scale.materialize)
       }
       hub.orderBy(col("h").desc, col("sk")).limit(12)
         .select(lit("hub").as("kind"), col("sk").as("entity_key"), col("h").as("score"))
@@ -225,9 +228,9 @@ object GraphQueries {
     "graph_ppr" -> ((s, d) => {
       val e = edges(s, d)
       val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
-      val ed = e.join(deg, "src").localCheckpoint(true)
+      val ed = e.join(deg, "src").transform(Scale.materialize)
       // symmetric edge set ⇒ every node appears as src
-      val nodes = e.select(col("src").as("id")).distinct().localCheckpoint(true)
+      val nodes = e.select(col("src").as("id")).distinct().transform(Scale.materialize)
       var rank = nodes.selectExpr("id",
         "CAST(CASE WHEN id % 7 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r")
       for (_ <- 1 to iters) {
@@ -341,7 +344,7 @@ object GraphQueries {
     // consumers — the multi-consumer rule).
     "graph_clustering_coeff" -> ((s, d) => {
       val e = supportedPairs(basketItems(s, d)).select("p1", "p2")
-        .localCheckpoint(true)
+        .transform(Scale.materialize)
       val deg = e.select(col("p1").as("node"))
         .union(e.select(col("p2").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -395,7 +398,7 @@ object GraphQueries {
     // before anyone trusts its clusters.
     "graph_modularity" -> ((s, d) => {
       val e = edges(s, d)
-      val lab = lpaLabels(e).localCheckpoint(true)
+      val lab = lpaLabels(e).transform(Scale.materialize)
       val el = e
         .join(lab.select(col("id"), col("lbl").as("slbl")), e("src") === col("id"))
         .drop("id")

@@ -56,10 +56,21 @@ object SampleQueries {
     * would emit a trailing chunk fully contained in its predecessor).
     * Row-local HOFs, unfiltered and unordered — consumers apply their
     * own length filter / presentation sort. */
-  private def chunkFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def chunkFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    chunkFrameOf(Tables.documents(s, d))
+
+  /** The chunker over an arbitrary (doc_id, text) frame — private[graft]
+    * so SampleSpec can pin the SHORT-DOC boundary on planted docs (r14,
+    * the r13 verdict's #5b): a doc of <= 8 tokens emits EXACTLY ONE
+    * (short) chunk covering the whole text (the greatest(..., 0) floor
+    * keeps the start sequence nonempty), and the 9-token doc is the
+    * first to emit two. A future size/stride change that flips this
+    * boundary fails the pin instead of silently re-chunking the
+    * corpus. */
+  private[graft] def chunkFrameOf(docs: org.apache.spark.sql.DataFrame) = {
     val size8 = 8
     val stride = 4
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(transform(
         sequence(lit(0),

@@ -65,8 +65,20 @@ object StreamQueries {
     val base = System.currentTimeMillis() - 600000L
     for (i <- 0 until n) {
       val tmp = new org.apache.hadoop.fs.Path(src + s"_tmp$i")
-      df.where(col(key) >= cuts(i) && col(key) < cuts(i + 1))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val shard = df.where(col(key) >= cuts(i) && col(key) < cuts(i + 1))
+      // r13 ADVICE: a narrow or clustered key span (span < n, or values
+      // piled into one range) lands EMPTY shard files — each still
+      // commits a micro-batch, so the >=4/>=5 commit-log assertions
+      // pass while the cross-batch state/watermark evidence silently
+      // degenerates to an effective single-batch run. Fail LOUDLY at
+      // the degenerate span instead (n bounded counts over the
+      // checkpointed frame — driver-cheap).
+      require(shard.count() > 0L,
+        s"landAscendingShards degenerate split: shard $i of $n over " +
+          s"$key range [${cuts(i)}, ${cuts(i + 1)}) is EMPTY " +
+          s"(key span [$mn, $mx]) — the multi-batch evidence would " +
+          "silently weaken; re-derive the shard cuts for this fixture")
+      shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(_.getName.startsWith("part-")).get
       val dest = new org.apache.hadoop.fs.Path(src, s"shard-$i.parquet")
@@ -254,6 +266,65 @@ object StreamQueries {
       s.read.parquet(out)
         .select(col("event_type"), col("day"), col("cnt"))
         .orderBy("event_type", "day")
+    }),
+
+    // STREAMING SESSIONIZATION in the oracled contract (r14 — the r13
+    // verdict's "Next round" #2): the events stream lands as four
+    // ascending ts-range shards (landAscendingShards — the shared
+    // multi-batch recipe, which also guarantees the per-user
+    // time-ascending-ACROSS-batches arrival contract), drains one file
+    // per micro-batch through streaming.SessionSnapshotProcessor
+    // (transformWithState, RocksDB ValueState holding each user's OPEN
+    // session across batches), and the append sink's snapshots resolve
+    // via SessionProcessor.resolveSessionSnapshots — ONE commutative
+    // idempotent max-struct fold per (user, sess_start).
+    //
+    // Why snapshots, not the event-time-timer flush: a trailing open
+    // session whose end exceeds the final watermark NEVER flushes (the
+    // timer fires only when the watermark passes openLast+gap, and
+    // AvailableNow's watermark stops at max(ts)) — so a timer-flushed
+    // append sink is structurally missing each user's last session and
+    // can never equal the batch result. Upsert snapshots + the fold
+    // consumer make the resolved set EXACTLY the batch session_window
+    // result (a session's start is pinned by its first event under the
+    // ascending arrival contract; every extension re-emits the same key
+    // with a strictly larger n_events) — so the oracle is ts_session's
+    // gaps-and-islands SQL VERBATIM at exact-cents grain (zero FP:
+    // per-event cents are floor(value*100+0.5) in identical IEEE ops on
+    // both engines, summed as integers). StreamingSpec pins >= 4
+    // commit-log batches, a session whose snapshots appear in >= 2
+    // batches (a session is emitted at most once per batch, so raw-sink
+    // multiplicity >= 2 proves held state crossed a batch boundary),
+    // and equality with the batch session_window aggregate (the
+    // independent spelling).
+    "stream_session_multibatch" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = ScanQueries.scratch("ssess_src", d)
+      val ckp = ScanQueries.scratch("ssess_ckp", d)
+      val out = ScanQueries.scratch("ssess_out", d)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Seq(ckp, out).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      landAscendingShards(s, ev, "us", src, 4)
+      val sch = s.read.parquet(src).schema
+      import s.implicits._
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.Streams.Ev]
+      val q = graft.streaming.SessionProcessor.sessionizeSnapshots(stream, 30)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckp).option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.SessionProcessor
+        .resolveSessionSnapshots(s.read.parquet(out))
+        .orderBy("user_id", "sess_start")
     }))
 
   /** The emitted window set = windows with end <= final watermark
@@ -288,5 +359,21 @@ object StreamQueries {
     "stream_file_ingest" -> ingestWindowOracle,
     "stream_dedup_ingest" -> dedupIngestOracle,
     "stream_dedup_multibatch" -> dedupIngestOracle,
-    "stream_window_multibatch" -> ingestWindowOracle)
+    "stream_window_multibatch" -> ingestWindowOracle,
+    // ts_session's gaps-and-islands SQL verbatim (TemporalQueries), at
+    // exact-cents grain: the resolved snapshot set == the batch session
+    // census INCLUDING each user's trailing open session — the proof
+    // the timer-flush shape cannot give an append sink (see the query
+    // comment). Session end is half-open [first, last+gap): an event at
+    // exactly prev+gap opens a NEW session (`>= INTERVAL 30 MINUTE`,
+    // matching Streams.foldSessions' `>= gapUs`).
+    "stream_session_multibatch" ->
+      ("WITH marked AS (SELECT user_id, ts, value, " +
+       "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+       "sess AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
+       "SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end, " +
+       "COUNT(*) AS n_events, " +
+       "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents " +
+       "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start"))
 }

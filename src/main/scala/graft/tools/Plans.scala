@@ -747,6 +747,48 @@ object Plans {
        "the batch dedup SQL verbatim because a hash's first delivering batch " +
        "holds its globally-smallest doc_id. StreamingSpec pins >= 4 commit-log " +
        "batches plus equality with the single-batch ingest."),
+    "text_boilerplate_census" ->
+      ("cross-doc boilerplate detection with NO pair joins anywhere: one " +
+       "inverted index on the chunk sha-256 (keyed shuffles only — chunk " +
+       "generation is row-local HOF work in the scan stage, the cross-doc " +
+       "census is a partial-aggregable groupBy on the hash), the " +
+       "multi-consumer chunk frame is checkpointed once, and the doc-grain " +
+       "emission is TOTAL via a zero-filled left join — boilerplate " +
+       "detection at 100 TB costs one chunk-keyed shuffle, never a " +
+       "candidate pair set."),
+    "sample_epoch_repeat" ->
+      ("deterministic fractional UP-sampling as a pure map shape: the " +
+       "per-source epoch factor is a row-local CASE, the extra-copy draw " +
+       "is the portable salted hash against the factor's fractional part, " +
+       "and the copy fan-out is explode(sequence(0, k-1)) — row-local " +
+       "integer arithmetic with NO shuffle before the presentation sort, " +
+       "so up-sampling a 100 TB source is embarrassingly parallel and " +
+       "replays byte-identically."),
+    "join_skew_aqe" ->
+      ("the AUTOMATIC skew answer next to join_skew_salted's manual salt: " +
+       "AQE's OptimizeSkewedJoin splits the planted hot partition (90% of " +
+       "rows on one key) into advisory-sized sub-partitions at runtime — " +
+       "ScaleSpec pins `skew=true` in the executed adaptive plan and its " +
+       "absence at default thresholds. The plan BELOW is the static " +
+       "explain (AQE decisions happen at execution); deployment knobs are " +
+       "scoped in a newSession clone, and forceOptimizeSkewedJoin takes " +
+       "the explicit trade of re-shuffling join survivors against one " +
+       "melted reducer (the downstream per-key aggregate would otherwise " +
+       "veto the split by partitioning reuse)."),
+    "stream_session_multibatch" ->
+      ("NOTE: the plan below is the SINK READ-BACK plus the RESOLUTION " +
+       "fold — the point is SESSIONIZATION STATE crossing micro-batches " +
+       "in the oracled contract (r14): four ascending ts-range shards " +
+       "drain one per batch through SessionSnapshotProcessor (RocksDB " +
+       "ValueState holds each user's open session across batches), and " +
+       "the append sink's upsert snapshots resolve via one commutative " +
+       "idempotent max-struct fold per (user, sess_start) — the " +
+       "StarEdgeProcessor convention, chosen because a timer-flushed " +
+       "append sink can NEVER equal the batch result (each user's " +
+       "trailing open session outlives the final watermark). The oracle " +
+       "is ts_session's gaps-and-islands SQL verbatim at exact-cents " +
+       "grain; StreamingSpec pins >= 4 commits and a session whose " +
+       "snapshots appear in >= 2 batches (held-state re-emission)."),
     "stream_window_multibatch" ->
       ("NOTE: the plan below is the SINK READ-BACK — the point is WATERMARK " +
        "ADVANCEMENT across micro-batches in the oracled contract (r13): four " +

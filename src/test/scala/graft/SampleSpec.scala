@@ -495,4 +495,28 @@ class SampleSpec extends SparkSpec {
       assert(nHits >= 1L && nMasked >= 5L && nMasked <= nTok, s"doc $id mask bounds")
     }
   }
+
+  test("chunkFrame short-doc boundary: <= 8 tokens emit ONE whole-text chunk; 9 is the first two-chunk doc (r14)") {
+    // The r13 verdict's #5b: pin the intended boundary semantics so a
+    // future size/stride change cannot silently re-chunk the corpus.
+    // Planted docs straddle the boundary; expectations are written out
+    // literally (no shared arithmetic with the chunker).
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"),                           // 1 token
+      (2L, "a b c"),                       // 3 tokens
+      (3L, "a b c d e f g h"),             // exactly 8 — still one chunk
+      (4L, "a b c d e f g h i"),           // 9 — first doc with two chunks
+      (5L, "a b c d e f g h i j k l")      // 12 — starts 0 and 4
+    ).toDF("doc_id", "text")
+    val got = graft.queries.SampleQueries.chunkFrameOf(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(got === Set(
+      (1L, 0, "a"),
+      (2L, 0, "a b c"),
+      (3L, 0, "a b c d e f g h"),
+      (4L, 0, "a b c d e f g h"), (4L, 1, "e f g h i"),
+      (5L, 0, "a b c d e f g h"), (5L, 1, "e f g h i j k l")))
+  }
 }

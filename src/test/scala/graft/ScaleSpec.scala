@@ -70,6 +70,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("join_skew_aqe (declared): the skewed partition actually splits; absent untuned (r14)") {
+    // The source_dpp_join lesson: a planner-feature query needs its
+    // plan-shape test the same day it lands, or the claim rots
+    // invisibly — AQE skew splitting is golden-invisible by design
+    // (row-identical output). Positive: the declared query (shrunken
+    // thresholds in its newSession clone) must mark the SMJ skew-split
+    // in the FINAL adaptive plan. Negative: the identical body on the
+    // shared session (default 256 MB threshold — never crossed at
+    // fixture scale) must not.
+    val df = SparkEntry.queries("join_skew_aqe")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"final adaptive plan must mark the skewed join as split:\n$plan")
+    val plain = graft.queries.JoinQueries.skewAqeBody(spark, sf)
+    plain.collect()
+    assert(!plain.queryExecution.executedPlan.toString.contains("skew=true"),
+      "default thresholds must NOT trigger a skew split at fixture scale " +
+        "(the negative control that proves the marker means something)")
+  }
+
   test("globalRank equals a global-window row_number") {
     val cust = Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
     val ranked = Scale.globalRank(cust, 8, "rank", "n",
@@ -165,6 +186,54 @@ class ScaleSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L))
   }
 
+  test("Scale.materialize reliable mode: same results, reliable files, loud guards (r14)") {
+    // The r13 verdict's #1: every iterative loop leaned on executor-local
+    // localCheckpoint — dies with a lost executor on a real cluster. The
+    // seam switches to reliable checkpoint() when a session opts in.
+    // Mode is a SESSION conf (newSession clone — runtime confs don't
+    // leak, the join_bloom_filtered precedent); the checkpoint dir is
+    // context-global but harmless to other suites, which all stay in
+    // the default local mode.
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L).toDF("id")
+    // (a) reliable mode WITHOUT a checkpoint dir fails loudly — never a
+    // silent downgrade to executor-local storage (run before the dir is
+    // set below; only this test sets it)
+    val s2 = spark.newSession()
+    s2.conf.set("graft.materialize", "reliable")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val ex = intercept[IllegalArgumentException] {
+        Scale.materialize(s2.range(3).toDF())
+      }
+      assert(ex.getMessage.contains("setCheckpointDir"))
+    }
+    // (b) unknown mode fails loudly, not silently-local
+    val s3 = spark.newSession()
+    s3.conf.set("graft.materialize", "banana")
+    assert(intercept[IllegalArgumentException] {
+      Scale.materialize(s3.range(3).toDF())
+    }.getMessage.contains("unknown mode"))
+    // (c) the reliable path: connectedComponents (whose every round runs
+    // through the seam) on the chain+clique+singleton graph from the
+    // test above, in the reliable-mode clone — identical labels, and the
+    // checkpoint dir actually received RDD checkpoint data
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_ckp")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val se = s2.createDataFrame(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L)))
+      .toDF("src", "dst")
+    val sn = s2.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L),
+      Tuple1(4L), Tuple1(5L), Tuple1(6L), Tuple1(7L), Tuple1(10L))).toDF("id")
+    val got = Scale.connectedComponents(sn, se)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L))
+    val landed = java.nio.file.Files.walk(dir).iterator()
+    var files = 0
+    while (landed.hasNext) { if (landed.next().toFile.isFile) files += 1 }
+    assert(files > 0, s"reliable mode must write checkpoint data under $dir")
+  }
+
   test("connectedComponents: long chain converges (worst-case diameter)") {
     // 64-node path graph: min-label propagation needs ~diameter rounds;
     // proves the convergence loop actually iterates far past the
@@ -257,6 +326,45 @@ class ScaleSpec extends SparkSpec {
       // mis-split is genuinely wrong — this documents WHY the check
       // exists rather than asserting a correct result)
       Scale.incrementalComponents(nodes, baseNodes, badBase, delta).collect()
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.debug.contracts") = v
+        case None => sys.props.remove("graft.debug.contracts")
+      }
+    }
+  }
+
+  test("incrementalComponents fullEdges check catches a DROPPED delta edge (r14, debug-gated)") {
+    // The r13 verdict's #5a: the mis-ROUTED edge was already caught; an
+    // edge with a non-base endpoint dropped from BOTH sets was invisible
+    // (the full edge set never reached the function). With fullEdges
+    // handed in under the debug flag, the drop must fail loudly; a
+    // complete caller must stay green (including a REVERSED-orientation
+    // delta spelling — the check is canonical); and with the flag off
+    // the violating call must not throw.
+    import spark.implicits._
+    val nodes = spark.range(20).select(col("id"))
+    val baseNodes = nodes.where(col("id") < 15)
+    val base = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    // full graph: base edges + two delta-involving edges
+    val full = base.union(Seq((15L, 16L), (10L, 17L)).toDF("src", "dst"))
+    val deltaComplete = Seq((16L, 15L), (10L, 17L)).toDF("src", "dst")
+    val deltaDropped = Seq((15L, 16L)).toDF("src", "dst") // (10,17) dropped
+    val prev = sys.props.get("graft.debug.contracts")
+    try {
+      sys.props("graft.debug.contracts") = "1"
+      val err = intercept[IllegalArgumentException] {
+        Scale.incrementalComponents(nodes, baseNodes, base, deltaDropped,
+          Some(full)).collect()
+      }
+      assert(err.getMessage.contains("missing from deltaEdges"))
+      // complete caller green — and orientation-free (delta gives 16->15)
+      Scale.incrementalComponents(nodes, baseNodes, base, deltaComplete,
+        Some(full)).collect()
+      sys.props.remove("graft.debug.contracts")
+      // flag off: fullEdges ignored, no extra jobs, no throw
+      Scale.incrementalComponents(nodes, baseNodes, base, deltaDropped,
+        Some(full)).collect()
     } finally {
       prev match {
         case Some(v) => sys.props("graft.debug.contracts") = v
