@@ -820,6 +820,14 @@ object Plans {
       // result is still deterministic run-to-run, which is all the
       // clean-diff check needs)
       .replaceAll("(graft_[a-z0-9_]+?)_[0-9a-f]+_\\d+", "$1_H_P")
+      // globalRank's literal offset map (r14): the per-partition counts
+      // come from repartitionByRange's SAMPLE, whose seed mixes the RDD
+      // id — so the SAME query regenerated in a JVM with a different
+      // RDD-allocation history embeds slightly different offsets (caught
+      // as a one-line PLANS.md diff when r14's new headliner sections
+      // shifted the id sequence). The values list is volatile; the keys
+      // (partition ids 0..parts-1) are stable and stay.
+      .replaceAll("(element_at\\(map\\(keys: \\[[0-9,]+\\], values: )\\[[0-9,]+\\]", "$1[V]")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
