@@ -48,10 +48,40 @@ object Scale {
             "(an HDFS-class reliable directory) — refusing to fall back " +
             "silently to executor-local storage")
         df.checkpoint(eager = true)
+      case "scratch" =>
+        // Scratch-parquet landing (r14): reliable AND measured-stats-
+        // bearing. Both checkpoint modes come back as a LogicalRDD that
+        // carries the PRE-checkpoint plan's size ESTIMATE (measured r14
+        // — NOT "no stats": LogicalRDD.fromDataset copies the optimized
+        // plan's statistics) plus Unknown partitioning (r5b). After a
+        // selective filter that estimate is the UN-filtered size —
+        // size-only estimation does not discount filters — so a
+        // genuinely tiny materialized frame stays un-broadcast and
+        // size-based BNLJ picks go wrong (the r6f fragility, explained).
+        // The scratch re-read is a FileSourceScan whose statistics are
+        // the MEASURED landed bytes, so broadcast decisions see the
+        // truth — ScaleSpec proves a 50-row filtered dim broadcasts
+        // after scratch materialization and not after localCheckpoint.
+        // Cost: one durable write+read per materialization (the right
+        // trade for a frame REUSED across many rounds/consumers).
+        val s = df.sparkSession
+        val base = s.conf.get("graft.materialize.dir", "")
+        require(base.nonEmpty,
+          "graft.materialize=scratch requires graft.materialize.dir " +
+            "(a durable scratch directory)")
+        val dir = s"$base/mat_${scratchSeq.incrementAndGet()}"
+        df.write.mode("overwrite").parquet(dir)
+        s.read.parquet(dir)
       case "local" => df.localCheckpoint(true)
       case other => throw new IllegalArgumentException(
-        s"graft.materialize: unknown mode '$other' (expected local | reliable)")
+        s"graft.materialize: unknown mode '$other' (expected local | reliable | scratch)")
     }
+
+  /** Per-JVM landing counter for scratch-mode materializations — two
+    * frames materialized in one job must never clobber each other's
+    * directory (uniqueness within the JVM is enough: the base dir is
+    * caller-scoped, the ScanQueries.scratch convention). */
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Skew-safe equi-join: salt the skewed (large) side into `saltFactor`
     * sub-keys and explode the build side once per salt, so one hot key

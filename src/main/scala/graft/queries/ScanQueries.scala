@@ -203,6 +203,42 @@ object ScanQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // Raw text-lines source (r14) — the LAST built-in file source
+    // missing from the catalog (parquet/csv/json/orc/binaryFile are all
+    // declared): the line-oriented `text` format is the raw-corpus
+    // ingest every curation pipeline starts from — one record per line,
+    // schema = one string column, parsing is the reader's job. Lands
+    // documents as tab-delimited text lines, reads back via
+    // format("text"), re-parses with a LIMIT-3 split (only the first
+    // two tabs delimit — body text keeps any further tabs), and emits
+    // the doc census. The oracle recomputes the census from the
+    // documents table DIRECTLY, so hash equality proves the text
+    // round-trip lossless. The line-format assumption (no tab/newline
+    // inside fixture text or lang) is checked LOUDLY up front, never
+    // assumed (the day-alignment-require rule): a regen with embedded
+    // delimiters needs an escaping landing, not a silent mis-parse.
+    "source_text_lines" -> ((s, d) => {
+      val out = scratch("text_lines", d)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val dirty = docs.where(col("text").rlike("[\\t\\n\\r]") ||
+        col("lang").rlike("[\\t\\n\\r]")).count()
+      require(dirty == 0L,
+        s"source_text_lines fixture assumption broken: $dirty document(s) " +
+          "carry tab/newline — the raw line format needs escaping; " +
+          "re-derive the landing before trusting this census")
+      docs.select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
+        .as("value")).write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(split(col("value"), "\t", 3).as("p"))
+        .select(col("p").getItem(0).cast("long").as("doc_id"),
+          col("p").getItem(1).as("lang"),
+          col("p").getItem(2).as("text"))
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("int").as("n_tokens"),
+          sha2(col("text"), 256).as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
     // ORC round-trip — the OTHER columnar landing format a migration
     // meets (r5 verdict "missing" #4: CSV got a declared query, ORC only
     // had SourcesSpec coverage). Unlike CSV, ORC is typed: timestamps
@@ -446,6 +482,12 @@ object ScanQueries {
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
        "COUNT(DISTINCT o_custkey) AS n_customers " +
        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
+    "source_text_lines" ->
+      // recomputes the census from the documents table directly (never
+      // reads the landed lines): equality proves write-as-text +
+      // read-as-text + re-parse lossless
+      ("SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+       "sha256(text) AS content_hash FROM documents ORDER BY doc_id"),
     "source_orc_roundtrip" ->
       // aggregates the PARQUET directly: equality proves the ORC
       // round-trip (including the timestamp column) lost nothing

@@ -234,6 +234,51 @@ class ScaleSpec extends SparkSpec {
     assert(files > 0, s"reliable mode must write checkpoint data under $dir")
   }
 
+  test("Scale.materialize scratch mode: durable landing that KEEPS planner statistics (r14)") {
+    // A checkpointed frame comes back as a LogicalRDD carrying the
+    // PRE-checkpoint plan's size ESTIMATE (measured here — NOT "no
+    // stats"; a range(50) twin broadcasts fine because its estimate is
+    // exact). The real trap is ESTIMATE vs MEASURED: size-only
+    // estimation does not discount a selective filter, so a 50-row
+    // frame filtered out of a ~24 MB source keeps a ~24 MB estimate
+    // through localCheckpoint and never statically broadcasts, while
+    // the scratch-parquet re-read exposes the TRUE landed bytes.
+    // Asserted on sparkPlan (pre-AQE): runtime stats can rescue an
+    // equi-join later, but static stats drive the non-equi/BNLJ/DPP
+    // decisions AQE cannot fix (the r6f fragility).
+    val dir = java.nio.file.Files.createTempDirectory("graft_scratch_mat")
+    val s2 = spark.newSession()
+    s2.conf.set("graft.materialize", "scratch")
+    s2.conf.set("graft.materialize.dir", dir.toString)
+    // ~160 MB estimate so the probe side can never itself broadcast
+    // (only its STATIC plan is ever built — nothing here executes it)
+    val big = s2.range(10000000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    // ~24 MB estimate (1M rows x 3 longs), 50 true survivors
+    val dim0 = s2.range(1000000)
+      .select(col("id").as("k"), (col("id") * 2).as("a"), (col("id") * 3).as("b"))
+      .where(pmod(col("k"), lit(20000)) === 0)
+    val mScratch = Scale.materialize(dim0)
+    assert(mScratch.collect().map(_.getLong(0)).toSet ===
+      (0L until 1000000L by 20000L).toSet,
+      "scratch materialization must round-trip content exactly")
+    val pScratch = big.join(mScratch, "k").queryExecution.sparkPlan.toString
+    assert(pScratch.contains("BroadcastHashJoin"),
+      s"a scratch-materialized 50-row dim must STATICALLY broadcast " +
+        s"(measured landed bytes):\n$pScratch")
+    val pLocal = big.join(dim0.localCheckpoint(true), "k")
+      .queryExecution.sparkPlan.toString
+    assert(!pLocal.contains("BroadcastHashJoin"),
+      "the localCheckpoint twin must NOT statically broadcast (it keeps " +
+        "the un-filtered ~24 MB estimate) — the estimate-vs-measured " +
+        "contrast that makes scratch mode worth its write")
+    // scratch-mode guard: no dir configured fails loudly
+    val s3 = spark.newSession()
+    s3.conf.set("graft.materialize", "scratch")
+    assert(intercept[IllegalArgumentException] {
+      Scale.materialize(s3.range(3).toDF())
+    }.getMessage.contains("graft.materialize.dir"))
+  }
+
   test("connectedComponents: long chain converges (worst-case diameter)") {
     // 64-node path graph: min-label propagation needs ~diameter rounds;
     // proves the convergence loop actually iterates far past the
