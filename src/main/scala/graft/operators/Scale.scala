@@ -47,7 +47,15 @@ object Scale {
           "graft.materialize=reliable requires SparkContext.setCheckpointDir " +
             "(an HDFS-class reliable directory) — refusing to fall back " +
             "silently to executor-local storage")
-        df.checkpoint(eager = true)
+        // persist-then-checkpoint (r14 review): a bare checkpoint(eager)
+        // computes the frame TWICE — the eager count job, then the
+        // reliable write job recomputes every partition — doubling each
+        // iterative round's reduce work. Caching first makes the write
+        // job read the just-computed blocks; the cache is dropped as
+        // soon as the checkpoint files own the data.
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally cached.unpersist(blocking = false)
       case "scratch" =>
         // Scratch-parquet landing (r14): reliable AND measured-stats-
         // bearing. Both checkpoint modes come back as a LogicalRDD that
@@ -64,12 +72,22 @@ object Scale {
         // after scratch materialization and not after localCheckpoint.
         // Cost: one durable write+read per materialization (the right
         // trade for a frame REUSED across many rounds/consumers).
+        // RETENTION is the caller's contract, like every scratch dir in
+        // this repo: an iterative loop accretes one dir per round
+        // (bounded by maxIter — the same accretion local mode has in
+        // block form), and a deployment points graft.materialize.dir at
+        // a TTL'd/job-scoped location or vacuums superseded rounds;
+        // nothing here deletes data a concurrent plan may still scan.
         val s = df.sparkSession
         val base = s.conf.get("graft.materialize.dir", "")
         require(base.nonEmpty,
           "graft.materialize=scratch requires graft.materialize.dir " +
             "(a durable scratch directory)")
-        val dir = s"$base/mat_${scratchSeq.incrementAndGet()}"
+        // pid in the dir name (r14 review — the ScanQueries.scratch
+        // convention): two JVMs pointed at the same durable base dir
+        // must never land mat_1 on top of each other's in-flight scan
+        val dir = s"$base/mat_${ProcessHandle.current().pid()}_" +
+          s"${scratchSeq.incrementAndGet()}"
         df.write.mode("overwrite").parquet(dir)
         s.read.parquet(dir)
       case "local" => df.localCheckpoint(true)

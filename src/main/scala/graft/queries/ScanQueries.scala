@@ -220,12 +220,17 @@ object ScanQueries {
     "source_text_lines" -> ((s, d) => {
       val out = scratch("text_lines", d)
       val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
-      val dirty = docs.where(col("text").rlike("[\\t\\n\\r]") ||
+      // NULLs count as dirty too (r14 review): rlike(NULL) is NULL (not
+      // caught) while concat_ws silently DROPS a null field — the
+      // read-back would shift text into the lang column, the exact
+      // silent mis-parse this guard exists to prevent
+      val dirty = docs.where(col("text").isNull || col("lang").isNull ||
+        col("text").rlike("[\\t\\n\\r]") ||
         col("lang").rlike("[\\t\\n\\r]")).count()
       require(dirty == 0L,
         s"source_text_lines fixture assumption broken: $dirty document(s) " +
-          "carry tab/newline — the raw line format needs escaping; " +
-          "re-derive the landing before trusting this census")
+          "carry tab/newline or NULL fields — the raw line format needs " +
+          "escaping; re-derive the landing before trusting this census")
       docs.select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
         .as("value")).write.mode("overwrite").text(out)
       s.read.text(out)

@@ -84,9 +84,20 @@ class ScaleSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("skew=true"),
       s"final adaptive plan must mark the skewed join as split:\n$plan")
-    val plain = graft.queries.JoinQueries.skewAqeBody(spark, sf)
+    // negative control (r14 review fix): the control must PLAN the same
+    // SMJ — on a default session the 25-row nation dim just broadcasts
+    // and 'skew=true' is absent vacuously. Disable broadcast ONLY, keep
+    // the DEFAULT skew thresholds (256 MB / factor 5): the same shape
+    // sorts-merges but must not split at fixture scale.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plain = graft.queries.JoinQueries.skewAqeBody(s2, sf)
     plain.collect()
-    assert(!plain.queryExecution.executedPlan.toString.contains("skew=true"),
+    val pPlain = plain.queryExecution.executedPlan.toString
+    assert(pPlain.contains("SortMergeJoin"),
+      s"the control must exercise the SMJ path for the contrast to mean " +
+        s"anything:\n$pPlain")
+    assert(!pPlain.contains("skew=true"),
       "default thresholds must NOT trigger a skew split at fixture scale " +
         "(the negative control that proves the marker means something)")
   }
@@ -197,16 +208,20 @@ class ScaleSpec extends SparkSpec {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L).toDF("id")
     // (a) reliable mode WITHOUT a checkpoint dir fails loudly — never a
-    // silent downgrade to executor-local storage (run before the dir is
-    // set below; only this test sets it)
+    // silent downgrade to executor-local storage. UNCONDITIONAL (r14
+    // review: an if-guard here would let the no-silent-fallback require
+    // be deleted unnoticed once anything sets the dir first): this test
+    // must stay the repo's ONLY checkpoint-dir setter, and part (a)
+    // runs before part (c) sets it (scalatest declaration order).
     val s2 = spark.newSession()
     s2.conf.set("graft.materialize", "reliable")
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      val ex = intercept[IllegalArgumentException] {
-        Scale.materialize(s2.range(3).toDF())
-      }
-      assert(ex.getMessage.contains("setCheckpointDir"))
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "another test set the context checkpoint dir first — part (a)'s " +
+        "no-silent-fallback guard can no longer be exercised; restructure")
+    val ex = intercept[IllegalArgumentException] {
+      Scale.materialize(s2.range(3).toDF())
     }
+    assert(ex.getMessage.contains("setCheckpointDir"))
     // (b) unknown mode fails loudly, not silently-local
     val s3 = spark.newSession()
     s3.conf.set("graft.materialize", "banana")
