@@ -160,13 +160,13 @@ object AggQueries {
           col("o_custkey") === col("c_custkey"))
         .selectExpr("c_nationkey AS nk",
           "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       // the bounded 25-row group frame has THREE consumers (totals, the
       // term join, the per-nation join) — checkpoint or its aggregate
       // over x re-runs per consumer (the chi2 multi-consumer rule)
       val g = x.groupBy("nk").agg(count(lit(1)).as("ng"),
           sum(col("cents").cast(DecimalType(38, 0))).as("sg"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val tot = g.agg(sum("ng").as("n"),
         sum(col("sg").cast(DecimalType(38, 0))).as("st"))
       val tw = x.join(broadcast(g), "nk")
@@ -180,7 +180,7 @@ object AggQueries {
         .selectExpr("nk", "ng", "share_raw", "mug_raw", "t_w_raw",
           s"share_raw * ln(mug_raw / (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS tb_term",
           "share_raw * t_w_raw AS tt_term")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val scal = per.agg(
         expr("aggregate(transform(array_sort(collect_list(struct(nk, tb_term))), " +
           "x -> x.tb_term), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("t_between_raw"),
@@ -264,7 +264,7 @@ object AggQueries {
         .groupBy(col("o_custkey").as("cust"))
         .agg(sum(expr("CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))")).as("sc"))
         .selectExpr("cust", "CAST(sc AS BIGINT) AS cents")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val top = rev.orderBy(col("cents").desc, col("cust")).limit(10)
       val oth = rev.join(broadcast(top.select("cust")), Seq("cust"), "left_anti")
         .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))

@@ -129,7 +129,7 @@ object CdcQueries {
       .crossJoin(s.range(0, 2).select(col("id").cast(IntegerType).as("cohort")))
     val filled = grid.join(obs0, Seq("event_type", "cohort"), "left")
       .na.fill(0L, Seq("obs"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     val rt = filled.groupBy("event_type").agg(sum("obs").as("rt"))
     val ctt = filled.groupBy("cohort").agg(sum("obs").as("ct"))
     val n = filled.agg(sum("obs").as("nn"))
@@ -199,7 +199,7 @@ object CdcQueries {
       // materialize BEFORE the write: the plan must not read the path it
       // overwrites (Spark rejects self-overwrite reads; the checkpoint
       // truncates to a LogicalRDD so the source relation leaves the plan)
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("g").parquet(dir)
@@ -266,7 +266,7 @@ object CdcQueries {
     // (the r6f LogicalRDD-has-no-stats rule).
     val filled = grid.join(cnts, Seq("bucket"), "left")
       .na.fill(0L, Seq("base_cnt", "cur_cnt"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     val totals = filled.agg(sum("base_cnt").as("n_base"), sum("cur_cnt").as("n_cur"))
     (filled, totals)
   }
@@ -310,7 +310,7 @@ object CdcQueries {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_ids"),
         min("event_id").as("min_id"), max("event_id").as("max_id"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     // TRUE interval overlap (r11, r10 ADVICE): both inequalities — the
     // one-sided predicate also counted a prior day lying entirely ABOVE
     // the current range (a range regression, not an overlap)

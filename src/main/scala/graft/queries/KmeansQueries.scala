@@ -202,7 +202,7 @@ object KmeansQueries {
     // so its two consumers (pairs filter + broadcast moments filter)
     // don't re-run the scan (the chi2/graph_pagerank rule).
     "embed_covariance" -> ((s, d) => {
-      val all = microAll(Tables.embeddings(s, d)).localCheckpoint(true)
+      val all = microAll(Tables.embeddings(s, d)).transform(graft.operators.Scale.materialize)
       val moments = all.where(col("dim_j") === 0)
         .select(col("dim_i").as("pos"), col("sij"), col("n"))
       val pairs = all.where(col("dim_j") >= 1)
@@ -297,7 +297,7 @@ object KmeansQueries {
       // row — measured 53 s at sf0.001) and the trainer re-rotates on
       // every pass; materialized once it's ~1 s. Same pattern (and same
       // cluster caveat) as graph_pagerank's edge set.
-      val sv = opqSubvecs(s, d).localCheckpoint(true)
+      val sv = opqSubvecs(s, d).transform(graft.operators.Scale.materialize)
       val cents = pqCodebooksFrom(sv)
       pqAssign(sv, cents)
         .select(col("vec_id"), col("sub"), col("code"), r6(col("d2")).as("dist2"))
@@ -481,12 +481,12 @@ object KmeansQueries {
           sqDistD(slice(col("embedding"), 1, 16), slice(col("qv"), 1, 16)).as("d16"),
           sqDistD(slice(col("embedding"), 1, 32), slice(col("qv"), 1, 32)).as("d32"),
           sqDistD(col("embedding"), col("qv")).as("d64"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       // bounded 10-row frame with 4 consumers — checkpoint once or the
       // d64 TakeOrdered re-runs per hit branch (the r6d rule)
       val exact = dists.orderBy(col("d64"), col("vec_id")).limit(10)
         .select(col("vec_id"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val hits = Seq(8, 16, 32, 64).map { p =>
         dists.orderBy(col(s"d$p"), col("vec_id")).limit(10)
           .select(col("vec_id"))
@@ -538,7 +538,7 @@ object KmeansQueries {
       val grid = s.range(0, 10).select(col("id").cast(IntegerType).as("bucket"))
       val filled = grid.join(bk, Seq("bucket"), "left")
         .na.fill(0L, Seq("n"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val tot = filled.agg(sum("n").as("n_all"),
         sum("sqc").as("tsqc"), sum("sqn").as("tsqn"))
       filled.crossJoin(broadcast(tot))
@@ -748,7 +748,7 @@ object KmeansQueries {
       .withColumn("rot", zip_with(col("embedding"), vl,
         (x, vi) => x.cast(DoubleType) - col("f_raw") * vi))
       .select(col("vec_id"), col("rot"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
   }
 
   /** PQ subvector slices of a rotated frame (vec_id, rot). */
@@ -1401,7 +1401,7 @@ object KmeansQueries {
     val sh = mom.selectExpr("dim", "n_base", "n_cur",
       s"($meanBaseFormula) AS mb_raw", s"($meanCurFormula) AS mc_raw",
       s"($meanShiftFormula) AS sh_raw")
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     val l2 = sh.agg(expr(
       "aggregate(transform(array_sort(collect_list(struct(dim, sh_raw))), " +
         "x -> x.sh_raw * x.sh_raw), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")

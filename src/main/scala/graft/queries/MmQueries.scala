@@ -269,7 +269,7 @@ object MmQueries {
           "transform(sequence(0, 63), k -> CASE WHEN k = p " +
             "THEN CAST(conv(substring(hx0, k*2 + 1, 2), 16, 10) AS INT) ^ 1 " +
             "ELSE CAST(conv(substring(hx0, k*2 + 1, 2), 16, 10) AS INT) END) AS bt")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
         // the coefficient table enters ONCE as a column attribute, and
         // each DCT pass CHECKPOINTS before the next references it: HOF
         // lambdas are interpreted (no codegen, no subexpression
@@ -284,18 +284,18 @@ object MmQueries {
           "transform(sequence(0, 63), i -> aggregate(sequence(0, 7), 0L, " +
             "(a, x) -> a + element_at(tl, CAST((i DIV 8) * 8 + x + 1 AS INT)) " +
             "* element_at(bt, x * 8 + (i % 8) + 1))) AS md")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
         // column pass: C[u*8+v] = Σ_y md[u*8+y]·T[v][y]
         .selectExpr("doc_id",
           "transform(sequence(0, 63), j -> aggregate(sequence(0, 7), 0L, " +
             "(a, y) -> a + element_at(md, CAST((j DIV 8) * 8 + y + 1 AS INT)) " +
             "* element_at(tl, (j % 8) * 8 + y + 1))) AS dct")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
         .selectExpr("doc_id", "dct",
           "aggregate(slice(dct, 2, 63), 0L, (a, x) -> a + x) AS sac")
         .selectExpr("doc_id",
           "transform(dct, c -> CASE WHEN 63 * c > sac THEN 1 ELSE 0 END) AS bits")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val w16 = (0 until 16).map(i => 1 << i).mkString("array(", ", ", ")")
       val bands = fp.selectExpr("doc_id",
           s"explode(transform(sequence(0, 3), j -> struct(j AS band, " +

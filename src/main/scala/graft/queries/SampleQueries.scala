@@ -325,7 +325,7 @@ object SampleQueries {
     "text_boilerplate_census" -> ((s, d) => {
       val cc = chunkFrame(s, d).where(length(col("chunk")) > 0)
         .select(col("doc_id"), sha2(col("chunk"), 256).as("h"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val f = cc.distinct().groupBy("h").agg(count(lit(1)).as("n_docs"))
       val dcen = cc.join(f, "h").groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
@@ -498,12 +498,12 @@ object SampleQueries {
         .select(col("doc_id"), col("source"),
           explode(expr("transform(filter(sequence(1, greatest(size(tk) - 1, 1)), " +
             "i -> i <= size(tk) - 1), i -> concat_ws(' ', slice(tk, i, 2)))")).as("bg"))
-        .localCheckpoint(true)
-      val rm = bg.groupBy("bg").agg(count(lit(1)).as("cr")).localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
+      val rm = bg.groupBy("bg").agg(count(lit(1)).as("cr")).transform(graft.operators.Scale.materialize)
       val rs = rm.agg(count(lit(1)).as("v"), sum("cr").as("nr"))
       val tgt = docs.agg(min("source").as("tsrc"))
       val tm = bg.crossJoin(broadcast(tgt)).where(col("source") === col("tsrc"))
-        .groupBy("bg").agg(count(lit(1)).as("ct")).localCheckpoint(true)
+        .groupBy("bg").agg(count(lit(1)).as("ct")).transform(graft.operators.Scale.materialize)
       val tstat = tm.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
       val sc = bg.join(rm, "bg").join(tm, Seq("bg"), "left")
         .crossJoin(broadcast(rs)).crossJoin(broadcast(tstat))

@@ -148,7 +148,7 @@ object SimQueries {
     // ReuseExchange cannot deduplicate them the way it did the plain
     // self-join — uncheckpointed, the 64-dot signature pass would run
     // twice (the r9c differing-filters rule; measured +0.8 s at sf0.1)
-    val buckets = sigBuckets(e, "label").localCheckpoint(true)
+    val buckets = sigBuckets(e, "label").transform(graft.operators.Scale.materialize)
     // lane-decomposed bucket join (r10): row-identical to the plain
     // (label, band, bits) self-join, but a degenerate bucket's pair
     // emission spreads over lanes² cells instead of one task
@@ -197,7 +197,7 @@ object SimQueries {
       // filters (test/train) — ReuseExchange cannot deduplicate them,
       // so uncheckpointed the 64-dot signature pass runs twice (r9c rule)
       val buckets = sigBuckets(e.select(col("vec_id"), col("embedding"), col("split")), "split")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       // laned test×train bucket join (r10): same rows as the plain
       // (band, bits) join, hot buckets spread over lanes² cells
       val cand = graft.operators.Scale.lanedBucketJoin(
@@ -366,7 +366,7 @@ object SimQueries {
       val b = cosinePairs(s, d)
         .selectExpr("CAST(floor(cos * 20.0) AS INT) AS bucket")
         .groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       // the non-equi grid join MUST carry an explicit broadcast hint: the
       // checkpointed LogicalRDD has no size stats, and without the hint
       // the planner degrades >= joins to CartesianProduct (it did when
@@ -583,7 +583,7 @@ object SimQueries {
         .where(!isnan(col("ccos")))
         .withColumn("crn", row_number().over(wAssign))
         .select(col("vec_id"), col("cid"), col("crn"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val cells = assign.where(col("crn") === 1)
         .select(col("vec_id"), col("cid").as("cell"))
       val qcAll = assign.where(col("vec_id") >= 16 && col("vec_id") < 24 && col("crn") <= 8)
@@ -649,7 +649,7 @@ object SimQueries {
         // two consumers (totals + emission) would re-run the full
         // assignment crossJoin — checkpoint the bounded 16-row frame
         // (the dq_chi2_drift precedent)
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val tot = cellsN.agg(sum("n_vecs").as("total"), count(lit(1)).as("n_cells"))
       cellsN.crossJoin(broadcast(tot))
         .selectExpr("cell", "n_vecs",

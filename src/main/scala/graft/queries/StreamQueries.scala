@@ -57,7 +57,7 @@ object StreamQueries {
     // n+1 consumers read this frame (the bounds agg + n shard writes) —
     // checkpoint or the source scan re-runs per consumer (the r11b
     // count-consumers rule; the dominant landing cost past fixture SF)
-    val df = df0.localCheckpoint(true)
+    val df = df0.transform(graft.operators.Scale.materialize)
     val b = df.agg(min(col(key)).as("mn"), max(col(key)).as("mx")).head
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     val span = mx - mn + 1

@@ -192,7 +192,7 @@ object TemporalQueries {
         .groupBy("midx")
         .agg(count(lit(1)).as("n_orders"),
           sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sc"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       m.join(broadcast(m.selectExpr("midx + 1 AS midx", "sc AS prev_sc")),
           Seq("midx"), "left")
         .join(broadcast(m.selectExpr("midx + 12 AS midx", "sc AS yoy_sc")),
@@ -228,7 +228,7 @@ object TemporalQueries {
       val nd = days.join(nu, Seq("day"), "left")
         .select(col("day"), col("n_events"),
           coalesce(col("new_users"), lit(0L)).as("new_users"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       nd.as("a").join(broadcast(nd.as("g")), col("g.day") <= col("a.day"))
         .groupBy(col("a.day").as("day"))
         .agg(max(col("a.n_events")).as("n_events"),
@@ -256,7 +256,7 @@ object TemporalQueries {
         .groupBy("hi")
         .agg(sum(when(col("event_type") === "view", col("cnt")).otherwise(0L)).as("x"),
           sum(when(col("event_type") === "purchase", col("cnt")).otherwise(0L)).as("y"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       xy.as("a").join(broadcast(xy.as("b")),
           col("b.hi") >= col("a.hi") - 23 && col("b.hi") <= col("a.hi"))
         .groupBy(col("a.hi").as("hi"))
@@ -285,7 +285,7 @@ object TemporalQueries {
     "ts_autocorr" -> ((s, d) => {
       val g = hourlyGrid(s, d).selectExpr("event_type",
         "unix_micros(h) DIV 3600000000 AS hi", "cnt")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val st = g.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
       val gd = g.join(broadcast(st), Seq("event_type"))
@@ -674,7 +674,7 @@ object TemporalQueries {
       val grid = Tables.events(s, d)
         .selectExpr("unix_micros(ts) DIV 86400000000 AS day")
         .groupBy("day").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // two consumers (bounds + filled join): one events scan
+        .transform(graft.operators.Scale.materialize) // two consumers (bounds + filled join): one events scan
       val bounds = grid.agg(min("day").as("mn"), max("day").as("mx"))
       val filled = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
         .join(grid, Seq("day"), "left")
@@ -718,14 +718,14 @@ object TemporalQueries {
       val ev = Tables.events(s, d)
         .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day")
       val cnts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // three consumers (bounds, distinct types, filled join): one events scan
+        .transform(graft.operators.Scale.materialize) // three consumers (bounds, distinct types, filled join): one events scan
       val bounds = cnts.agg(min("day").as("mind"), max("day").as("maxd"))
       val grid = cnts.select("event_type").distinct()
         .crossJoin(broadcast(bounds))
         .select(col("event_type"), explode(sequence(col("mind"), col("maxd"))).as("day"))
       val filled = grid.join(cnts, Seq("event_type", "day"), "left")
         .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val sgn = filled.as("a").join(broadcast(filled.as("b")),
           col("a.event_type") === col("b.event_type") && col("b.day") < col("a.day"))
         .groupBy(col("a.event_type").as("event_type"))
@@ -765,14 +765,14 @@ object TemporalQueries {
       val ev = Tables.events(s, d)
         .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day")
       val cnts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val bounds = cnts.agg(min("day").as("mind"), max("day").as("maxd"))
       val grid = cnts.select("event_type").distinct()
         .crossJoin(broadcast(bounds))
         .select(col("event_type"), explode(sequence(col("mind"), col("maxd"))).as("day"))
       val filled = grid.join(cnts, Seq("event_type", "day"), "left")
         .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       // multiplicity-compressed slope rationals per type
       val pr = filled.as("a").join(broadcast(filled.as("b")),
           col("a.event_type") === col("b.event_type") &&
@@ -781,7 +781,7 @@ object TemporalQueries {
           (col("b.cnt") - col("a.cnt")).as("num"),
           (col("b.day") - col("a.day")).as("den"))
         .agg(count(lit(1)).as("m"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val tot = pr.groupBy("event_type").agg(sum("m").as("p_total"))
       pr.as("p").join(broadcast(pr.as("q")),
           col("p.event_type") === col("q.event_type"))
@@ -819,19 +819,19 @@ object TemporalQueries {
       val ev = Tables.events(s, d)
         .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day")
       val cnts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val bounds = cnts.agg(min("day").as("mind"), max("day").as("maxd"))
       val grid = cnts.select("event_type").distinct()
         .crossJoin(broadcast(bounds))
         .select(col("event_type"), explode(sequence(col("mind"), col("maxd"))).as("day"))
       val filled = grid.join(cnts, Seq("event_type", "day"), "left")
         .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val st = filled.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
       val nc = filled.join(broadcast(st), Seq("event_type"))
         .selectExpr("event_type", "day", "n * cnt - s AS dev")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val den = nc.groupBy("event_type")
         .agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("den"))
       nc.as("a").join(broadcast(nc.as("b")),
@@ -872,10 +872,10 @@ object TemporalQueries {
       val bk = dc.crossJoin(broadcast(bounds))
         .selectExpr("CAST(((day - mn) * 10) DIV (mx - mn + 1) AS INT) AS bucket",
           "day", "cnt")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val m = bk.groupBy("bucket")
         .agg(sum("day").as("sx"), sum("cnt").as("sy"), count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val mp = m.selectExpr("bucket + 1 AS bucket", "sx AS sxp", "sy AS syp", "n AS np")
       val mc = m.selectExpr("bucket - 1 AS bucket", "sx AS sxc", "sy AS syc", "n AS nn")
       val sel = bk.where(col("bucket").between(1, 8))

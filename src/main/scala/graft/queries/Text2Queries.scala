@@ -93,7 +93,7 @@ object Text2Queries {
     // disagree on what the heuristic says.
     "text_langid_eval" -> ((s, d) => {
       val conf = langidPred(s, d).groupBy("lang", "pred_lang")
-        .agg(count(lit(1)).as("n")).localCheckpoint(true)
+        .agg(count(lit(1)).as("n")).transform(graft.operators.Scale.materialize)
       val byLang = conf.groupBy("lang").agg(sum("n").as("n_lang"))
       val byPred = conf.groupBy("pred_lang").agg(sum("n").as("n_pred"))
       conf.join(broadcast(byLang), "lang").join(broadcast(byPred), "pred_lang")
@@ -222,7 +222,7 @@ object Text2Queries {
       val base = Tables.documents(s, d)
         .where(size(tk) >= 3)
         .select(col("doc_id"), col("source"), winnowHs(tk).as("hs"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val docs = base
         .select(col("doc_id"), col("source"), winnowSelect(col("hs")).as("fps"))
       val e = docs.select(col("doc_id"), col("source"),
@@ -520,7 +520,7 @@ object Text2Queries {
       val t = Tables.documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       val sc = t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)   // bounded (|sources| × vocab); 4 consumers
+        .transform(graft.operators.Scale.materialize)   // bounded (|sources| × vocab); 4 consumers
       val cc = sc.groupBy("tok").agg(sum("c").as("cg"))
       val stot = sc.groupBy("source").agg(sum("c").as("ns"))
       val gv = cc.agg(sum("cg").as("ng"), count(lit(1)).as("vv"))
@@ -703,7 +703,7 @@ object Text2Queries {
         .groupBy("bg").agg(count(lit(1)).as("cnt"))
         .withColumn("x", element_at(split(col("bg"), " "), 1))
         .withColumn("y", element_at(split(col("bg"), " "), 2))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val xc = bc.groupBy("x").agg(sum("cnt").as("cx"))
       val yc = bc.groupBy("y").agg(sum("cnt").as("cy"))
       val tot = bc.agg(sum("cnt").as("n_tot"))
@@ -808,13 +808,13 @@ object Text2Queries {
     val hsF = corpus
       .where(size(tk0) >= 3)
       .select(col("doc_id"), tk0.as("tk"), winnowHs(tk0).as("hs"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     val cutsF = hsF.select(col("doc_id"), col("tk"),
       concat(array(lit(1)),
         filter(sequence(lit(1), size(col("hs"))),
           i => element_at(col("hs"), i) % 16 === 0),
         array(size(col("tk")) + 1)).as("cuts"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     cutsF.select(col("doc_id"),
       explode(filter(transform(sequence(lit(1), size(col("cuts")) - 1),
         j => concat_ws(" ", slice(col("tk"), element_at(col("cuts"), j),
@@ -921,9 +921,9 @@ object Text2Queries {
       .groupBy("tok").agg(count(lit(1)).as("cf"))
       .select(expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
         .as("syms"), col("cf"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     val outs = (1 to rounds).map { r =>
-      val pc = bpePairCounts(w).localCheckpoint(true)
+      val pc = bpePairCounts(w).transform(graft.operators.Scale.materialize)
       val top = pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(k)
         .agg(expr("sort_array(collect_list(struct(-cnt AS nc, a AS a, b AS b, cnt AS cnt)))")
           .as("arr"))
@@ -945,7 +945,7 @@ object Text2Queries {
               .otherwise(array(element_at(syms,
                 least(i, size(syms)).cast(IntegerType)))))))
           .drop("wa", "wb")
-          .localCheckpoint(true)
+          .transform(graft.operators.Scale.materialize)
       }
       top
     }
@@ -978,7 +978,7 @@ object Text2Queries {
     val tk = split(col("text"), " ")
     val base = corpus.where(size(tk) >= 3)
       .select(col("doc_id"), col("source"), winnowHs(tk).as("hs"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     val fps = base.select(col("doc_id"), col("source"),
       explode(winnowSelect(col("hs"))).as("fp"))
     val cand = fps.as("a").join(fps.as("b"),
@@ -1098,7 +1098,7 @@ object Text2Queries {
       .select(col("tok"), col("cf"),
         expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
           .as("syms"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     for (_ <- 1 to rounds) {
       val win = bpePairCounts(w).orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).select(col("a").as("wa"), col("b").as("wb"))
@@ -1112,7 +1112,7 @@ object Text2Queries {
             .otherwise(array(element_at(syms,
               least(i, size(syms)).cast(IntegerType)))))))
         .drop("wa", "wb")
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
     }
     w.selectExpr("tok", "cf",
       "CAST(length(tok) AS INT) AS n_chars",

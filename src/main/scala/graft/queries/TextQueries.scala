@@ -186,7 +186,7 @@ object TextQueries {
       val tri = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(trigramsOf(split(col("text"), " "))).as("sh"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Scale.materialize)
       val first = tri.groupBy("sh").agg(min("doc_id").as("fd"))
       val agg = tri.join(first, "sh")
         .groupBy("doc_id")
@@ -453,7 +453,7 @@ object TextQueries {
       // (pairs are the reported metric), while the CC stage rides the
       // star-edge graph — identical components, linear in hot-bucket
       // size (minhashStarEdges scaladoc; r9 verdict ask #1).
-      val buckets = minhashBuckets(docs).localCheckpoint(true)
+      val buckets = minhashBuckets(docs).transform(graft.operators.Scale.materialize)
       val nPairs = minhashPairsOver(buckets)
         .agg(count(lit(1)).as("n_candidate_pairs"))
       val surv = clusterSurvivorsOver(s, d, minhashStarEdgesOver(buckets))
@@ -529,7 +529,7 @@ object TextQueries {
     // across disjoint sets) — left join + zero-fill, not inner.
     "dedup_est_calibration" -> ((s, d) => {
       val sigs = minhashSigs(Tables.documents(s, d))
-      val cand = minhashPairs(s, d).localCheckpoint(true)
+      val cand = minhashPairs(s, d).transform(graft.operators.Scale.materialize)
       val sa = sigs.select(col("doc_id").as("doc_a") +:
         (0 until 32).map(i => col(s"h$i").as(s"a$i")): _*)
       val sb = sigs.select(col("doc_id").as("doc_b") +:
@@ -701,7 +701,7 @@ object TextQueries {
         Tables.documents(s, d).agg(min("doc_id").as("mn"), max("doc_id").as("mx"))))
       .withColumn("is_delta", col("doc_id") > expr(deltaWatermarkExpr))
       .select("doc_id", "source", "band", "bh", "is_delta")
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
 
   /** deltaBuckets plus the doc-grain (doc_id, is_delta) node frame the
     * CC-family consumers need — derived from Tables.documents, NOT from
@@ -716,7 +716,7 @@ object TextQueries {
       .crossJoin(broadcast(bounds))
       .withColumn("is_delta", col("doc_id") > expr(deltaWatermarkExpr))
       .select("doc_id", "is_delta")
-      .localCheckpoint(true)
+      .transform(graft.operators.Scale.materialize)
     (deltaBuckets(s, d), flags)
   }
 
@@ -969,14 +969,14 @@ object TextQueries {
     * configs scored for recall/precision. */
   private def bandSweepOver(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val sigs = minhashSigs(docs).localCheckpoint(true)
+    val sigs = minhashSigs(docs).transform(graft.operators.Scale.materialize)
     val truth = bitmaskJaccardPairs(
         toksOf(docs).select(col("doc_id"), col("source"), col("tok").as("item"))
           .distinct(), threshold = 0.6)
-      .select("doc_a", "doc_b").localCheckpoint(true)
+      .select("doc_a", "doc_b").transform(graft.operators.Scale.materialize)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     Seq((16, 2), (8, 4), (4, 8)).map { case (nb, r) =>
-      val cand = bandCandidates(sigs, nb, r).localCheckpoint(true)
+      val cand = bandCandidates(sigs, nb, r).transform(graft.operators.Scale.materialize)
       val nc = cand.agg(count(lit(1)).as("n_candidates"))
       val nh = cand.join(truth, Seq("doc_a", "doc_b"))
         .agg(count(lit(1)).as("n_hit"))
