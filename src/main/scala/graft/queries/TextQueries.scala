@@ -381,6 +381,31 @@ object TextQueries {
       clusterEmit(cc)
     }),
 
+    // The SEAM-IN-CONTRACT twin (r14): byte-identical clustering logic
+    // to dedup_cluster_cc, executed under graft.materialize=scratch in
+    // a newSession clone — the edge build and EVERY CC propagation
+    // round land as durable scratch parquet and read back (measured
+    // stats, survives executor loss) instead of executor-local
+    // localCheckpoint blocks. This is the r14 materialize seam's
+    // cluster deployment mode running inside the ORACLED contract:
+    // oracle = the SAME full-rescan closure SQL, and CatalogSpec pins
+    // cell-for-cell equality with dedup_cluster_cc — mode equivalence
+    // proven by the driver, not just by ScaleSpec. Confs are
+    // session-scoped (runtime confs don't leak — the
+    // join_bloom_filtered precedent); the scratch base dir follows the
+    // per-(sfDir, pid) ScanQueries.scratch convention, and retention
+    // of superseded round dirs is the documented caller contract.
+    "dedup_cluster_scratch" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("graft.materialize", "scratch")
+      s.conf.set("graft.materialize.dir", ScanQueries.scratch("mat_cluster", d))
+      val pairs = minhashStarEdges(s, d)
+      val cc = graft.operators.Scale.connectedComponents(
+        Tables.documents(s, d).select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      clusterEmit(cc)
+    }),
+
     // The end-to-end near-dup dedup a training pipeline actually runs:
     // cluster (above) -> ONE survivor per cluster, highest shared quality
     // score (ties to the smaller doc_id). The argmax is a min(struct)
@@ -1283,6 +1308,10 @@ object TextQueries {
        "COALESCE(n_neardup_docs, CAST(0 AS BIGINT)) AS n_neardup_docs " +
        "FROM b LEFT JOIN nd ON b.source = nd.source ORDER BY b.source"),
     "dedup_cluster_cc" -> clusterOracleSql,
+    // the SAME closure again: a green row proves the scratch-parquet
+    // materialization mode reproduces the localCheckpoint-mode result
+    // cell-for-cell inside the driver contract (r14 seam-in-contract)
+    "dedup_cluster_scratch" -> clusterOracleSql,
     // the SAME full-rescan closure: a green row proves the incremental
     // contraction path reproduces the full recompute cell-for-cell
     "dedup_cluster_incremental" -> clusterOracleSql,

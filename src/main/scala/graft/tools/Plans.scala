@@ -747,6 +747,16 @@ object Plans {
        "the batch dedup SQL verbatim because a hash's first delivering batch " +
        "holds its globally-smallest doc_id. StreamingSpec pins >= 4 commit-log " +
        "batches plus equality with the single-batch ingest."),
+    "dedup_cluster_scratch" ->
+      ("the materialize seam's cluster mode as a PLAN difference: identical " +
+       "clustering logic to dedup_cluster_cc, but every materialization " +
+       "(edge build + each CC round) is a durable scratch-parquet landing, " +
+       "so the final pass reads FileSourceScan parquet relations (measured " +
+       "size statistics, reliable storage) where dedup_cluster_cc's plan " +
+       "reads ExistingRDD localCheckpoint blocks (estimate-stats, " +
+       "executor-local). Same oracle, CatalogSpec-pinned cell-for-cell " +
+       "equality — the mode changes the plan's storage nodes and nothing " +
+       "else."),
     "text_boilerplate_census" ->
       ("cross-doc boilerplate detection with NO pair joins anywhere: one " +
        "inverted index on the chunk sha-256 (keyed shuffles only — chunk " +

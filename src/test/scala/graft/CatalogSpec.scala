@@ -178,6 +178,18 @@ class CatalogSpec extends SparkSpec {
     assert(rows("dedup_cluster_persisted") === rows("dedup_cluster_incremental"))
   }
 
+  test("dedup_cluster_scratch equals dedup_cluster_cc cell-for-cell (r14 seam mode equivalence)") {
+    // Both oracle against the same full-rescan closure, so this pin
+    // closes the triangle for the materialize seam: scratch-parquet
+    // rounds == localCheckpoint rounds == full rescan. A divergence
+    // here would mean the materialization MODE leaked into results —
+    // the one property the seam must never break.
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = rows("dedup_cluster_scratch")
+    assert(a.nonEmpty && a === rows("dedup_cluster_cc"))
+  }
+
   test("text_lsh_band_sweep: shipped-config identity and banding monotonicity") {
     // r10: the (8,4) row IS the shipped banding — its candidate count
     // must equal text_minhash_lsh's pair set exactly (one signature
