@@ -367,11 +367,14 @@ object SimQueries {
         .selectExpr("CAST(floor(cos * 20.0) AS INT) AS bucket")
         .groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
         .transform(graft.operators.Scale.materialize)
-      // the non-equi grid join MUST carry an explicit broadcast hint: the
-      // checkpointed LogicalRDD has no size stats, and without the hint
-      // the planner degrades >= joins to CartesianProduct (it did when
-      // the round-6f fixture regen changed file sizes — PlanGuardSpec
-      // caught it). The grid is <= 40 rows; broadcast is right at any SF.
+      // the non-equi grid join MUST carry an explicit broadcast hint: a
+      // checkpointed LogicalRDD keeps the PRE-checkpoint size ESTIMATE
+      // (r14 measured fact), and size-only estimation never discounts the
+      // upstream filters/aggregates — so the tiny grid still "looks" like
+      // its multi-MB source and the planner degrades >= joins to
+      // CartesianProduct (it did when the round-6f fixture regen changed
+      // file sizes — PlanGuardSpec caught it). The grid is <= 40 rows;
+      // broadcast is right at any SF.
       b.as("a").join(broadcast(b.as("g")), col("g.bucket") >= col("a.bucket"))
         .groupBy(col("a.bucket").as("bucket"))
         .agg(max(col("a.n_bucket")).as("n_bucket"),

@@ -830,6 +830,12 @@ object Plans {
       // result is still deterministic run-to-run, which is all the
       // clean-diff check needs)
       .replaceAll("(graft_[a-z0-9_]+?)_[0-9a-f]+_\\d+", "$1_H_P")
+      // Scale.materialize scratch-mode landing dirs: mat_<pid>_<seq>
+      // (operators/Scale.scala) — the pid is volatile per JVM, the seq is
+      // allocation-history-dependent (r14 verdict: a raw pid leaked into
+      // dedup_cluster_scratch's scan Locations and broke the double-regen
+      // gate at the final HEAD). Both components normalize.
+      .replaceAll("mat_\\d+_\\d+", "mat_P_N")
       // globalRank's literal offset map (r14): the per-partition counts
       // come from repartitionByRange's SAMPLE, whose seed mixes the RDD
       // id — so the SAME query regenerated in a JVM with a different

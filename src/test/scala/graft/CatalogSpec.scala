@@ -26,6 +26,7 @@ class CatalogSpec extends SparkSpec {
         |Scan ExistingRDD MapPartitionsRDD[42] at localCheckpoint at TextQueries.scala:256
         |Location: InMemoryFileIndex [file:/tmp/graft_zorder_f03e707_20597]
         |Location: InMemoryFileIndex [file:/tmp/graft_int8_cache_0a1b2c3_4242]
+        |Location: InMemoryFileIndex [file:/tmp/graft_labels_9fe01d2_20597/mat_12911_7]
         |Output [2]: [cents#10L, (cast(__lrank#11 as bigint) + element_at(map(keys: [0,1,2,3], values: [0,1848,3697,5635]), __pid#12, None, true)) AS rnk#13L]""".stripMargin
     val n = graft.tools.Plans.normalize(sample)
     assert(!n.contains("#1234") && !n.contains("#56") && !n.contains("#321"),
@@ -36,6 +37,10 @@ class CatalogSpec extends SparkSpec {
     assert(n.contains("graft_zorder_H_P"), "scratch hash+pid suffixes must normalize")
     assert(n.contains("graft_int8_cache_H_P"),
       "a DIGIT-bearing scratch name must still normalize (non-greedy name match)")
+    assert(n.contains("mat_P_N"),
+      "Scale.materialize scratch subdirs (mat_<pid>_<seq>) must normalize " +
+        "(r14 verdict: the raw pid leaked through the base-dir regex and " +
+        "broke PLANS.md byte-idempotency at HEAD)")
     assert(n.contains("element_at(map(keys: [0,1,2,3], values: [V])"),
       "globalRank's sampled offset-map VALUES must normalize (r14: the " +
         "range sampler's seed mixes the RDD id, so offsets drift across " +
@@ -93,6 +98,14 @@ class CatalogSpec extends SparkSpec {
       s"§2.12 header says $declared declared keys; catalog has ${SparkEntry.queries.size}")
     assert(oracled === SparkEntry.oracleSql.size,
       s"§2.12 header says $oracled oracled keys; catalog has ${SparkEntry.oracleSql.size}")
+    // r14 ADVICE: the adjacent "(all N hash-match" parenthetical rotted to
+    // 291 while the bold count moved to 292 — parse and pin it too, so the
+    // prose can never again imply an oracled query is unverified.
+    val p = java.util.regex.Pattern.compile("\\(all (\\d+)\\s+hash-match").matcher(survey)
+    assert(p.find(), "SURVEY §2.12 '(all N hash-match' parenthetical not found")
+    assert(p.group(1).toInt === SparkEntry.oracleSql.size,
+      s"§2.12 parenthetical says all ${p.group(1)} hash-match; catalog has " +
+        s"${SparkEntry.oracleSql.size} oracled keys")
   }
 
   test("entry (flagship) returns rows") {
