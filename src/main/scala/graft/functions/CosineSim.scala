@@ -73,9 +73,22 @@ case class CosineSim(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Imperative registration for an existing session. */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_prod", exprs => DotProd(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq_dist", exprs => SqDist(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "phash_bits", exprs => PhashBits(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tri_moments", exprs => TriMoments(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitand_count", exprs => BitAndCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", exprs => Simhash60(exprs(0)), "built-in")
+  }
 }
 
 /** SparkSessionExtensions hook:
@@ -87,6 +100,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[CosineSim].getName, null, "cosine_sim",
         "_FUNC_(a, b) - cosine similarity of two float vectors.", ""),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_prod"),
+      new ExpressionInfo(classOf[DotProd].getName, null, "dot_prod",
+        "_FUNC_(a, b) - dot product of two float/double vectors.", ""),
+      (exprs: Seq[Expression]) => DotProd(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SqDist].getName, null, "sq_dist",
+        "_FUNC_(a, b) - squared L2 distance of two float/double vectors.", ""),
+      (exprs: Seq[Expression]) => SqDist(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.CollapseNestedUpper)
   }
 }

@@ -1,0 +1,249 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native fused-loop vector ops (r15 optimization round) — the codegen
+  * siblings of the interpreted HOF folds in Qutil/KmeansQueries:
+  *
+  *   dot_prod(a, b) == aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)
+  *   sq_dist(a, b)  == aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0d, +)
+  *
+  * Each accumulator adds its terms in the same index-ascending order as
+  * the HOF left fold, so every IEEE intermediate is bit-identical and a
+  * swap at any call site changes NO golden, oracle hash, or emitted
+  * value (ExpressionSpec pins this with doubleToLongBits, the CosineSim
+  * precedent). The point of the swap is §4 of the optimization guide:
+  * HOF lambdas are CodegenFallback — interpreted, boxed, no whole-stage
+  * codegen — and the per-PAIR fold is the hot inner loop of every
+  * pair-generating dedup/similarity query; the native loop runs inside
+  * whole-stage codegen at ~50× less per-element cost.
+  *
+  * Unlike CosineSim (float-only inputs), these accept float OR double
+  * arrays on either side independently — call sites mix float corpus
+  * vectors with double literal centroids/planes — reading each element
+  * as double exactly as the HOF's `.cast(DoubleType)` does. A NULL
+  * element poisons the whole fold to NULL (zip_with/aggregate
+  * semantics); a NULL array yields NULL (null-intolerant expression).
+  * Length semantics mirror zip_with-with-equal-lengths; the catalog
+  * only ever folds equal-length vectors, and like CosineSim the loop
+  * runs over min(len_a, len_b). */
+abstract class VecFold extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def okElem(t: DataType): Boolean =
+    t == FloatType || t == DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _)) if okElem(a) && okElem(b) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two arrays of float/double, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Java source for one term of the fold, given element accessors. */
+  protected def termJava(x: String, y: String): String
+  /** Scala evaluation of one term. */
+  protected def termEval(x: Double, y: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += termEval(xi, yi)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val bad = ctx.freshName("hasNull")
+      val getX = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+      val getY = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  double $xi = $getX;
+         |  double $yi = $getY;
+         |  $acc += ${termJava(xi, yi)};
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+}
+
+/** Σ a[i]·b[i], index-ascending — the Qutil.dotD fold, fused. */
+case class DotProd(left: Expression, right: Expression) extends VecFold {
+  override def prettyName: String = "dot_prod"
+  override protected def termJava(x: String, y: String): String = s"$x * $y"
+  override protected def termEval(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ (a[i]−b[i])², index-ascending — the KmeansQueries.sqDistD fold,
+  * fused. The HOF spells the term (x−y)*(x−y); one subtraction then a
+  * square is the identical IEEE value. */
+case class SqDist(left: Expression, right: Expression) extends VecFold {
+  override def prettyName: String = "sq_dist"
+  override protected def termJava(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
+  override protected def termEval(x: Double, y: Double): Double =
+    (x - y) * (x - y)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ bit_count(a[i] & b[i]) over two bigint mask arrays, index-ascending
+  * — the native twin of bitmaskJaccardPairs' interpreted intersection
+  * fold (r15). Pure integer arithmetic: exact equality with the HOF by
+  * construction; ExpressionSpec pins it anyway. NULL element → NULL
+  * (zip_with/aggregate semantics), though the catalog's masks are
+  * coalesce-filled and never null. */
+case class BitAndCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitand_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two arrays of bigint, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val bad = ctx.freshName("hasNull")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitAndCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Packed 60-bit SimHash signature from a token-hash array (r15) — the
+  * native twin of text_simhash's two interpreted stages: the
+  * bit-vote fold (aggregate over the hash array, 60-long accumulator
+  * re-allocated per token by zip_with) and the 60 extract-only
+  * element_at(votes, j) threshold sites, which CollapseProject inlines
+  * (the r12 extract-reference rule) so the WHOLE fold re-evaluated per
+  * bit. Pure integer arithmetic — identical signature by construction:
+  * vote[j] = Σ_h (bit j of h ? +1 : −1), sig bit j set iff vote[j] > 0.
+  * NULL array → NULL (the fixtures carry no null text; the old spelling
+  * degraded a null doc to signature 0 through when/otherwise — no such
+  * row exists, pinned by the unchanged goldens). */
+case class Simhash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash60"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint>, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    java.lang.Long.valueOf(Simhash60.kernel(
+      a.asInstanceOf[ArrayData].toLongArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = Simhash60.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.kernel($a.toLongArray());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash60 =
+    copy(child = newChild)
+}
+
+object Simhash60 {
+  def kernel(hs: Array[Long]): Long = {
+    val votes = new Array[Long](60)
+    var t = 0
+    while (t < hs.length) {
+      val h = hs(t)
+      var j = 0
+      while (j < 60) {
+        votes(j) += (if ((h & (1L << j)) != 0L) 1L else -1L)
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0L) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}

@@ -146,18 +146,64 @@ object Scale {
     * this helper is for the RE-CHECKED generators whose per-edge
     * predicate breaks star transitivity).
     *
+    * r15 (optimization round; guide §2.5 "special-case the hot keys"):
+    * laning is now THRESHOLDED — only buckets where EITHER side holds
+    * >= `hotMin` residents decompose; everything else joins in the
+    * single lane cell (0, 0) with NO replication. The r11 adjudication
+    * measured the uniform-lane premium at ~4 s on the band sweep
+    * (every bucket row replicated `lanes`-fold, both sides, purely for
+    * the <0.1% of buckets that could ever be hot); at 100 TB that is a
+    * `lanes`× shuffle-byte tax on the pair-generation exchange. The
+    * output is row-identical for ANY lane assignment (a pair still
+    * meets in exactly one cell per shared bucket — cold pairs in
+    * (0, 0), hot pairs in (lane(x), lane(y)) — so multiplicities are
+    * unchanged, not just the distinct set), which makes the threshold
+    * a pure efficiency knob: correctness never depends on it. A
+    * sub-hotMin bucket emits at most hotMin² pairs from one cell —
+    * bounded per-bucket work, no decomposition needed. The hot set is
+    * found by one per-side bucket-size aggregate (map-side partial,
+    * bounded output) and enters both sides as an explicit BROADCAST:
+    * the number of >= hotMin buckets is tiny by construction at any
+    * scale, and the flag join must not shuffle the bucket frames.
+    * PropertySpec pins the planted 200-doc hot bucket (> hotMin)
+    * still spreading over lanes² cells with unchanged pair mass.
+    *
     * Returns the join with sides aliased "x" and "y" (callers add
     * their own `x.id < y.id` / emission select); the lane columns are
     * internal ("__lx"/"__ly" carry the cell id). */
   def lanedBucketJoin(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftId: String, rightId: String,
-      lanes: Int = 8): DataFrame = {
-    val l = left
-      .withColumn("__lx", laneCol(col(leftId), lanes))
-      .withColumn("__ly", explode(array((0 until lanes).map(lit): _*)))
-    val r = right
-      .withColumn("__lx", explode(array((0 until lanes).map(lit): _*)))
-      .withColumn("__ly", laneCol(col(rightId), lanes))
+      lanes: Int = 8, hotMin: Int = 65): DataFrame = {
+    val kcols = keys.map(col)
+    // per-side bucket sizes; for a self-join (same DataFrame object both
+    // sides) one aggregate serves both. FULL outer: a bucket huge on one
+    // side only still needs lanes (its rows melt one reducer even when
+    // the join emits nothing for them).
+    val lsz = left.groupBy(kcols: _*).agg(count(lit(1)).as("__ln"))
+    val hot =
+      if (left eq right)
+        lsz.where(col("__ln") >= hotMin).select(kcols: _*).withColumn("__hot", lit(1))
+      else {
+        val rsz = right.groupBy(kcols: _*).agg(count(lit(1)).as("__rn"))
+        lsz.join(rsz, keys, "full_outer")
+          .where(coalesce(col("__ln"), lit(0L)) >= hotMin ||
+            coalesce(col("__rn"), lit(0L)) >= hotMin)
+          .select(kcols: _*).withColumn("__hot", lit(1))
+      }
+    val lanesArr = array((0 until lanes).map(lit): _*)
+    val one = array(lit(0))
+    val l = left.join(broadcast(hot), keys, "left")
+      .withColumn("__lx",
+        when(col("__hot").isNotNull, laneCol(col(leftId), lanes)).otherwise(lit(0)))
+      .withColumn("__ly",
+        explode(when(col("__hot").isNotNull, lanesArr).otherwise(one)))
+      .drop("__hot")
+    val r = right.join(broadcast(hot), keys, "left")
+      .withColumn("__lx",
+        explode(when(col("__hot").isNotNull, lanesArr).otherwise(one)))
+      .withColumn("__ly",
+        when(col("__hot").isNotNull, laneCol(col(rightId), lanes)).otherwise(lit(0)))
+      .drop("__hot")
     l.as("x").join(r.as("y"),
       keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
         col("x.__lx") === col("y.__lx") && col("x.__ly") === col("y.__ly"))

@@ -39,9 +39,11 @@ object KmeansQueries {
   /** Squared L2 distance, double-accumulated left fold — the (a-b)^2
     * sibling of Qutil.dotD, mirrored by sqDistSql below. */
   private def sqDistD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-      lit(0.0), (acc, v) => acc + v)
+    // r15: the native fused SqDist loop (graft.functions) — BIT-identical
+    // to the old zip_with/aggregate left fold (ExpressionSpec pins it),
+    // but whole-stage-codegen'd instead of interpreted CodegenFallback.
+    // Callers with a DataFrame in hand must registerAll first.
+    call_function("sq_dist", a, b)
 
   /** DuckDB mirror of sqDistD ($a indexes a float list, $c a double list). */
   private def sqDistSql(a: String, c: String): String = sqDistSqlN(dims, a, c)
@@ -54,6 +56,7 @@ object KmeansQueries {
     * nearest centroid (first minimum -> smallest cluster id on ties, the
     * same tie-break as the oracle's ORDER BY d2, cluster). */
   private def assign(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(e.sparkSession)
     val cl = typedlit(cents.map(_._2))
     val cid = typedlit(cents.map(_._1))
     val d2s = transform(cl, c => sqDistD(col("embedding"), c))
@@ -140,6 +143,7 @@ object KmeansQueries {
     // cluster. Assignment reuses the shared finalCentroids/assign —
     // bit-identical cross-engine, so the pair SET is fully oracled.
     "dedup_embed_kmeans" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val cents = finalCentroids(s, d)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
@@ -153,7 +157,7 @@ object KmeansQueries {
       a.hint("merge").join(b,
           col("cluster") === col("b_cluster") && col("sa") === col("sb") &&
             col("a_id") < col("b_id"))
-        .withColumn("cos", dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+        .withColumn("cos", call_function("cosine_sim", col("a_emb"), col("b_emb")))
         .where(col("cos") >= 0.35)
         .select(col("cluster"), col("a_id").as("vec_a"), col("b_id").as("vec_b"),
           r6(col("cos")).as("cosine"))
@@ -165,6 +169,7 @@ object KmeansQueries {
     // the WindowGroupLimit top-k shape — no driver work at all here; the
     // 10-row centroid side broadcasts).
     "embed_outlier_dist" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d)
       val cent = e
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -272,6 +277,7 @@ object KmeansQueries {
     // identical) ADC value, display r6 after selection (the
     // sim_search_topk convention).
     "sim_search_pq" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val cents = pqCodebooks(s, d)
       val e = Tables.embeddings(s, d)
       val qv = e.where(col("vec_id") === 0).select("embedding").head()
@@ -341,6 +347,7 @@ object KmeansQueries {
     // preserved and KmeansSpec pins the top-10 inside the exact
     // RAW-space top quartile.
     "sim_search_opq" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val rot = learnedRot(s, d)
       val sv = rotSubvecs(rot)
       val cents = pqCodebooksFrom(sv)
@@ -385,6 +392,7 @@ object KmeansQueries {
     // left-fold distance), two TakeOrderedAndProject stages, query
     // enters as a broadcast scalar row — no driver literals needed.
     "sim_search_mrl" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.where(col("vec_id") =!= 0)
@@ -411,6 +419,7 @@ object KmeansQueries {
     // (the sim_search_mrl two-stage shape: two TakeOrderedAndProject
     // stages, broadcast scalar query row).
     "sim_search_hamming" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val masks32 = array((0 until 32).map(j => lit(1L << j)): _*)
       def sigHalf(off: Int): Column =
         aggregate(
@@ -446,6 +455,7 @@ object KmeansQueries {
     // scan. Cell routing + in-row codes are all map work against
     // broadcast literals; top-10 via TakeOrderedAndProject.
     "sim_search_ivfpq" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val coarse = e.where(col("vec_id") < ivfCells).orderBy("vec_id").collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
@@ -473,6 +483,7 @@ object KmeansQueries {
     // Fully exact: every ranking ties (d, vec_id) and only the hit
     // COUNT carries to the emission (the sim_recall_eval argument).
     "sim_mrl_sweep" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
       val dists = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
@@ -513,6 +524,7 @@ object KmeansQueries {
     // NOT isnan guard (the cosinePairs rule). ONE corpus scan: totals
     // derive from the bounded bucket frame, never a second pass.
     "embed_isotropy" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d)
       val cent = e
         .select(posexplode(col("embedding")).as(Seq("p0", "x")))
@@ -524,7 +536,9 @@ object KmeansQueries {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           p => p.getField("v")).as("cent"))
       val scored = e.crossJoin(broadcast(cent))
-        .select(cosineD(col("embedding"), col("cent")).as("cos"),
+        .select((call_function("dot_prod", col("embedding"), col("cent")) /
+          (sqrt(call_function("dot_prod", col("embedding"), col("embedding"))) *
+            sqrt(call_function("dot_prod", col("cent"), col("cent"))))).as("cos"),
           normD(col("embedding")).as("nrm"))
         .where(!isnan(col("cos")))
         .select(floor(col("cos") * 1000000.0 + 0.5).as("qc"),
@@ -651,17 +665,16 @@ object KmeansQueries {
     * of the decimal aggregate saved only ~0.4 s, so the exact
     * DECIMAL(38,0) headroom stays.) */
   private def microAll(e: DataFrame): DataFrame = {
+    // r15: the 64 linear + 2080 upper-triangle product structs per row
+    // come from the native tri_moments kernel (graft.functions.TriMoments
+    // — identical (i, j, p) integer tuples, ExpressionSpec-pinned) instead
+    // of nested interpreted transforms; the explode + keyed decimal sums
+    // downstream are unchanged.
+    graft.functions.GraftFunctions.registerAll(e.sparkSession)
     val qs = transform(col("embedding"),
       x => floor(x.cast(DoubleType) * 1000000.0 + 0.5).cast("long"))
     e.select(qs.as("qs"))
-      .select(explode(concat(
-        transform(sequence(lit(1), lit(dims)), i =>
-          struct(i.as("i"), lit(0).as("j"), element_at(col("qs"), i).as("p"))),
-        flatten(transform(sequence(lit(1), lit(dims)), i =>
-          transform(sequence(i, lit(dims)), j =>
-            struct(i.as("i"), j.as("j"),
-              (element_at(col("qs"), i) * element_at(col("qs"), j)).as("p")))))))
-        .as("t"))
+      .select(explode(call_function("tri_moments", col("qs"))).as("t"))
       .groupBy(col("t.i").as("dim_i"), col("t.j").as("dim_j"))
       .agg(sum(col("t.p").cast(DecimalType(38, 0))).as("sij"),
         count(lit(1)).as("n"))
@@ -798,6 +811,7 @@ object KmeansQueries {
     * oracle's ORDER BY d2, cluster. */
   private def pqAssign(sv: DataFrame,
       cents: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(sv.sparkSession)
     val cl = typedlit(cents.map(_.map(_._2)))
     val cid = typedlit(cents.map(_.map(_._1)))
     val d2s = transform(element_at(cl, col("sub") + 1),
@@ -899,6 +913,7 @@ object KmeansQueries {
     * (double - double), identical on both engines. */
   private def rqAssignResidual(df: DataFrame, cents: Seq[(Int, Seq[Double])],
       codeName: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val cl = typedlit(cents.map(_._2))
     val cid = typedlit(cents.map(_._1))
     val d2s = transform(cl, c => sqDistD(col("sv"), c))

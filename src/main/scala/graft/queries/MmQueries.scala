@@ -260,6 +260,17 @@ object MmQueries {
     // laned (re-checked pair generator — the catalog's hot-bucket
     // standard).
     "mm_near_dup_phash" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      // r15: the four-stage interpreted DCT chain (row pass, column pass,
+      // AC sum, threshold bits — each localCheckpoint'd purely to stop
+      // CollapseProject re-inlining the previous array into every
+      // element_at site, the r6c/r12 lessons) is now ONE native fused
+      // expression, graft.functions.PhashBits: identical integer
+      // recurrence (exact equality by construction — all-Long arithmetic;
+      // ExpressionSpec pins it against an inline HOF replay), whole-stage
+      // codegen, zero intermediate checkpoints. The fingerprint frame
+      // still checkpoints ONCE (it feeds the band explode AND both
+      // re-check sides).
       val fp = Tables.documents(s, d)
         .selectExpr("doc_id",
           "CAST((doc_id % 8) * 8 AS INT) AS p",
@@ -269,32 +280,7 @@ object MmQueries {
           "transform(sequence(0, 63), k -> CASE WHEN k = p " +
             "THEN CAST(conv(substring(hx0, k*2 + 1, 2), 16, 10) AS INT) ^ 1 " +
             "ELSE CAST(conv(substring(hx0, k*2 + 1, 2), 16, 10) AS INT) END) AS bt")
-        .transform(graft.operators.Scale.materialize)
-        // the coefficient table enters ONCE as a column attribute, and
-        // each DCT pass CHECKPOINTS before the next references it: HOF
-        // lambdas are interpreted (no codegen, no subexpression
-        // elimination), so after CollapseProject every element_at(md, _)
-        // site would re-evaluate the ENTIRE 512-op md array — the r6c
-        // fold-column rule compounded quadratically per stage (measured
-        // r12: minutes/row-batch inlined vs milliseconds materialized)
-        .selectExpr("doc_id", "bt", s"$dctSpark AS tl")
-        // row pass: md[u*8+y] = Σ_x T[u][x]·P[x][y] (the i DIV 8 index
-        // is BIGINT — element_at needs the INT cast, the r6e rule)
-        .selectExpr("doc_id", "tl",
-          "transform(sequence(0, 63), i -> aggregate(sequence(0, 7), 0L, " +
-            "(a, x) -> a + element_at(tl, CAST((i DIV 8) * 8 + x + 1 AS INT)) " +
-            "* element_at(bt, x * 8 + (i % 8) + 1))) AS md")
-        .transform(graft.operators.Scale.materialize)
-        // column pass: C[u*8+v] = Σ_y md[u*8+y]·T[v][y]
-        .selectExpr("doc_id",
-          "transform(sequence(0, 63), j -> aggregate(sequence(0, 7), 0L, " +
-            "(a, y) -> a + element_at(md, CAST((j DIV 8) * 8 + y + 1 AS INT)) " +
-            "* element_at(tl, (j % 8) * 8 + y + 1))) AS dct")
-        .transform(graft.operators.Scale.materialize)
-        .selectExpr("doc_id", "dct",
-          "aggregate(slice(dct, 2, 63), 0L, (a, x) -> a + x) AS sac")
-        .selectExpr("doc_id",
-          "transform(dct, c -> CASE WHEN 63 * c > sac THEN 1 ELSE 0 END) AS bits")
+        .selectExpr("doc_id", s"phash_bits(bt, $dctSpark) AS bits")
         .transform(graft.operators.Scale.materialize)
       val w16 = (0 until 16).map(i => 1 << i).mkString("array(", ", ", ")")
       val bands = fp.selectExpr("doc_id",

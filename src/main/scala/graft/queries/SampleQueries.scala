@@ -123,7 +123,13 @@ object SampleQueries {
     * unreachable on the fixtures). */
   private[graft] def decontShingledOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tk = split(col("text"), " ")
+    // r15: tk must be an ALIASED column, not the raw split() expression —
+    // a lambda body that captures the raw expression re-evaluates the
+    // split per element (one split per shingle position; ~60×/doc),
+    // while an attribute reference reads the materialized array value.
+    // Multi-use non-extract references keep CollapseProject from
+    // re-inlining the alias (the sigBuckets boundary rule).
+    val tk = col("__tk")
     // shingles ride with their 1-based start position (r9c: the
     // scrubber needs WHERE a leak sits, not just that one exists; the
     // census/list consumers simply drop the column).
@@ -139,6 +145,8 @@ object SampleQueries {
       i => struct(i.as("pos"), concat_ws(" ", slice(tk, i, lit(5))).as("sh")))
     docs
       .withColumn("split", splitCol(col("doc_id")))
+      .select(col("doc_id"), col("source"), col("split"),
+        split(col("text"), " ").as("__tk"))
       .select(col("doc_id"), col("source"), col("split"), explode(sh5).as("u"))
       .select(col("doc_id"), col("source"), col("split"),
         col("u.pos").as("pos"), col("u.sh").as("sh"))

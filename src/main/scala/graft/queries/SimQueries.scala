@@ -31,12 +31,13 @@ object SimQueries {
     * connected-components clustering. */
   private[graft] def cosinePairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         normD(col("embedding")).as("nrm"))
     labelPairs(e)
       .withColumn("cos",
-        dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+        call_function("cosine_sim", col("a_emb"), col("b_emb")))
       .where(col("cos") >= 0.35)
   }
 
@@ -98,7 +99,7 @@ object SimQueries {
     // from a 64-entry literal table instead (exact longs, 1-based index)
     val pow2 = typedlit((0 until embedBands * embedRows).map(k => 1L << k))
     aggregate(
-      zip_with(transform(planes, p => dotD(v, p)),
+      zip_with(transform(planes, p => call_function("dot_prod", v, p)),
         sequence(lit(0), lit(embedBands * embedRows - 1)),
         (d, k) => when(d > 0.0, element_at(pow2, k.cast("int") + 1)).otherwise(0L)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
@@ -114,6 +115,7 @@ object SimQueries {
     * the boundary and the 64-dot pass runs once per row. */
   private def sigBuckets(e: org.apache.spark.sql.DataFrame,
       key: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.registerAll(e.sparkSession)
     val bandCols = (0 until embedBands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * embedRows)
@@ -137,6 +139,7 @@ object SimQueries {
     * mirrors the banding exactly, so correctness is deterministic). */
   private[graft] def embedBandPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         normD(col("embedding")).as("nrm"))
@@ -166,7 +169,7 @@ object SimQueries {
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
         col("nrm").as("b_nrm")), "b_id")
       .withColumn("cos",
-        dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+        call_function("cosine_sim", col("a_emb"), col("b_emb")))
       .where(col("cos") >= 0.35)
   }
 
@@ -189,6 +192,7 @@ object SimQueries {
     // then two id-keyed join-backs; banding recall bounds are pinned
     // in SimSpec against a brute-force reference.
     "dq_embed_contamination" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           normD(col("embedding")).as("nrm"),
@@ -212,7 +216,7 @@ object SimQueries {
         .join(e.select(col("vec_id").as("tr_id"), col("embedding").as("tr_emb"),
           col("nrm").as("tr_nrm")), "tr_id")
         .withColumn("cos",
-          dotD(col("t_emb"), col("tr_emb")) / (col("t_nrm") * col("tr_nrm")))
+          call_function("cosine_sim", col("t_emb"), col("tr_emb")))
         .where(col("cos") >= 0.35)
         .groupBy("t_id")
         .agg(count(lit(1)).as("n_train_matches"),
@@ -325,11 +329,11 @@ object SimQueries {
     // key never funnels all pairs through 10 window reducers. Tie-break
     // (cos desc, vec_a, vec_b) is encoded as min((-cos, vec_a, vec_b)).
     "sim_join_label" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         col("embedding"), normD(col("embedding")).as("nrm"))
       labelPairs(e)
-        .withColumn("cos", dotD(col("a_emb"), col("b_emb")) /
-          (col("a_nrm") * col("b_nrm")))
+        .withColumn("cos", call_function("cosine_sim", col("a_emb"), col("b_emb")))
         // a zero-norm embedding yields cos = NaN; NaN sorts LARGEST in
         // Spark but the min(-cos) encoding would invert that relative to
         // the oracle's ORDER BY cos DESC — drop NaN pairs explicitly so
@@ -456,10 +460,11 @@ object SimQueries {
     // whole pipeline is IEEE-portable, so unlike round 1 the result is
     // oracle-checked (lshOracleSql) on top of SimSpec's recall bound.
     "sim_search_lsh" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       def sig(v: org.apache.spark.sql.Column) =
         (0 until 16).map { k =>
           val plane = array(planeInts(k).map(i => lit(i / 1000.0)): _*)
-          when(dotD(v, plane) > 0.0, lit(1 << k)).otherwise(0)
+          when(call_function("dot_prod", v, plane) > 0.0, lit(1 << k)).otherwise(0)
         }.reduce(_ + _)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), sig(col("embedding")).as("sg"))
@@ -468,7 +473,7 @@ object SimQueries {
       e.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .where(bit_count(col("sg").bitwiseXOR(col("qsg"))) <= 5)
-        .withColumn("cos", cosineD(col("embedding"), col("qv")))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), r6(col("cos")).as("cosine"))
@@ -484,6 +489,7 @@ object SimQueries {
     // just scale the join — and only candidates pay the exact cosine.
     // Top-3 per query via the WindowGroupLimit row_number shape.
     "sim_search_lsh_batch" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), packedSig(col("embedding")).as("sg"))
       val bands = e.select(col("vec_id"), explode(array((0 until embedBands).map(b =>
@@ -501,7 +507,7 @@ object SimQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       cand.join(qe, "qid").join(ce, "vec_id")
-        .withColumn("cos", cosineD(col("embedding"), col("qv")))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
         .where(!isnan(col("cos")))
         .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
         .select(col("qid"), col("rn").cast(IntegerType).as("rank"),
@@ -521,13 +527,14 @@ object SimQueries {
     // linear, the eval-set shape), the ANN side touches nprobe cells;
     // both rank under a per-probe window, never a global one.
     "sim_recall_eval" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
       val cents = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
       val assign = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .withColumn("ccos", call_function("cosine_sim", col("embedding"), col("cemb")))
         .where(!isnan(col("ccos")))
         .withColumn("crn", row_number().over(wAssign))
       val cells = assign.where(col("crn") === 1)
@@ -539,7 +546,7 @@ object SimQueries {
       val wQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       def top10(cand: org.apache.spark.sql.DataFrame) = cand
         .join(broadcast(probes), "qid")
-        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
         .where(!isnan(col("cos")))
         .withColumn("rn", row_number().over(wQ))
         .where(col("rn") <= 10)
@@ -571,6 +578,7 @@ object SimQueries {
     // (np-independent). Recall is monotone in np by construction
     // (probed cells are nested) — SimSpec pins it.
     "sim_probe_sweep" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       import s.implicits._
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
@@ -582,7 +590,7 @@ object SimQueries {
       // join + window twice) — checkpoint the narrow (vec_id, cid, crn)
       // projection once and derive both consumers from it.
       val assign = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .withColumn("ccos", call_function("cosine_sim", col("embedding"), col("cemb")))
         .where(!isnan(col("ccos")))
         .withColumn("crn", row_number().over(wAssign))
         .select(col("vec_id"), col("cid"), col("crn"))
@@ -601,7 +609,7 @@ object SimQueries {
         .where(col("vec_id") =!= col("qid"))
         .join(e, "vec_id")
         .join(broadcast(probes), "qid")
-        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
         .where(!isnan(col("cos")))
         .withColumn("rn", row_number().over(wNp))
         .where(col("rn") <= 10)
@@ -609,7 +617,7 @@ object SimQueries {
       val wQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       val exactTop = e.crossJoin(broadcast(probes))
         .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
         .where(!isnan(col("cos")))
         .withColumn("rn", row_number().over(wQ))
         .where(col("rn") <= 10)
@@ -637,13 +645,14 @@ object SimQueries {
     // cell is a hot shard, and this table is what triggers re-training
     // or cell splitting. Totals enter via one broadcast scalar row.
     "embed_ivf_stats" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
       val cents = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
       val cellsN = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .withColumn("ccos", call_function("cosine_sim", col("embedding"), col("cemb")))
         .where(!isnan(col("ccos")))
         .withColumn("crn", row_number().over(wAssign))
         .where(col("crn") === 1)
@@ -662,13 +671,14 @@ object SimQueries {
     }),
 
     "sim_search_ivf" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
       val cents = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
       val assign = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .withColumn("ccos", call_function("cosine_sim", col("embedding"), col("cemb")))
         .withColumn("crn", row_number().over(wAssign))
       val cells = assign.where(col("crn") === 1)
         .select(col("vec_id"), col("cid").as("cell"), col("embedding"), col("nrm"))
@@ -679,7 +689,7 @@ object SimQueries {
       cells.join(broadcast(qcells), "cell")
         .where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), r6(col("cos")).as("cosine"))
@@ -689,6 +699,7 @@ object SimQueries {
     // 5-NN majority-label classification for the first 20 vectors
     // (leave-one-out; ties broken toward the smaller label).
     "sim_knn_classify" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d)
       // norms precomputed once per vector — the pairwise stage then does
       // one dot product per pair instead of three
@@ -700,7 +711,7 @@ object SimQueries {
       e.select(col("vec_id").as("cid"), col("label"), col("embedding"),
           normD(col("embedding")).as("nrm"))
         .join(broadcast(q), col("cid") =!= col("qid"))
-        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
         .withColumn("rn", row_number().over(wNn))
         .where(col("rn") <= 5)
         .groupBy("qid", "true_label", "label")
@@ -809,6 +820,7 @@ object SimQueries {
     // the ranking needs no tolerance; NaN (zero-norm) drops via the
     // cosinePairs isnan rule.
     "sim_hard_negatives" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d)
       val q = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("label").as("q_label"),
@@ -817,7 +829,7 @@ object SimQueries {
       e.select(col("vec_id").as("cid"), col("label"), col("embedding"),
           normD(col("embedding")).as("nrm"))
         .join(broadcast(q), col("label") =!= col("q_label"))
-        .withColumn("cos", dotD(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+        .withColumn("cos", call_function("cosine_sim", col("embedding"), col("qv")))
         .where(!isnan(col("cos")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)

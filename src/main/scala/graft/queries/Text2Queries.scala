@@ -54,7 +54,11 @@ object Text2Queries {
     * component columns + composite; all from exact integer ratios. */
   private[graft] def qualityCols(textCol: org.apache.spark.sql.Column) = {
     val tk = split(textCol, " ")
-    val stopArr = array(stopwords.map(lit): _*)
+    // r15: typedlit = ONE Literal node returning the same ArrayData every
+    // eval; the old array(lit...) CreateArray sat inside the filter
+    // lambda body and re-allocated the 40-entry array per TOKEN (the r12
+    // literal-array lesson)
+    val stopArr = typedlit(stopwords)
     val nTok = size(tk)
     val nUniq = size(array_distinct(tk))
     val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast(LongType))
@@ -149,7 +153,7 @@ object Text2Queries {
     "text_quality_gate" -> ((s, d) => {
       val tk = split(col("text"), " ")
       val dt = array_distinct(tk)
-      val stopArr = array(stopwords.map(lit): _*)
+      val stopArr = typedlit(stopwords)  // one Literal — see qualityCols (r15)
       val scores = markers.map { case (l, ws) =>
         (l, size(array_intersect(dt, array(ws.map(lit): _*)))) }
       val mx = greatest(scores.map(_._2): _*)
@@ -377,21 +381,18 @@ object Text2Queries {
     // fully oracle-checked (round 1 used xxhash64 — no DuckDB equivalent —
     // and had only structural locality tests).
     "text_simhash" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val hs = transform(array_distinct(split(col("text"), " ")),
         t => hash60(t))
-      // Single pass over the token hashes: the accumulator is the array of
-      // 60 signed bit-votes, merged per token with zip_with against literal
-      // bit masks (vs 60 separate aggregate passes — ~8× less work/doc).
-      val masks = array((0 until 60).map(j => lit(1L << j)): _*)
-      val votes = aggregate(hs,
-        array_repeat(lit(0L), 60),
-        (acc, h) => zip_with(acc, masks,
-          (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
-      val bits = (0 until 60).map(j =>
-        when(element_at(col("votes"), j + 1) > 0, lit(1L << j)).otherwise(0L))
+      // r15: the bit-vote fold + 60 extract-only threshold sites (which
+      // CollapseProject inlined, re-running the interpreted fold per bit
+      // — the r12 extract-reference rule) are now ONE native fused
+      // kernel, graft.functions.Simhash60: identical integer votes and
+      // packing (ExpressionSpec pins it against the HOF spelling),
+      // whole-stage codegen, one pass per doc.
       val sim = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), votes.as("votes"))
-        .select(col("doc_id"), col("source"), bits.reduce(_ + _).as("simhash"))
+        .select(col("doc_id"), col("source"),
+          call_function("simhash60", hs).as("simhash"))
       val bands = sim.select(col("doc_id"), col("source"), col("simhash"),
         explode(array((0 until 4).map(k => struct(lit(k).as("k"),
           shiftright(col("simhash"), k * 15).bitwiseAND(lit(0x7FFFL)).as("bv"))): _*)).as("b"))
@@ -608,8 +609,11 @@ object Text2Queries {
     // are exact integer ratios: round 6 holds bit-identical.
     "text_repetition" -> ((s, d) => {
       val tk = split(col("text"), " ")
+      // r15: two consumers (bigram + trigram histograms) re-ran the
+      // split + shingle HOFs per consumer — materialize once
       val base = Tables.documents(s, d)
         .select(col("doc_id"), bigramsOf(tk).as("bg"), trigramsOf(tk).as("tri"))
+        .transform(graft.operators.Scale.materialize)
       val bgc = base.select(col("doc_id"), explode(col("bg")).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")

@@ -46,6 +46,7 @@ object TextQueries {
     * source key spreads over `salts` reducers instead of 20. */
   private def bitmaskJaccardPairs(items: org.apache.spark.sql.DataFrame,
       threshold: Double, salts: Int = 8): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.registerAll(items.sparkSession)
     // dense ids 0..V-1 via the distributed two-pass rank (no global
     // single-partition window — open-vocabulary safe; ScaleSpec proves the
     // plan has no single-partition Exchange at a 100k-item vocabulary)
@@ -77,10 +78,11 @@ object TextQueries {
         col("a_id") < col("b_id") &&
         col("a_nt") * threshold <= col("b_nt") &&
         col("b_nt") * threshold <= col("a_nt"))
-      .withColumn("inter", aggregate(
-        zip_with(col("a_mask"), col("b_mask"),
-          (x, y) => bit_count(x.bitwiseAND(y)).cast(LongType)),
-        lit(0L), (acc, v) => acc + v))
+      // r15: native fused popcount-intersection (graft.functions
+      // .BitAndCount — all-integer, exact equality with the old
+      // zip_with/aggregate fold; ExpressionSpec pins it), whole-stage
+      // codegen on the per-pair hot loop
+      .withColumn("inter", call_function("bitand_count", col("a_mask"), col("b_mask")))
       .withColumn("jacc", col("inter").cast(DoubleType) /
         (col("a_nt") + col("b_nt") - col("inter")))
       .where(col("jacc") >= threshold)
@@ -507,7 +509,10 @@ object TextQueries {
     // integer size filter is identical on both engines, so the pruned
     // semantics stay fully oracled. Bounded (|sources|²) output.
     "text_cross_source_dup" -> ((s, d) => {
+      // r15: buckets0 feeds the size census and both self-join sides —
+      // materialize so the sig pass runs once (the multi-consumer rule)
       val buckets0 = minhashBuckets(Tables.documents(s, d))
+        .transform(graft.operators.Scale.materialize)
       val sizes = buckets0.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
       val buckets = buckets0.join(sizes.where(col("bn") <= 50), Seq("band", "bh"))
         .select("doc_id", "source", "band", "bh")
@@ -525,7 +530,11 @@ object TextQueries {
     }),
 
     "dedup_minhash_est" -> ((s, d) => {
+      // r15: ONE materialized sig pass feeds the estimate join-backs (sa,
+      // sb) AND the pair generator — before, the per-token sha chain ran
+      // once per consumer (sa + sb + twice inside minhashPairs)
       val sigs = minhashSigs(Tables.documents(s, d))
+        .transform(graft.operators.Scale.materialize)
       val sa = sigs.select(col("doc_id").as("doc_a") +:
         (0 until 32).map(i => col(s"h$i").as(s"a$i")): _*)
       val sb = sigs.select(col("doc_id").as("doc_b") +:
@@ -533,7 +542,7 @@ object TextQueries {
       val agree = (0 until 32)
         .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
         .reduce(_ + _)
-      minhashPairs(s, d).join(sa, "doc_a").join(sb, "doc_b")
+      minhashPairsOver(minhashBucketsOver(sigs)).join(sa, "doc_a").join(sb, "doc_b")
         .select(col("doc_a"), col("doc_b"), agree.cast(IntegerType).as("n_agree"))
         .withColumn("est_jaccard", col("n_agree").cast(DoubleType) / 32.0)
         .orderBy("doc_a", "doc_b")
@@ -553,8 +562,11 @@ object TextQueries {
     // round 6). A banded pair CAN share zero tokens (min-VALUE collision
     // across disjoint sets) — left join + zero-fill, not inner.
     "dedup_est_calibration" -> ((s, d) => {
+      // r15: one materialized sig pass (the dedup_minhash_est rationale)
       val sigs = minhashSigs(Tables.documents(s, d))
-      val cand = minhashPairs(s, d).transform(graft.operators.Scale.materialize)
+        .transform(graft.operators.Scale.materialize)
+      val cand = minhashPairsOver(minhashBucketsOver(sigs))
+        .transform(graft.operators.Scale.materialize)
       val sa = sigs.select(col("doc_id").as("doc_a") +:
         (0 until 32).map(i => col(s"h$i").as(s"a$i")): _*)
       val sb = sigs.select(col("doc_id").as("doc_b") +:
@@ -695,8 +707,15 @@ object TextQueries {
   private[graft] val cmsSweepWidths = Seq(16L, 64L, 256L)
 
   private[graft] def minhashBuckets(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val sigs = minhashSigs(docs)
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    minhashBucketsOver(minhashSigs(docs))
+
+  /** The banding step alone, over an existing 32-signature frame — split
+    * out (r15) so queries that need sigs AND buckets (dedup_minhash_est,
+    * dedup_est_calibration) can materialize ONE sig pass and derive both,
+    * instead of re-running the per-token sha chain per consumer. */
+  private[graft] def minhashBucketsOver(
+      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       // band key: the 4 member signatures joined as a string — portable
       // across engines (round 1 xxhash64'd them; equality is all we need)
       val bandCols = (0 until 8).map(b =>
@@ -770,7 +789,12 @@ object TextQueries {
 
   private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    minhashPairsOver(minhashBuckets(Tables.documents(s, d)))
+    // r15: materialize the bucket frame — the thresholded lanedBucketJoin
+    // reads it THREE times (hot-set size aggregate + both join sides), and
+    // un-checkpointed each read re-runs the per-token sha sig pass
+    // (measured +1.5 s at sf0.1; the multi-consumer rule)
+    minhashPairsOver(minhashBuckets(Tables.documents(s, d))
+      .transform(graft.operators.Scale.materialize))
 
   private[graft] def minhashPairsOver(
       buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -834,6 +858,8 @@ object TextQueries {
     val bk = sigs
       .select(col("doc_id"), col("source"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("source"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      // r15: three consumers now (hot-set aggregate + both join sides)
+      .transform(graft.operators.Scale.materialize)
     graft.operators.Scale.lanedBucketJoin(bk, bk,
         Seq("source", "band", "bh"), "doc_id", "doc_id")
       .where(col("x.doc_id") < col("y.doc_id"))

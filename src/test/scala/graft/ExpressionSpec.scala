@@ -41,6 +41,186 @@ class ExpressionSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12, "self-similarity must be 1")
   }
 
+  test("dot_prod / sq_dist are BIT-identical to the HOF folds (float and double sides)") {
+    // r15: the native fused loops add terms in the same index-ascending
+    // order as the zip_with/aggregate left folds, so swapping them into
+    // any call site changes no golden or oracle hash — pinned here at
+    // doubleToLongBits grain on every fixture vector, for BOTH element
+    // type combinations the catalog uses (float×float corpus pairs,
+    // float×double literal centroids/planes).
+    GraftFunctions.registerAll(spark)
+    import org.apache.spark.sql.types.DoubleType
+    // independent HOF spellings (NOT Qutil's defs — a reference the code
+    // under test could share is a vacuous pin, the r10 LTTB lesson)
+    def dotHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    def sqDistHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("qd"))
+    val both = e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        call_function("dot_prod", col("embedding"), col("qv")).as("nd_ff"),
+        dotHof(col("embedding"), col("qv")).as("hd_ff"),
+        call_function("dot_prod", col("embedding"), col("qd")).as("nd_fd"),
+        dotHof(col("embedding"), col("qd")).as("hd_fd"),
+        call_function("sq_dist", col("embedding"), col("qv")).as("ns_ff"),
+        sqDistHof(col("embedding"), col("qv")).as("hs_ff"),
+        call_function("sq_dist", col("embedding"), col("qd")).as("ns_fd"),
+        sqDistHof(col("embedding"), col("qd")).as("hs_fd"))
+      .collect()
+    assert(both.nonEmpty)
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    both.foreach { r =>
+      for ((n, h, nm) <- Seq((1, 2, "dot f×f"), (3, 4, "dot f×d"),
+          (5, 6, "sq f×f"), (7, 8, "sq f×d")))
+        assert(bits(r.getDouble(n)) === bits(r.getDouble(h)),
+          s"vec ${r.getLong(0)} $nm: native=${r.getDouble(n)} hof=${r.getDouble(h)}")
+    }
+  }
+
+  test("dot_prod / sq_dist null and codegen behavior") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f), Array(1.0f, 2.0f))
+    ).toDF("id", "a", "b")
+      .select(col("id"),
+        call_function("dot_prod", col("a"), col("b")).as("d"),
+        call_function("sq_dist", col("a"), col("b")).as("s"))
+    val rows = df.orderBy("id").collect()
+    assert(math.abs(rows(0).getDouble(1) - 11.0) < 1e-12)
+    assert(math.abs(rows(0).getDouble(2) - 8.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(1) - 0.0) < 1e-12)
+    // NULL array => NULL result (null-intolerant binary expression)
+    val nd = Seq((1L, Array(1.0f))).toDF("id", "a")
+      .select(call_function("dot_prod", col("a"), lit(null).cast("array<float>")).as("d"))
+      .head()
+    assert(nd.isNullAt(0))
+  }
+
+  test("phash_bits equals the four-stage HOF DCT chain exactly") {
+    // r15: the native fused integer DCT kernel vs the ORIGINAL staged
+    // HOF spelling (row pass / column pass / AC sum / threshold bits,
+    // checkpointed per stage exactly as mm_near_dup_phash used to run
+    // it) — all-Long arithmetic, so equality is exact, but the pin
+    // keeps the recurrence itself from drifting.
+    GraftFunctions.registerAll(spark)
+    val tlLit = graft.queries.MmQueries.dctT.map(v => s"${v}L")
+      .mkString("array(", ", ", ")")
+    val base = Tables.documents(spark, sf).limit(64)
+      .selectExpr("doc_id",
+        "CAST((doc_id % 8) * 8 AS INT) AS p",
+        "upper(concat(sha2(CAST(doc_id DIV 8 AS STRING), 256), " +
+          "sha2(sha2(CAST(doc_id DIV 8 AS STRING), 256), 256))) AS hx0")
+      .selectExpr("doc_id",
+        "transform(sequence(0, 63), k -> CASE WHEN k = p " +
+          "THEN CAST(conv(substring(hx0, k*2 + 1, 2), 16, 10) AS INT) ^ 1 " +
+          "ELSE CAST(conv(substring(hx0, k*2 + 1, 2), 16, 10) AS INT) END) AS bt")
+      .localCheckpoint(true)
+    val hof = base
+      .selectExpr("doc_id", "bt", s"$tlLit AS tl")
+      .selectExpr("doc_id", "tl",
+        "transform(sequence(0, 63), i -> aggregate(sequence(0, 7), 0L, " +
+          "(a, x) -> a + element_at(tl, CAST((i DIV 8) * 8 + x + 1 AS INT)) " +
+          "* element_at(bt, x * 8 + (i % 8) + 1))) AS md")
+      .localCheckpoint(true)
+      .selectExpr("doc_id",
+        "transform(sequence(0, 63), j -> aggregate(sequence(0, 7), 0L, " +
+          "(a, y) -> a + element_at(md, CAST((j DIV 8) * 8 + y + 1 AS INT)) " +
+          "* element_at(tl, (j % 8) * 8 + y + 1))) AS dct")
+      .localCheckpoint(true)
+      .selectExpr("doc_id", "dct",
+        "aggregate(slice(dct, 2, 63), 0L, (a, x) -> a + x) AS sac")
+      .selectExpr("doc_id",
+        "transform(dct, c -> CASE WHEN 63 * c > sac THEN 1 ELSE 0 END) AS bits")
+    val nat = base.selectExpr("doc_id", s"phash_bits(bt, $tlLit) AS bits")
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val n = nat.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(n.nonEmpty && n.keySet === h.keySet)
+    n.foreach { case (id, bits) =>
+      assert(bits === h(id), s"doc $id: native $bits vs hof ${h(id)}")
+    }
+  }
+
+  test("tri_moments equals the nested-HOF moment struct spelling exactly") {
+    // r15: the native in-row moment generator vs the inline nested
+    // transform/flatten spelling microAll used to carry — all-integer
+    // tuples, exact equality, order preserved.
+    GraftFunctions.registerAll(spark)
+    val qs = transform(col("embedding"),
+      x => floor(x.cast(org.apache.spark.sql.types.DoubleType) * 1000000.0 + 0.5)
+        .cast("long"))
+    val base = Tables.embeddings(spark, sf).limit(50).select(qs.as("qs"))
+      .localCheckpoint(true)
+    val n = 64
+    val hof = base.select(explode(concat(
+        transform(sequence(lit(1), lit(n)), i =>
+          struct(i.as("i"), lit(0).as("j"), element_at(col("qs"), i).as("p"))),
+        flatten(transform(sequence(lit(1), lit(n)), i =>
+          transform(sequence(i, lit(n)), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("qs"), i) * element_at(col("qs"), j)).as("p")))))))
+        .as("t"))
+      .select("t.i", "t.j", "t.p").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val nat = base.select(explode(call_function("tri_moments", col("qs"))).as("t"))
+      .select("t.i", "t.j", "t.p").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(nat.nonEmpty && nat.length === hof.length)
+    assert(nat.toSeq === hof.toSeq, "tuple stream must match element-for-element")
+  }
+
+  test("bitand_count equals the zip_with/bit_count HOF fold") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val df = Seq(
+      (1L, Array(0xFFL, 0x0FL, -1L), Array(0x0FL, 0x0FL, Long.MinValue)),
+      (2L, Array(0L, 0L, 0L), Array(-1L, -1L, -1L)),
+      (3L, Array(0x123456789ABCDEFL, 7L, 1L << 62), Array(-1L, 5L, -1L))
+    ).toDF("id", "a", "b")
+    val both = df.select(col("id"),
+        call_function("bitand_count", col("a"), col("b")).as("nat"),
+        aggregate(zip_with(col("a"), col("b"),
+            (x, y) => bit_count(x.bitwiseAND(y)).cast(LongType)),
+          lit(0L), (acc, v) => acc + v).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}"))
+  }
+
+  test("simhash60 equals the bit-vote HOF spelling exactly") {
+    // r15: native fused SimHash kernel vs the original aggregate/zip_with
+    // vote fold + element_at threshold spelling, over fixture token
+    // hashes — all-integer, exact equality.
+    GraftFunctions.registerAll(spark)
+    val hs = transform(array_distinct(split(col("text"), " ")),
+      t => Qutil.hash60(t))
+    val masks = array((0 until 60).map(j => lit(1L << j)): _*)
+    val votes = aggregate(hs,
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+    val bits = (0 until 60).map(j =>
+      when(element_at(col("votes"), j + 1) > 0, lit(1L << j)).otherwise(0L))
+    val hof = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), votes.as("votes"))
+      .localCheckpoint(true)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), call_function("simhash60", hs).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat.nonEmpty && nat === hof)
+  }
+
   test("cosine_sim survives whole-stage codegen (no fallback errors) and nulls") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._

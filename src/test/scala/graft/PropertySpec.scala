@@ -1983,5 +1983,16 @@ class PropertySpec extends SparkSpec {
     assert(hotCells.size > 56, "the 8×8 cell grid is actually populated")
     assert(hotCells.values.max <= hotTotal / 8,
       s"no cell owns the bucket: max ${hotCells.values.max} of $hotTotal pairs")
+    // r15 threshold laning (guide §2.5, hot keys only): the sub-hotMin
+    // 8-row bucket must NOT replicate — all its pairs meet in the single
+    // cold cell (0, 0); the 160-row bucket (>= hotMin 65) stays laned.
+    val cells = Scale.lanedBucketJoin(df, df, Seq("bk"), "id", "id", 8)
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("x.__lx"), col("x.__ly"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(cells.filter(_._1 >= 200L).forall(c => c._2 == 0 && c._3 == 0),
+      "cold bucket pairs all meet in lane cell (0,0) — no replication")
+    assert(cells.filter(_._1 <= 160L).map(c => (c._2, c._3)).distinct.length > 8,
+      "hot bucket still decomposes across lane cells")
   }
 }
