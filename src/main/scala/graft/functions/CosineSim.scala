@@ -88,6 +88,8 @@ object GraftFunctions {
       "bitand_count", exprs => BitAndCount(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => Simhash60(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "affine_min", exprs => AffineMin(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
   }
 }
 

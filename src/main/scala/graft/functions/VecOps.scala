@@ -247,3 +247,73 @@ object Simhash60 {
     sig
   }
 }
+
+/** min over h in hs of ((h % p) * a + b) % p — one MinHash affine
+  * signature column, fused (r15). The interpreted spelling was
+  * array_min(transform(hs, h -> pmod(pmod(h, p) * a + b, p))) × 32
+  * columns per row; each native column is one integer scan of the
+  * materialized hash array. Inputs are nonnegative (60-bit sha-derived
+  * hashes; a < p, b < p — the TextQueries.minhashAB contract), so
+  * plain % equals pmod and every product stays under 2⁶² — identical
+  * values by integer exactness; ExpressionSpec pins it against the HOF
+  * spelling anyway. Empty array → NULL (array_min of empty); NULL
+  * array → NULL. */
+case class AffineMin(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "affine_min"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(LongType, _), LongType, LongType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, bigint, bigint, bigint)")
+    }
+
+  override protected def nullSafeEval(hsv: Any, av: Any, bv: Any, pv: Any): Any = {
+    val hs = hsv.asInstanceOf[ArrayData]
+    val a = av.asInstanceOf[Long]; val b = bv.asInstanceOf[Long]
+    val p = pv.asInstanceOf[Long]
+    val n = hs.numElements()
+    if (n == 0) return null
+    var mn = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) return null
+      val v = ((hs.getLong(i) % p) * a + b) % p
+      if (v < mn) mn = v
+      i += 1
+    }
+    java.lang.Long.valueOf(mn)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, a, b, p) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val mn = ctx.freshName("mn"); val v = ctx.freshName("v")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $hs.numElements();
+         |long $mn = Long.MAX_VALUE;
+         |boolean $bad = ($n == 0);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($hs.isNullAt($i)) { $bad = true; break; }
+         |  long $v = (($hs.getLong($i) % $p) * $a + $b) % $p;
+         |  if ($v < $mn) $mn = $v;
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $mn;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): AffineMin =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}

@@ -675,6 +675,7 @@ object TextQueries {
     * different signatures. */
   private[graft] def minhashSigs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      graft.functions.GraftFunctions.registerAll(docs.sparkSession)
       val base = docs
         .select(col("doc_id"), col("source"),
           transform(array_distinct(split(col("text"), " ")),
@@ -684,10 +685,17 @@ object TextQueries {
       // product under 2^62, so ANSI-mode long arithmetic never overflows
       // (same bound holds for DuckDB's BIGINT). Literal seeds keep reruns
       // byte-identical (SURVEY §7.3.6).
+      // r15: each signature column is the native fused affine_min kernel
+      // (graft.functions.AffineMin) instead of an interpreted
+      // array_min(transform(...)) pass — identical integer values on
+      // nonnegative inputs (pmod == % there; ExpressionSpec pins the
+      // equality), one codegen scan of the materialized hash array per
+      // column. Stateless expression, so the streaming bucket consumers
+      // (LshIndexProcessor/StarEdgeProcessor) keep byte-identical keys.
       val sigCols = (0 until 32).map { i =>
         val (a, b) = minhashAB(i)
-        array_min(transform(col("hs"),
-          h => pmod(pmod(h, lit(minhashP)) * lit(a) + lit(b), lit(minhashP)))).as(s"h$i")
+        call_function("affine_min", col("hs"),
+          lit(a), lit(b), lit(minhashP)).as(s"h$i")
       }
       base.select(col("doc_id") +: col("source") +: sigCols: _*)
   }

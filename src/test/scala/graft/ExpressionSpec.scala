@@ -221,6 +221,37 @@ class ExpressionSpec extends SparkSpec {
     assert(nat.nonEmpty && nat === hof)
   }
 
+  test("affine_min equals the array_min/transform HOF spelling on fixture hashes") {
+    // r15: native fused MinHash affine column vs the interpreted
+    // spelling, over the real per-token sha-derived hash arrays and the
+    // first/last affine params — nonnegative integer domain, exact.
+    GraftFunctions.registerAll(spark)
+    val p = 2147483647L
+    val hs = transform(array_distinct(split(col("text"), " ")),
+      t => Qutil.hash60(t))
+    for ((a, b) <- Seq((1540483477L, 1013904223L), (11L, 0L), (1L, 1L))) {
+      val both = Tables.documents(spark, sf).limit(100)
+        .select(col("doc_id"), hs.as("hs"))
+        .localCheckpoint(true)
+        .select(col("doc_id"),
+          call_function("affine_min", col("hs"), lit(a), lit(b), lit(p)).as("nat"),
+          array_min(transform(col("hs"),
+            h => pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p)))).as("hof"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)} a=$a b=$b"))
+    }
+    // empty array -> NULL on both paths
+    import spark.implicits._
+    val e = Seq(Tuple1(Array.empty[Long])).toDF("hs")
+      .select(call_function("affine_min", col("hs"), lit(3L), lit(5L), lit(p)).as("nat"),
+        array_min(transform(col("hs"),
+          h => pmod(pmod(h, lit(p)) * lit(3L) + lit(5L), lit(p)))).as("hof"))
+      .head()
+    assert(e.isNullAt(0) && e.isNullAt(1))
+  }
+
   test("cosine_sim survives whole-stage codegen (no fallback errors) and nulls") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
