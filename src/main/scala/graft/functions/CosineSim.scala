@@ -90,6 +90,14 @@ object GraftFunctions {
       "simhash60", exprs => Simhash60(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "affine_min", exprs => AffineMin(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash60", exprs => Hash60(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "plane_sig", exprs => PlaneSig(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quant8_stats", exprs => Quant8Stats(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantpd_stats", exprs => QuantPerDimStats(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }
 

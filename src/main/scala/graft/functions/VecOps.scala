@@ -317,3 +317,101 @@ case class AffineMin(first: Expression, second: Expression,
       newFourth: Expression): AffineMin =
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
+
+/** Packed hyperplane sign signature, fully fused (r16, the r15 verdict's
+  * "Next round" #4): bit k of the result = (dot(v, planes[k]) > 0.0),
+  * replacing SimQueries.packedSig's outer interpreted transform/zip_with/
+  * aggregate chain (each plane's dot was already native via dot_prod; the
+  * 64-element lambda scaffolding around it was not). `planes` must be a
+  * FOLDABLE array<array<double>> (the typedlit plane matrix) — it is
+  * evaluated once per expression instance and embedded as a reference
+  * object, never per row. Each dot adds terms index-ascending over
+  * min(len(v), len(plane)), exactly like dot_prod, so every IEEE
+  * intermediate and every sign test is bit-identical to the HOF spelling
+  * (ExpressionSpec pins it on fixture embeddings).
+  *
+  * Null semantics mirror the old composition EXACTLY: a NULL vector or a
+  * NULL vector element made every dot NULL, and the
+  * when(d > 0.0, bit).otherwise(0) fold then produced signature 0 — so
+  * this expression returns 0L (never NULL) on those inputs, and
+  * nullable = false like the old aggregate-with-literal-zero fold. NaN
+  * dots set no bit on either path (NaN > 0.0 is false). */
+case class PlaneSig(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "plane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(e, _), ArrayType(ArrayType(DoubleType, _), _))
+          if (e == FloatType || e == DoubleType) && right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float|double>, foldable array<array<double>>)")
+    }
+
+  @transient private lazy val planesArr: Array[Array[Double]] = {
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) java.lang.Long.valueOf(0L)
+    else java.lang.Long.valueOf(PlaneSig.kernel(
+      v.asInstanceOf[ArrayData], leftIsFloat, planesArr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("planeMatrix", planesArr, "double[][]")
+    val cls = PlaneSig.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code =
+      code"""
+        ${l.code}
+        long ${ev.value} = 0L;
+        if (!${l.isNull}) {
+          ${ev.value} = $cls.kernel(${l.value}, $leftIsFloat, $planesRef);
+        }""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PlaneSig =
+    copy(left = newLeft, right = newRight)
+}
+
+object PlaneSig {
+  def kernel(v: ArrayData, isFloat: Boolean,
+      planes: Array[Array[Double]]): Long = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      // a null element poisoned every HOF dot to NULL => signature 0
+      if (v.isNullAt(i)) return 0L
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < planes.length) {
+      val p = planes(k)
+      val m = math.min(n, p.length)
+      var dot = 0.0
+      var j = 0
+      while (j < m) {
+        val xj = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        dot += xj * p(j)
+        j += 1
+      }
+      if (dot > 0.0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+}

@@ -180,7 +180,7 @@ object Scale {
     // side only still needs lanes (its rows melt one reducer even when
     // the join emits nothing for them).
     val lsz = left.groupBy(kcols: _*).agg(count(lit(1)).as("__ln"))
-    val hot =
+    val hotRaw =
       if (left eq right)
         lsz.where(col("__ln") >= hotMin).select(kcols: _*).withColumn("__hot", lit(1))
       else {
@@ -190,24 +190,74 @@ object Scale {
             coalesce(col("__rn"), lit(0L)) >= hotMin)
           .select(kcols: _*).withColumn("__hot", lit(1))
       }
+    // r16 (r15 verdict "What's wrong" #2): the hot set is only bounded by
+    // n_bucket_rows/hotMin — realistic LSH histograms keep it tiny, but an
+    // adversarial distribution (millions of just-hot buckets) would OOM
+    // the driver through the broadcast. Guard: cache + count the bounded
+    // hot frame (the count job materializes the cache, so the broadcast
+    // build below reads the cached rows instead of re-running the size
+    // aggregate); above graft.lanedJoin.hotCap (default 2^20 keys — a
+    // few tens of MB broadcast at worst), fall back to UNIFORM laning for
+    // every bucket (the pre-r15 shape): graceful lanes-fold replication
+    // instead of a fatal broadcast. Output is row-identical on EVERY
+    // path (a pair meets in exactly one lane cell per shared bucket for
+    // ANY lane assignment), so the cap is a pure efficiency knob —
+    // PropertySpec pins the fallback path on a planted many-hot-buckets
+    // frame. The cache has no safe release point (the result is consumed
+    // lazily — the globalRank contract); it is bounded rows by the cap.
+    val hotCap = left.sparkSession.conf
+      .get("graft.lanedJoin.hotCap", (1 << 20).toString).toLong
+    val hot = hotRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHot = hot.count()
     val lanesArr = array((0 until lanes).map(lit): _*)
     val one = array(lit(0))
-    val l = left.join(broadcast(hot), keys, "left")
-      .withColumn("__lx",
-        when(col("__hot").isNotNull, laneCol(col(leftId), lanes)).otherwise(lit(0)))
-      .withColumn("__ly",
-        explode(when(col("__hot").isNotNull, lanesArr).otherwise(one)))
-      .drop("__hot")
-    val r = right.join(broadcast(hot), keys, "left")
-      .withColumn("__lx",
-        explode(when(col("__hot").isNotNull, lanesArr).otherwise(one)))
-      .withColumn("__ly",
-        when(col("__hot").isNotNull, laneCol(col(rightId), lanes)).otherwise(lit(0)))
-      .drop("__hot")
+    val (l, r) =
+      if (nHot > hotCap) {
+        hot.unpersist(blocking = false)
+        (left
+          .withColumn("__lx", laneCol(col(leftId), lanes))
+          .withColumn("__ly", explode(lanesArr)),
+         right
+          .withColumn("__lx", explode(lanesArr))
+          .withColumn("__ly", laneCol(col(rightId), lanes)))
+      } else {
+        (left.join(broadcast(hot), keys, "left")
+          .withColumn("__lx",
+            when(col("__hot").isNotNull, laneCol(col(leftId), lanes)).otherwise(lit(0)))
+          .withColumn("__ly",
+            explode(when(col("__hot").isNotNull, lanesArr).otherwise(one)))
+          .drop("__hot"),
+         right.join(broadcast(hot), keys, "left")
+          .withColumn("__lx",
+            explode(when(col("__hot").isNotNull, lanesArr).otherwise(one)))
+          .withColumn("__ly",
+            when(col("__hot").isNotNull, laneCol(col(rightId), lanes)).otherwise(lit(0)))
+          .drop("__hot"))
+      }
     l.as("x").join(r.as("y"),
       keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
         col("x.__lx") === col("y.__lx") && col("x.__ly") === col("y.__ly"))
   }
+
+  /** Hot-key frame for the thresholded ONE-SIDED salted pair joins (r16,
+    * the r15 verdict's "Next round" #6 — labelPairs / bitmaskJaccardPairs
+    * / the kmeans within-cluster pairs): keys holding >= hotMin rows in
+    * `df`, flagged for a broadcast left-join onto both renamed sides.
+    * Cold keys then salt to the single cell (0, [0]) with NO replication;
+    * hot keys keep the uniform salts-fold b-side explode. Output of the
+    * salted join is row-identical for ANY per-key decision (a pair (a, b)
+    * of one key meets exactly once: at sb = sa, whatever sa is), so the
+    * threshold is a pure efficiency knob, same argument as
+    * lanedBucketJoin. Bounded by n_rows/hotMin keys — the same worst-case
+    * class as the laned hot set; callers of THIS helper join it
+    * broadcast-explicitly and their key domains (labels, sources,
+    * clusters) are catalog-bounded, so no cap/count job here. */
+  private[graft] def hotKeys(df: DataFrame, keys: Seq[String],
+      hotMin: Int = 65): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= hotMin)
+      .select(keys.map(col): _*)
+      .withColumn("__hot", lit(1))
 
   /** Co-located join via bucketing: both sides pre-bucketed by the join
     * key into `buckets` files — Catalyst sees the matching output
@@ -320,12 +370,30 @@ object Scale {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // min neighbor label per node (shuffle on v, then on u)
-      val nb = e.join(labels, e("v") === labels("id"))
-        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
-      val m = materialize(labels.join(nb, labels("id") === nb("u"), "left")
-        .select(labels("id").as("id"), labels("lbl").as("lbl"),
-          least(labels("lbl"), coalesce(nb("nlbl"), labels("lbl"))).as("nxt")))
+      // r16 round shape (guide §2.4 — one exchange fewer per round, one
+      // join fewer): the old round aggregated neighbor mins per u
+      // (shuffle 1+2: edge⋈labels), re-shuffled the aggregate (3), then
+      // LEFT-joined it back onto labels (4, plus a second SMJ). The min
+      // over {self label} ∪ {neighbor labels} is ONE union + ONE keyed
+      // aggregate instead: self rows carry (id, lbl, self=true), the
+      // edge⋈labels contributions carry (u, neighbor's lbl, self=false),
+      // and min(val) per id IS nxt while min(val where self) recovers
+      // the old lbl for the convergence count — same exact integer mins,
+      // so every round's label table (and the final clusters) is
+      // bit-identical to the old shape (ScaleSpec's chain/clique/random
+      // pins cover it). The isNotNull filter keeps the output row set =
+      // nodes exactly, as the old left-join did for edge endpoints
+      // outside the node set (the caller contract either way).
+      val contrib = e.join(labels, e("v") === labels("id"))
+        .select(e("u").as("id"), labels("lbl").as("val"),
+          lit(false).as("self"))
+      val m = materialize(
+        labels.select(col("id"), col("lbl").as("val"), lit(true).as("self"))
+          .union(contrib)
+          .groupBy(col("id"))
+          .agg(min(when(col("self"), col("val"))).as("lbl"),
+            min(col("val")).as("nxt"))
+          .where(col("lbl").isNotNull))
       // scalar count over the checkpointed round — bounded driver work
       changed = m.where(col("nxt") =!= col("lbl")).count()
       labels = m.select(col("id"), col("nxt").as("lbl"))

@@ -108,6 +108,20 @@ object Qutil {
     * drift on a subset of queries. 60 bits keeps the value positive and
     * ANSI-overflow-safe in downstream modular arithmetic. */
   def hash60(c: Column): Column =
+    // r16: the native fused expression (graft.functions.Hash60) — one
+    // SHA-256 digest read directly as the top-60-bit long, replacing the
+    // conv(substring(sha2(...))) string churn. Identical bits on every
+    // input by construction (ExpressionSpec pins it against this old
+    // spelling); the DuckDB mirror below is untouched. Registration:
+    // SparkEntry wraps every declared query with registerAll, SparkSpec's
+    // shared session registers for the suites, and helper defs register
+    // on their frame's session — a missing registration fails loudly at
+    // analysis ("hash60 not found"), never silently.
+    call_function("hash60", c)
+
+  /** The r15-and-earlier composed spelling, kept callable for the
+    * equality pin (ExpressionSpec) — never used in a query plan. */
+  private[graft] def hash60Composed(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 15), 16, 10).cast(LongType)
 
   /** DuckDB mirror of hash60 for oracle SQL fragments ($e is any SQL

@@ -41,11 +41,31 @@ object SimQueries {
       .where(col("cos") >= 0.35)
   }
 
-  private def labelPairs(e: org.apache.spark.sql.DataFrame, salts: Int = 8) = {
+  private def labelPairs(e0: org.apache.spark.sql.DataFrame, salts: Int = 8,
+      hotMin: Int = 65) = {
+    // r16 (r15 verdict ask #6, guide §2.5): the salt is THRESHOLDED now —
+    // only labels holding >= hotMin vectors salt/replicate; cold labels
+    // join in the single cell (0, [0]) with NO b-side replication. Pair
+    // output is row-identical for any per-key decision (a pair meets
+    // exactly once at sb = sa either way), goldens untouched. The hot-key
+    // size aggregate reads a PRUNED projection of the input — Catalyst
+    // drops the embedding payload and the normD compute from that
+    // subtree, so detection costs one key-column scan, not a third full
+    // pass (no materialize here: a checkpoint job measured MORE expensive
+    // than the pruned scans on these sub-second queries, r16 TimeQ).
+    val e = e0
+    val hot = graft.operators.Scale.hotKeys(e.select(col("label")), Seq("label"), hotMin)
+    val saltsArr = array((0 until salts).map(lit): _*)
+    val one = array(lit(0))
     val a = e.toDF("a_id", "a_label", "a_emb", "a_nrm")
-      .withColumn("sa", pmod(xxhash64(col("a_id")), lit(salts)).cast("int"))
+      .join(broadcast(hot.toDF("a_label", "__hot")), Seq("a_label"), "left")
+      .withColumn("sa", when(col("__hot").isNotNull,
+        pmod(xxhash64(col("a_id")), lit(salts)).cast("int")).otherwise(lit(0)))
+      .drop("__hot")
     val b = e.toDF("b_id", "b_label", "b_emb", "b_nrm")
-      .withColumn("sb", explode(array((0 until salts).map(lit): _*)))
+      .join(broadcast(hot.toDF("b_label", "__hot")), Seq("b_label"), "left")
+      .withColumn("sb", explode(when(col("__hot").isNotNull, saltsArr).otherwise(one)))
+      .drop("__hot")
     a.hint("merge").join(b,
       col("a_label") === col("b_label") && col("sa") === col("sb") &&
         col("a_id") < col("b_id"))
@@ -94,15 +114,15 @@ object SimQueries {
     * nibble shiftright(sig, 4b) & 15, so oracle and goldens are
     * untouched by this packing. */
   private def packedSig(v: org.apache.spark.sql.Column) = {
+    // r16 (r15 verdict ask #4): the fully fused native signature kernel
+    // (graft.functions.PlaneSig) — bit k = sign of dot(v, plane_k), each
+    // dot index-ascending exactly like the dot_prod-per-plane HOF chain
+    // this replaces, so the signature is bit-identical (ExpressionSpec
+    // pins it against the old transform/zip_with/aggregate spelling).
+    // The plane matrix stays ONE typedlit literal (the r12 lesson);
+    // PlaneSig embeds its evaluated value as a codegen reference object.
     val planes = typedlit(planeInts.map(_.map(_ / 1000.0)))
-    // functions.shiftleft takes only a literal shift — look the power up
-    // from a 64-entry literal table instead (exact longs, 1-based index)
-    val pow2 = typedlit((0 until embedBands * embedRows).map(k => 1L << k))
-    aggregate(
-      zip_with(transform(planes, p => call_function("dot_prod", v, p)),
-        sequence(lit(0), lit(embedBands * embedRows - 1)),
-        (d, k) => when(d > 0.0, element_at(pow2, k.cast("int") + 1)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    call_function("plane_sig", v, planes)
   }
 
   /** Banded bucket frame (vec_id, <key>, band, bits) off the packed
@@ -734,28 +754,27 @@ object SimQueries {
     // (left-fold sum / 64, round 6 — the dotD/list_sum-mirror rule).
     // Row-local map work — no shuffle but the presentation sort.
     "embed_quantize_int8" -> ((s, d) => {
-      val maxabs = array_max(transform(col("embedding"),
-        x => abs(x.cast("double"))))
-      // the raw scale is named scale_raw, NEVER scale: Spark 4's lateral
-      // column alias resolution makes a later same-select reference to
-      // "scale" bind to the r6(...) OUTPUT alias below, silently
-      // computing mse against the ROUNDED scale (caught as a 3-row
-      // boundary mismatch vs the oracle at sf0.01)
-      val codes = transform(col("embedding"),
-        x => floor(x.cast("double") / col("scale_raw") + 0.5).cast("long"))
-      val sqerr = zip_with(col("embedding"), col("codes"), (x, c) => {
-        val r = x.cast("double") - c.cast("double") * col("scale_raw")
-        r * r
-      })
+      // r16 (r15 verdict ask #5): the whole per-vector HOF chain (maxabs
+      // transform, codes transform, three aggregate folds, sqerr
+      // zip_with — PlanAudit's densest remaining interpreted plan) fused
+      // into ONE native pass, graft.functions.Quant8Stats. Same IEEE op
+      // order per accumulator => bit-identical fields (ExpressionSpec
+      // pins each at doubleToLongBits grain); r6 display rounding and
+      // the /64.0 stay out here, unchanged. The struct rides BEHIND a
+      // Generate (explode of a 1-element array) so the five field
+      // extractions reference an attribute and the kernel runs once per
+      // row (the r9c Generate rule; a plain select would re-inline the
+      // extract-only alias per field — the r12/r15 CollapseProject trap).
+      graft.functions.GraftFunctions.registerAll(s)
       Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          (greatest(maxabs, lit(1e-12)) / 127.0).as("scale_raw"))
-        .withColumn("codes", codes)
-        .select(col("vec_id"), col("label"), r6(col("scale_raw")).as("scale"),
-          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
-          array_min(col("codes")).as("code_min"),
-          array_max(col("codes")).as("code_max"),
-          r6(aggregate(sqerr, lit(0.0), (a, x) => a + x) / 64.0).as("mse"))
+        .select(col("vec_id"), col("label"),
+          explode(array(call_function("quant8_stats", col("embedding")))).as("qs"))
+        .select(col("vec_id"), col("label"),
+          r6(col("qs.scale_raw")).as("scale"),
+          col("qs.code_sum").as("code_sum"),
+          col("qs.code_min").as("code_min"),
+          col("qs.code_max").as("code_max"),
+          r6(col("qs.sqe_sum") / 64.0).as("mse"))
         .orderBy("vec_id")
     }),
 
@@ -774,6 +793,7 @@ object SimQueries {
     // IEEE recipe (floor(x + 0.5) half-up, GREATEST span guard, left-
     // fold mse / 64 at r6) mirrored 1:1 in the oracle.
     "embed_quantize_perdim" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, d)
       val stats = e
         .select(posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -788,24 +808,21 @@ object SimQueries {
         .select(col("mns"),
           zip_with(col("mxs"), col("mns"),
             (mx, mn) => greatest(mx - mn, lit(1e-12)) / 255.0).as("scales"))
-      val idx = sequence(lit(1), lit(64))
-      val codes = transform(idx, i =>
-        floor((element_at(col("embedding"), i).cast("double") -
-          element_at(col("mns"), i)) / element_at(col("scales"), i) + 0.5)
-          .cast("long"))
-      val sqerr = transform(idx, i => {
-        val r = element_at(col("embedding"), i).cast("double") -
-          (element_at(col("mns"), i) +
-            element_at(col("codes"), i).cast("double") * element_at(col("scales"), i))
-        r * r
-      })
+      // r16 (r15 verdict ask #5): the per-vector code/error pass against
+      // the broadcast grids fused into graft.functions.QuantPerDimStats
+      // (the quant8_stats treatment; loop bound = the same literal 64 as
+      // the old sequence(1, 64)). Struct behind a Generate — see
+      // embed_quantize_int8. The bounded 64-row stats gather above is
+      // unchanged.
       e.crossJoin(broadcast(stats))
-        .withColumn("codes", codes)
         .select(col("vec_id"), col("label"),
-          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
-          array_min(col("codes")).as("code_min"),
-          array_max(col("codes")).as("code_max"),
-          r6(aggregate(sqerr, lit(0.0), (a, x) => a + x) / 64.0).as("mse"))
+          explode(array(call_function("quantpd_stats",
+            col("embedding"), col("mns"), col("scales")))).as("qs"))
+        .select(col("vec_id"), col("label"),
+          col("qs.code_sum").as("code_sum"),
+          col("qs.code_min").as("code_min"),
+          col("qs.code_max").as("code_max"),
+          r6(col("qs.sqe_sum") / 64.0).as("mse"))
         .orderBy("vec_id")
     }),
 

@@ -60,19 +60,36 @@ object TextQueries {
       .agg(expr("bit_or(shiftleft(1L, id % 64))").as("m"),
         count(lit(1)).as("ntw"))
     val nwords = dict.agg(expr("CAST(MAX(id) DIV 64 + 1 AS INT)").as("nw"))
-    val masks = bits
+    // materialized ONCE (r16): the mask aggregation previously re-ran per
+    // join side (the two sides' exchanges differ, so ReuseExchange never
+    // deduplicated them), and thresholded salting adds the hot-key size
+    // aggregate as a third consumer (the r15 C2 lesson)
+    val masks = graft.operators.Scale.materialize(bits
       .groupBy("doc_id", "source")
       .agg(map_from_entries(collect_list(struct(col("w"), col("m")))).as("mm"),
         sum(col("ntw")).as("nt"))
       .crossJoin(broadcast(nwords))
       .select(col("doc_id"), col("source"), col("nt"),
         transform(sequence(lit(0), col("nw") - 1),
-          w => coalesce(element_at(col("mm"), w), lit(0L))).as("mask"))
-    // salted within-source pair join (same shape as SimQueries.labelPairs)
+          w => coalesce(element_at(col("mm"), w), lit(0L))).as("mask")))
+    // salted within-source pair join (same shape as SimQueries.labelPairs);
+    // r16: THRESHOLDED (r15 verdict ask #6, guide §2.5) — only sources
+    // holding >= hotMin docs salt/replicate, cold sources join in the
+    // single (0, [0]) cell; pair output row-identical either way (a pair
+    // meets exactly once at sb = sa, whatever sa is)
+    val hot = graft.operators.Scale.hotKeys(
+      masks.select(col("source")), Seq("source"))
+    val saltsArr = array((0 until salts).map(lit): _*)
+    val one = array(lit(0))
     val a = masks.toDF("a_id", "a_src", "a_nt", "a_mask")
-      .withColumn("sa", pmod(xxhash64(col("a_id")), lit(salts)).cast("int"))
+      .join(broadcast(hot.toDF("a_src", "__hot")), Seq("a_src"), "left")
+      .withColumn("sa", when(col("__hot").isNotNull,
+        pmod(xxhash64(col("a_id")), lit(salts)).cast("int")).otherwise(lit(0)))
+      .drop("__hot")
     val b = masks.toDF("b_id", "b_src", "b_nt", "b_mask")
-      .withColumn("sb", explode(array((0 until salts).map(lit): _*)))
+      .join(broadcast(hot.toDF("b_src", "__hot")), Seq("b_src"), "left")
+      .withColumn("sb", explode(when(col("__hot").isNotNull, saltsArr).otherwise(one)))
+      .drop("__hot")
     a.hint("merge").join(b,
         col("a_src") === col("b_src") && col("sa") === col("sb") &&
         col("a_id") < col("b_id") &&

@@ -264,4 +264,158 @@ class ExpressionSpec extends SparkSpec {
     assert(math.abs(rows(0).getDouble(1) - 1.0) < 1e-12)
     assert(rows(1).isNullAt(1), "zero-norm vector must yield NULL")
   }
+
+  test("hash60 native kernel is EXACTLY the conv(substring(sha2)) spelling (r16)") {
+    // THE portable cross-engine hash: the native digest-read must equal
+    // the 3-function string spelling bit-for-bit on every input class the
+    // catalog hashes — fixture tokens, salted concats, the empty string,
+    // multi-byte UTF-8 — or every minhash/sampling golden breaks. NULL
+    // propagates on both paths.
+    GraftFunctions.registerAll(spark)
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select(col("t"),
+        call_function("hash60", col("t")).as("nat"),
+        Qutil.hash60Composed(col("t")).as("old"))
+      .collect()
+    assert(toks.length > 1000)
+    toks.foreach(r => assert(r.getLong(1) === r.getLong(2), s"tok '${r.getString(0)}'"))
+    import spark.implicits._
+    val edge = Seq("", "a", "salt:42|x", "héllo wörld é中文", "0"
+      ).toDF("t")
+      .select(col("t"),
+        call_function("hash60", col("t")).as("nat"),
+        Qutil.hash60Composed(col("t")).as("old"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(1) === r.getLong(2), s"edge '${r.getString(0)}'"))
+    val nul = Seq(Tuple1(null: String)).toDF("t")
+      .select(call_function("hash60", col("t")).as("nat"),
+        Qutil.hash60Composed(col("t")).as("old"))
+      .head()
+    assert(nul.isNullAt(0) && nul.isNullAt(1), "NULL input -> NULL on both paths")
+    // range sanity: 60 bits, always nonnegative (the ANSI-overflow contract)
+    toks.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 60)))
+  }
+
+  test("plane_sig native kernel is EXACTLY the HOF packed-signature fold (r16)") {
+    // independent HOF spelling (the old packedSig body, rebuilt here so a
+    // shared def can't make the pin vacuous — the r10 LTTB lesson)
+    GraftFunctions.registerAll(spark)
+    def sm(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val planeInts = (0 until 64).map(k =>
+      (0 until 64).map(j => math.floorMod(sm(k * 64L + j), 2001L) - 1000L))
+    val planes = typedlit(planeInts.map(_.map(_ / 1000.0)))
+    val pow2 = typedlit((0 until 64).map(k => 1L << k))
+    def hofSig(v: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(transform(planes, p => call_function("dot_prod", v, p)),
+          sequence(lit(0), lit(63)),
+          (d, k) => when(d > 0.0, element_at(pow2, k.cast("int") + 1)).otherwise(0L)),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val both = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        call_function("plane_sig", col("embedding"), planes).as("nat"),
+        hofSig(col("embedding")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2), s"vec ${r.getLong(0)}"))
+    // NULL vector -> signature 0 on both paths (the when/otherwise arm)
+    import spark.implicits._
+    val nul = Seq(Tuple1(null: Array[Float])).toDF("embedding")
+      .select(call_function("plane_sig", col("embedding"), planes).as("nat"),
+        hofSig(col("embedding")).as("hof"))
+      .head()
+    assert(!nul.isNullAt(0) && nul.getLong(0) === 0L)
+    assert(!nul.isNullAt(1) && nul.getLong(1) === 0L)
+  }
+
+  test("quant8_stats / quantpd_stats fields are BIT-identical to the HOF chains (r16)") {
+    GraftFunctions.registerAll(spark)
+    import org.apache.spark.sql.types.DoubleType
+    // --- int8: the old embed_quantize_int8 per-vector spelling, inline
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val codes8 = transform(col("embedding"),
+      x => floor(x.cast("double") / col("scale_raw") + 0.5).cast("long"))
+    val sqerr8 = zip_with(col("embedding"), col("codes"), (x, c) => {
+      val r = x.cast("double") - c.cast("double") * col("scale_raw")
+      r * r
+    })
+    val old8 = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        (greatest(maxabs, lit(1e-12)) / 127.0).as("scale_raw"))
+      .withColumn("codes", codes8)
+      .select(col("vec_id"), col("scale_raw"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        aggregate(sqerr8, lit(0.0), (a, x) => a + x).as("sqe_sum"))
+    val nat8 = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        explode(array(call_function("quant8_stats", col("embedding")))).as("qs"))
+      .select(col("vec_id"), col("qs.scale_raw"), col("qs.code_sum"),
+        col("qs.code_min"), col("qs.code_max"), col("qs.sqe_sum"))
+    val j8 = nat8.as("n").join(old8.as("o"), col("n.vec_id") === col("o.vec_id")).collect()
+    assert(j8.nonEmpty)
+    j8.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(7)), s"scale_raw vec ${r.getLong(0)}")
+      assert(r.getLong(2) === r.getLong(8), s"code_sum vec ${r.getLong(0)}")
+      assert(r.getLong(3) === r.getLong(9), s"code_min vec ${r.getLong(0)}")
+      assert(r.getLong(4) === r.getLong(10), s"code_max vec ${r.getLong(0)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(5)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(11)), s"sqe_sum vec ${r.getLong(0)}")
+    }
+    // --- perdim: the old sequence(1,64)/element_at spelling, inline
+    val e = Tables.embeddings(spark, sf)
+    val stats = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast(DoubleType)).as("mn"), max(col("x").cast(DoubleType)).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          p => p.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          p => p.getField("mx")).as("mxs"))
+      .select(col("mns"),
+        zip_with(col("mxs"), col("mns"),
+          (mx, mn) => greatest(mx - mn, lit(1e-12)) / 255.0).as("scales"))
+    val idx = sequence(lit(1), lit(64))
+    val codesP = transform(idx, i =>
+      floor((element_at(col("embedding"), i).cast("double") -
+        element_at(col("mns"), i)) / element_at(col("scales"), i) + 0.5)
+        .cast("long"))
+    val sqerrP = transform(idx, i => {
+      val r = element_at(col("embedding"), i).cast("double") -
+        (element_at(col("mns"), i) +
+          element_at(col("codes"), i).cast("double") * element_at(col("scales"), i))
+      r * r
+    })
+    val oldP = e.crossJoin(broadcast(stats))
+      .withColumn("codes", codesP)
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        aggregate(sqerrP, lit(0.0), (a, x) => a + x).as("sqe_sum"))
+    val natP = e.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        explode(array(call_function("quantpd_stats",
+          col("embedding"), col("mns"), col("scales")))).as("qs"))
+      .select(col("vec_id"), col("qs.code_sum"), col("qs.code_min"),
+        col("qs.code_max"), col("qs.sqe_sum"))
+    val jP = natP.as("n").join(oldP.as("o"), col("n.vec_id") === col("o.vec_id")).collect()
+    assert(jP.nonEmpty)
+    jP.foreach { r =>
+      assert(r.getLong(1) === r.getLong(6), s"code_sum vec ${r.getLong(0)}")
+      assert(r.getLong(2) === r.getLong(7), s"code_min vec ${r.getLong(0)}")
+      assert(r.getLong(3) === r.getLong(8), s"code_max vec ${r.getLong(0)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(9)), s"sqe_sum vec ${r.getLong(0)}")
+    }
+  }
 }

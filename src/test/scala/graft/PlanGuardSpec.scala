@@ -198,12 +198,25 @@ class PlanGuardSpec extends SparkSpec {
       assert(plan.contains("SortMergeJoin"),
         s"$q pair join must be sort-merge:\n$plan")
     }
-    // sim_join_label joins nothing bounded — its plan must have NO
-    // broadcast at all (jaccard's tiny dict/nwords broadcasts are fine).
+    // r16 (thresholded salting, r15 verdict ask #6): the salted
+    // generators now carry a BOUNDED hot-key broadcast (key + __hot flag
+    // — the §2.5 design), so "no broadcast at all" is no longer the pin.
+    // The r1 defect this test guards is a size-chosen broadcast of the
+    // EMBEDDINGS TABLE into the PAIR join; assert instead that the only
+    // broadcast joins in the plan are the LeftOuter hot-key flag
+    // attaches (__hot), and the pair join itself stays sort-merge
+    // (asserted above). Note sparkPlan can't be used here: exchanges are
+    // only inserted by the executedPlan preparations.
     val p = SparkEntry.queries("sim_join_label")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("BroadcastExchange"),
-      s"sim_join_label must not broadcast the embeddings table:\n$p")
+    val bhj = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(bhj.nonEmpty, s"expected the bounded hot-key flag joins:\n$p")
+    assert(bhj.forall(l => l.contains("LeftOuter")),
+      s"only the LeftOuter hot-key flag joins may broadcast — an Inner " +
+        s"broadcast means the embeddings table got broadcast into the " +
+        s"pair join:\n$p")
+    assert(p.contains("__hot"), s"hot-key flag missing from the plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("win_ntile_pctrank's window is partitioned (two-pass form)") {
