@@ -98,6 +98,8 @@ object GraftFunctions {
       "quant8_stats", exprs => Quant8Stats(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantpd_stats", exprs => QuantPerDimStats(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l1_dist", exprs => L1Dist(exprs(0), exprs(1)), "built-in")
   }
 }
 

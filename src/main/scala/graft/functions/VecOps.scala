@@ -318,6 +318,73 @@ case class AffineMin(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** Σ |a[i] − b[i]| over two int arrays, index-ascending (r16) — the
+  * native twin of mm_near_dup_phash's per-PAIR hamming re-check fold
+  * (`aggregate(zip_with(ba, bb, (x,y) -> abs(x-y)), 0, +)`), the same
+  * pair-grain interpreted-fold class r15's bitand_count/dot_prod killed.
+  * Pure integer arithmetic — exact equality with the HOF on the 0/1
+  * threshold-bit arrays it runs on (ExpressionSpec pins it; the only
+  * divergence class is ANSI overflow/abs(Int.MinValue), unreachable on
+  * bit arrays). Mirrors zip_with's length semantics exactly: arrays of
+  * DIFFERENT lengths pad the shorter side with NULL, a NULL term
+  * poisons the fold, so unequal lengths → NULL; a NULL element → NULL;
+  * a NULL array → NULL. */
+case class L1Dist(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l1_dist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two arrays of int, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null // zip_with pads with NULL
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += java.lang.Math.abs(x.getInt(i) - y.getInt(i))
+      i += 1
+    }
+    java.lang.Integer.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |int $acc = 0;
+         |boolean $bad = ($b.numElements() != $n);
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  $acc += java.lang.Math.abs($a.getInt($i) - $b.getInt($i));
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L1Dist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Packed hyperplane sign signature, fully fused (r16, the r15 verdict's
   * "Next round" #4): bit k of the result = (dot(v, planes[k]) > 0.0),
   * replacing SimQueries.packedSig's outer interpreted transform/zip_with/

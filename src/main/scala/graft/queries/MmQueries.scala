@@ -296,9 +296,12 @@ object MmQueries {
       cand
         .join(fp.select(col("doc_id").as("doc_a"), col("bits").as("ba")), "doc_a")
         .join(fp.select(col("doc_id").as("doc_b"), col("bits").as("bb")), "doc_b")
+        // r16: the per-PAIR re-check fold is the native l1_dist kernel
+        // (exact integer equality with the zip_with/aggregate spelling —
+        // ExpressionSpec pins it), whole-stage codegen on the pair hot
+        // loop like r15's bitand_count
         .selectExpr("doc_a", "doc_b",
-          "CAST(aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), 0, " +
-            "(a, x) -> a + x) AS BIGINT) AS hamming")
+          "CAST(l1_dist(ba, bb) AS BIGINT) AS hamming")
         .where(col("hamming") <= 8)
         .orderBy("doc_a", "doc_b")
     })

@@ -550,9 +550,12 @@ object Text2Queries {
     // transcendental-aggregate rule: round 3, never 6.
     "text_bigram_logprob" -> ((s, d) => {
       val bigrams = bigramsOf(split(col("text"), " "))
-      val t = Tables.documents(s, d)
+      // r16: materialized ONCE — three consumers (both count aggregates
+      // + the scoring join) each re-ran the split + bigram explode +
+      // per-row re-split
+      val t = graft.operators.Scale.materialize(Tables.documents(s, d)
         .select(col("doc_id"), explode(bigrams).as("bg"))
-        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        .withColumn("w1", element_at(split(col("bg"), " "), 1)))
       val c2 = t.groupBy("bg").agg(count(lit(1)).as("c2"))
       val c1 = t.groupBy("w1").agg(count(lit(1)).as("c1"))
       t.join(c2, "bg").join(c1, "w1")
@@ -575,9 +578,11 @@ object Text2Queries {
     // threshold could never accept before the aggregate.
     "text_containment" -> ((s, d) => {
       val bigrams = bigramsOf(split(col("text"), " "))
-      val t = Tables.documents(s, d)
+      // r16: materialized ONCE (three consumers — the text_near_dup_ngram
+      // rationale verbatim)
+      val t = graft.operators.Scale.materialize(Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(bigrams).as("bg"))
-        .distinct()
+        .distinct())
       val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("nt"))
       val ts = t.join(sizes, "doc_id")
       ts.as("a").join(ts.as("b"),

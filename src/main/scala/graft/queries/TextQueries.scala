@@ -244,9 +244,13 @@ object TextQueries {
     // by expected item df, not by habit.
     "text_near_dup_ngram" -> ((s, d) => {
       val bigrams = bigramsOf(split(col("text"), " "))
-      val t = Tables.documents(s, d)
+      // r16: materialized ONCE — the explode+distinct shingle frame has
+      // three consumers (the size aggregate + both self-join sides; the
+      // sides' exchanges differ once the size join lands, so
+      // ReuseExchange never saved the recompute)
+      val t = graft.operators.Scale.materialize(Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(bigrams).as("bg"))
-        .distinct()
+        .distinct())
       val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("nt"))
       val ts = t.join(sizes, "doc_id")
       ts.as("a").join(ts.as("b"),

@@ -265,6 +265,33 @@ class ExpressionSpec extends SparkSpec {
     assert(rows(1).isNullAt(1), "zero-norm vector must yield NULL")
   }
 
+  test("l1_dist is EXACTLY the abs-diff HOF fold incl. length/null arms (r16)") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v)
+    val df = Seq(
+      (1L, Array(0, 1, 1, 0), Array(1, 1, 0, 0)),          // hamming 2
+      (2L, Array(5, -3, 7), Array(-2, 4, 7)),              // general ints
+      (3L, Array(0, 1), Array(0, 1)),                      // equal -> 0
+      (4L, Array(1, 2, 3), Array(1, 2))                    // LENGTH MISMATCH -> NULL
+    ).toDF("id", "a", "b")
+      .select(col("id"), call_function("l1_dist", col("a"), col("b")).as("nat"),
+        hof(col("a"), col("b")).as("old"))
+      .orderBy("id").collect()
+    df.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null arm id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getInt(1) === r.getInt(2), s"id ${r.getLong(0)}")
+    }
+    assert(df(3).isNullAt(1), "length mismatch must be NULL (zip_with pad)")
+    val nulls = Seq((9L, Array[Integer](1, null, 0)))
+      .toDF("id", "a")
+      .select(call_function("l1_dist", col("a"), col("a")).as("nat"),
+        hof(col("a"), col("a")).as("old")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1), "null element -> NULL both paths")
+  }
+
   test("hash60 native kernel is EXACTLY the conv(substring(sha2)) spelling (r16)") {
     // THE portable cross-engine hash: the native digest-read must equal
     // the 3-function string spelling bit-for-bit on every input class the
